@@ -1,0 +1,179 @@
+"""HTML main-content extraction (the graft's L4 branch — new; the reference
+has no HTML path, see SURVEY.md §2.10).
+
+Readability/trafilatura-style heuristic over a streaming DOM walk:
+
+1. structural boilerplate subtrees are dropped outright
+   (``head/script/style/nav/header/footer/aside/form/...``);
+2. text accumulates into blocks at block-level tag boundaries
+   (``p/div/h1..h6/li/td/...``), ``<br>`` starting a new *line* within the
+   current block;
+3. each block is scored by text length and link density
+   (chars inside ``<a>`` / total chars); short or link-dominated blocks are
+   discarded (headings get a laxer rule).
+
+The output shares the OCR branch's data model: a list of paragraphs, each a
+list of lines, each a list of words — so ``assemble.page_text`` produces the
+final text with identical join semantics for both branches
+(words ``" "``, lines ``"\\n"``, paragraphs ``"\\n\\n"``, strip).
+
+All thresholds live in ``ExtractSettings`` so the scoring is explicit and
+testable; defaults follow the published Readability/JusText heuristics
+(PAPERS.md), not any proprietary system.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from html.parser import HTMLParser
+
+DROP_TAGS = frozenset(
+    {"head", "script", "style", "noscript", "template", "svg", "iframe",
+     "form", "button", "select", "option", "nav", "header", "footer",
+     "aside", "figure", "object", "embed", "applet", "audio", "video",
+     "canvas", "map", "datalist"}
+)
+
+BLOCK_TAGS = frozenset(
+    {"p", "div", "h1", "h2", "h3", "h4", "h5", "h6", "li", "dd", "dt",
+     "td", "th", "blockquote", "pre", "article", "section", "main",
+     "figcaption", "caption", "summary", "details", "body", "table",
+     "ul", "ol", "dl", "tr", "hr", "address", "center"}
+)
+
+HEADING_TAGS = frozenset({"h1", "h2", "h3", "h4", "h5", "h6"})
+
+
+@dataclass(frozen=True)
+class ExtractSettings:
+    """Block-scoring thresholds (jusText/Readability-style)."""
+
+    min_text_chars: int = 25          # non-heading blocks shorter than this drop
+    max_link_density: float = 0.5     # non-heading blocks above this drop
+    heading_max_link_density: float = 0.66
+    keep_headings: bool = True
+
+
+DEFAULT_SETTINGS = ExtractSettings()
+
+
+class _Block:
+    __slots__ = ("tag", "lines", "chars", "link_chars")
+
+    def __init__(self, tag: str):
+        self.tag = tag
+        self.lines: list[list[str]] = [[]]
+        self.chars = 0
+        self.link_chars = 0
+
+    def add_text(self, text: str, in_link: bool) -> None:
+        words = text.split()
+        if not words:
+            return
+        self.lines[-1].extend(words)
+        n = sum(len(w) for w in words)
+        self.chars += n
+        if in_link:
+            self.link_chars += n
+
+    def newline(self) -> None:
+        if self.lines[-1]:
+            self.lines.append([])
+
+    @property
+    def is_empty(self) -> bool:
+        return self.chars == 0
+
+    def word_lines(self) -> list[list[str]]:
+        return [line for line in self.lines if line]
+
+
+class _ContentParser(HTMLParser):
+    def __init__(self):
+        super().__init__(convert_charrefs=True)
+        self.blocks: list[_Block] = []
+        self._cur = _Block("body")
+        self._drop_depth = 0
+        self._link_depth = 0
+        self._drop_stack: list[str] = []
+
+    def _flush(self, next_tag: str) -> None:
+        if not self._cur.is_empty:
+            self.blocks.append(self._cur)
+        self._cur = _Block(next_tag)
+
+    def handle_starttag(self, tag, attrs):
+        if self._drop_depth:
+            if tag in DROP_TAGS and tag == self._drop_stack[-1]:
+                # nested same-tag drop region
+                self._drop_stack.append(tag)
+                self._drop_depth += 1
+            elif tag in DROP_TAGS:
+                self._drop_stack.append(tag)
+                self._drop_depth += 1
+            return
+        if tag in DROP_TAGS:
+            self._drop_depth = 1
+            self._drop_stack = [tag]
+            return
+        if tag == "br":
+            self._cur.newline()
+        elif tag == "a":
+            self._link_depth += 1
+        elif tag in BLOCK_TAGS:
+            self._flush(tag)
+
+    def handle_startendtag(self, tag, attrs):
+        if self._drop_depth:
+            return
+        if tag == "br":
+            self._cur.newline()
+        elif tag == "hr":
+            self._flush("div")
+
+    def handle_endtag(self, tag):
+        if self._drop_depth:
+            if self._drop_stack and tag == self._drop_stack[-1]:
+                self._drop_stack.pop()
+                self._drop_depth -= 1
+            return
+        if tag == "a":
+            self._link_depth = max(0, self._link_depth - 1)
+        elif tag in BLOCK_TAGS:
+            self._flush("div")
+
+    def handle_data(self, data):
+        if self._drop_depth:
+            return
+        self._cur.add_text(data, in_link=self._link_depth > 0)
+
+    def finish(self) -> list[_Block]:
+        if not self._cur.is_empty:
+            self.blocks.append(self._cur)
+        return self.blocks
+
+
+def _keep(block: _Block, settings: ExtractSettings) -> bool:
+    density = block.link_chars / block.chars if block.chars else 1.0
+    if block.tag in HEADING_TAGS:
+        return (
+            settings.keep_headings
+            and block.chars > 0
+            and density < settings.heading_max_link_density
+        )
+    return block.chars >= settings.min_text_chars and density < settings.max_link_density
+
+
+def extract_blocks(html: str, settings: ExtractSettings = DEFAULT_SETTINGS) -> list[list[list[str]]]:
+    """HTML string → kept content as paragraphs→lines→words."""
+    parser = _ContentParser()
+    parser.feed(html)
+    parser.close()
+    blocks = parser.finish()
+    return [b.word_lines() for b in blocks if _keep(b, settings) and b.word_lines()]
+
+
+def extract_text(html: str, settings: ExtractSettings = DEFAULT_SETTINGS) -> str:
+    """HTML string → main-content text with the shared assembly semantics."""
+    pars = extract_blocks(html, settings)
+    return "\n\n".join("\n".join(" ".join(line) for line in lines) for lines in pars).strip()

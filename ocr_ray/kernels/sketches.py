@@ -1,0 +1,116 @@
+"""Near-duplicate sketches: shingling, MinHash, SimHash, n-gram Jaccard.
+
+Standard published constructions (Broder 1997 minwise hashing; Charikar 2002
+simhash; Leskovec et al. MMDS ch.3 LSH banding) — no counterpart in the
+reference repo; required by the training-data operator suite. Pure and
+deterministic (fixed hash seeds), so Ray distribution cannot change results.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+
+_MERSENNE = (1 << 61) - 1
+_MAX_HASH = (1 << 32) - 1
+
+
+def _stable_hash64(data: bytes) -> int:
+    """Deterministic 64-bit hash (blake2b, fixed seed)."""
+    return struct.unpack("<Q", hashlib.blake2b(data, digest_size=8).digest())[0]
+
+
+def word_shingles(text: str, n: int = 3) -> set[bytes]:
+    """Set of word n-gram shingles of the lowercased text."""
+    words = text.lower().split()
+    if len(words) < n:
+        return {" ".join(words).encode()} if words else set()
+    return {" ".join(words[i : i + n]).encode() for i in range(len(words) - n + 1)}
+
+
+def char_ngrams(text: str, n: int = 5) -> set[str]:
+    """Set of character n-grams of the normalized text."""
+    s = " ".join(text.lower().split())
+    if len(s) < n:
+        return {s} if s else set()
+    return {s[i : i + n] for i in range(len(s) - n + 1)}
+
+
+def jaccard(a: set, b: set) -> float:
+    if not a and not b:
+        return 1.0
+    if not a or not b:
+        return 0.0
+    inter = len(a & b)
+    return inter / (len(a) + len(b) - inter)
+
+
+def _minhash_params(num_perm: int, seed: int = 1) -> list[tuple[int, int]]:
+    """Deterministic (a, b) per permutation derived from blake2b(seed, i)."""
+    params = []
+    for i in range(num_perm):
+        digest = hashlib.blake2b(
+            struct.pack("<QQ", seed, i), digest_size=16
+        ).digest()
+        a, b = struct.unpack("<QQ", digest)
+        params.append((a % _MERSENNE or 1, b % _MERSENNE))
+    return params
+
+
+_PARAM_CACHE: dict[tuple[int, int], list[tuple[int, int]]] = {}
+
+
+def minhash_signature(shingles: set[bytes], num_perm: int = 64, seed: int = 1) -> list[int]:
+    """MinHash signature: min over shingles of (a*h + b) mod p, truncated to
+    32 bits. Empty input yields the all-MAX signature."""
+    key = (num_perm, seed)
+    params = _PARAM_CACHE.get(key)
+    if params is None:
+        params = _PARAM_CACHE[key] = _minhash_params(num_perm, seed)
+    if not shingles:
+        return [_MAX_HASH] * num_perm
+    hashes = [_stable_hash64(s) % _MERSENNE for s in shingles]
+    sig = []
+    for a, b in params:
+        sig.append(min(((a * h + b) % _MERSENNE) & _MAX_HASH for h in hashes))
+    return sig
+
+
+def minhash_bands(signature: list[int], num_bands: int) -> list[int]:
+    """LSH banding: hash each contiguous band of the signature to a bucket
+    key. Two docs sharing any band bucket are near-dup candidates."""
+    rows = len(signature) // num_bands
+    keys = []
+    for band in range(num_bands):
+        chunk = signature[band * rows : (band + 1) * rows]
+        digest = hashlib.blake2b(
+            struct.pack(f"<{len(chunk) + 1}I", band, *chunk), digest_size=8
+        ).digest()
+        keys.append(struct.unpack("<Q", digest)[0])
+    return keys
+
+
+def minhash_similarity(sig_a: list[int], sig_b: list[int]) -> float:
+    """Estimated Jaccard similarity = fraction of agreeing components."""
+    if not sig_a:
+        return 0.0
+    return sum(1 for x, y in zip(sig_a, sig_b) if x == y) / len(sig_a)
+
+
+def simhash64(text: str) -> int:
+    """Charikar 64-bit simhash over word-level features (token + position-
+    independent weight 1)."""
+    weights = [0] * 64
+    for token in text.lower().split():
+        h = _stable_hash64(token.encode())
+        for bit in range(64):
+            weights[bit] += 1 if (h >> bit) & 1 else -1
+    out = 0
+    for bit in range(64):
+        if weights[bit] > 0:
+            out |= 1 << bit
+    return out
+
+
+def hamming64(a: int, b: int) -> int:
+    return bin(a ^ b).count("1")

@@ -1,0 +1,53 @@
+"""HTML main-content extraction heuristics (L4, SURVEY.md §2.10)."""
+
+from ocr_ray.kernels.html_extract import ExtractSettings, extract_blocks, extract_text
+
+PAGE = """<!DOCTYPE html>
+<html><head><title>Site title must not leak</title>
+<style>body { color: red }</style><script>var x = "script text";</script></head>
+<body>
+<header><p>Boilerplate site header navigation text here</p></header>
+<nav><a href="/">Home</a> <a href="/a">Section A</a> <a href="/b">Section B</a></nav>
+<main>
+<h1>Article Headline</h1>
+<p>This is the first real paragraph of the article body with enough characters to pass.</p>
+<p>Short.</p>
+<p>Second real paragraph line one<br>line two after the break, also long enough to keep.</p>
+<div><a href="/x">link</a> <a href="/y">farm</a> <a href="/z">block full of links only here</a></div>
+</main>
+<footer><p>Copyright boilerplate footer text that must never appear</p></footer>
+</body></html>"""
+
+
+def test_drops_boilerplate_keeps_content():
+    text = extract_text(PAGE)
+    assert "Article Headline" in text
+    assert "first real paragraph" in text
+    assert "Site title" not in text
+    assert "script text" not in text
+    assert "header navigation" not in text
+    assert "Copyright" not in text
+    assert "Short." not in text  # below min_text_chars
+    assert "link farm" not in text  # link density 1.0
+
+
+def test_br_makes_lines_and_join_semantics():
+    blocks = extract_blocks(PAGE)
+    br_par = [b for b in blocks if b and b[0][:1] == ["Second"]]
+    assert len(br_par) == 1
+    assert len(br_par[0]) == 2  # two lines split at <br>
+    text = extract_text(PAGE)
+    assert "paragraph line one\nline two after" in text
+    assert "Article Headline\n\nThis is the first" in text
+
+
+def test_settings_threshold():
+    lax = ExtractSettings(min_text_chars=1)
+    assert "Short." in extract_text(PAGE, lax)
+
+
+def test_empty_and_garbage():
+    assert extract_text("") == ""
+    assert extract_text("<<<>>>&&& not html") in ("", "<<<>>>&&& not html")
+    # entities decode
+    assert extract_text("<p>caf&eacute; com leite e p&atilde;o quentinho demais</p>") == "café com leite e pão quentinho demais"
