@@ -1,0 +1,141 @@
+"""Resumable partitioned Parquet sink with per-partition lineage manifests.
+
+Layout (north_rule "resumes from the last committed partition"; the Ray
+analogue of the reference's METS/MD5 manifests and file-existence
+idempotence, SURVEY.md W5/D3):
+
+    out/part=<k>/data.parquet       one shard per output partition
+    out/part=<k>/_MANIFEST.json     commit record, written LAST
+
+Write protocol per partition (parity with the reference's atomic
+tempfile+rename dance, celery_app.py:903-929, but manifest-as-commit):
+shard → ``data.parquet.tmp`` → fsync → rename → manifest. A partition
+without a manifest is uncommitted and will be recomputed on resume; the
+stamp stage drops rows of committed partitions before any extraction work.
+
+The per-partition write task also performs the latest-wins url dedup (D1):
+``part = crc32(url) % P`` means all re-crawls of a url land in the same
+group, so dedup costs ZERO extra shuffle — it folds into the output
+exchange.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+MANIFEST_NAME = "_MANIFEST.json"
+SHARD_NAME = "data.parquet"
+SCHEMA_VERSION = 1
+
+
+def partition_dir(out_dir: str, part: int) -> str:
+    return os.path.join(out_dir, f"part={part}")
+
+
+def committed_parts(out_dir: str) -> frozenset[int]:
+    """Partitions whose manifest exists = safely resumable."""
+    done = set()
+    if not os.path.isdir(out_dir):
+        return frozenset()
+    for name in os.listdir(out_dir):
+        if name.startswith("part=") and os.path.exists(
+            os.path.join(out_dir, name, MANIFEST_NAME)
+        ):
+            done.add(int(name.split("=", 1)[1]))
+    return frozenset(done)
+
+
+def dedup_and_sort(group: pa.Table) -> pa.Table:
+    """Latest-wins url dedup + deterministic (part, url) ordering for one
+    partition group. Latest = max warc_ts; ties broken by keeping the last
+    occurrence in (warc_ts, row) order — deterministic because the sort is
+    stable and rows are totally ordered by (url, warc_ts)."""
+    group = group.sort_by([("url", "ascending"), ("warc_ts", "ascending")])
+    urls = group.column("url").to_pylist()
+    keep = []
+    for i, url in enumerate(urls):
+        if i + 1 == len(urls) or urls[i + 1] != url:
+            keep.append(i)
+    if len(keep) != len(urls):
+        group = group.take(pa.array(keep, pa.int64()))
+    return group
+
+
+def _text_checksum(table: pa.Table) -> str:
+    h = hashlib.sha256()
+    for url, text in zip(table.column("url").to_pylist(), table.column("text").to_pylist()):
+        h.update(url.encode("utf-8"))
+        h.update(b"\x00")
+        h.update((text or "").encode("utf-8"))
+        h.update(b"\x01")
+    return h.hexdigest()
+
+
+def make_partition_writer(out_dir: str, input_path: str = ""):
+    """groupby("part").map_groups fn: dedup, sort, atomically write the
+    shard, commit the manifest, return the manifest as a row."""
+
+    def write_partition(group: pa.Table) -> pa.Table:
+        part = group.column("part")[0].as_py()
+        group = dedup_and_sort(group)
+        pdir = partition_dir(out_dir, part)
+        os.makedirs(pdir, exist_ok=True)
+        shard = os.path.join(pdir, SHARD_NAME)
+        tmp = shard + ".tmp"
+        pq.write_table(group, tmp)
+        with open(tmp, "rb") as f:
+            os.fsync(f.fileno())
+        os.replace(tmp, shard)
+        manifest = {
+            "schema_version": SCHEMA_VERSION,
+            "part": part,
+            "input": input_path,
+            "n_rows": group.num_rows,
+            "n_errors": int(
+                pa.compute.sum(
+                    pa.compute.cast(
+                        pa.compute.is_valid(group.column("error")), pa.int32()
+                    )
+                ).as_py()
+                or 0
+            ),
+            "bytes": sum(
+                len((t or "").encode()) for t in group.column("text").to_pylist()
+            ),
+            "text_sha256": _text_checksum(group),
+        }
+        mtmp = os.path.join(pdir, MANIFEST_NAME + ".tmp")
+        with open(mtmp, "w") as f:
+            json.dump(manifest, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(mtmp, os.path.join(pdir, MANIFEST_NAME))
+        return pa.Table.from_pylist(
+            [
+                {
+                    "part": part,
+                    "n_rows": manifest["n_rows"],
+                    "n_errors": manifest["n_errors"],
+                    "bytes": manifest["bytes"],
+                    "text_sha256": manifest["text_sha256"],
+                }
+            ]
+        )
+
+    return write_partition
+
+
+def read_output(out_dir: str) -> pa.Table:
+    """Read all committed partition shards back as one table (small-scale /
+    test helper; production consumers read the parquet dir directly)."""
+    tables = []
+    for part in sorted(committed_parts(out_dir)):
+        tables.append(pq.read_table(os.path.join(partition_dir(out_dir, part), SHARD_NAME)))
+    if not tables:
+        raise FileNotFoundError(f"no committed partitions under {out_dir}")
+    return pa.concat_tables(tables)

@@ -1,0 +1,222 @@
+"""Deterministic synthetic Common-Crawl-style pages corpus (FIXTURES.md §1).
+
+Every row is a pure function of ``(row_index, seed)`` — generation order,
+batching and parallelism cannot change content, so the corpus can be built
+either in-process (tests) or via ``ray.data.range(n).map_batches`` (bench
+scale) with identical bytes.
+
+Corpus properties (FIXTURES.md):
+- skewed host: ``host0`` owns ~30% of rows (skew/shuffle exercise);
+- ~5% re-crawled urls: same url + payload, later ``warc_ts``
+  (latest-wins dedup exercise, SURVEY.md D1);
+- payload mix: majority synthetic HTML (boilerplate + scored content),
+  minority fake PDF / image / TIFF / ZIP payloads carrying known hOCR
+  (OCR branch), plus edge rows (empty body, garbage bytes, multi-page PDF,
+  hyphenated line-break words);
+- ``text`` column = noisy crawler rendition (a weak prior, never the target);
+- ``lang`` ~ reference-weighted {por, eng, spa, fra, deu}
+  (default.json lang=por).
+"""
+
+from __future__ import annotations
+
+import os
+import random
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from .schemas import PAGES_SCHEMA
+from .sources.payloads import build_fake_image, build_fake_pdf, build_fake_tiff, build_zip
+from .kernels.hocr_write import tree_to_hocr
+
+SEED = 42
+BASE_TS_US = 1_704_067_200_000_000  # 2024-01-01T00:00:00Z in microseconds
+
+_SYLLABLES = (
+    "ca sa do ra mi to ve la por tu es den fi lo mu ne qui zo bar tex "
+    "men pa ri ful gar on da pe dra cor ti vel um bra no va lu zes"
+).split()
+
+_LANG_WHEEL = ["por", "por", "por", "por", "por", "eng", "eng", "spa", "fra", "deu"]
+
+_BOILER_NAV = (
+    '<nav><a href="/">Início</a> <a href="/arquivo">Arquivo</a> '
+    '<a href="/sobre">Sobre</a> <a href="/contacto">Contacto</a></nav>'
+)
+_BOILER_HEADER = "<header><p>Portal de notícias sintético — cabeçalho repetido em todas as páginas</p></header>"
+_BOILER_FOOTER = (
+    "<footer><p>Copyright 2024 portal sintético todos os direitos reservados "
+    "termos privacidade</p></footer>"
+)
+
+
+def _word(rng: random.Random) -> str:
+    return "".join(rng.choice(_SYLLABLES) for _ in range(rng.randint(2, 4)))
+
+
+def _sentence_words(rng: random.Random, lo: int = 8, hi: int = 18) -> list[str]:
+    return [_word(rng) for _ in range(rng.randint(lo, hi))]
+
+
+def _content_paragraphs(rng: random.Random, n_lo=2, n_hi=6) -> list[list[list[str]]]:
+    """paragraphs -> lines -> words of generated content."""
+    pars = []
+    for _ in range(rng.randint(n_lo, n_hi)):
+        lines = [_sentence_words(rng) for _ in range(rng.randint(1, 3))]
+        pars.append(lines)
+    return pars
+
+
+# ------------------------------------------------------------------- HTML
+
+def _html_payload(rng: random.Random) -> tuple[bytes, str]:
+    pars = _content_paragraphs(rng)
+    heading = " ".join(_sentence_words(rng, 3, 6)).title()
+    body = [
+        "<!DOCTYPE html>",
+        f"<html><head><title>{heading} — portal</title>",
+        "<style>body{margin:0}</style><script>window.tracker=1;</script></head><body>",
+        _BOILER_HEADER,
+        _BOILER_NAV,
+        "<main>",
+        f"<h1>{heading}</h1>",
+    ]
+    for lines in pars:
+        body.append("<p>" + "<br>".join(" ".join(ws) for ws in lines) + "</p>")
+    if rng.random() < 0.3:
+        links = " ".join(
+            f'<a href="/t/{i}">{_word(rng)}</a>' for i in range(rng.randint(3, 8))
+        )
+        body.append(f"<div>{links}</div>")
+    body.append("</main>")
+    body.append(_BOILER_FOOTER)
+    body.append("</body></html>")
+    crawler_text = " ".join(w for lines in pars for ws in lines for w in ws)
+    return "\n".join(body).encode("utf-8"), f"{heading} {crawler_text}"
+
+
+# -------------------------------------------------------------------- OCR
+
+def _page_tree(rng: random.Random, hyphen: bool = False) -> list:
+    """Build a par/line/word tree with grid geometry. Word ``b`` equals the
+    line bottom (serializer emits baseline 0 0, so parse round-trips)."""
+    tree = []
+    y = 100
+    for _ in range(rng.randint(1, 3)):
+        par = []
+        for _ in range(rng.randint(1, 4)):
+            words = _sentence_words(rng, 4, 9)
+            x = 100
+            line = []
+            bottom = y + 46
+            for w in words:
+                width = 14 * len(w)
+                line.append(
+                    {
+                        "text": w,
+                        "box": [float(x), float(y), float(x + width), float(bottom)],
+                        "b": float(bottom),
+                        "confidence": rng.randint(55, 99),
+                    }
+                )
+                x += width + 14
+            par.append(line)
+            y += 60
+        tree.append(par)
+        y += 40
+    if hyphen and len(tree[0]) >= 2:
+        tree[0][0][-1]["text"] += "-"
+    return tree
+
+
+def _page_hocr(rng: random.Random, hyphen: bool = False) -> str:
+    return tree_to_hocr(_page_tree(rng, hyphen=hyphen))
+
+
+# ------------------------------------------------------------------- rows
+
+def _payload_for(ci: int, rng: random.Random) -> tuple[bytes, str]:
+    """(payload bytes, crawler text) for canonical row index ci."""
+    slot = ci % 100
+    if slot < 85:
+        return _html_payload(rng)
+    if slot < 91:  # single page image
+        hocr = _page_hocr(rng, hyphen=(slot == 90))
+        return build_fake_image(hocr), " ".join(_sentence_words(rng))
+    if slot < 95:  # PDF, multi-page (incl. hyphen-across-lines page)
+        n_pages = 5 if slot == 94 else rng.randint(2, 3)
+        pages = [_page_hocr(rng, hyphen=(p == 0 and slot == 93)) for p in range(n_pages)]
+        return build_fake_pdf(pages), " ".join(_sentence_words(rng))
+    if slot < 96:  # ZIP with mixed-case member names (casefold sort test)
+        members = [
+            ("Page_B.png", _page_hocr(rng)),
+            ("page_a.png", _page_hocr(rng)),
+            ("PAGE_C.png", _page_hocr(rng)),
+        ]
+        return build_zip(members), " ".join(_sentence_words(rng))
+    if slot < 97:  # multi-frame TIFF
+        return build_fake_tiff([_page_hocr(rng) for _ in range(2)]), ""
+    if slot < 98:  # empty body
+        return b"", ""
+    if slot < 99:  # garbage bytes
+        return bytes(rng.getrandbits(8) for _ in range(64)), "garbage"
+    # truncated fake pdf (error path: bad container)
+    good = build_fake_pdf([_page_hocr(rng)])
+    return good[: len(good) // 2], "truncated"
+
+
+def canonical_index(i: int) -> int:
+    """Re-crawl rule: every 20th-ish row duplicates the row 7 before it."""
+    if i % 20 == 13 and i >= 7:
+        return i - 7
+    return i
+
+
+def row_for_index(i: int, seed: int = SEED) -> dict:
+    ci = canonical_index(i)
+    rng = random.Random((seed << 32) ^ ci)
+    host = "host0" if rng.random() < 0.30 else f"host{1 + rng.randrange(49)}"
+    url = f"https://{host}.example/p/{ci}"
+    payload, crawler_text = _payload_for(ci, rng)
+    lang = _LANG_WHEEL[rng.randrange(len(_LANG_WHEEL))]
+    return {
+        "url": url,
+        "warc_ts": BASE_TS_US + i * 1_000_000,  # duplicates get LATER ts
+        "html": payload,
+        "text": crawler_text,
+        "lang": lang,
+    }
+
+
+def rows_for_range(start: int, stop: int, seed: int = SEED) -> pa.Table:
+    rows = [row_for_index(i, seed) for i in range(start, stop)]
+    return pa.Table.from_pylist(rows, schema=PAGES_SCHEMA)
+
+
+def generate_pages_parquet(
+    out_dir: str, n_rows: int, seed: int = SEED, rows_per_file: int = 4096
+) -> str:
+    """Write the corpus as multiple parquet files (block-parallel read)."""
+    os.makedirs(out_dir, exist_ok=True)
+    file_no = 0
+    for start in range(0, n_rows, rows_per_file):
+        stop = min(start + rows_per_file, n_rows)
+        table = rows_for_range(start, stop, seed)
+        pq.write_table(table, os.path.join(out_dir, f"pages_{file_no:05d}.parquet"))
+        file_no += 1
+    return out_dir
+
+
+_CACHE_VERSION = "v1"
+
+
+def pages_dir_for(n_rows: int, seed: int = SEED, base: str = "/tmp/ocr_ray_pages") -> str:
+    """Cached corpus directory keyed by (version, n, seed); generated once."""
+    out = os.path.join(base, f"{_CACHE_VERSION}_n{n_rows}_s{seed}")
+    marker = os.path.join(out, "_COMPLETE")
+    if not os.path.exists(marker):
+        generate_pages_parquet(out, n_rows, seed)
+        with open(marker, "w") as f:
+            f.write("ok")
+    return out
