@@ -1,16 +1,18 @@
-"""Driver contract for the graft builder (Ray Data target).
+"""Driver contract for the Ray-Data extraction engine (ocr_ray).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+- ``entry()``: flagship extraction pipeline over the deterministic synthetic
+  pages corpus at smoke scale (the TESTDATA tables carry no pages-shaped
+  table; per the driver brief the input of BASELINE.json ``input_hint`` is
+  synthesized — see ocr_ray/synth.py / FIXTURES.md §1).
+- ``queries()``: one entry per operator family from SURVEY.md §2 plus the
+  training-data suite (dedup/ANN/quality/...).
+- ``oracle_sql()``: DuckDB equivalents for every SQL-expressible query;
+  column names and rounding match the Ray side exactly. Non-SQL ops
+  (extraction itself, sketch-based dedup, language-ID heuristics) are
+  deliberately omitted → rows-only checks.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported; nothing
+here calls ray.init/ray.shutdown.
 """
 
 from __future__ import annotations
@@ -18,27 +20,251 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+from ocr_ray.ops import documents as d_ops
+from ocr_ray.ops import embeddings as e_ops
+from ocr_ray.ops import extraction_queries as x_ops
+from ocr_ray.ops import multimodal as m_ops
+from ocr_ray.ops import relational as r_ops
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline at smoke scale; driver checks rows >= 0."""
+    return x_ops.extract_summary("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    return {
+        # ---- relational building blocks (SURVEY.md §2.4-2.6 idioms)
+        "pricing_summary": r_ops.pricing_summary,
+        "top_customers": r_ops.top_customers,
+        "order_priority_counts": r_ops.order_priority_counts,
+        "supplier_stats_by_region": r_ops.supplier_stats_by_region,
+        "events_by_type": r_ops.events_by_type,
+        "daily_active_users": r_ops.daily_active_users,
+        "part_brand_stats": r_ops.part_brand_stats,
+        "events_hourly": r_ops.events_hourly,
+        "events_props_sum": r_ops.events_props_sum,
+        "expensive_items": r_ops.expensive_items,
+        # ---- text analysis over documents
+        "token_counts": d_ops.token_counts,
+        "length_stats_by_lang": d_ops.length_stats_by_lang,
+        "word_frequency": d_ops.word_frequency,
+        "exact_dedup": d_ops.exact_dedup,
+        "language_id": d_ops.language_id,
+        "quality_scores": d_ops.quality_scores,
+        "fingerprints": d_ops.fingerprints,
+        "spell_flag": d_ops.spell_flag,
+        # ---- near-dedup sketches
+        "minhash_dup_pairs": d_ops.minhash_dup_pairs,
+        "simhash_dup_pairs": d_ops.simhash_dup_pairs,
+        "ngram_verified_pairs": d_ops.ngram_verified_pairs,
+        # ---- similarity search over embeddings
+        "embedding_norms": e_ops.embedding_norms,
+        "ann_brute_topk": e_ops.ann_brute_topk,
+        "cosine_dup_pairs": e_ops.cosine_dup_pairs,
+        "cosine_dup_pairs_lsh": e_ops.cosine_dup_pairs_lsh,
+        "label_centroids": e_ops.label_centroids,
+        # ---- the extraction engine itself (pages corpus synthesized)
+        "extract_summary": x_ops.extract_summary,
+        "word_index": x_ops.word_index,
+        "index_csv": x_ops.index_csv,
+        "txt_delimited": x_ops.txt_delimited,
+        "alto_pages": x_ops.alto_pages,
+        "branch_stats": x_ops.branch_stats,
+        "page_image_features": m_ops.page_image_features,
+    }
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+_PUNCT = '«»“”.,;:!?()[]{}"' + "''"  # translate() source set incl. quote
+
+
+def _dict_values_list() -> str:
+    words = d_ops.dictionary_words()
+    quoted = ", ".join("'" + w.replace("'", "''") + "'" for w in words)
+    return f"[{quoted}]"
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    punct_sql = """'«»“”.,;:!?()[]{}"' || chr(39)"""
+    return {
+        "pricing_summary": f"""
+            SELECT l_returnflag, l_linestatus,
+                   ROUND(SUM(l_quantity), 2) AS sum_qty,
+                   ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   CAST(COUNT(*) AS BIGINT) AS count_order,
+                   ROUND(SUM(l_quantity) / COUNT(*), 4) AS avg_qty,
+                   ROUND(SUM(l_extendedprice) / COUNT(*), 4) AS avg_price
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '{r_ops.SHIPDATE_CUTOFF}'
+            GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus
+        """,
+        "top_customers": """
+            SELECT o_custkey AS c_custkey, c_name,
+                   ROUND(SUM(o_totalprice), 2) AS revenue
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY o_custkey, c_name
+            ORDER BY SUM(o_totalprice) DESC, o_custkey
+            LIMIT 10
+        """,
+        "order_priority_counts": f"""
+            SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+            FROM orders
+            WHERE o_orderdate >= TIMESTAMP '{r_ops.ORDERDATE_LO}'
+              AND o_orderdate < TIMESTAMP '{r_ops.ORDERDATE_HI}'
+            GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """,
+        "supplier_stats_by_region": """
+            SELECT r_name, CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+                   ROUND(SUM(s_acctbal), 2) AS sum_acctbal,
+                   ROUND(SUM(s_acctbal) / COUNT(*), 4) AS avg_acctbal
+            FROM supplier
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name ORDER BY r_name
+        """,
+        "events_by_type": """
+            SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+                   ROUND(SUM(value), 2) AS sum_value,
+                   ROUND(MAX(value), 6) AS max_value
+            FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "daily_active_users": """
+            SELECT strftime(ts, '%Y-%m-%d') AS day,
+                   CAST(COUNT(DISTINCT user_id) AS BIGINT) AS active_users
+            FROM events GROUP BY 1 ORDER BY 1
+        """,
+        "part_brand_stats": """
+            SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n_parts,
+                   MAX(p_size) AS max_size,
+                   ROUND(SUM(p_retailprice) / COUNT(*), 4) AS avg_retailprice
+            FROM part GROUP BY p_brand ORDER BY p_brand
+        """,
+        "events_hourly": """
+            SELECT strftime(ts, '%H') AS hour,
+                   CAST(COUNT(*) AS BIGINT) AS n_events
+            FROM events GROUP BY 1 ORDER BY 1
+        """,
+        "events_props_sum": """
+            SELECT event_type,
+                   CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+                   CAST(COUNT(*) AS BIGINT) AS n_events
+            FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "expensive_items": """
+            SELECT l_orderkey, l_linenumber,
+                   ROUND(l_extendedprice, 2) AS l_extendedprice,
+                   ROUND(l_discount, 4) AS l_discount
+            FROM lineitem
+            WHERE l_discount < 0.02
+            ORDER BY lineitem.l_extendedprice DESC, l_orderkey, l_linenumber
+            LIMIT 20
+        """,
+        "token_counts": r"""
+            SELECT doc_id,
+                   CAST(array_length(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens_ws,
+                   CAST(array_length(regexp_extract_all(text,
+                        '[A-Za-zÀ-ÖØ-öø-ÿ]+|[0-9]+|[^\w\s]')) AS BIGINT) AS n_tokens_bpe
+            FROM documents ORDER BY doc_id
+        """,
+        "length_stats_by_lang": """
+            SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+                   MAX(n_chars) AS max_chars,
+                   ROUND(SUM(n_chars) * 1.0 / COUNT(*), 4) AS avg_chars
+            FROM documents GROUP BY lang ORDER BY lang
+        """,
+        "word_frequency": f"""
+            WITH toks AS (
+                SELECT lower(translate(tok, {punct_sql}, '')) AS word
+                FROM (SELECT unnest(regexp_extract_all(text, '\\S+')) AS tok
+                      FROM documents)
+            )
+            SELECT word, CAST(COUNT(*) AS BIGINT) AS n
+            FROM toks WHERE word <> ''
+            GROUP BY word ORDER BY n DESC, word LIMIT 100
+        """,
+        "exact_dedup": """
+            SELECT md5(text) AS text_hash,
+                   CAST(MIN(doc_id) AS BIGINT) AS keep_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_copies
+            FROM documents GROUP BY md5(text) ORDER BY text_hash
+        """,
+        "spell_flag": f"""
+            WITH d AS (
+                SELECT doc_id, regexp_extract_all(text, '\\S+') AS toks
+                FROM documents
+            )
+            SELECT doc_id,
+                   CAST(len(toks) AS BIGINT) AS n_tokens,
+                   CAST(len(list_filter(toks,
+                        t -> list_contains({_dict_values_list()}, lower(t)))) AS BIGINT) AS n_dict_hits
+            FROM d ORDER BY doc_id
+        """,
+        "embedding_norms": """
+            SELECT vec_id,
+                   ROUND(sqrt(list_sum(list_transform(embedding,
+                        x -> CAST(x AS DOUBLE) * x))), 4) AS l2_norm
+            FROM embeddings ORDER BY vec_id
+        """,
+        "ann_brute_topk": """
+            WITH q AS (
+                SELECT vec_id AS query_id, embedding AS qe
+                FROM embeddings ORDER BY vec_id LIMIT 8
+            ),
+            scored AS (
+                SELECT q.query_id, e.vec_id,
+                       list_sum(list_transform(list_zip(q.qe, e.embedding),
+                            x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+                       / (sqrt(list_sum(list_transform(q.qe, x -> CAST(x AS DOUBLE) * x)))
+                          * sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * x))))
+                       AS cos_raw
+                FROM q CROSS JOIN embeddings e
+                WHERE e.vec_id <> q.query_id
+            ),
+            ranked AS (
+                SELECT query_id, vec_id, cos_raw,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY cos_raw DESC, vec_id) AS rnk
+                FROM scored
+            )
+            SELECT query_id, vec_id, ROUND(cos_raw, 4) AS cosine,
+                   CAST(rnk AS BIGINT) AS rank
+            FROM ranked WHERE rnk <= 10
+            ORDER BY query_id, rank
+        """,
+        "cosine_dup_pairs": f"""
+            WITH n AS (
+                SELECT vec_id, embedding,
+                       sqrt(list_sum(list_transform(embedding,
+                            x -> CAST(x AS DOUBLE) * x))) AS nrm
+                FROM embeddings
+            )
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                   ROUND(list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+                        / (a.nrm * b.nrm), 4) AS cosine
+            FROM n a JOIN n b ON a.vec_id < b.vec_id
+            WHERE list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+                  / (a.nrm * b.nrm) >= {e_ops.COSINE_DUP_TAU}
+            ORDER BY vec_a, vec_b
+        """,
+        "label_centroids": """
+            WITH ex AS (
+                SELECT label, generate_subscripts(embedding, 1) AS dim,
+                       unnest(embedding) AS val
+                FROM embeddings
+            ),
+            dims AS (
+                SELECT label, dim, SUM(CAST(val AS DOUBLE)) AS s
+                FROM ex GROUP BY label, dim
+            ),
+            cnt AS (SELECT label, COUNT(*) AS n FROM embeddings GROUP BY label)
+            SELECT c.label, CAST(c.n AS BIGINT) AS n_vectors,
+                   ROUND(sqrt(SUM((d.s / c.n) * (d.s / c.n))), 4) AS centroid_norm
+            FROM dims d JOIN cnt c ON d.label = c.label
+            GROUP BY c.label, c.n ORDER BY c.label
+        """,
+    }

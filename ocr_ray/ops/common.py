@@ -1,0 +1,90 @@
+"""Shared scale-first helpers for the operator suite.
+
+- ``read_table``: column-pruned parquet read (never load columns a 2-column
+  transform doesn't need).
+- ``grouped_agg``: the partial-aggregation (combiner) pattern — per-batch
+  pandas partials inside ``map_batches``, then a small global
+  ``groupby().aggregate()`` over the partials. The all-to-all exchange moves
+  one row per (batch × group) instead of one per input row
+  (SURVEY.md §4 "pre-aggregate inside map_batches").
+- ``broadcast_lookup``: classic broadcast-hash join — ``ray.put`` the small
+  side once, every task reads it zero-copy from the object store instead of
+  re-shipping per batch or shuffling the big side.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data
+
+
+def read_table(sf_dir: str, name: str, columns: list[str] | None = None) -> ray.data.Dataset:
+    return ray.data.read_parquet(f"{sf_dir}/{name}.parquet", columns=columns)
+
+
+_PARTIAL_KINDS = {"sum", "count", "min", "max"}
+
+
+def grouped_agg(
+    ds: ray.data.Dataset,
+    keys: list[str],
+    specs: list[tuple[str, str, str | None]],
+    finalize=None,
+):
+    """Distributed grouped aggregation with per-batch partials.
+
+    specs: (out_name, kind, column); kind ∈ sum|count|min|max (count ignores
+    the column). ``finalize(df) -> df`` runs once over the small aggregated
+    frame (derive averages, round, sort).
+    """
+    from ray.data.aggregate import Max, Min, Sum
+
+    for _, kind, _ in specs:
+        if kind not in _PARTIAL_KINDS:
+            raise ValueError(f"unsupported agg kind {kind!r}")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        grouped = df.groupby(keys, as_index=False, sort=False)
+        out = grouped.size()[keys]
+        for name, kind, col in specs:
+            if kind == "count":
+                out[name] = grouped.size()["size"].to_numpy()
+            else:
+                out[name] = getattr(grouped[col], kind)()[col].to_numpy()
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    ds = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+
+    aggs = []
+    for name, kind, _ in specs:
+        if kind in ("sum", "count"):
+            aggs.append(Sum(on=name, alias_name=name))
+        elif kind == "min":
+            aggs.append(Min(on=name, alias_name=name))
+        else:
+            aggs.append(Max(on=name, alias_name=name))
+    out = ds.groupby(keys).aggregate(*aggs)
+
+    if finalize is not None:
+        def _finalize(batch: pa.Table) -> pa.Table:
+            df = finalize(batch.to_pandas())
+            return pa.Table.from_pandas(df, preserve_index=False)
+        # aggregated result is small: run finalize in one task for a
+        # deterministic global view (sorting/rounding), not per block
+        out = out.repartition(1).map_batches(_finalize, batch_format="pyarrow")
+    return out
+
+
+def broadcast_lookup(table: pa.Table, key: str) -> "ray.ObjectRef":
+    """ray.put a {key -> row dict} mapping of a SMALL dimension table."""
+    rows = table.to_pylist()
+    return ray.put({r[key]: r for r in rows})
+
+
+def round_cols(df: pd.DataFrame, cols: dict[str, int]) -> pd.DataFrame:
+    for col, nd in cols.items():
+        df[col] = df[col].astype("float64").round(nd)
+    return df

@@ -1,0 +1,361 @@
+"""Training-data text operators over the ``documents`` table: token/length
+stats, global word frequency, exact + near dedup (MinHash-LSH, SimHash,
+n-gram Jaccard verify), language-ID, quality scoring, fingerprinting and
+dictionary spell-flagging.
+
+Scale notes per operator are in the docstrings; the shared pattern is
+map_batches feature computation (per-doc Python kernels from
+ocr_ray.kernels) followed by the narrowest possible shuffle (band keys,
+64-bit hashes — never full text)."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pandas as pd
+import pyarrow as pa
+import ray
+
+from ..kernels import sketches, textstats
+from ..kernels.textfn import INDEX_REMOVE_CHARS
+from .common import grouped_agg, read_table
+
+MINHASH_PERMS = 64
+MINHASH_BANDS = 16
+MINHASH_TAU = 0.5
+NGRAM_TAU = 0.4
+SIMHASH_MAX_HAMMING = 10
+
+
+def token_counts(sf_dir: str):
+    """doc_id → whitespace/BPE-ish token counts (vectorizable per batch)."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def f(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_tokens_ws": pa.array(
+                    [textstats.token_count_ws(t) for t in texts], pa.int64()
+                ),
+                "n_tokens_bpe": pa.array(
+                    [textstats.token_count_bpe(t) for t in texts], pa.int64()
+                ),
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def length_stats_by_lang(sf_dir: str):
+    """per-lang grouped aggregate over doc lengths (combiner pattern)."""
+    ds = read_table(sf_dir, "documents", columns=["lang", "n_chars"])
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        df["avg_chars"] = (df["sum_chars"] / df["n_docs"]).round(4)
+        return df.sort_values("lang").reset_index(drop=True)
+
+    return grouped_agg(
+        ds,
+        keys=["lang"],
+        specs=[
+            ("n_docs", "count", None),
+            ("sum_chars", "sum", "n_chars"),
+            ("max_chars", "max", "n_chars"),
+        ],
+        finalize=fin,
+    )
+
+
+def word_frequency(sf_dir: str, top_k: int = 100):
+    """Global word frequency with the reference's index normalization
+    (punctuation set + lowercase, export.py:494) — per-batch partial counts,
+    then a grouped sum keyed by word, then deterministic top-k."""
+    ds = read_table(sf_dir, "documents", columns=["text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        counts: dict[str, int] = {}
+        for text in batch.column("text").to_pylist():
+            for tok in text.split():
+                for ch in INDEX_REMOVE_CHARS:
+                    if ch in tok:
+                        tok = tok.replace(ch, "")
+                tok = tok.lower()
+                if tok:
+                    counts[tok] = counts.get(tok, 0) + 1
+        return pa.table(
+            {"word": pa.array(list(counts.keys()), pa.string()),
+             "n": pa.array(list(counts.values()), pa.int64())}
+        )
+
+    ds = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["n", "word"], ascending=[False, True]).head(top_k)
+        return df.reset_index(drop=True)
+
+    return grouped_agg(ds, keys=["word"], specs=[("n", "sum", "n")], finalize=fin)
+
+
+def exact_dedup(sf_dir: str):
+    """Exact text dedup: md5(text) groups → keep min doc_id + copy count
+    (the D1 analogue on the documents table)."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def hash_batch(batch: pa.Table) -> pa.Table:
+        hashes = [
+            hashlib.md5(t.encode("utf-8")).hexdigest()
+            for t in batch.column("text").to_pylist()
+        ]
+        return pa.table(
+            {"text_hash": pa.array(hashes, pa.string()), "doc_id": batch.column("doc_id")}
+        )
+
+    ds = ds.map_batches(hash_batch, batch_format="pyarrow", zero_copy_batch=True)
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values("text_hash").reset_index(drop=True)
+
+    return grouped_agg(
+        ds,
+        keys=["text_hash"],
+        specs=[("keep_id", "min", "doc_id"), ("n_copies", "count", None)],
+        finalize=fin,
+    )
+
+
+def language_id(sf_dir: str):
+    """Heuristic stopword language-ID per doc (kernels.textstats); non-SQL
+    (rows-only check)."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+
+    def f(batch: pa.Table) -> pa.Table:
+        rows = batch.to_pylist()
+        out = []
+        for r in rows:
+            lang, conf = textstats.detect_language(r["text"])
+            out.append(
+                {"doc_id": r["doc_id"], "declared_lang": r["lang"],
+                 "detected_lang": lang, "confidence": round(conf, 4)}
+            )
+        return pa.Table.from_pylist(out)
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def quality_scores(sf_dir: str):
+    """Gopher/C4-style quality features per doc (kernels.textstats)."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def f(batch: pa.Table) -> pa.Table:
+        out = []
+        for r in batch.to_pylist():
+            feats = textstats.quality_features(r["text"])
+            out.append(
+                {
+                    "doc_id": r["doc_id"],
+                    "n_chars": feats["n_chars"],
+                    "n_words": feats["n_words"],
+                    "mean_word_len": round(feats["mean_word_len"], 4),
+                    "punct_ratio": round(feats["punct_ratio"], 4),
+                    "stop_ratio": round(feats["stop_ratio"], 4),
+                    "quality_score": round(feats["quality_score"], 4),
+                }
+            )
+        return pa.Table.from_pylist(out)
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def fingerprints(sf_dir: str):
+    """Winnowing fingerprints per doc: doc_id, n_grams, fingerprint (first 8
+    picks as hex for compactness)."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def f(batch: pa.Table) -> pa.Table:
+        out = []
+        for r in batch.to_pylist():
+            fp = textstats.winnow_fingerprint(r["text"])
+            out.append(
+                {
+                    "doc_id": r["doc_id"],
+                    "n_picks": len(fp),
+                    "fp_head": ",".join(format(v, "x") for v in fp[:8]),
+                }
+            )
+        return pa.Table.from_pylist(out)
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ------------------------------------------------------------ near dedup
+
+
+def _band_rows(batch: pa.Table) -> pa.Table:
+    """doc → MinHash signature → one row per LSH band. At 10^12-doc scale the
+    signature would be stored once and re-joined; here it rides along each
+    band row (16× duplication of 64 u32s) to keep the pipeline join-free —
+    the assumption is documented, the shuffle key is the 64-bit band hash."""
+    out = []
+    for r in batch.to_pylist():
+        shingles = sketches.word_shingles(r["text"])
+        sig = sketches.minhash_signature(shingles, MINHASH_PERMS)
+        for band_key in sketches.minhash_bands(sig, MINHASH_BANDS):
+            out.append({"band_key": band_key, "doc_id": r["doc_id"], "sig": sig})
+    return pa.Table.from_pylist(
+        out,
+        schema=pa.schema(
+            [pa.field("band_key", pa.uint64()), pa.field("doc_id", pa.int64()),
+             pa.field("sig", pa.list_(pa.uint32()))]
+        ),
+    )
+
+
+def _bucket_pairs(group: pa.Table) -> pa.Table:
+    rows = sorted(group.to_pylist(), key=lambda r: r["doc_id"])
+    out = []
+    for i in range(len(rows)):
+        for j in range(i + 1, len(rows)):
+            a, b = rows[i], rows[j]
+            if a["doc_id"] == b["doc_id"]:
+                continue
+            est = sketches.minhash_similarity(list(a["sig"]), list(b["sig"]))
+            if est >= MINHASH_TAU:
+                out.append(
+                    {"doc_a": a["doc_id"], "doc_b": b["doc_id"],
+                     "est_jaccard": round(est, 4)}
+                )
+    return pa.Table.from_pylist(
+        out,
+        schema=pa.schema(
+            [pa.field("doc_a", pa.int64()), pa.field("doc_b", pa.int64()),
+             pa.field("est_jaccard", pa.float64())]
+        ),
+    )
+
+
+def minhash_dup_pairs(sf_dir: str):
+    """MinHash + LSH near-duplicate candidate pairs: shingle → signature →
+    band bucket groupby → in-bucket pairing → cross-band pair dedup."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    ds = ds.map_batches(_band_rows, batch_format="pyarrow", zero_copy_batch=True)
+    pairs = ds.groupby("band_key").map_groups(_bucket_pairs, batch_format="pyarrow")
+    # a pair can collide in several bands: keep one row
+    return pairs.groupby(["doc_a", "doc_b"]).map_groups(
+        lambda g: g.slice(0, 1), batch_format="pyarrow"
+    )
+
+
+def simhash_dup_pairs(sf_dir: str):
+    """SimHash near-dedup: 64-bit simhash, banded into four 16-bit chunks
+    (Manku et al. 2007 rotation trick simplified); candidates sharing a chunk
+    are verified by Hamming distance."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def chunk_rows(batch: pa.Table) -> pa.Table:
+        out = []
+        for r in batch.to_pylist():
+            h = sketches.simhash64(r["text"])
+            for c in range(4):
+                chunk = (h >> (16 * c)) & 0xFFFF
+                out.append(
+                    {"chunk_key": (c << 16) | chunk, "doc_id": r["doc_id"],
+                     "simhash": h}
+                )
+        return pa.Table.from_pylist(
+            out,
+            schema=pa.schema(
+                [pa.field("chunk_key", pa.int64()), pa.field("doc_id", pa.int64()),
+                 pa.field("simhash", pa.uint64())]
+            ),
+        )
+
+    def bucket_pairs(group: pa.Table) -> pa.Table:
+        rows = sorted(group.to_pylist(), key=lambda r: r["doc_id"])
+        out = []
+        for i in range(len(rows)):
+            for j in range(i + 1, len(rows)):
+                if rows[i]["doc_id"] == rows[j]["doc_id"]:
+                    continue
+                d = sketches.hamming64(rows[i]["simhash"], rows[j]["simhash"])
+                if d <= SIMHASH_MAX_HAMMING:
+                    out.append(
+                        {"doc_a": rows[i]["doc_id"], "doc_b": rows[j]["doc_id"],
+                         "hamming": d}
+                    )
+        return pa.Table.from_pylist(
+            out,
+            schema=pa.schema(
+                [pa.field("doc_a", pa.int64()), pa.field("doc_b", pa.int64()),
+                 pa.field("hamming", pa.int64())]
+            ),
+        )
+
+    ds = ds.map_batches(chunk_rows, batch_format="pyarrow", zero_copy_batch=True)
+    pairs = ds.groupby("chunk_key").map_groups(bucket_pairs, batch_format="pyarrow")
+    return pairs.groupby(["doc_a", "doc_b"]).map_groups(
+        lambda g: g.slice(0, 1), batch_format="pyarrow"
+    )
+
+
+def ngram_verified_pairs(sf_dir: str):
+    """Two-stage near dedup: MinHash-LSH candidates, then EXACT character
+    n-gram Jaccard verification ≥ τ. The verify stage re-reads the two texts
+    via a broadcast id→text map (documents is small at test scale; at corpus
+    scale this becomes a hash-join keyed on doc_id — documented assumption)."""
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    text_map_ref = ray.put(
+        {r["doc_id"]: r["text"] for r in docs.take_all()}
+    )
+    candidates = minhash_dup_pairs(sf_dir)
+
+    def verify(batch: pa.Table) -> pa.Table:
+        texts = ray.get(text_map_ref)
+        out = []
+        for r in batch.to_pylist():
+            j = sketches.jaccard(
+                sketches.char_ngrams(texts[r["doc_a"]]),
+                sketches.char_ngrams(texts[r["doc_b"]]),
+            )
+            if j >= NGRAM_TAU:
+                out.append(
+                    {"doc_a": r["doc_a"], "doc_b": r["doc_b"],
+                     "ngram_jaccard": round(j, 4)}
+                )
+        return pa.Table.from_pylist(
+            out,
+            schema=pa.schema(
+                [pa.field("doc_a", pa.int64()), pa.field("doc_b", pa.int64()),
+                 pa.field("ngram_jaccard", pa.float64())]
+            ),
+        )
+
+    return candidates.map_batches(verify, batch_format="pyarrow")
+
+
+def spell_flag(sf_dir: str):
+    """Dictionary-membership semi-join (SURVEY.md J1): the dictionary (all
+    stopword profiles) is broadcast once via ray.put; per doc, count tokens
+    present in the dictionary. Oracle-checkable in SQL via a VALUES list."""
+    dictionary = frozenset().union(*textstats.STOPWORDS.values())
+    dict_ref = ray.put(dictionary)
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def f(batch: pa.Table) -> pa.Table:
+        d = ray.get(dict_ref)
+        out = []
+        for r in batch.to_pylist():
+            toks = [t.lower() for t in r["text"].split()]
+            hits = sum(1 for t in toks if t in d)
+            out.append(
+                {"doc_id": r["doc_id"], "n_tokens": len(toks), "n_dict_hits": hits}
+            )
+        return pa.Table.from_pylist(out)
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def dictionary_words() -> list[str]:
+    """The spell-flag dictionary, for oracle SQL generation."""
+    return sorted(frozenset().union(*textstats.STOPWORDS.values()))

@@ -1,0 +1,233 @@
+"""Similarity ops over the ``embeddings`` table (vec_id, embedding:
+list<float>, label): norms, brute-force cosine top-k ANN baseline, cosine
+near-dup pairs, and an LSH-bucketed scale path.
+
+The ANN baseline is the canonical broadcast pattern: the (small) query
+matrix is ``ray.put`` once; each batch does ONE numpy matmul against it —
+vectorized, no per-row loops, no shuffle. The scale path (ann_lsh) buckets
+vectors by random-hyperplane signs so candidate generation is a groupby on a
+small key instead of an all-pairs pass."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+
+from .common import read_table
+
+COSINE_DUP_TAU = 0.4
+LSH_PLANES = 12
+_PLANE_SEED = 7
+
+
+def _matrix(batch: pa.Table) -> np.ndarray:
+    col = batch.column("embedding")
+    return np.array(col.to_pylist(), dtype=np.float64)
+
+
+def embedding_norms(sf_dir: str):
+    """vec_id → L2 norm (rounded 4): one vectorized numpy pass per batch."""
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def f(batch: pa.Table) -> pa.Table:
+        m = _matrix(batch)
+        norms = np.sqrt((m * m).sum(axis=1))
+        return pa.table(
+            {"vec_id": batch.column("vec_id"),
+             "l2_norm": pa.array(np.round(norms, 4), pa.float64())}
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _query_matrix(sf_dir: str, n_queries: int):
+    """First n vectors (by vec_id) are the fixed query set."""
+    q = (
+        read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+        .sort("vec_id")
+        .limit(n_queries)
+        .take_all()
+    )
+    ids = np.array([r["vec_id"] for r in q])
+    mat = np.array([list(r["embedding"]) for r in q], dtype=np.float64)
+    return ids, mat
+
+
+def ann_brute_topk(sf_dir: str, n_queries: int = 8, k: int = 10):
+    """Brute-force cosine top-k: broadcast query matrix, per-batch matmul
+    producing (query_id, vec_id, cosine) candidates pruned to the per-batch
+    top-k, then a final global top-k per query. Deterministic tiebreak
+    (cosine desc, vec_id asc); self-matches excluded."""
+    ids, qmat = _query_matrix(sf_dir, n_queries)
+    qnorm = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
+    q_ref = ray.put((ids, qnorm))
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def score(batch: pa.Table) -> pa.Table:
+        q_ids, q = ray.get(q_ref)
+        m = _matrix(batch)
+        m = m / np.linalg.norm(m, axis=1, keepdims=True)
+        sims = q @ m.T  # (n_queries, batch)
+        vec_ids = np.asarray(batch.column("vec_id").to_pylist())
+        out = {"query_id": [], "vec_id": [], "cosine": []}
+        for qi, qid in enumerate(q_ids):
+            row = sims[qi]
+            mask = vec_ids != qid
+            cand_ids = vec_ids[mask]
+            cand = row[mask]
+            take = min(k, len(cand))
+            # partial top-k per batch — bounds what the final task sees
+            idx = np.argpartition(-cand, take - 1)[:take] if take else []
+            for i in idx:
+                out["query_id"].append(int(qid))
+                out["vec_id"].append(int(cand_ids[i]))
+                out["cosine"].append(float(cand[i]))
+        return pa.table(
+            {"query_id": pa.array(out["query_id"], pa.int64()),
+             "vec_id": pa.array(out["vec_id"], pa.int64()),
+             "cosine": pa.array(out["cosine"], pa.float64())}
+        )
+
+    ds = ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+
+    def final_topk(group: pa.Table) -> pa.Table:
+        df = group.to_pandas().sort_values(
+            ["cosine", "vec_id"], ascending=[False, True]
+        ).head(k)
+        df["rank"] = range(1, len(df) + 1)
+        df["cosine"] = df["cosine"].round(4)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    return ds.groupby("query_id").map_groups(final_topk, batch_format="pyarrow")
+
+
+def cosine_dup_pairs(sf_dir: str):
+    """Embedding near-dup pairs (cosine ≥ τ), exact: broadcast the full
+    normalized matrix (ray.put once — n×64 floats stays broadcastable far
+    beyond test scale), one matmul per batch, emit pairs with
+    batch_id < other_id so each pair appears exactly once. The sub-quadratic
+    scale path is :func:`cosine_dup_pairs_lsh`."""
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    all_rows = ds.take_all()
+    ids = np.array([r["vec_id"] for r in all_rows])
+    m = np.array([list(r["embedding"]) for r in all_rows], dtype=np.float64)
+    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+    ref = ray.put((ids, mn))
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        a_ids_all, a_mat = ray.get(ref)
+        b = _matrix(batch)
+        b = b / np.linalg.norm(b, axis=1, keepdims=True)
+        b_ids = np.asarray(batch.column("vec_id").to_pylist())
+        sims = b @ a_mat.T  # (batch, all)
+        out = {"vec_a": [], "vec_b": [], "cosine": []}
+        bi, ai = np.nonzero(sims >= COSINE_DUP_TAU)
+        for i, j in zip(bi, ai):
+            va, vb = int(b_ids[i]), int(a_ids_all[j])
+            if va < vb:
+                out["vec_a"].append(va)
+                out["vec_b"].append(vb)
+                out["cosine"].append(round(float(sims[i, j]), 4))
+        return pa.table(
+            {"vec_a": pa.array(out["vec_a"], pa.int64()),
+             "vec_b": pa.array(out["vec_b"], pa.int64()),
+             "cosine": pa.array(out["cosine"], pa.float64())}
+        )
+
+    return ds.map_batches(pairs, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def cosine_dup_pairs_lsh(sf_dir: str):
+    """Embedding near-dup pairs via LSH bucketing: random
+    hyperplane sign signature → bucket groupby → exact in-bucket cosine.
+    Near-identical vectors share all signs, so recall at τ=0.95 is high; the
+    all-pairs pass never happens (scale path)."""
+    rng = np.random.RandomState(_PLANE_SEED)
+    dim = 64
+    planes = rng.randn(LSH_PLANES, dim)
+    planes_ref = ray.put(planes)
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        p = ray.get(planes_ref)
+        m = _matrix(batch)
+        signs = (m @ p.T) > 0  # (n, planes)
+        keys = (signs * (1 << np.arange(LSH_PLANES))).sum(axis=1)
+        return pa.table(
+            {"bucket": pa.array(keys, pa.int64()),
+             "vec_id": batch.column("vec_id"),
+             "embedding": batch.column("embedding")}
+        )
+
+    def in_bucket_pairs(group: pa.Table) -> pa.Table:
+        m = _matrix(group)
+        ids = group.column("vec_id").to_pylist()
+        order = np.argsort(ids)
+        m = m[order]
+        ids = [ids[i] for i in order]
+        norms = np.linalg.norm(m, axis=1, keepdims=True)
+        mn = m / norms
+        sims = mn @ mn.T
+        out = {"vec_a": [], "vec_b": [], "cosine": []}
+        n = len(ids)
+        for i in range(n):
+            for j in range(i + 1, n):
+                if sims[i, j] >= COSINE_DUP_TAU and ids[i] != ids[j]:
+                    out["vec_a"].append(ids[i])
+                    out["vec_b"].append(ids[j])
+                    out["cosine"].append(round(float(sims[i, j]), 4))
+        return pa.table(
+            {"vec_a": pa.array(out["vec_a"], pa.int64()),
+             "vec_b": pa.array(out["vec_b"], pa.int64()),
+             "cosine": pa.array(out["cosine"], pa.float64())}
+        )
+
+    ds = ds.map_batches(bucket, batch_format="pyarrow", zero_copy_batch=True)
+    pairs = ds.groupby("bucket").map_groups(in_bucket_pairs, batch_format="pyarrow")
+    return pairs.groupby(["vec_a", "vec_b"]).map_groups(
+        lambda g: g.slice(0, 1), batch_format="pyarrow"
+    )
+
+
+def label_centroids(sf_dir: str):
+    """per-label centroid + count: vectorized per-batch partial sums, tiny
+    final combine — the embedding analogue of the combiner pattern."""
+    ds = read_table(sf_dir, "embeddings", columns=["label", "embedding"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        m = _matrix(batch)
+        labels = np.asarray(batch.column("label").to_pylist())
+        out = []
+        for lab in np.unique(labels):
+            sel = m[labels == lab]
+            out.append(
+                {"label": int(lab), "vec_sum": sel.sum(axis=0).tolist(),
+                 "n": int(sel.shape[0])}
+            )
+        return pa.Table.from_pylist(
+            out,
+            schema=pa.schema(
+                [pa.field("label", pa.int32()),
+                 pa.field("vec_sum", pa.list_(pa.float64())),
+                 pa.field("n", pa.int64())]
+            ),
+        )
+
+    def combine(group: pa.Table) -> pa.Table:
+        sums = np.array(group.column("vec_sum").to_pylist())
+        n = sum(group.column("n").to_pylist())
+        centroid = sums.sum(axis=0) / n
+        return pa.Table.from_pylist(
+            [{"label": group.column("label")[0].as_py(), "n_vectors": n,
+              "centroid_norm": round(float(np.linalg.norm(centroid)), 4)}],
+            schema=pa.schema(
+                [pa.field("label", pa.int32()), pa.field("n_vectors", pa.int64()),
+                 pa.field("centroid_norm", pa.float64())]
+            ),
+        )
+
+    ds = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    return ds.groupby("label").map_groups(combine, batch_format="pyarrow")

@@ -1,0 +1,189 @@
+"""Queries layered on the extraction pipeline output: per-document word
+index (A1/A2), delimited TXT (W1), CSV index rendering (W2), ALTO (W4).
+
+Each takes ``sf_dir`` like every other query; the pages corpus itself is the
+deterministic synthetic table (FIXTURES.md §1) sized to the testdata tier —
+generated once into /tmp and cached (TESTDATA.md has no pages table; the
+driver brief says to synthesize this input shape)."""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import ray.data
+
+from ..kernels import assemble
+from ..kernels.alto import page_to_alto
+from ..kernels.windex import index_to_csv, merge_page_indexes, page_index_words
+from ..pipelines.extract import extract_dataset, finalize
+from ..synth import pages_dir_for
+
+_SF_ROWS = {"sf0.001": 1000, "sf0.01": 10000, "sf0.1": 100000}
+
+
+def corpus_rows_for(sf_dir: str) -> int:
+    return _SF_ROWS.get(os.path.basename(os.path.normpath(sf_dir)), 1000)
+
+
+def pages_corpus(sf_dir: str) -> str:
+    return pages_dir_for(corpus_rows_for(sf_dir))
+
+
+def extraction_output(sf_dir: str) -> ray.data.Dataset:
+    ds = ray.data.read_parquet(pages_corpus(sf_dir))
+    return finalize(extract_dataset(ds))
+
+
+def extract_summary(sf_dir: str) -> ray.data.Dataset:
+    """Flagship output minus the spans column (drivers hash this; spans are
+    exercised by the downstream queries and byte-level pytest goldens)."""
+    return extraction_output(sf_dir).select_columns(
+        ["url", "warc_ts", "lang", "branch", "text", "n_pages", "n_words", "error", "part"]
+    )
+
+
+def _spans_to_page_trees(spans: list[dict]) -> list[list]:
+    """Regroup a doc's span rows into per-page trees (page order ascending)."""
+    pages: dict[int, list] = {}
+    for span in spans:
+        pages.setdefault(span["page"], []).append(span)
+    return [assemble.spans_to_tree(pages[p]) for p in sorted(pages)]
+
+
+def word_index(sf_dir: str) -> ray.data.Dataset:
+    """Per-document word index with hyphenation-merge semantics
+    (export.py:492-530) over the extraction output spans: one row per
+    (url, word) with count and the reference's '1, 3' pages string."""
+    out = extraction_output(sf_dir)
+
+    def build(batch: pa.Table) -> pa.Table:
+        rows = []
+        for r in batch.to_pylist():
+            if r["error"] is not None or not r["spans"]:
+                continue
+            trees = _spans_to_page_trees(r["spans"])
+            merged = merge_page_indexes([page_index_words(t) for t in trees])
+            for word, entry in merged:
+                rows.append(
+                    {"url": r["url"], "word": word, "count": entry["count"],
+                     "pages": entry["pages"]}
+                )
+        return pa.Table.from_pylist(
+            rows,
+            schema=pa.schema(
+                [pa.field("url", pa.string()), pa.field("word", pa.string()),
+                 pa.field("count", pa.int64()), pa.field("pages", pa.string())]
+            ),
+        )
+
+    return out.map_batches(build, batch_format="pyarrow")
+
+
+def index_csv(sf_dir: str) -> ray.data.Dataset:
+    """url → the reference-byte-format CSV index (W2) as a column."""
+    out = extraction_output(sf_dir)
+
+    def build(batch: pa.Table) -> pa.Table:
+        rows = []
+        for r in batch.to_pylist():
+            if r["error"] is not None:
+                continue
+            trees = _spans_to_page_trees(r["spans"])
+            merged = merge_page_indexes([page_index_words(t) for t in trees])
+            rows.append({"url": r["url"], "index_csv": index_to_csv(merged)})
+        return pa.Table.from_pylist(
+            rows,
+            schema=pa.schema(
+                [pa.field("url", pa.string()), pa.field("index_csv", pa.string())]
+            ),
+        )
+
+    return out.map_batches(build, batch_format="pyarrow")
+
+
+def txt_delimited(sf_dir: str) -> ray.data.Dataset:
+    """url → the '----- PAGE %04d -----' delimited TXT bytes (W1 variant,
+    export.py:180-183)."""
+    out = extraction_output(sf_dir)
+
+    def build(batch: pa.Table) -> pa.Table:
+        rows = []
+        for r in batch.to_pylist():
+            if r["error"] is not None:
+                continue
+            trees = _spans_to_page_trees(r["spans"])
+            page_texts = [assemble.page_text(t) for t in trees]
+            if not page_texts and r["branch"] == "html":
+                page_texts = [r["text"][:-2] if r["text"].endswith("\n\n") else r["text"]]
+            rows.append(
+                {"url": r["url"],
+                 "txt_delimited": assemble.doc_text(page_texts, delimiter=True)}
+            )
+        return pa.Table.from_pylist(
+            rows,
+            schema=pa.schema(
+                [pa.field("url", pa.string()), pa.field("txt_delimited", pa.string())]
+            ),
+        )
+
+    return out.map_batches(build, batch_format="pyarrow")
+
+
+def alto_pages(sf_dir: str) -> ray.data.Dataset:
+    """OCR-branch docs → one ALTO v3 XML document per page (W4)."""
+    out = extraction_output(sf_dir)
+
+    def build(batch: pa.Table) -> pa.Table:
+        rows = []
+        for r in batch.to_pylist():
+            if r["error"] is not None or r["branch"] != "ocr":
+                continue
+            for page_no, tree in enumerate(_spans_to_page_trees(r["spans"])):
+                rows.append(
+                    {"url": r["url"], "page_no": page_no,
+                     "alto_xml": page_to_alto(tree, source_name=r["url"])}
+                )
+        return pa.Table.from_pylist(
+            rows,
+            schema=pa.schema(
+                [pa.field("url", pa.string()), pa.field("page_no", pa.int64()),
+                 pa.field("alto_xml", pa.string())]
+            ),
+        )
+
+    return out.map_batches(build, batch_format="pyarrow")
+
+
+def branch_stats(sf_dir: str) -> ray.data.Dataset:
+    """Extraction health rollup: per-branch doc/page/word/error counts."""
+    import pandas as pd
+
+    from .common import grouped_agg
+
+    out = extraction_output(sf_dir)
+
+    def with_err(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        errs = pc.cast(pc.is_valid(batch.column("error")), pa.int32())
+        return batch.select(["branch", "n_pages", "n_words"]).append_column(
+            "is_err", errs
+        )
+
+    ds = out.map_batches(with_err, batch_format="pyarrow")
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values("branch").reset_index(drop=True)
+
+    return grouped_agg(
+        ds,
+        keys=["branch"],
+        specs=[
+            ("n_docs", "count", None),
+            ("n_pages", "sum", "n_pages"),
+            ("n_words", "sum", "n_words"),
+            ("n_errors", "sum", "is_err"),
+        ],
+        finalize=fin,
+    )

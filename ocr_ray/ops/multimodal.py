@@ -1,0 +1,112 @@
+"""Multimodal column plumbing: image/page payloads as opaque binary columns
+with typed metadata, decode/feature/resize/frame-sample as actor-pool
+map_batches stages.
+
+The decode itself is STUBBED (this container ships no PIL/libjpeg — see
+ocr_ray.engines.stub for the policy): FAKEIMG payloads yield deterministic
+metadata derived from their embedded hOCR; real image bytes raise
+``NotImplementedError`` into the error column. The Ray-side plumbing —
+schema, actor signature, batch sizing, output layout — is real and tested.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import ray.data
+
+from ..extract_core import route
+from ..kernels.hocr import parse_hocr
+from ..sources.payloads import FAKEIMG_MAGIC, explode_pages
+from .extraction_queries import pages_corpus
+
+FEATURE_SCHEMA = pa.schema(
+    [
+        pa.field("url", pa.string()),
+        pa.field("page_no", pa.int32()),
+        pa.field("width", pa.int32()),
+        pa.field("height", pa.int32()),
+        pa.field("n_blocks", pa.int32()),
+        pa.field("n_words", pa.int32()),
+        pa.field("mean_conf", pa.float64()),
+        pa.field("error", pa.string()),
+    ]
+)
+
+
+def _decode_fake_image(page: bytes) -> dict:
+    """STUB decode: a real implementation opens the raster and reads
+    (width, height, mode); the fake derives page geometry from the payload's
+    hOCR word boxes. Raises NotImplementedError for real image bytes."""
+    if not page.startswith(FAKEIMG_MAGIC):
+        raise NotImplementedError("real image decode requires PIL (not installed)")
+    tree = parse_hocr(page[len(FAKEIMG_MAGIC):].decode("utf-8"))
+    words = [w for par in tree for line in par for w in line]
+    width = int(max((w["box"][2] for w in words), default=0)) + 100
+    height = int(max((w["box"][3] for w in words), default=0)) + 100
+    confs = [w["confidence"] for w in words]
+    return {
+        "width": width,
+        "height": height,
+        "n_blocks": len(tree),
+        "n_words": len(words),
+        "mean_conf": round(sum(confs) / len(confs), 4) if confs else 0.0,
+    }
+
+
+class ImageFeatureWorker:
+    """Actor-pool stage: page binary → image features. State (a real decoder
+    would hold codec contexts / model weights) is constructed once per actor."""
+
+    def __init__(self, frame_stride: int = 1):
+        self.frame_stride = frame_stride  # frame-sampling: keep every k-th page
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = []
+        for r in batch.to_pylist():
+            if r["page_no"] % self.frame_stride != 0:
+                continue
+            rec = {"url": r["url"], "page_no": r["page_no"], "width": 0,
+                   "height": 0, "n_blocks": 0, "n_words": 0, "mean_conf": 0.0,
+                   "error": None}
+            try:
+                rec.update(_decode_fake_image(r["page_png"]))
+            except Exception as exc:  # noqa: BLE001
+                rec["error"] = f"{type(exc).__name__}: {exc}"
+            out.append(rec)
+        return pa.Table.from_pylist(out, schema=FEATURE_SCHEMA)
+
+
+def _explode_images(batch: pa.Table) -> pa.Table:
+    out = []
+    for r in batch.to_pylist():
+        if route(r["html"]) != "ocr":
+            continue
+        try:
+            pages = explode_pages(r["html"])
+        except Exception:
+            continue
+        for page_no, page in enumerate(pages):
+            out.append({"url": r["url"], "page_no": page_no, "page_png": page})
+    return pa.Table.from_pylist(
+        out,
+        schema=pa.schema(
+            [pa.field("url", pa.string()), pa.field("page_no", pa.int32()),
+             pa.field("page_png", pa.binary())]
+        ),
+    )
+
+
+def page_image_features(sf_dir: str, frame_stride: int = 1) -> ray.data.Dataset:
+    """OCR-branch payloads → per-page image features via the actor pool.
+    Binary-heavy stage: small batch_size so batch × concurrency stays in
+    worker heap (SURVEY.md §4 memory-aware)."""
+    ds = ray.data.read_parquet(pages_corpus(sf_dir), columns=["url", "html"])
+    ds = ds.map_batches(_explode_images, batch_format="pyarrow", zero_copy_batch=True)
+    return ds.map_batches(
+        ImageFeatureWorker,
+        fn_constructor_kwargs={"frame_stride": frame_stride},
+        batch_format="pyarrow",
+        batch_size=32,
+        concurrency=(1, 4),
+        num_cpus=1,
+    )

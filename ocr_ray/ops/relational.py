@@ -1,0 +1,278 @@
+"""Relational operator demonstrations over the TPC-H-ish test tables.
+
+These exercise the engine's wide-op building blocks in their scale-correct
+form — partial-aggregate combiners before every groupby, broadcast-hash
+joins for small dimensions, deterministic sort/limit tiebreaks — and each has
+a DuckDB oracle in ``__ray_entry__.oracle_sql`` (column names match exactly;
+aggregates rounded identically on both sides).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+import ray
+
+from .common import broadcast_lookup, grouped_agg, read_table
+
+SHIPDATE_CUTOFF = "1998-09-02"
+ORDERDATE_LO = "1996-01-01"
+ORDERDATE_HI = "1997-01-01"
+
+
+def pricing_summary(sf_dir: str):
+    """TPC-H Q1 shape: filtered grouped aggregate with derived averages.
+    Demonstrates A1/A2-style partial aggregation (SURVEY.md §2.5)."""
+    ds = read_table(
+        sf_dir, "lineitem",
+        columns=["l_returnflag", "l_linestatus", "l_quantity",
+                 "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+    cutoff = pd.Timestamp(SHIPDATE_CUTOFF)
+
+    def prep(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df = df[df["l_shipdate"] <= cutoff]
+        df["disc_price"] = df["l_extendedprice"] * (1.0 - df["l_discount"])
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    ds = ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        df["avg_qty"] = (df["sum_qty"] / df["count_order"]).round(4)
+        df["avg_price"] = (df["sum_base_price"] / df["count_order"]).round(4)
+        df["sum_qty"] = df["sum_qty"].round(2)
+        df["sum_base_price"] = df["sum_base_price"].round(2)
+        df["sum_disc_price"] = df["sum_disc_price"].round(2)
+        return df.sort_values(["l_returnflag", "l_linestatus"]).reset_index(drop=True)
+
+    return grouped_agg(
+        ds,
+        keys=["l_returnflag", "l_linestatus"],
+        specs=[
+            ("sum_qty", "sum", "l_quantity"),
+            ("sum_base_price", "sum", "l_extendedprice"),
+            ("sum_disc_price", "sum", "disc_price"),
+            ("count_order", "count", None),
+        ],
+        finalize=fin,
+    )
+
+
+def top_customers(sf_dir: str, k: int = 10):
+    """orders ⋈ customer revenue top-k. The customer dimension is broadcast
+    (ray.put once, read per task) — a broadcast-hash join, no shuffle of the
+    fact table (SURVEY.md J1 pattern). Deterministic tiebreak on c_custkey."""
+    customer = read_table(sf_dir, "customer", columns=["c_custkey", "c_name"])
+    cust_ref = broadcast_lookup(_collect(customer), "c_custkey")
+    orders = read_table(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+
+    def join_partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        out = df.groupby("o_custkey", as_index=False)["o_totalprice"].sum()
+        return pa.Table.from_pandas(out.rename(columns={"o_totalprice": "revenue"}), preserve_index=False)
+
+    ds = orders.map_batches(join_partial, batch_format="pyarrow", zero_copy_batch=True)
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        lookup = ray.get(cust_ref)
+        df = df.sort_values(["revenue", "o_custkey"], ascending=[False, True]).head(k)
+        df["c_name"] = [lookup[c]["c_name"] for c in df["o_custkey"]]
+        df["revenue"] = df["revenue"].round(2)
+        return df.rename(columns={"o_custkey": "c_custkey"})[
+            ["c_custkey", "c_name", "revenue"]
+        ].reset_index(drop=True)
+
+    return grouped_agg(
+        ds, keys=["o_custkey"], specs=[("revenue", "sum", "revenue")], finalize=fin
+    )
+
+
+def _collect(ds) -> pa.Table:
+    """Materialize a SMALL dimension dataset to one Arrow table."""
+    return pa.Table.from_pylist(ds.take_all())
+
+
+def order_priority_counts(sf_dir: str):
+    """Date-range filter + grouped count (TPC-H Q4 shape). The filter is
+    pushed into the scan via a parquet row filter."""
+    import pyarrow.dataset as pads
+
+    lo, hi = pd.Timestamp(ORDERDATE_LO), pd.Timestamp(ORDERDATE_HI)
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderpriority", "o_orderdate"],
+        filter=(pads.field("o_orderdate") >= lo) & (pads.field("o_orderdate") < hi),
+    )
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values("o_orderpriority").reset_index(drop=True)
+
+    return grouped_agg(
+        ds, keys=["o_orderpriority"], specs=[("order_count", "count", None)], finalize=fin
+    )
+
+
+def supplier_stats_by_region(sf_dir: str):
+    """supplier ⋈ nation ⋈ region via two broadcast dimensions, then a
+    grouped aggregate — the canonical small-dims/star-join done without any
+    shuffle of the fact side."""
+    nation = _collect(read_table(sf_dir, "nation"))
+    region = _collect(read_table(sf_dir, "region"))
+    n2r = {
+        n["n_nationkey"]: n["n_regionkey"] for n in nation.to_pylist()
+    }
+    r2name = {r["r_regionkey"]: r["r_name"] for r in region.to_pylist()}
+    dims_ref = ray.put((n2r, r2name))
+
+    supplier = read_table(sf_dir, "supplier", columns=["s_nationkey", "s_acctbal"])
+
+    def attach_region(batch: pa.Table) -> pa.Table:
+        n2r_l, r2name_l = ray.get(dims_ref)
+        df = batch.to_pandas()
+        df["r_name"] = [r2name_l[n2r_l[n]] for n in df["s_nationkey"]]
+        return pa.Table.from_pandas(df[["r_name", "s_acctbal"]], preserve_index=False)
+
+    ds = supplier.map_batches(attach_region, batch_format="pyarrow", zero_copy_batch=True)
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        df["avg_acctbal"] = (df["sum_acctbal"] / df["n_suppliers"]).round(4)
+        df["sum_acctbal"] = df["sum_acctbal"].round(2)
+        return df.sort_values("r_name").reset_index(drop=True)
+
+    return grouped_agg(
+        ds,
+        keys=["r_name"],
+        specs=[("n_suppliers", "count", None), ("sum_acctbal", "sum", "s_acctbal")],
+        finalize=fin,
+    )
+
+
+def events_by_type(sf_dir: str):
+    ds = read_table(sf_dir, "events", columns=["event_type", "value"])
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        df["sum_value"] = df["sum_value"].round(2)
+        df["max_value"] = df["max_value"].round(6)
+        return df.sort_values("event_type").reset_index(drop=True)
+
+    return grouped_agg(
+        ds,
+        keys=["event_type"],
+        specs=[
+            ("n_events", "count", None),
+            ("sum_value", "sum", "value"),
+            ("max_value", "max", "value"),
+        ],
+        finalize=fin,
+    )
+
+
+def daily_active_users(sf_dir: str):
+    """count(DISTINCT user_id) per day, decomposed shuffle-efficiently:
+    per-batch (day, user) dedup partial → global distinct → grouped count."""
+    ds = read_table(sf_dir, "events", columns=["ts", "user_id"])
+
+    def day_user(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        # day as a string key: avoids date-vs-timestamp type skew between
+        # engines when the result is compared
+        df["day"] = df["ts"].dt.strftime("%Y-%m-%d")
+        out = df[["day", "user_id"]].drop_duplicates()
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    ds = ds.map_batches(day_user, batch_format="pyarrow", zero_copy_batch=True)
+    # global distinct on the (already partially-deduped) pairs
+    ds = ds.groupby(["day", "user_id"]).map_groups(
+        lambda g: g.slice(0, 1), batch_format="pyarrow"
+    )
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values("day").reset_index(drop=True)
+
+    return grouped_agg(ds, keys=["day"], specs=[("active_users", "count", None)], finalize=fin)
+
+
+def part_brand_stats(sf_dir: str):
+    ds = read_table(sf_dir, "part", columns=["p_brand", "p_retailprice", "p_size"])
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        df["avg_retailprice"] = (df["sum_retailprice"] / df["n_parts"]).round(4)
+        df = df.drop(columns=["sum_retailprice"])
+        return df.sort_values("p_brand").reset_index(drop=True)
+
+    return grouped_agg(
+        ds,
+        keys=["p_brand"],
+        specs=[
+            ("n_parts", "count", None),
+            ("sum_retailprice", "sum", "p_retailprice"),
+            ("max_size", "max", "p_size"),
+        ],
+        finalize=fin,
+    )
+
+
+def events_hourly(sf_dir: str):
+    """Hour-of-day histogram: timestamp scalar function + grouped count."""
+    ds = read_table(sf_dir, "events", columns=["ts"])
+
+    def hour(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["hour"] = df["ts"].dt.strftime("%H")
+        return pa.Table.from_pandas(df[["hour"]], preserve_index=False)
+
+    ds = ds.map_batches(hour, batch_format="pyarrow", zero_copy_batch=True)
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values("hour").reset_index(drop=True)
+
+    return grouped_agg(ds, keys=["hour"], specs=[("n_events", "count", None)], finalize=fin)
+
+
+def events_props_sum(sf_dir: str):
+    """JSON property extraction (the props column carries '{"k": int}') +
+    grouped sum — per-batch parse, combiner aggregation."""
+    import json
+
+    ds = read_table(sf_dir, "events", columns=["event_type", "props"])
+
+    def parse(batch: pa.Table) -> pa.Table:
+        ks = [json.loads(p)["k"] for p in batch.column("props").to_pylist()]
+        return pa.table(
+            {"event_type": batch.column("event_type"),
+             "k": pa.array(ks, pa.int64())}
+        )
+
+    ds = ds.map_batches(parse, batch_format="pyarrow", zero_copy_batch=True)
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values("event_type").reset_index(drop=True)
+
+    return grouped_agg(
+        ds, keys=["event_type"],
+        specs=[("sum_k", "sum", "k"), ("n_events", "count", None)],
+        finalize=fin,
+    )
+
+
+def expensive_items(sf_dir: str, k: int = 20):
+    """filter → sort → limit with deterministic tiebreaks (the reference has
+    no top-k — SURVEY.md §2.6 — this is the idiomatic Ray Data form)."""
+    ds = read_table(
+        sf_dir, "lineitem",
+        columns=["l_orderkey", "l_linenumber", "l_extendedprice", "l_discount"],
+    )
+    ds = ds.filter(expr="l_discount < 0.02")
+    ds = ds.sort(
+        ["l_extendedprice", "l_orderkey", "l_linenumber"],
+        descending=[True, False, False],
+    ).limit(k)
+
+    def fin(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["l_extendedprice"] = df["l_extendedprice"].round(2)
+        df["l_discount"] = df["l_discount"].round(4)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    return ds.map_batches(fin, batch_format="pyarrow")
