@@ -23,6 +23,7 @@ from typing import Any
 from ocr_ray.ops import documents as d_ops
 from ocr_ray.ops import embeddings as e_ops
 from ocr_ray.ops import extraction_queries as x_ops
+from ocr_ray.ops import layout_queries as l_ops
 from ocr_ray.ops import multimodal as m_ops
 from ocr_ray.ops import relational as r_ops
 
@@ -72,6 +73,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "alto_pages": x_ops.alto_pages,
         "branch_stats": x_ops.branch_stats,
         "page_image_features": m_ops.page_image_features,
+        # ---- layout analysis (L1/O3/M1 box path, W3 math)
+        "auto_layout": l_ops.auto_layout,
+        "segmented_extract": l_ops.segmented_extract,
+        "pdf_text_layer": l_ops.pdf_text_layer,
     }
 
 

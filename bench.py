@@ -1,0 +1,211 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract).
+
+Default: run the headline pipelines over $GRAFT_SF_DIR (default
+/root/testdata/sf0.1) under ray.init(num_cpus=$RAY_GRAFT_CPUS or 32) and
+print ONE JSON line:
+  {"metric": ..., "value": total_sec, "unit": "sec",
+   "queries": {name: sec}, "sf": ..., "num_cpus": N,
+   "extract_docs_per_s": ..., "extract_mb_per_s": ...}
+
+--scaling: run the flagship extraction twice in FRESH subprocesses at
+num_cpus=8 and num_cpus=32 on the same input and report both throughputs
+plus efficiency = (T32/T8)/4 — the sandbox evidence for the north_rule's
+N→4N cluster-scaling criterion (see BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+
+def corpus_bytes(corpus_dir: str) -> int:
+    total = 0
+    for name in os.listdir(corpus_dir):
+        if name.endswith(".parquet"):
+            total += os.path.getsize(os.path.join(corpus_dir, name))
+    return total
+
+
+def run_flagship(sf_dir: str, out_tag: str) -> dict:
+    """Headline: full extraction pipeline, cold output dir, docs/s + MB/s."""
+    from ocr_ray.ops.extraction_queries import corpus_rows_for
+    from ocr_ray.pipelines.extract import run_extract
+    from ocr_ray.pipelines.metrics import format_metrics, stage_metrics
+    from ocr_ray.synth import pages_dir_for
+
+    n_rows = int(os.environ.get("GRAFT_FLAGSHIP_ROWS", "0")) or corpus_rows_for(sf_dir)
+    corpus = pages_dir_for(n_rows)  # cached; generation excluded from timing
+    out_dir = f"/tmp/bench_extract_{out_tag}"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    t0 = time.time()
+    manifests, stats = run_extract(corpus, out_dir)
+    dt = time.time() - t0
+    n_parts = manifests.count()
+    mb = corpus_bytes(corpus) / 1e6
+    print(format_metrics(stage_metrics(stats)), file=sys.stderr)
+    return {
+        "seconds": round(dt, 2),
+        "docs_per_s": round(n_rows / dt, 1),
+        "mb_per_s": round(mb / dt, 2),
+        "n_rows": n_rows,
+        "input_mb": round(mb, 1),
+        "n_parts": n_parts,
+    }
+
+
+BENCH_QUERIES = [
+    "pricing_summary",
+    "daily_active_users",
+    "word_frequency",
+    "minhash_dup_pairs",
+    "ann_brute_topk",
+    "word_index",
+]
+
+
+def main() -> None:
+    import ray
+
+    flagship_only = "--flagship-only" in sys.argv
+
+    if "--scaling" in sys.argv:
+        run_scaling()
+        return
+
+    ray.init(
+        address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+        ignore_reinit_error=True,
+    )
+    result = {
+        "metric": "extraction+ops wall time",
+        "unit": "sec",
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "queries": {},
+    }
+
+    flag = run_flagship(SF_DIR, f"cpus{NUM_CPUS}")
+    result["queries"]["extract_flagship"] = flag["seconds"]
+    result["extract_docs_per_s"] = flag["docs_per_s"]
+    result["extract_mb_per_s"] = flag["mb_per_s"]
+
+    if not flagship_only:
+        import __ray_entry__ as entrymod
+
+        qs = entrymod.queries()
+        for name in BENCH_QUERIES:
+            t0 = time.time()
+            res = qs[name](SF_DIR)
+            try:
+                import ray.data
+
+                if isinstance(res, ray.data.Dataset):
+                    # consume the stream without materializing to the driver
+                    n = res.count()
+                else:
+                    n = len(res)
+            except Exception:
+                n = -1
+            result["queries"][name] = round(time.time() - t0, 2)
+            print(f"{name}: {result['queries'][name]}s ({n} rows)", file=sys.stderr)
+
+    result["value"] = round(sum(result["queries"].values()), 2)
+    print(json.dumps(result))
+    ray.shutdown()
+
+
+SCALING_ROWS = int(os.environ.get("GRAFT_SCALING_ROWS", "400000"))
+
+
+def run_scaling() -> None:
+    """Same flagship job at 8 and 32 CPUs in fresh processes.
+
+    Each subprocess is ALSO pinned to that many physical cores with taskset
+    when available: ray.init(num_cpus=N) only caps logical scheduling —
+    multithreaded libraries (Arrow IO, parquet encode) would otherwise use
+    all physical cores and inflate the small-cluster baseline, understating
+    efficiency. A 4× corpus (GRAFT_SCALING_ROWS, default 400k) amortizes the
+    per-run fixed costs (ray startup excluded; read warmup/actor spin-up
+    included) that would otherwise dominate the 32-CPU run."""
+    import ray
+
+    # warm the corpus cache once (Ray-parallel) so neither run pays generation
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False)
+    from ocr_ray.synth import pages_dir_for
+
+    pages_dir_for(SCALING_ROWS)
+    ray.shutdown()
+
+    def wait_ray_teardown(max_wait: float = 90.0) -> None:
+        """Block until the previous run's ray processes are fully gone —
+        measured: starting the next session while ~30 workers of the prior
+        one are still exiting halves its throughput."""
+        deadline = time.time() + max_wait
+        while time.time() < deadline:
+            probe = subprocess.run(
+                ["pgrep", "-f", "raylet|ray::|plasma_store|default_worker.py"],
+                capture_output=True, text=True,
+            )
+            if probe.returncode != 0:
+                break
+            time.sleep(2)
+        time.sleep(5)
+
+    have_taskset = shutil.which("taskset") is not None
+    reps = int(os.environ.get("GRAFT_SCALING_REPS", "2"))
+    results = {}
+    # best-of-N per configuration: this sandbox VM shows up to 2× run-to-run
+    # wall-clock noise (kernel migration-thread churn at idle), so a single
+    # sample of either size can invert the comparison
+    for cpus in (8, 32):
+        best = None
+        for rep in range(reps):
+            wait_ray_teardown()
+            env = dict(
+                os.environ,
+                RAY_GRAFT_CPUS=str(cpus),
+                GRAFT_SF_DIR=SF_DIR,
+                GRAFT_FLAGSHIP_ROWS=str(SCALING_ROWS),
+            )
+            cmd = [sys.executable, os.path.join(REPO, "bench.py"), "--flagship-only"]
+            if have_taskset:
+                cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
+            proc = subprocess.run(
+                cmd, env=env, capture_output=True, text=True, cwd=REPO, timeout=3600,
+            )
+            line = proc.stdout.strip().splitlines()[-1]
+            run = json.loads(line)
+            print(f"cpus={cpus} rep={rep}: {line}", file=sys.stderr)
+            if best is None or run["extract_docs_per_s"] > best["extract_docs_per_s"]:
+                best = run
+        results[cpus] = best
+
+    t8 = results[8]["extract_docs_per_s"]
+    t32 = results[32]["extract_docs_per_s"]
+    eff = (t32 / t8) / 4 if t8 else 0.0
+    print(json.dumps({
+        "metric": "scaling efficiency (8→32 cpus, fresh sessions)",
+        "value": round(eff, 3),
+        "unit": "efficiency",
+        "sf": SF_DIR,
+        "docs_per_s_8cpu": t8,
+        "docs_per_s_32cpu": t32,
+        "seconds_8cpu": results[8]["queries"]["extract_flagship"],
+        "seconds_32cpu": results[32]["queries"]["extract_flagship"],
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,114 @@
+"""CLI entry point: the ray-job-submit surface of the engine.
+
+    python -m ocr_ray.cli extract --input DIR --out DIR [--num-parts P]
+        [--no-resume] [--engine stub] [--lang por] [--exploded]
+    python -m ocr_ray.cli synth --rows N --out DIR
+    python -m ocr_ray.cli stats --out DIR
+
+On a real cluster the same command runs under ``ray job submit --
+python -m ocr_ray.cli extract ...`` — the pipeline only talks to Ray Data,
+so cluster vs local is a ray.init concern. This script OWNS its Ray session
+(the driver-facing ``__ray_entry__`` must not).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(prog="ocr_ray")
+    sub = parser.add_subparsers(dest="cmd", required=True)
+
+    p_ext = sub.add_parser("extract", help="run the flagship extraction pipeline")
+    p_ext.add_argument("--input", required=True)
+    p_ext.add_argument("--out", required=True)
+    p_ext.add_argument("--num-parts", type=int, default=64)
+    p_ext.add_argument("--no-resume", action="store_true")
+    p_ext.add_argument("--engine", default="stub")
+    p_ext.add_argument("--lang", default="por")
+    p_ext.add_argument("--exploded", action="store_true",
+                       help="page-level fan-out variant (giant-doc corpora)")
+    p_ext.add_argument("--num-cpus", type=int, default=None)
+
+    p_syn = sub.add_parser("synth", help="generate the synthetic pages corpus")
+    p_syn.add_argument("--rows", type=int, required=True)
+    p_syn.add_argument("--out", required=True)
+    p_syn.add_argument("--seed", type=int, default=42)
+
+    p_st = sub.add_parser("stats", help="summarize committed output partitions")
+    p_st.add_argument("--out", required=True)
+
+    args = parser.parse_args(argv)
+
+    if args.cmd == "synth":
+        from ocr_ray.synth import generate_pages_parquet
+
+        generate_pages_parquet(args.out, args.rows, seed=args.seed)
+        print(json.dumps({"generated_rows": args.rows, "dir": args.out}))
+        return 0
+
+    if args.cmd == "stats":
+        import os
+
+        from ocr_ray.sinks.parquet_sink import MANIFEST_NAME, committed_parts, partition_dir
+
+        parts = sorted(committed_parts(args.out))
+        rows = 0
+        errors = 0
+        for p in parts:
+            with open(os.path.join(partition_dir(args.out, p), MANIFEST_NAME)) as f:
+                m = json.load(f)
+            rows += m["n_rows"]
+            errors += m.get("n_errors", 0)
+        print(json.dumps({"parts": len(parts), "rows": rows, "errors": errors}))
+        return 0
+
+    # extract
+    import ray
+
+    if not ray.is_initialized():
+        kwargs = {"address": "local", "include_dashboard": False}
+        if args.num_cpus:
+            kwargs["num_cpus"] = args.num_cpus
+        ray.init(**kwargs)
+    try:
+        from ocr_ray.config import resolve_config
+        from ocr_ray.pipelines.metrics import format_metrics, stage_metrics
+
+        config = resolve_config({"engine": args.engine, "lang": [args.lang]})
+        if args.exploded:
+            import ray.data
+
+            from ocr_ray.pipelines.explode_variant import extract_dataset_exploded
+            from ocr_ray.pipelines.extract import read_pages
+            from ocr_ray.sinks.parquet_sink import committed_parts, make_partition_writer
+
+            done = frozenset() if args.no_resume else committed_parts(args.out)
+            ds = extract_dataset_exploded(
+                read_pages(args.input), config=config,
+                num_parts=args.num_parts, done_parts=done,
+            )
+            writer = make_partition_writer(args.out, input_path=args.input)
+            manifests = ds.groupby("part").map_groups(writer, batch_format="pyarrow")
+            result = manifests.materialize()
+            stats = result.stats()
+        else:
+            from ocr_ray.pipelines.extract import run_extract
+
+            result, stats = run_extract(
+                args.input, args.out, config=config,
+                num_parts=args.num_parts, resume=not args.no_resume,
+            )
+        print(format_metrics(stage_metrics(stats)), file=sys.stderr)
+        rows = sum(r["n_rows"] for r in result.take_all())
+        print(json.dumps({"committed_parts": result.count() if hasattr(result, "count") else len(result), "rows": rows}))
+        return 0
+    finally:
+        ray.shutdown()
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -78,6 +78,17 @@ def grouped_agg(
     return out
 
 
+def small_pool(cap: int = 4) -> int:
+    """Actor-pool size for secondary stages: half the CPUs, capped, and
+    never the whole cluster (a pool == total CPUs starves the other stages
+    of the same pipeline — see pipelines.extract.default_concurrency)."""
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        cpus = 8
+    return max(1, min(cap, cpus // 2))
+
+
 def broadcast_lookup(table: pa.Table, key: str) -> "ray.ObjectRef":
     """ray.put a {key -> row dict} mapping of a SMALL dimension table."""
     rows = table.to_pylist()

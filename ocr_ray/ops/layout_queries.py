@@ -1,0 +1,194 @@
+"""Layout-analysis operators over the pages corpus: the reference's
+auto-segmentation (L1), reading-order sort (O3), layout-routed segment OCR
+(M1's box path), and the searchable-PDF text-layer placement math (W3).
+
+- ``auto_layout``: engine block segmentation per page → box-group records →
+  reading-order sort + renumber (parity: celery_app.py:85-174
+  task_auto_segment; box record shape celery_app.py:128-147).
+- ``segmented_extract``: OCR each *text* box separately with SetRectangle
+  semantics and the segment coordinate offset (parity:
+  celery_app.py:1038-1161 + parse_hocr.py:78-85). For non-overlapping
+  blocks the assembled text equals the whole-page path — asserted in tests.
+- ``pdf_text_layer``: the invisible-text overlay placement of export_pdf
+  (export.py:533-568): x = l·dpi_out/dpi_in, y = H − b·dpi_out/dpi_in,
+  horizontal scale stretching the string to the box width. Font metrics are
+  STUBBED (no reportlab in this container) with a fixed per-char width; the
+  placement math is the real thing.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import ray.data
+
+from ..config import resolve_config
+from ..engines import get_engine_cls
+from ..extract_core import route
+from ..kernels import assemble
+from ..kernels.hocr import parse_hocr
+from ..kernels.layout import group_bounds, make_box_group, reading_order
+from ..kernels.textfn import bbox_scale
+from ..sources.payloads import explode_pages
+from .common import small_pool
+from .extraction_queries import extraction_output, pages_corpus
+
+DPI_IN = 300.0
+DPI_OUT = 150.0
+PAGE_H = 3508.0  # A4 @ 300dpi, the synthetic page box (hocr_write default)
+_CHAR_W_8PT = 4.8  # stub Times-Roman 8pt mean advance width (no reportlab)
+
+
+def _page_rows(sf_dir: str) -> ray.data.Dataset:
+    ds = ray.data.read_parquet(pages_corpus(sf_dir), columns=["url", "html"])
+
+    def explode(batch: pa.Table) -> pa.Table:
+        out = []
+        for r in batch.to_pylist():
+            if route(r["html"]) != "ocr":
+                continue
+            try:
+                for page_no, page in enumerate(explode_pages(r["html"])):
+                    out.append({"url": r["url"], "page_no": page_no, "page_png": page})
+            except Exception:
+                continue
+        return pa.Table.from_pylist(
+            out,
+            schema=pa.schema(
+                [pa.field("url", pa.string()), pa.field("page_no", pa.int32()),
+                 pa.field("page_png", pa.binary())]
+            ),
+        )
+
+    return ds.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
+
+
+class LayoutWorker:
+    """Actor: block segmentation + reading-order (T4-style heavy state slot)."""
+
+    def __init__(self):
+        self.engine = get_engine_cls("stub")(resolve_config())
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = []
+        for r in batch.to_pylist():
+            try:
+                boxes = self.engine.get_boxes(r["page_png"])
+            except Exception:
+                continue
+            groups = [
+                make_box_group(left, top, left + w, top + h,
+                               seed=f"{r['url']}#{r['page_no']}")
+                for (left, top, w, h) in boxes
+            ]
+            for g in reading_order(groups, page_no=r["page_no"] + 1):
+                sq = g["squares"][0]
+                out.append(
+                    {"url": r["url"], "page_no": r["page_no"],
+                     "group_id": g["groupId"], "uniq_id": g["_uniq_id"],
+                     "kind": g["type"], "top": float(sq["top"]),
+                     "left": float(sq["left"]), "bottom": float(sq["bottom"]),
+                     "right": float(sq["right"])}
+                )
+        return pa.Table.from_pylist(
+            out,
+            schema=pa.schema(
+                [pa.field("url", pa.string()), pa.field("page_no", pa.int32()),
+                 pa.field("group_id", pa.string()), pa.field("uniq_id", pa.string()),
+                 pa.field("kind", pa.string()), pa.field("top", pa.float64()),
+                 pa.field("left", pa.float64()), pa.field("bottom", pa.float64()),
+                 pa.field("right", pa.float64())]
+            ),
+        )
+
+
+def auto_layout(sf_dir: str) -> ray.data.Dataset:
+    return _page_rows(sf_dir).map_batches(
+        LayoutWorker, batch_format="pyarrow", batch_size=64,
+        concurrency=small_pool(), num_cpus=1,
+    )
+
+
+class SegmentOcrWorker:
+    """Layout-routed OCR: recognize each text box with segment semantics."""
+
+    def __init__(self):
+        self.engine = get_engine_cls("stub")(resolve_config())
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = []
+        for r in batch.to_pylist():
+            try:
+                boxes = self.engine.get_boxes(r["page_png"])
+                groups = [
+                    make_box_group(left, top, left + w, top + h)
+                    for (left, top, w, h) in boxes
+                ]
+                tree: list = []
+                for g in reading_order(groups, page_no=r["page_no"] + 1):
+                    seg = group_bounds(g)
+                    hocr = self.engine.recognize(r["page_png"], segment_box=seg)
+                    tree.extend(parse_hocr(hocr, segment_box=seg))
+                out.append(
+                    {"url": r["url"], "page_no": r["page_no"],
+                     "n_segments": len(groups),
+                     "page_text": assemble.page_text(tree),
+                     "n_words": assemble.word_count(tree)}
+                )
+            except Exception as exc:  # noqa: BLE001
+                out.append(
+                    {"url": r["url"], "page_no": r["page_no"], "n_segments": 0,
+                     "page_text": "", "n_words": 0}
+                )
+        return pa.Table.from_pylist(
+            out,
+            schema=pa.schema(
+                [pa.field("url", pa.string()), pa.field("page_no", pa.int32()),
+                 pa.field("n_segments", pa.int32()),
+                 pa.field("page_text", pa.string()),
+                 pa.field("n_words", pa.int32())]
+            ),
+        )
+
+
+def segmented_extract(sf_dir: str) -> ray.data.Dataset:
+    return _page_rows(sf_dir).map_batches(
+        SegmentOcrWorker, batch_format="pyarrow", batch_size=64,
+        concurrency=small_pool(), num_cpus=1,
+    )
+
+
+def pdf_text_layer(sf_dir: str) -> ray.data.Dataset:
+    """Per-word invisible-text placement records for the searchable PDF."""
+    out = extraction_output(sf_dir)
+
+    def layer(batch: pa.Table) -> pa.Table:
+        rows = []
+        for r in batch.to_pylist():
+            if r["error"] is not None or r["branch"] != "ocr":
+                continue
+            for s in r["spans"]:
+                box = s["box"]
+                text_w = _CHAR_W_8PT * len(s["text"])
+                if text_w <= 0:
+                    continue
+                box_w = bbox_scale(box[2] - box[0], DPI_OUT, DPI_IN)
+                rows.append(
+                    {
+                        "url": r["url"], "page": s["page"], "word": s["text"],
+                        "x": round(bbox_scale(box[0], DPI_OUT, DPI_IN), 4),
+                        "y": round(PAGE_H * DPI_OUT / DPI_IN
+                                   - bbox_scale(s["b"], DPI_OUT, DPI_IN), 4),
+                        "horiz_scale": round(100.0 * box_w / text_w, 2),
+                    }
+                )
+        return pa.Table.from_pylist(
+            rows,
+            schema=pa.schema(
+                [pa.field("url", pa.string()), pa.field("page", pa.int32()),
+                 pa.field("word", pa.string()), pa.field("x", pa.float64()),
+                 pa.field("y", pa.float64()),
+                 pa.field("horiz_scale", pa.float64())]
+            ),
+        )
+
+    return out.map_batches(layer, batch_format="pyarrow")

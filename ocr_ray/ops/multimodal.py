@@ -17,6 +17,7 @@ import ray.data
 from ..extract_core import route
 from ..kernels.hocr import parse_hocr
 from ..sources.payloads import FAKEIMG_MAGIC, explode_pages
+from .common import small_pool
 from .extraction_queries import pages_corpus
 
 FEATURE_SCHEMA = pa.schema(
@@ -107,6 +108,6 @@ def page_image_features(sf_dir: str, frame_stride: int = 1) -> ray.data.Dataset:
         fn_constructor_kwargs={"frame_stride": frame_stride},
         batch_format="pyarrow",
         batch_size=32,
-        concurrency=(1, 4),
+        concurrency=small_pool(),
         num_cpus=1,
     )

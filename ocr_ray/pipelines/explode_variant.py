@@ -28,7 +28,7 @@ from ..extract_core import DEFAULT_NUM_PARTS, error_doc, extract_html_doc, route
 from ..kernels import assemble
 from ..kernels.hocr import parse_hocr
 from ..kernels.html_extract import DEFAULT_SETTINGS, ExtractSettings
-from ..schemas import EXTRACT_SCHEMA
+from ..schemas import EXTRACT_WIRE_SCHEMA, pack_spans
 from ..sources.payloads import explode_pages
 from ..stages.stamp import make_stamp_fn
 from .extract import DEFAULT_BATCH_SIZE, default_concurrency
@@ -172,7 +172,8 @@ def _assemble_doc(group: pa.Table) -> pa.Table:
     page_error = next((r["error"] for r in rows if r["error"] is not None), None)
     if page_error is not None:
         rec = {**base, **error_doc(first["branch"], page_error)}
-        return pa.Table.from_pylist([rec], schema=EXTRACT_SCHEMA)
+        rec["spans_bin"] = pack_spans(rec.pop("spans"))
+        return pa.Table.from_pylist([rec], schema=EXTRACT_WIRE_SCHEMA)
     if first["branch"] == "html":
         rec = {
             **base,
@@ -192,7 +193,8 @@ def _assemble_doc(group: pa.Table) -> pa.Table:
             "n_words": sum(r["n_words"] for r in rows),
             "error": None,
         }
-    return pa.Table.from_pylist([rec], schema=EXTRACT_SCHEMA)
+    rec["spans_bin"] = pack_spans(rec.pop("spans"))
+    return pa.Table.from_pylist([rec], schema=EXTRACT_WIRE_SCHEMA)
 
 
 def extract_dataset_exploded(

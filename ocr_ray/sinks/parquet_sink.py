@@ -81,8 +81,12 @@ def make_partition_writer(out_dir: str, input_path: str = ""):
     shard, commit the manifest, return the manifest as a row."""
 
     def write_partition(group: pa.Table) -> pa.Table:
+        from ..schemas import unpack_wire_batch
+
         part = group.column("part")[0].as_py()
         group = dedup_and_sort(group)
+        if "spans_bin" in group.column_names:
+            group = unpack_wire_batch(group)
         pdir = partition_dir(out_dir, part)
         os.makedirs(pdir, exist_ok=True)
         shard = os.path.join(pdir, SHARD_NAME)
@@ -128,6 +132,120 @@ def make_partition_writer(out_dir: str, input_path: str = ""):
         )
 
     return write_partition
+
+
+# --------------------------------------------------- two-phase storage sink
+#
+# Measured on this workload (1 GB extraction output, 32 CPUs, 200 blocks):
+# Ray's sort-based groupby exchange takes 60-150 s while a plain
+# repartition moves the same bytes in 4 s — the sort dominates, not the
+# data. The production sink therefore shuffles THROUGH STORAGE instead:
+#
+#   phase 1  extraction tasks split each output batch by ``part`` and
+#            append shard files under out/part=<k>/tmp_shards/ (no
+#            object-store exchange at all; on a cluster this is the shared
+#            store that must hold the output anyway)
+#   phase 2  one task per partition reads its tmp shards, applies the
+#            latest-wins url dedup + deterministic sort, writes the
+#            canonical data.parquet, commits the manifest, removes tmps
+#
+# Crash safety: manifests still commit per partition; run_extract clears
+# stale tmp shards of uncommitted partitions before phase 1, and exact
+# re-extractions collapse in the dedup. The intermediate costs one extra
+# write+read of the output-sized data — the price of skipping the
+# object-store sort, and it doubles as the resume checkpoint.
+
+TMP_SHARDS = "tmp_shards"
+
+
+def clear_uncommitted_tmp(out_dir: str) -> None:
+    import shutil
+
+    if not os.path.isdir(out_dir):
+        return
+    for name in os.listdir(out_dir):
+        if not name.startswith("part="):
+            continue
+        pdir = os.path.join(out_dir, name)
+        if not os.path.exists(os.path.join(pdir, MANIFEST_NAME)):
+            shutil.rmtree(os.path.join(pdir, TMP_SHARDS), ignore_errors=True)
+
+
+def make_shard_writer(out_dir: str):
+    """Stateless map_batches fn (phase 1): split the batch by part, append
+    one shard file per part, return tiny ack rows."""
+    import uuid
+
+    def write_shards(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        acks = []
+        parts = batch.column("part")
+        for part in pc.unique(parts).to_pylist():
+            sub = batch.filter(pc.equal(parts, part))
+            pdir = os.path.join(partition_dir(out_dir, part), TMP_SHARDS)
+            os.makedirs(pdir, exist_ok=True)
+            name = os.path.join(pdir, f"shard-{uuid.uuid4().hex}.parquet")
+            pq.write_table(sub, name + ".tmp")
+            os.replace(name + ".tmp", name)
+            acks.append({"part": part, "n_rows": sub.num_rows})
+        return pa.Table.from_pylist(
+            acks,
+            schema=pa.schema(
+                [pa.field("part", pa.int32()), pa.field("n_rows", pa.int64())]
+            ),
+        )
+
+    return write_shards
+
+
+def consolidate_partition(out_dir: str, part: int, input_path: str = "") -> dict:
+    """Phase 2 for one partition: tmp shards → dedup/sort → committed shard
+    + manifest. Returns the manifest dict."""
+    import shutil
+
+    from ..schemas import unpack_wire_batch
+
+    pdir = partition_dir(out_dir, part)
+    tmp_dir = os.path.join(pdir, TMP_SHARDS)
+    shards = sorted(os.listdir(tmp_dir)) if os.path.isdir(tmp_dir) else []
+    tables = [
+        pq.read_table(os.path.join(tmp_dir, s))
+        for s in shards
+        if s.endswith(".parquet")
+    ]
+    group = pa.concat_tables(tables)
+    group = dedup_and_sort(group)
+    if "spans_bin" in group.column_names:
+        group = unpack_wire_batch(group)
+    shard = os.path.join(pdir, SHARD_NAME)
+    tmp = shard + ".tmp"
+    pq.write_table(group, tmp)
+    with open(tmp, "rb") as f:
+        os.fsync(f.fileno())
+    os.replace(tmp, shard)
+    manifest = {
+        "schema_version": SCHEMA_VERSION,
+        "part": part,
+        "input": input_path,
+        "n_rows": group.num_rows,
+        "n_errors": int(
+            pa.compute.sum(
+                pa.compute.cast(pa.compute.is_valid(group.column("error")), pa.int32())
+            ).as_py()
+            or 0
+        ),
+        "bytes": sum(len((t or "").encode()) for t in group.column("text").to_pylist()),
+        "text_sha256": _text_checksum(group),
+    }
+    mtmp = os.path.join(pdir, MANIFEST_NAME + ".tmp")
+    with open(mtmp, "w") as f:
+        json.dump(manifest, f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(mtmp, os.path.join(pdir, MANIFEST_NAME))
+    shutil.rmtree(tmp_dir, ignore_errors=True)
+    return manifest
 
 
 def read_output(out_dir: str) -> pa.Table:

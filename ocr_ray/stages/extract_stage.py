@@ -23,9 +23,9 @@ from ..config import OcrConfig, resolve_config
 from ..engines import get_engine_cls
 from ..extract_core import extract_document
 from ..kernels.html_extract import DEFAULT_SETTINGS, ExtractSettings
-from ..schemas import EXTRACT_SCHEMA
+from ..schemas import EXTRACT_WIRE_SCHEMA, pack_spans
 
-OUT_SCHEMA = EXTRACT_SCHEMA
+OUT_SCHEMA = EXTRACT_WIRE_SCHEMA
 
 
 class ExtractWorker:
@@ -49,6 +49,7 @@ class ExtractWorker:
         out = []
         for url, t, lang, part, payload in zip(urls, ts, langs, parts, payloads):
             rec = extract_document(payload, self.engine, self.settings)
+            rec["spans_bin"] = pack_spans(rec.pop("spans"))
             rec.update(url=url, warc_ts=t, lang=lang, part=part)
             out.append(rec)
         return pa.Table.from_pylist(out, schema=OUT_SCHEMA)

@@ -208,15 +208,60 @@ def generate_pages_parquet(
     return out_dir
 
 
+def generate_pages_parquet_ray(
+    out_dir: str, n_rows: int, seed: int = SEED, rows_per_file: int = 4096
+) -> str:
+    """Ray-parallel corpus generation: one task per output file. Byte-equal
+    to the serial path because every row is a pure function of its index."""
+    import ray
+    import ray.data
+
+    os.makedirs(out_dir, exist_ok=True)
+    n_files = (n_rows + rows_per_file - 1) // rows_per_file
+
+    def write_files(batch) -> "pa.Table":
+        written = []
+        for file_no in batch["file_no"].to_pylist():
+            start = int(file_no) * rows_per_file
+            stop = min(start + rows_per_file, n_rows)
+            table = rows_for_range(start, stop, seed)
+            pq.write_table(
+                table, os.path.join(out_dir, f"pages_{int(file_no):05d}.parquet")
+            )
+            written.append({"file_no": int(file_no), "rows": stop - start})
+        return pa.Table.from_pylist(written)
+
+    (
+        ray.data.range(n_files)
+        .map_batches(lambda b: pa.table({"file_no": b["id"]}), batch_format="pyarrow")
+        .map_batches(write_files, batch_size=1, batch_format="pyarrow")
+        .materialize()
+    )
+    return out_dir
+
+
 _CACHE_VERSION = "v1"
 
 
 def pages_dir_for(n_rows: int, seed: int = SEED, base: str = "/tmp/ocr_ray_pages") -> str:
-    """Cached corpus directory keyed by (version, n, seed); generated once."""
+    """Cached corpus directory keyed by (version, n, seed); generated once.
+    Uses Ray-parallel generation when a Ray session is up and the corpus is
+    large; both paths produce identical bytes."""
     out = os.path.join(base, f"{_CACHE_VERSION}_n{n_rows}_s{seed}")
     marker = os.path.join(out, "_COMPLETE")
     if not os.path.exists(marker):
-        generate_pages_parquet(out, n_rows, seed)
+        use_ray = False
+        if n_rows >= 50_000:
+            try:
+                import ray
+
+                use_ray = ray.is_initialized()
+            except ImportError:
+                pass
+        if use_ray:
+            generate_pages_parquet_ray(out, n_rows, SEED if seed is None else seed)
+        else:
+            generate_pages_parquet(out, n_rows, seed)
         with open(marker, "w") as f:
             f.write("ok")
     return out

@@ -1,0 +1,108 @@
+"""Operator-suite sanity tests at smoke scale (sf0.001). The heavyweight
+oracle comparison runs in scripts/check_correctness.py and in the driver's
+own gate; these tests pin structural invariants cheaply."""
+
+import pandas as pd
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def _df(ds) -> pd.DataFrame:
+    return pd.DataFrame(ds.take_all())
+
+
+def test_pricing_summary_shape(ray_session):
+    from ocr_ray.ops.relational import pricing_summary
+
+    df = _df(pricing_summary(SF))
+    assert set(df.columns) >= {"l_returnflag", "l_linestatus", "sum_qty",
+                               "avg_qty", "count_order"}
+    assert (df["count_order"] > 0).all()
+    # partial-agg identity: sum of group counts == filtered row count
+    import duckdb
+
+    n = duckdb.sql(
+        f"SELECT count(*) FROM read_parquet('{SF}/lineitem.parquet') "
+        "WHERE l_shipdate <= TIMESTAMP '1998-09-02'"
+    ).fetchone()[0]
+    assert df["count_order"].sum() == n
+
+
+def test_top_customers_deterministic(ray_session):
+    from ocr_ray.ops.relational import top_customers
+
+    a = _df(top_customers(SF))
+    b = _df(top_customers(SF))
+    assert a.equals(b)
+    assert len(a) == 10
+    assert a["revenue"].is_monotonic_decreasing
+
+
+def test_exact_dedup_accounts_all_docs(ray_session):
+    from ocr_ray.ops.documents import exact_dedup
+
+    df = _df(exact_dedup(SF))
+    assert df["n_copies"].sum() == 500
+
+
+def test_minhash_pairs_symmetric_free(ray_session):
+    from ocr_ray.ops.documents import minhash_dup_pairs
+
+    df = _df(minhash_dup_pairs(SF))
+    if len(df):
+        assert (df["doc_a"] < df["doc_b"]).all()
+        assert not df.duplicated(["doc_a", "doc_b"]).any()
+        assert (df["est_jaccard"] >= 0.5).all()
+
+
+def test_ann_topk_ranks(ray_session):
+    from ocr_ray.ops.embeddings import ann_brute_topk
+
+    df = _df(ann_brute_topk(SF))
+    assert set(df["query_id"].unique()) == set(range(8))
+    for _, g in df.groupby("query_id"):
+        assert list(g.sort_values("rank")["rank"]) == list(range(1, 11))
+        assert g.sort_values("rank")["cosine"].is_monotonic_decreasing
+        assert (g["vec_id"] != g["query_id"]).all()
+
+
+def test_word_index_hyphen_semantics(ray_session):
+    """The synthetic corpus plants hyphen-across-lines words (slot 90/93);
+    the distributed word index must contain their merged forms."""
+    from ocr_ray.ops.extraction_queries import word_index
+
+    df = _df(word_index(SF))
+    assert len(df) > 1000
+    assert (df["count"] > 0).all()
+    # pages strings are the reference "1, 2" format
+    multi = df[df["pages"].str.contains(",")]
+    assert len(multi) > 0
+
+
+def test_page_image_features_stub_decode(ray_session):
+    from ocr_ray.ops.multimodal import page_image_features
+
+    df = _df(page_image_features(SF))
+    ok = df[df["error"].isna()]
+    assert len(ok) > 50
+    assert (ok["width"] > 0).all() and (ok["n_words"] > 0).all()
+
+
+def test_metrics_parse():
+    from ocr_ray.pipelines.metrics import format_metrics, stage_metrics
+
+    stats = (
+        "Operator 1 ReadParquet->SplitBlocks(8): 2 tasks executed, 16 blocks "
+        "produced in 0.34s\n"
+        "* Remote wall time: 621.11us min, 34.88ms max, 3.95ms mean, 63.18ms total\n"
+        "* Output num rows per block: 113 min, 512 max, 312 mean, 5000 total\n"
+        "* Output size bytes per block: 310206 min, 1579162 max, 927471 mean, "
+        "14839547 total\n"
+    )
+    m = stage_metrics(stats)
+    assert len(m) == 1
+    assert m[0]["rows_out"] == 5000
+    assert m[0]["seconds"] == 0.34
+    assert abs(m[0]["task_seconds"] - 0.06318) < 1e-9
+    assert "ReadParquet" in format_metrics(m)
