@@ -72,6 +72,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "txt_delimited": x_ops.txt_delimited,
         "alto_pages": x_ops.alto_pages,
         "branch_stats": x_ops.branch_stats,
+        "extraction_similarity": x_ops.extraction_similarity,
+        "search_index_docs": x_ops.search_index_docs,
         "page_image_features": m_ops.page_image_features,
         # ---- layout analysis (L1/O3/M1 box path, W3 math)
         "auto_layout": l_ops.auto_layout,

@@ -98,14 +98,17 @@ def resolve_config(user: dict | None = None) -> OcrConfig:
     merged = dict(DEFAULTS)
     user = user or {}
     merged.update({k: v for k, v in user.items() if v is not None})
-    ok, errors = verify_params(merged)
-    if not ok:
-        raise ValueError("invalid OCR config: " + "; ".join(errors))
+    # S7 ordering parity: the "k=v;k=v" otherParams string is parsed into a
+    # dict BEFORE validation (celery_app.py:753-768 runs before verify)
     other = merged.get("otherParams", {})
     if isinstance(other, str):
         other_pairs = parse_other_params(other)
+        merged["otherParams"] = dict(other_pairs)
     else:
         other_pairs = tuple(sorted(dict(other).items()))
+    ok, errors = verify_params(merged)
+    if not ok:
+        raise ValueError("invalid OCR config: " + "; ".join(errors))
     return OcrConfig(
         engine=merged["engine"],
         lang=tuple(merged["lang"]),

@@ -155,6 +155,86 @@ def alto_pages(sf_dir: str) -> ray.data.Dataset:
     return out.map_batches(build, batch_format="pyarrow")
 
 
+def extraction_similarity(sf_dir: str) -> ray.data.Dataset:
+    """The reference's only output-quality check, distributed: fuzzy ratio
+    between extracted text and a reference rendition (here the crawler's
+    noisy ``text`` column) per url (parity: evaluate.py:5-16
+    SequenceMatcher.ratio)."""
+    import pyarrow.compute as pc
+
+    from ..kernels.textfn import similarity_ratio
+
+    pages = ray.data.read_parquet(pages_corpus(sf_dir), columns=["url", "text"])
+
+    # broadcast the (url -> crawler text) map: small relative to payloads;
+    # at corpus scale this becomes a co-partitioned join on url-hash
+    import ray as _ray
+
+    crawler = {}
+    for r in pages.take_all():
+        crawler[r["url"]] = r["text"]
+    crawler_ref = _ray.put(crawler)
+
+    out = extraction_output(sf_dir)
+
+    def score(batch: pa.Table) -> pa.Table:
+        cmap = _ray.get(crawler_ref)
+        rows = []
+        for r in batch.to_pylist():
+            if r["error"] is not None:
+                continue
+            ref_text = cmap.get(r["url"], "")
+            rows.append(
+                {"url": r["url"], "branch": r["branch"],
+                 "ratio": round(similarity_ratio(r["text"], ref_text), 4)}
+            )
+        return pa.Table.from_pylist(
+            rows,
+            schema=pa.schema(
+                [pa.field("url", pa.string()), pa.field("branch", pa.string()),
+                 pa.field("ratio", pa.float64())]
+            ),
+        )
+
+    return out.map_batches(score, batch_format="pyarrow")
+
+
+def search_index_docs(sf_dir: str) -> ray.data.Dataset:
+    """One searchable record per page — the reference's Elasticsearch doc
+    shape {Document, Path, Page, Text, Engine, Config}
+    (elastic_search.py:192-231) built as a Dataset; the ES bulk writer is an
+    external-service sink and intentionally out of scope (SURVEY.md W8)."""
+    out = extraction_output(sf_dir)
+
+    def build(batch: pa.Table) -> pa.Table:
+        rows = []
+        for r in batch.to_pylist():
+            if r["error"] is not None:
+                continue
+            trees = _spans_to_page_trees(r["spans"]) if r["spans"] else []
+            page_texts = (
+                [assemble.page_text(t) for t in trees]
+                if trees
+                else [r["text"][:-2] if r["text"].endswith("\n\n") else r["text"]]
+            )
+            for page_no, text in enumerate(page_texts):
+                rows.append(
+                    {"document": r["url"], "path": f"{r['url']}#page={page_no}",
+                     "page": page_no, "text": text, "engine": "stub",
+                     "config": "lang=por"}
+                )
+        return pa.Table.from_pylist(
+            rows,
+            schema=pa.schema(
+                [pa.field("document", pa.string()), pa.field("path", pa.string()),
+                 pa.field("page", pa.int64()), pa.field("text", pa.string()),
+                 pa.field("engine", pa.string()), pa.field("config", pa.string())]
+            ),
+        )
+
+    return out.map_batches(build, batch_format="pyarrow")
+
+
 def branch_stats(sf_dir: str) -> ray.data.Dataset:
     """Extraction health rollup: per-branch doc/page/word/error counts."""
     import pandas as pd

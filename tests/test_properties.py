@@ -1,0 +1,74 @@
+"""Property-based tests (hypothesis) for the round-trip-critical kernels."""
+
+import string
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from ocr_ray.kernels import assemble
+from ocr_ray.kernels.hocr import parse_hocr
+from ocr_ray.kernels.hocr_write import tree_to_hocr
+from ocr_ray.schemas import pack_spans, unpack_spans
+
+# word text: printable, no angle brackets (escaped by the writer anyway),
+# non-empty after strip
+_word_text = st.text(
+    alphabet=string.ascii_letters + string.digits + "áéíóúç-'.,!«»",
+    min_size=1, max_size=12,
+).map(str.strip).filter(bool)
+
+
+@st.composite
+def trees(draw):
+    n_pars = draw(st.integers(1, 3))
+    tree = []
+    y = 10
+    for _ in range(n_pars):
+        par = []
+        for _ in range(draw(st.integers(1, 3))):
+            line = []
+            x = 10
+            for _ in range(draw(st.integers(1, 5))):
+                text = draw(_word_text)
+                w = 10 * max(1, len(text))
+                bottom = y + 20
+                line.append(
+                    {"text": text, "box": [float(x), float(y), float(x + w), float(bottom)],
+                     "b": float(bottom), "confidence": draw(st.integers(0, 100))}
+                )
+                x += w + 5
+            par.append(line)
+            y += 30
+        tree.append(par)
+        y += 20
+    return tree
+
+
+@given(trees())
+@settings(max_examples=40, deadline=None)
+def test_hocr_roundtrip(tree):
+    """tree → hOCR → parse == tree (with b = line bottom, our writer's
+    baseline-0 convention; geometry here is integral so parsing is exact)."""
+    parsed = parse_hocr(tree_to_hocr(tree))
+    assert parsed == tree
+
+
+@given(trees(), st.integers(0, 5))
+@settings(max_examples=30, deadline=None)
+def test_span_roundtrip_and_pack(tree, page_no):
+    spans = assemble.tree_to_spans(tree, page_no=page_no)
+    assert assemble.spans_to_tree(spans) == tree
+    assert unpack_spans(pack_spans(spans)) == spans
+
+
+@given(trees())
+@settings(max_examples=30, deadline=None)
+def test_text_assembly_consistency(tree):
+    """page_text over the tree == joining the span words with the same
+    rules — one shared definition of the bytes."""
+    text = assemble.page_text(tree)
+    expect = "\n\n".join(
+        "\n".join(" ".join(w["text"] for w in line) for line in par) for par in tree
+    ).strip()
+    assert text == expect
+    assert assemble.word_count(tree) == len(assemble.tree_to_spans(tree))
