@@ -46,6 +46,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly": r_ops.events_hourly,
         "events_props_sum": r_ops.events_props_sum,
         "expensive_items": r_ops.expensive_items,
+        "source_stats": r_ops.source_stats,
+        "longest_docs_per_lang": r_ops.longest_docs_per_lang,
+        "user_sessions": r_ops.user_sessions,
         # ---- text analysis over documents
         "token_counts": d_ops.token_counts,
         "length_stats_by_lang": d_ops.length_stats_by_lang,
@@ -167,6 +170,34 @@ def oracle_sql() -> dict[str, str]:
             WHERE l_discount < 0.02
             ORDER BY lineitem.l_extendedprice DESC, l_orderkey, l_linenumber
             LIMIT 20
+        """,
+        "source_stats": """
+            SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   ROUND(SUM(n_chars) * 1.0 / COUNT(*), 4) AS avg_chars,
+                   CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
+            FROM documents GROUP BY source ORDER BY source
+        """,
+        "longest_docs_per_lang": """
+            WITH ranked AS (
+                SELECT lang, doc_id, n_chars,
+                       row_number() OVER (PARTITION BY lang
+                                          ORDER BY n_chars DESC, doc_id) AS rnk
+                FROM documents
+            )
+            SELECT lang, doc_id, n_chars, CAST(rnk AS BIGINT) AS rank
+            FROM ranked WHERE rnk <= 2 ORDER BY lang, rank
+        """,
+        "user_sessions": f"""
+            WITH gaps AS (
+                SELECT user_id, ts,
+                       CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                                 > INTERVAL {r_ops.SESSION_GAP_MIN} MINUTE
+                            THEN 1 ELSE 0 END AS new_session
+                FROM events
+            )
+            SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+                   CAST(SUM(new_session) + 1 AS BIGINT) AS n_sessions
+            FROM gaps GROUP BY user_id ORDER BY user_id
         """,
         "token_counts": r"""
             SELECT doc_id,

@@ -256,6 +256,85 @@ def events_props_sum(sf_dir: str):
     )
 
 
+def source_stats(sf_dir: str):
+    """Per-source rollup with a DISTINCT sub-aggregate (n_langs): per-batch
+    (source, lang) dedup partial → global distinct → grouped counts joined
+    with plain per-source aggregates (A6-style distinct, SURVEY.md §2.5)."""
+    ds = read_table(sf_dir, "documents", columns=["source", "lang", "n_chars"])
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        df["avg_chars"] = (df["sum_chars"] / df["n_docs"]).round(4)
+        df = df.drop(columns=["sum_chars"])
+        return df.sort_values("source").reset_index(drop=True)
+
+    base = grouped_agg(
+        ds,
+        keys=["source"],
+        specs=[("n_docs", "count", None), ("sum_chars", "sum", "n_chars")],
+        finalize=fin,
+    )
+
+    pairs = ds.map_batches(
+        lambda b: pa.Table.from_pandas(
+            b.to_pandas()[["source", "lang"]].drop_duplicates(), preserve_index=False
+        ),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    pairs = pairs.groupby(["source", "lang"]).map_groups(
+        lambda g: g.slice(0, 1), batch_format="pyarrow"
+    )
+    langs = grouped_agg(pairs, keys=["source"], specs=[("n_langs", "count", None)])
+
+    # both sides are tiny aggregates: join on the driver
+    bdf = pd.DataFrame(base.take_all())
+    ldf = pd.DataFrame(langs.take_all())
+    out = bdf.merge(ldf, on="source").sort_values("source").reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def longest_docs_per_lang(sf_dir: str, k: int = 2):
+    """Windowed top-k per group (row_number() shape): longest k docs per
+    lang, deterministic tiebreak on doc_id."""
+    ds = read_table(sf_dir, "documents", columns=["lang", "doc_id", "n_chars"])
+
+    def topk(group: pa.Table) -> pa.Table:
+        df = group.to_pandas().sort_values(
+            ["n_chars", "doc_id"], ascending=[False, True]
+        ).head(k)
+        df["rank"] = range(1, len(df) + 1)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    out = ds.groupby("lang").map_groups(topk, batch_format="pyarrow")
+    return out.sort(["lang", "rank"])
+
+
+SESSION_GAP_MIN = 30
+
+
+def user_sessions(sf_dir: str):
+    """Gap-based sessionization (no counterpart in the reference —
+    SURVEY.md §2.11 has no windows; this is the training-data engine's
+    stateful-window representative): events per user sorted by ts; a gap
+    > 30 min starts a new session. groupby(user) keeps all of a user's
+    events in one task — the standard keyed-window partitioning assumption."""
+    ds = read_table(sf_dir, "events", columns=["user_id", "ts"])
+
+    def sessions(group: pa.Table) -> pa.Table:
+        df = group.to_pandas().sort_values("ts")
+        gaps = df["ts"].diff().dt.total_seconds() > SESSION_GAP_MIN * 60
+        n_sessions = int(gaps.sum()) + 1 if len(df) else 0
+        return pa.Table.from_pylist(
+            [{"user_id": int(df["user_id"].iloc[0]),
+              "n_events": len(df), "n_sessions": n_sessions}],
+            schema=pa.schema(
+                [pa.field("user_id", pa.int64()), pa.field("n_events", pa.int64()),
+                 pa.field("n_sessions", pa.int64())]
+            ),
+        )
+
+    return ds.groupby("user_id").map_groups(sessions, batch_format="pyarrow").sort("user_id")
+
+
 def expensive_items(sf_dir: str, k: int = 20):
     """filter → sort → limit with deterministic tiebreaks (the reference has
     no top-k — SURVEY.md §2.6 — this is the idiomatic Ray Data form)."""
