@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 
 
@@ -41,6 +42,12 @@ def main(argv=None) -> int:
     p_st = sub.add_parser("stats", help="summarize committed output partitions")
     p_st.add_argument("--out", required=True)
 
+    p_ex = sub.add_parser("export", help="write per-document export files from extraction output")
+    p_ex.add_argument("--extract-out", required=True,
+                      help="a committed run_extract output dir")
+    p_ex.add_argument("--out", required=True)
+    p_ex.add_argument("--outputs", default="txt,txt_delimited,csv,xml")
+
     args = parser.parse_args(argv)
 
     if args.cmd == "synth":
@@ -51,8 +58,6 @@ def main(argv=None) -> int:
         return 0
 
     if args.cmd == "stats":
-        import os
-
         from ocr_ray.sinks.parquet_sink import MANIFEST_NAME, committed_parts, partition_dir
 
         parts = sorted(committed_parts(args.out))
@@ -64,6 +69,27 @@ def main(argv=None) -> int:
             rows += m["n_rows"]
             errors += m.get("n_errors", 0)
         print(json.dumps({"parts": len(parts), "rows": rows, "errors": errors}))
+        return 0
+
+    if args.cmd == "export":
+        import ray
+
+        if not ray.is_initialized():
+            ray.init(address="local", include_dashboard=False)
+        import ray.data
+
+        from ocr_ray.sinks.exports import make_export_writer
+        from ocr_ray.sinks.parquet_sink import SHARD_NAME, committed_parts, partition_dir
+
+        shards = [
+            os.path.join(partition_dir(args.extract_out, p), SHARD_NAME)
+            for p in sorted(committed_parts(args.extract_out))
+        ]
+        ds = ray.data.read_parquet(shards)
+        writer = make_export_writer(args.out, tuple(args.outputs.split(",")))
+        acks = ds.map_batches(writer, batch_format="pyarrow").materialize()
+        print(json.dumps({"docs": acks.count(),
+                          "files": sum(r["n_files"] for r in acks.take_all())}))
         return 0
 
     # extract

@@ -22,6 +22,13 @@ try:  # real Tesseract adapter only when the binding exists
 except ImportError:  # pragma: no cover - container has no tesserocr
     pass
 
+try:  # subprocess twin (reference M4) when pytesseract/PIL exist
+    from .pytesseract_engine import PytesseractEngine
+
+    _REGISTRY["pytesseract"] = PytesseractEngine
+except ImportError:  # pragma: no cover - container has no pytesseract
+    pass
+
 
 def register_engine(name: str, cls: type) -> None:
     _REGISTRY[name] = cls

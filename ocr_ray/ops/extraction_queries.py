@@ -31,6 +31,27 @@ def pages_corpus(sf_dir: str) -> str:
 
 
 def extraction_output(sf_dir: str) -> ray.data.Dataset:
+    """Extraction result for the tier's corpus, materialized ONCE per corpus
+    through the resumable sink: the first caller runs the pipeline into a
+    cache dir; every later query (word_index, exports, similarity, ...)
+    resumes instantly off the committed partitions and reads the shards.
+    This is the sink's resume machinery doing double duty as a cache —
+    rows are identical to finalize(extract_dataset(...)) (same code path)."""
+    from ..pipelines.extract import run_extract
+    from ..sinks.parquet_sink import SHARD_NAME, committed_parts, partition_dir
+
+    corpus = pages_corpus(sf_dir)
+    out_dir = os.path.join("/tmp/ocr_ray_extract_cache", os.path.basename(corpus))
+    run_extract(corpus, out_dir, resume=True)
+    shards = [
+        os.path.join(partition_dir(out_dir, p), SHARD_NAME)
+        for p in sorted(committed_parts(out_dir))
+    ]
+    return ray.data.read_parquet(shards)
+
+
+def extraction_output_streamed(sf_dir: str) -> ray.data.Dataset:
+    """Uncached single-pass variant (used by parity tests)."""
     ds = ray.data.read_parquet(pages_corpus(sf_dir))
     return finalize(extract_dataset(ds))
 

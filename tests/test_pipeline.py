@@ -108,3 +108,24 @@ def test_manifest_lineage(ray_session, corpus_dir, tmp_path_factory):
     assert manifest["input"] == corpus_dir
     assert manifest["n_rows"] > 0
     assert len(manifest["text_sha256"]) == 64
+
+
+def test_cached_extraction_output_matches_streamed(ray_session):
+    """ops.extraction_queries.extraction_output (resume-cache path) must be
+    row-identical to the direct streamed pipeline."""
+    import pandas as pd
+
+    from ocr_ray.ops.extraction_queries import (
+        extraction_output,
+        extraction_output_streamed,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    cached = pd.DataFrame(extraction_output(sf).take_all())
+    streamed = pd.DataFrame(extraction_output_streamed(sf).take_all())
+    cached = cached.sort_values(["part", "url"]).reset_index(drop=True)
+    streamed = streamed.sort_values(["part", "url"]).reset_index(drop=True)
+    assert list(cached.columns) == list(streamed.columns)
+    for col in ("url", "text", "n_pages", "n_words", "error", "branch"):
+        assert cached[col].tolist() == streamed[col].tolist(), col
+    assert [len(s) for s in cached["spans"]] == [len(s) for s in streamed["spans"]]
