@@ -24,6 +24,7 @@ testable; defaults follow the published Readability/JusText heuristics
 
 from __future__ import annotations
 
+import re
 from dataclasses import dataclass
 from html.parser import HTMLParser
 
@@ -164,8 +165,94 @@ def _keep(block: _Block, settings: ExtractSettings) -> bool:
     return block.chars >= settings.min_text_chars and density < settings.max_link_density
 
 
+# ------------------------------------------------------------ fast tokenizer
+#
+# Block scoring needs only tag names and text — never attributes — so a
+# regex token scan is ~3× faster than the stdlib HTMLParser state machine.
+# The stdlib path is kept as the cross-check twin
+# (tests/test_kernel_html.py asserts corpus-wide agreement).
+
+_RAW_TEXT_TAGS = ("script", "style", "noscript", "template")
+_TOKEN_RE = re.compile(
+    r"<!--.*?(?:-->|$)"          # comments (unterminated swallows rest)
+    r"|<!\[CDATA\[.*?(?:\]\]>|$)"
+    r"|<![^>]*>"                 # doctype / other declarations
+    r"|<\?[^>]*>"                # processing instructions
+    r"|<(/?)([a-zA-Z][a-zA-Z0-9-]*)((?:\"[^\"]*\"|'[^']*'|[^>])*)>",
+    re.S,
+)
+_RAW_CLOSE = {
+    tag: re.compile(f"</{tag}[^>]*>", re.I) for tag in _RAW_TEXT_TAGS
+}
+
+
+class _TokenSink:
+    """Re-implements _ContentParser's event handling over the token scan."""
+
+    __slots__ = ("blocks", "_cur", "_drop_depth", "_drop_stack", "_link_depth")
+
+    def __init__(self):
+        self.blocks: list[_Block] = []
+        self._cur = _Block("body")
+        self._drop_depth = 0
+        self._drop_stack: list[str] = []
+        self._link_depth = 0
+
+    handle_starttag = _ContentParser.handle_starttag
+    handle_startendtag = _ContentParser.handle_startendtag
+    handle_endtag = _ContentParser.handle_endtag
+    handle_data = _ContentParser.handle_data
+    _flush = _ContentParser._flush
+    finish = _ContentParser.finish
+
+
+def _scan(html: str, sink: _TokenSink) -> None:
+    import html as _html_mod
+
+    pos = 0
+    n = len(html)
+    while pos < n:
+        m = _TOKEN_RE.search(html, pos)
+        if m is None:
+            text = html[pos:]
+            if text:
+                sink.handle_data(_html_mod.unescape(text) if "&" in text else text)
+            break
+        if m.start() > pos:
+            text = html[pos : m.start()]
+            sink.handle_data(_html_mod.unescape(text) if "&" in text else text)
+        pos = m.end()
+        name = m.group(2)
+        if name is None:
+            continue  # comment / doctype / PI
+        tag = name.lower()
+        if m.group(1):  # end tag
+            sink.handle_endtag(tag)
+        else:
+            if m.group(3) and m.group(3).rstrip().endswith("/"):  # self-closing
+                sink.handle_startendtag(tag, ())
+            else:
+                sink.handle_starttag(tag, ())
+                if tag in _RAW_TEXT_TAGS:
+                    # raw-text element: skip content to its closing tag
+                    close = _RAW_CLOSE[tag].search(html, pos)
+                    if close is None:
+                        sink.handle_endtag(tag)
+                        break
+                    sink.handle_endtag(tag)
+                    pos = close.end()
+
+
 def extract_blocks(html: str, settings: ExtractSettings = DEFAULT_SETTINGS) -> list[list[list[str]]]:
-    """HTML string → kept content as paragraphs→lines→words."""
+    """HTML string → kept content as paragraphs→lines→words (fast scan)."""
+    sink = _TokenSink()
+    _scan(html, sink)
+    blocks = sink.finish()
+    return [b.word_lines() for b in blocks if _keep(b, settings) and b.word_lines()]
+
+
+def extract_blocks_stdlib(html: str, settings: ExtractSettings = DEFAULT_SETTINGS) -> list[list[list[str]]]:
+    """Stdlib-HTMLParser twin of extract_blocks (cross-check oracle)."""
     parser = _ContentParser()
     parser.feed(html)
     parser.close()

@@ -186,7 +186,8 @@ def make_shard_writer(out_dir: str):
             pdir = os.path.join(partition_dir(out_dir, part), TMP_SHARDS)
             os.makedirs(pdir, exist_ok=True)
             name = os.path.join(pdir, f"shard-{uuid.uuid4().hex}.parquet")
-            pq.write_table(sub, name + ".tmp")
+            # tmp shards are transient: skip compression + dictionary work
+            pq.write_table(sub, name + ".tmp", compression="none", use_dictionary=False)
             os.replace(name + ".tmp", name)
             acks.append({"part": part, "n_rows": sub.num_rows})
         return pa.Table.from_pylist(

@@ -41,15 +41,30 @@ class ExtractWorker:
         self.engine = get_engine_cls(self.config.engine)(self.config)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        urls = batch.column("url").to_pylist()
-        ts = batch.column("warc_ts").to_pylist()
-        langs = batch.column("lang").to_pylist()
-        parts = batch.column("part").to_pylist()
         payloads = batch.column("html").to_pylist()
-        out = []
-        for url, t, lang, part, payload in zip(urls, ts, langs, parts, payloads):
+        branches, texts, spans_bins, n_pages, n_words, errors = [], [], [], [], [], []
+        for payload in payloads:
             rec = extract_document(payload, self.engine, self.settings)
-            rec["spans_bin"] = pack_spans(rec.pop("spans"))
-            rec.update(url=url, warc_ts=t, lang=lang, part=part)
-            out.append(rec)
-        return pa.Table.from_pylist(out, schema=OUT_SCHEMA)
+            branches.append(rec["branch"])
+            texts.append(rec["text"])
+            spans_bins.append(pack_spans(rec["spans"]))
+            n_pages.append(rec["n_pages"])
+            n_words.append(rec["n_words"])
+            errors.append(rec["error"])
+        # passthrough columns ride through zero-copy; computed columns are
+        # built once per batch (no per-row dicts)
+        return pa.table(
+            {
+                "url": batch.column("url"),
+                "warc_ts": batch.column("warc_ts"),
+                "lang": batch.column("lang"),
+                "branch": pa.array(branches, pa.string()),
+                "text": pa.array(texts, pa.string()),
+                "spans_bin": pa.array(spans_bins, pa.binary()),
+                "n_pages": pa.array(n_pages, pa.int32()),
+                "n_words": pa.array(n_words, pa.int32()),
+                "error": pa.array(errors, pa.string()),
+                "part": batch.column("part"),
+            },
+            schema=OUT_SCHEMA,
+        )

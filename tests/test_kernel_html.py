@@ -51,3 +51,29 @@ def test_empty_and_garbage():
     assert extract_text("<<<>>>&&& not html") in ("", "<<<>>>&&& not html")
     # entities decode
     assert extract_text("<p>caf&eacute; com leite e p&atilde;o quentinho demais</p>") == "café com leite e pão quentinho demais"
+
+
+def test_fast_and_stdlib_extractors_agree_on_corpus():
+    """The regex token-scan extractor must match the stdlib-HTMLParser twin
+    over the whole synthetic corpus plus adversarial snippets."""
+    from ocr_ray.extract_core import route
+    from ocr_ray.kernels.html_extract import extract_blocks_stdlib
+    from ocr_ray.synth import rows_for_range
+
+    htmls = [
+        r["html"].decode("utf-8", errors="replace")
+        for r in rows_for_range(0, 1500).to_pylist()
+        if route(r["html"]) == "html"
+    ]
+    assert len(htmls) > 1000
+    adversarial = [
+        "<p>unclosed <b>bold",
+        "<!-- comment <p>inside</p> -->",
+        "<script>var a='</div>';</script><p>after script body text long enough to keep</p>",
+        "<div data-x='<p>'>attr with angle bracket and long enough text to keep here</div>",
+        '<img alt="x > y"/><p>paragraph after angle attr long enough to keep here</p>',
+        "<P>UPPERCASE TAGS WITH LONG ENOUGH CONTENT TO PASS THE LENGTH FILTER</P>",
+        "<noscript><p>hidden</p></noscript><p>kept visible paragraph long enough here</p>",
+    ]
+    for h in htmls + adversarial:
+        assert extract_blocks(h) == extract_blocks_stdlib(h)

@@ -72,3 +72,15 @@ def test_text_assembly_consistency(tree):
     ).strip()
     assert text == expect
     assert assemble.word_count(tree) == len(assemble.tree_to_spans(tree))
+
+
+@given(trees(), st.one_of(st.none(), st.tuples(
+    st.integers(0, 50), st.integers(0, 50)).map(lambda t: [float(t[0]), float(t[1]), 3000.0, 4000.0])))
+@settings(max_examples=40, deadline=None)
+def test_fast_and_dom_parser_agree(tree, segment_box):
+    """The regex fast path and the DOM-walk parser must produce identical
+    trees on well-formed hOCR, with and without segment offsets."""
+    from ocr_ray.kernels.hocr import _dom_parse_hocr, _fast_parse
+
+    hocr = tree_to_hocr(tree)
+    assert _fast_parse(hocr, segment_box) == _dom_parse_hocr(hocr, segment_box)
