@@ -129,7 +129,7 @@ def main() -> None:
     ray.shutdown()
 
 
-SCALING_ROWS = int(os.environ.get("GRAFT_SCALING_ROWS", "200000"))
+SCALING_ROWS = int(os.environ.get("GRAFT_SCALING_ROWS", "400000"))
 SCALING_CPUS = tuple(int(c) for c in os.environ.get("GRAFT_SCALING_CPUS", "4,16").split(","))
 
 
