@@ -170,7 +170,11 @@ def _keep(block: _Block, settings: ExtractSettings) -> bool:
 # Block scoring needs only tag names and text — never attributes — so a
 # regex token scan is ~3× faster than the stdlib HTMLParser state machine.
 # The stdlib path is kept as the cross-check twin
-# (tests/test_kernel_html.py asserts corpus-wide agreement).
+# (tests/test_kernel_html.py asserts corpus-wide agreement). Agreement is
+# guaranteed for well-formed markup; on invalid byte soup (e.g. random
+# bytes that happen to sniff as HTML) the two may tokenize differently —
+# harmless, because the oracle and the distributed stages both use THIS
+# function, so output stays deterministic and self-consistent.
 
 _RAW_TEXT_TAGS = ("script", "style", "noscript", "template")
 _TOKEN_RE = re.compile(

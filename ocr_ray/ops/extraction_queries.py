@@ -30,6 +30,31 @@ def pages_corpus(sf_dir: str) -> str:
     return pages_dir_for(corpus_rows_for(sf_dir))
 
 
+_CODE_FP = None
+
+
+def _code_fingerprint() -> str:
+    """Hash of the ocr_ray sources: any code change invalidates the cached
+    extraction output (the resume manifests alone can't see code drift)."""
+    global _CODE_FP
+    if _CODE_FP is None:
+        import hashlib
+
+        import ocr_ray
+
+        pkg_dir = os.path.dirname(ocr_ray.__file__)
+        h = hashlib.sha256()
+        for root, _, files in sorted(os.walk(pkg_dir)):
+            if "__pycache__" in root:
+                continue
+            for name in sorted(files):
+                if name.endswith(".py"):
+                    with open(os.path.join(root, name), "rb") as f:
+                        h.update(f.read())
+        _CODE_FP = h.hexdigest()[:12]
+    return _CODE_FP
+
+
 def extraction_output(sf_dir: str) -> ray.data.Dataset:
     """Extraction result for the tier's corpus, materialized ONCE per corpus
     through the resumable sink: the first caller runs the pipeline into a
@@ -41,7 +66,10 @@ def extraction_output(sf_dir: str) -> ray.data.Dataset:
     from ..sinks.parquet_sink import SHARD_NAME, committed_parts, partition_dir
 
     corpus = pages_corpus(sf_dir)
-    out_dir = os.path.join("/tmp/ocr_ray_extract_cache", os.path.basename(corpus))
+    out_dir = os.path.join(
+        "/tmp/ocr_ray_extract_cache",
+        f"{os.path.basename(corpus)}-{_code_fingerprint()}",
+    )
     run_extract(corpus, out_dir, resume=True)
     shards = [
         os.path.join(partition_dir(out_dir, p), SHARD_NAME)
