@@ -80,7 +80,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "page_image_features": m_ops.page_image_features,
         # ---- layout analysis (L1/O3/M1 box path, W3 math)
         "auto_layout": l_ops.auto_layout,
+        "cv_layout": l_ops.cv_layout,
         "segmented_extract": l_ops.segmented_extract,
+        "ann_ivf_topk": e_ops.ann_ivf_topk,
         "pdf_text_layer": l_ops.pdf_text_layer,
     }
 

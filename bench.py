@@ -57,7 +57,8 @@ def run_flagship(sf_dir: str, out_tag: str) -> dict:
     dt = time.time() - t0
     n_parts = manifests.count()
     mb = corpus_bytes(corpus) / 1e6
-    print(format_metrics(stage_metrics(stats)), file=sys.stderr)
+    stages = stage_metrics(stats)
+    print(format_metrics(stages), file=sys.stderr)
     return {
         "seconds": round(dt, 2),
         "docs_per_s": round(n_rows / dt, 1),
@@ -65,6 +66,12 @@ def run_flagship(sf_dir: str, out_tag: str) -> dict:
         "n_rows": n_rows,
         "input_mb": round(mb, 1),
         "n_parts": n_parts,
+        # north_rule: per-stage throughput metrics in the recorded output
+        "stages": [
+            {"stage": s["stage"], "seconds": s["seconds"],
+             "rows_per_s": s["rows_per_s"]}
+            for s in stages
+        ],
     }
 
 
@@ -103,6 +110,7 @@ def main() -> None:
     result["queries"]["extract_flagship"] = flag["seconds"]
     result["extract_docs_per_s"] = flag["docs_per_s"]
     result["extract_mb_per_s"] = flag["mb_per_s"]
+    result["stages"] = flag["stages"]
 
     if not flagship_only:
         import __ray_entry__ as entrymod

@@ -67,6 +67,74 @@ def split_by_kind(box_groups: list[dict]) -> tuple[list, list, list]:
     return text, image, remove
 
 
+def cluster_points(points, eps: float = 0.025, min_cluster_size: int = 5) -> list[list[int]]:
+    """Density clustering of a normalized 2-D point cloud — the algorithmic
+    core of the reference's CV layout segmentation
+    (/root/reference/server/src/utils/image.py:140-227: corners → normalized
+    cloud → HDBSCAN(min_cluster_size=5, eps=0.025) → cluster bboxes).
+
+    This container has no hdbscan/cv2, so the clusterer is a plain
+    DBSCAN-style transitive eps-linkage (pure numpy, deterministic); same
+    defaults, same contract: clusters smaller than min_cluster_size drop.
+    Returns clusters as lists of point indices (ascending; clusters ordered
+    by smallest member index)."""
+    import numpy as np
+
+    pts = np.asarray(points, dtype=np.float64)
+    n = len(pts)
+    if n == 0:
+        return []
+    # transitive closure of the eps-neighborhood graph via union-find
+    parent = list(range(n))
+
+    def find(a):
+        while parent[a] != a:
+            parent[a] = parent[parent[a]]
+            a = parent[a]
+        return a
+
+    d2 = ((pts[:, None, :] - pts[None, :, :]) ** 2).sum(axis=2)
+    eps2 = eps * eps
+    ii, jj = np.nonzero(d2 <= eps2)
+    for a, b in zip(ii, jj):
+        if a < b:
+            ra, rb = find(int(a)), find(int(b))
+            if ra != rb:
+                parent[rb] = ra
+    clusters: dict[int, list[int]] = {}
+    for i in range(n):
+        clusters.setdefault(find(i), []).append(i)
+    out = [sorted(members) for members in clusters.values()
+           if len(members) >= min_cluster_size]
+    out.sort(key=lambda c: c[0])
+    return out
+
+
+def cv_layout_boxes(word_boxes, page_w: float, page_h: float,
+                    pad: float = 5.0) -> list[list[float]]:
+    """CV layout segmentation over a synthetic corner cloud: the reference
+    feeds FAST/contour corners of the *pixels*; with no raster libs the
+    corner detector is stubbed as the corners of the word boxes (what a
+    corner detector finds on rendered text), then the REAL pipeline runs:
+    normalize → cluster → merged cluster bbox ±pad px
+    (image.py:195-227)."""
+    points = []
+    owners = []
+    for wi, (left, top, right, bottom) in enumerate(word_boxes):
+        for x, y in ((left, top), (right, top), (left, bottom), (right, bottom)):
+            points.append((x / page_w, y / page_h))
+            owners.append(wi)
+    boxes = []
+    for cluster in cluster_points(points):
+        xs = [points[i][0] for i in cluster]
+        ys = [points[i][1] for i in cluster]
+        boxes.append(
+            [max(0.0, min(xs) * page_w - pad), max(0.0, min(ys) * page_h - pad),
+             min(page_w, max(xs) * page_w + pad), min(page_h, max(ys) * page_h + pad)]
+        )
+    return boxes
+
+
 def group_bounds(group: dict) -> list[float]:
     """Bounding box [l, t, r, b] covering all squares of a group."""
     squares = group["squares"]

@@ -102,6 +102,81 @@ def ann_brute_topk(sf_dir: str, n_queries: int = 8, k: int = 10):
     return ds.groupby("query_id").map_groups(final_topk, batch_format="pyarrow")
 
 
+def _kmeans(sample: np.ndarray, n_cells: int, iters: int = 10, seed: int = 11) -> np.ndarray:
+    """Tiny seeded k-means (numpy, fixed iterations) for IVF coarse cells."""
+    rng = np.random.RandomState(seed)
+    centroids = sample[rng.choice(len(sample), size=n_cells, replace=False)].copy()
+    for _ in range(iters):
+        d = ((sample[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for c in range(n_cells):
+            members = sample[assign == c]
+            if len(members):
+                centroids[c] = members.mean(axis=0)
+    return centroids
+
+
+def ann_ivf_topk(sf_dir: str, n_queries: int = 8, k: int = 10,
+                 n_cells: int = 16, nprobe: int = 4):
+    """IVF-style ANN (the scale path next to the brute-force baseline):
+    coarse k-means cells trained on a driver-side sample, centroids
+    broadcast; each batch assigns its vectors to cells and scores a query
+    only against vectors in that query's ``nprobe`` nearest cells — the
+    candidate set shrinks by ~n_cells/nprobe at the cost of recall
+    (recall vs brute force is pinned in tests/test_ops.py)."""
+    ids, qmat = _query_matrix(sf_dir, n_queries)
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    # sample for training: fine to take at test scale; at corpus scale this
+    # is ds.random_sample - the trained centroids stay tiny either way
+    sample = np.array(
+        [list(r["embedding"]) for r in ds.limit(2048).take_all()], dtype=np.float64
+    )
+    centroids = _kmeans(sample, n_cells)
+    qnorm = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
+    # each query probes its nprobe nearest cells
+    qd = ((qmat[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+    probe_cells = np.argsort(qd, axis=1)[:, :nprobe]
+    ref = ray.put((ids, qnorm, centroids, probe_cells))
+
+    def score(batch: pa.Table) -> pa.Table:
+        q_ids, q, cents, probes = ray.get(ref)
+        m = _matrix(batch)
+        vec_ids = np.asarray(batch.column("vec_id").to_pylist())
+        d = ((m[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        cell = d.argmin(axis=1)
+        mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+        out = {"query_id": [], "vec_id": [], "cosine": []}
+        for qi, qid in enumerate(q_ids):
+            mask = np.isin(cell, probes[qi]) & (vec_ids != qid)
+            if not mask.any():
+                continue
+            sims = mn[mask] @ q[qi]
+            cand_ids = vec_ids[mask]
+            take = min(k, len(sims))
+            idx = np.argpartition(-sims, take - 1)[:take]
+            for i in idx:
+                out["query_id"].append(int(qid))
+                out["vec_id"].append(int(cand_ids[i]))
+                out["cosine"].append(float(sims[i]))
+        return pa.table(
+            {"query_id": pa.array(out["query_id"], pa.int64()),
+             "vec_id": pa.array(out["vec_id"], pa.int64()),
+             "cosine": pa.array(out["cosine"], pa.float64())}
+        )
+
+    ds = ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+
+    def final_topk(group: pa.Table) -> pa.Table:
+        df = group.to_pandas().sort_values(
+            ["cosine", "vec_id"], ascending=[False, True]
+        ).head(k)
+        df["rank"] = range(1, len(df) + 1)
+        df["cosine"] = df["cosine"].round(4)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    return ds.groupby("query_id").map_groups(final_topk, batch_format="pyarrow")
+
+
 def cosine_dup_pairs(sf_dir: str):
     """Embedding near-dup pairs (cosine ≥ τ), exact: broadcast the full
     normalized matrix (ray.put once — n×64 floats stays broadcastable far

@@ -157,6 +157,59 @@ def segmented_extract(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+class CvLayoutWorker:
+    """L2 path: corner-cloud density clustering instead of engine block
+    segmentation (kernels.layout.cv_layout_boxes). Heavy-import actor slot
+    (T4) — a real deployment loads cv2/hdbscan here once per actor."""
+
+    def __init__(self):
+        self.engine = get_engine_cls("stub")(resolve_config())
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..kernels.hocr import parse_hocr
+        from ..kernels.layout import cv_layout_boxes
+        from ..sources.payloads import FAKEIMG_MAGIC
+
+        out = []
+        for r in batch.to_pylist():
+            page = r["page_png"]
+            if not page.startswith(FAKEIMG_MAGIC):
+                continue
+            tree = parse_hocr(page[len(FAKEIMG_MAGIC):].decode("utf-8"))
+            word_boxes = [w["box"] for par in tree for line in par for w in line]
+            if not word_boxes:
+                continue
+            boxes = cv_layout_boxes(word_boxes, page_w=2480.0, page_h=3508.0)
+            groups = [
+                make_box_group(l, t, rr, b, seed=f"{r['url']}#{r['page_no']}cv")
+                for (l, t, rr, b) in boxes
+            ]
+            for g in reading_order(groups, page_no=r["page_no"] + 1):
+                sq = g["squares"][0]
+                out.append(
+                    {"url": r["url"], "page_no": r["page_no"],
+                     "group_id": g["groupId"],
+                     "top": float(sq["top"]), "left": float(sq["left"]),
+                     "bottom": float(sq["bottom"]), "right": float(sq["right"])}
+                )
+        return pa.Table.from_pylist(
+            out,
+            schema=pa.schema(
+                [pa.field("url", pa.string()), pa.field("page_no", pa.int32()),
+                 pa.field("group_id", pa.string()), pa.field("top", pa.float64()),
+                 pa.field("left", pa.float64()), pa.field("bottom", pa.float64()),
+                 pa.field("right", pa.float64())]
+            ),
+        )
+
+
+def cv_layout(sf_dir: str) -> ray.data.Dataset:
+    return _page_rows(sf_dir).map_batches(
+        CvLayoutWorker, batch_format="pyarrow", batch_size=32,
+        concurrency=small_pool(), num_cpus=1,
+    )
+
+
 def pdf_text_layer(sf_dir: str) -> ray.data.Dataset:
     """Per-word invisible-text placement records for the searchable PDF."""
     out = extraction_output(sf_dir)
