@@ -97,7 +97,11 @@ def main() -> None:
     ray.init(
         address="local", num_cpus=NUM_CPUS, include_dashboard=False,
         ignore_reinit_error=True,
+        logging_level="ERROR",
     )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
     result = {
         "metric": "extraction+ops wall time",
         "unit": "sec",

@@ -26,13 +26,6 @@ def extract_table(
     config = config or resolve_config()
     engine = get_engine_cls(config.engine)(config)
     rows = pages.to_pylist()
-    if dedup:
-        latest: dict[str, dict] = {}
-        for row in rows:
-            prev = latest.get(row["url"])
-            if prev is None or row["warc_ts"] > prev["warc_ts"]:
-                latest[row["url"]] = row
-        rows = list(latest.values())
     out = []
     for row in rows:
         rec = extract_document(row["html"], engine)
@@ -43,5 +36,13 @@ def extract_table(
             part=url_part(row["url"], num_parts),
         )
         out.append(rec)
+    if dedup:
+        # latest-wins with the sink's exact tiebreak: max (warc_ts, text)
+        latest: dict[str, dict] = {}
+        for rec in out:
+            prev = latest.get(rec["url"])
+            if prev is None or (rec["warc_ts"], rec["text"]) > (prev["warc_ts"], prev["text"]):
+                latest[rec["url"]] = rec
+        out = list(latest.values())
     out.sort(key=lambda r: (r["part"], r["url"]))
     return pa.Table.from_pylist(out, schema=EXTRACT_SCHEMA)

@@ -52,10 +52,13 @@ def committed_parts(out_dir: str) -> frozenset[int]:
 
 def dedup_and_sort(group: pa.Table) -> pa.Table:
     """Latest-wins url dedup + deterministic (part, url) ordering for one
-    partition group. Latest = max warc_ts; ties broken by keeping the last
-    occurrence in (warc_ts, row) order — deterministic because the sort is
-    stable and rows are totally ordered by (url, warc_ts)."""
-    group = group.sort_by([("url", "ascending"), ("warc_ts", "ascending")])
+    partition group. Latest = max warc_ts; exact warc_ts ties (distinct
+    payloads crawled in the same microsecond) fall back to max extracted
+    text — a total order, so the winner never depends on shard arrival
+    order."""
+    group = group.sort_by(
+        [("url", "ascending"), ("warc_ts", "ascending"), ("text", "ascending")]
+    )
     urls = group.column("url").to_pylist()
     keep = []
     for i, url in enumerate(urls):

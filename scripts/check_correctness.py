@@ -72,7 +72,11 @@ def main():
     import ray
 
     if not ray.is_initialized():
-        ray.init(address="local", num_cpus=16, include_dashboard=False)
+        ray.init(address="local", num_cpus=16, include_dashboard=False, logging_level="ERROR")
+
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
 
     import __ray_entry__ as entrymod
 
