@@ -102,6 +102,9 @@ def main() -> None:
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False
+    import logging as _logging
+
+    _logging.getLogger("ray.data").setLevel(_logging.ERROR)
     result = {
         "metric": "extraction+ops wall time",
         "unit": "sec",

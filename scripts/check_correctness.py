@@ -77,6 +77,9 @@ def main():
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False
+    import logging as _logging
+
+    _logging.getLogger("ray.data").setLevel(_logging.ERROR)
 
     import __ray_entry__ as entrymod
 
