@@ -106,21 +106,16 @@ def main(argv=None) -> int:
 
         config = resolve_config({"engine": args.engine, "lang": [args.lang]})
         if args.exploded:
-            import ray.data
-
             from ocr_ray.pipelines.explode_variant import extract_dataset_exploded
-            from ocr_ray.pipelines.extract import read_pages
-            from ocr_ray.sinks.parquet_sink import committed_parts, make_partition_writer
+            from ocr_ray.pipelines.extract import read_pages, run_sink
+            from ocr_ray.sinks.parquet_sink import committed_parts
 
             done = frozenset() if args.no_resume else committed_parts(args.out)
             ds = extract_dataset_exploded(
                 read_pages(args.input), config=config,
                 num_parts=args.num_parts, done_parts=done,
             )
-            writer = make_partition_writer(args.out, input_path=args.input)
-            manifests = ds.groupby("part").map_groups(writer, batch_format="pyarrow")
-            result = manifests.materialize()
-            stats = result.stats()
+            result, stats = run_sink(ds, args.out, input_path=args.input, done=done)
         else:
             from ocr_ray.pipelines.extract import run_extract
 

@@ -104,20 +104,15 @@ def finalize(ds: ray.data.Dataset) -> ray.data.Dataset:
     return ds.groupby("part").map_groups(dedup_unpack, batch_format="pyarrow")
 
 
-def run_extract(
-    input_path: str | list[str],
+def run_sink(
+    ds: ray.data.Dataset,
     out_dir: str,
-    config: OcrConfig | None = None,
-    settings: ExtractSettings = DEFAULT_SETTINGS,
-    num_parts: int = DEFAULT_NUM_PARTS,
-    resume: bool = True,
-    batch_size: int = DEFAULT_BATCH_SIZE,
-    concurrency=None,
+    input_path: str = "",
+    done: frozenset[int] = frozenset(),
     sink: str = "sharded",
 ):
-    """Run end-to-end with the resumable manifest sink.
-
-    sink="sharded" (default): two-phase storage shuffle — extraction tasks
+    """Drive an EXTRACT_WIRE_SCHEMA dataset into the resumable manifest
+    sink. sink="sharded" (default): two-phase storage shuffle — tasks
     append part-bucketed shard files, then one consolidation task per
     partition dedups/sorts/commits (see sinks/parquet_sink.py for the
     measured rationale). sink="shuffle": the in-object-store groupby
@@ -133,20 +128,8 @@ def run_extract(
         make_shard_writer,
     )
 
-    done = committed_parts(out_dir) if resume else frozenset()
-    ds = read_pages(input_path)
-    ds = extract_dataset(
-        ds,
-        config=config,
-        settings=settings,
-        num_parts=num_parts,
-        done_parts=done,
-        batch_size=batch_size,
-        concurrency=concurrency,
-    )
-
     if sink == "shuffle":
-        writer = make_partition_writer(out_dir, input_path=str(input_path))
+        writer = make_partition_writer(out_dir, input_path=input_path)
         manifests = ds.groupby("part").map_groups(writer, batch_format="pyarrow")
         result = manifests.materialize()
         return result, result.stats()
@@ -161,20 +144,16 @@ def run_extract(
         zero_copy_batch=True,
     ).materialize()
     stats = acks.stats()
-    touched = sorted(
-        {r["part"] for r in acks.take_all()} - set(done)
-    )
+    touched = sorted({r["part"] for r in acks.take_all()} - set(done))
 
     # phase 2: one consolidation task per partition
     import ray.data as rd
 
-    ipath = str(input_path)
-
-    def consolidate(batch: "ray.data.Dataset"):
+    def consolidate(batch):
         import pyarrow as pa
 
         out = [
-            consolidate_partition(out_dir, int(p), input_path=ipath)
+            consolidate_partition(out_dir, int(p), input_path=input_path)
             for p in batch["part"]
         ]
         return pa.Table.from_pylist(
@@ -192,3 +171,29 @@ def run_extract(
         .materialize()
     )
     return manifests, stats + "\n" + manifests.stats()
+
+
+def run_extract(
+    input_path: str | list[str],
+    out_dir: str,
+    config: OcrConfig | None = None,
+    settings: ExtractSettings = DEFAULT_SETTINGS,
+    num_parts: int = DEFAULT_NUM_PARTS,
+    resume: bool = True,
+    batch_size: int = DEFAULT_BATCH_SIZE,
+    concurrency=None,
+    sink: str = "sharded",
+):
+    """Run the flagship pipeline end-to-end into the resumable sink."""
+    done = committed_parts(out_dir) if resume else frozenset()
+    ds = read_pages(input_path)
+    ds = extract_dataset(
+        ds,
+        config=config,
+        settings=settings,
+        num_parts=num_parts,
+        done_parts=done,
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+    return run_sink(ds, out_dir, input_path=str(input_path), done=done, sink=sink)
