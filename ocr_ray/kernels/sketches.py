@@ -16,8 +16,12 @@ _MAX_HASH = (1 << 32) - 1
 
 
 def _stable_hash64(data: bytes) -> int:
-    """Deterministic 64-bit hash (blake2b, fixed seed)."""
-    return struct.unpack("<Q", hashlib.blake2b(data, digest_size=8).digest())[0]
+    """Deterministic 64-bit hash: big-endian first 8 bytes of md5.
+
+    md5 (not blake2b) so a SQL engine can recompute it exactly —
+    DuckDB: ``('0x' || substr(md5(s), 1, 16))::UBIGINT`` — which is what
+    makes the MinHash/SimHash oracle queries possible."""
+    return int.from_bytes(hashlib.md5(data).digest()[:8], "big")
 
 
 def word_shingles(text: str, n: int = 3) -> set[bytes]:

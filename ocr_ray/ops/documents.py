@@ -18,7 +18,7 @@ import ray
 
 from ..kernels import sketches, textstats
 from ..kernels.textfn import INDEX_REMOVE_CHARS
-from .common import grouped_agg, read_table
+from .common import distinct, grouped_agg, read_table
 
 MINHASH_PERMS = 64
 MINHASH_BANDS = 16
@@ -241,10 +241,9 @@ def minhash_dup_pairs(sf_dir: str):
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
     ds = ds.map_batches(_band_rows, batch_format="pyarrow", zero_copy_batch=True)
     pairs = ds.groupby("band_key").map_groups(_bucket_pairs, batch_format="pyarrow")
-    # a pair can collide in several bands: keep one row
-    return pairs.groupby(["doc_a", "doc_b"]).map_groups(
-        lambda g: g.slice(0, 1), batch_format="pyarrow"
-    )
+    # a pair can collide in several bands: one-pass distinct (est_jaccard is
+    # recomputed from the same signatures in every band, so Max == identity)
+    return distinct(pairs, ["doc_a", "doc_b"], carry=["est_jaccard"])
 
 
 def simhash_dup_pairs(sf_dir: str):
@@ -294,9 +293,7 @@ def simhash_dup_pairs(sf_dir: str):
 
     ds = ds.map_batches(chunk_rows, batch_format="pyarrow", zero_copy_batch=True)
     pairs = ds.groupby("chunk_key").map_groups(bucket_pairs, batch_format="pyarrow")
-    return pairs.groupby(["doc_a", "doc_b"]).map_groups(
-        lambda g: g.slice(0, 1), batch_format="pyarrow"
-    )
+    return distinct(pairs, ["doc_a", "doc_b"], carry=["hamming"])
 
 
 def ngram_verified_pairs(sf_dir: str):

@@ -14,16 +14,43 @@ import numpy as np
 import pyarrow as pa
 import ray
 
-from .common import read_table
+from .common import distinct, from_pandas_clean, read_table
 
 COSINE_DUP_TAU = 0.4
-LSH_PLANES = 12
+# Multi-table hyperplane LSH: τ=0.9 pairs agree on one 8-plane table with
+# p≈0.55, so 8 independent tables give ≈99.8% recall in the near-dup regime
+# (the round-1 single 12-plane table had ~0.4% recall at τ=0.4 → 0 rows).
+LSH_TABLES = 8
+LSH_PLANES_PER_TABLE = 8
 _PLANE_SEED = 7
+EMBED_DIM = 64
 
 
 def _matrix(batch: pa.Table) -> np.ndarray:
+    """Embedding column → (n, d) float64 matrix, zero-copy from Arrow.
+
+    Fast path: flatten the (fixed-width) list values straight to numpy and
+    reshape — no per-row Python lists. Falls back to ``to_pylist`` only for
+    ragged input."""
     col = batch.column("embedding")
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if pa.types.is_fixed_size_list(col.type):
+        flat = col.flatten().to_numpy(zero_copy_only=False)
+        return flat.reshape(len(col), col.type.list_size).astype(np.float64, copy=False)
+    offsets = col.offsets.to_numpy()
+    widths = np.diff(offsets)
+    if len(widths) and (widths == widths[0]).all() and widths[0] > 0:
+        flat = col.flatten().to_numpy(zero_copy_only=False)
+        return flat.reshape(len(col), int(widths[0])).astype(np.float64, copy=False)
     return np.array(col.to_pylist(), dtype=np.float64)
+
+
+def _ids(batch: pa.Table) -> np.ndarray:
+    col = batch.column("vec_id")
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    return col.to_numpy(zero_copy_only=False)
 
 
 def embedding_norms(sf_dir: str):
@@ -69,7 +96,7 @@ def ann_brute_topk(sf_dir: str, n_queries: int = 8, k: int = 10):
         m = _matrix(batch)
         m = m / np.linalg.norm(m, axis=1, keepdims=True)
         sims = q @ m.T  # (n_queries, batch)
-        vec_ids = np.asarray(batch.column("vec_id").to_pylist())
+        vec_ids = _ids(batch)
         out = {"query_id": [], "vec_id": [], "cosine": []}
         for qi, qid in enumerate(q_ids):
             row = sims[qi]
@@ -97,7 +124,7 @@ def ann_brute_topk(sf_dir: str, n_queries: int = 8, k: int = 10):
         ).head(k)
         df["rank"] = range(1, len(df) + 1)
         df["cosine"] = df["cosine"].round(4)
-        return pa.Table.from_pandas(df, preserve_index=False)
+        return from_pandas_clean(df)
 
     return ds.groupby("query_id").map_groups(final_topk, batch_format="pyarrow")
 
@@ -141,7 +168,7 @@ def ann_ivf_topk(sf_dir: str, n_queries: int = 8, k: int = 10,
     def score(batch: pa.Table) -> pa.Table:
         q_ids, q, cents, probes = ray.get(ref)
         m = _matrix(batch)
-        vec_ids = np.asarray(batch.column("vec_id").to_pylist())
+        vec_ids = _ids(batch)
         d = ((m[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
         cell = d.argmin(axis=1)
         mn = m / np.linalg.norm(m, axis=1, keepdims=True)
@@ -172,7 +199,7 @@ def ann_ivf_topk(sf_dir: str, n_queries: int = 8, k: int = 10,
         ).head(k)
         df["rank"] = range(1, len(df) + 1)
         df["cosine"] = df["cosine"].round(4)
-        return pa.Table.from_pandas(df, preserve_index=False)
+        return from_pandas_clean(df)
 
     return ds.groupby("query_id").map_groups(final_topk, batch_format="pyarrow")
 
@@ -194,7 +221,7 @@ def cosine_dup_pairs(sf_dir: str):
         a_ids_all, a_mat = ray.get(ref)
         b = _matrix(batch)
         b = b / np.linalg.norm(b, axis=1, keepdims=True)
-        b_ids = np.asarray(batch.column("vec_id").to_pylist())
+        b_ids = _ids(batch)
         sims = b @ a_mat.T  # (batch, all)
         out = {"vec_a": [], "vec_b": [], "cosine": []}
         bi, ai = np.nonzero(sims >= COSINE_DUP_TAU)
@@ -213,56 +240,70 @@ def cosine_dup_pairs(sf_dir: str):
     return ds.map_batches(pairs, batch_format="pyarrow", zero_copy_batch=True)
 
 
-def cosine_dup_pairs_lsh(sf_dir: str):
-    """Embedding near-dup pairs via LSH bucketing: random
-    hyperplane sign signature → bucket groupby → exact in-bucket cosine.
-    Near-identical vectors share all signs, so recall at τ=0.95 is high; the
-    all-pairs pass never happens (scale path)."""
+def lsh_planes() -> np.ndarray:
+    """The fixed random-hyperplane bank: (tables × planes_per_table, dim).
+    Deterministic (seeded) so the DuckDB oracle can embed the same
+    constants."""
     rng = np.random.RandomState(_PLANE_SEED)
-    dim = 64
-    planes = rng.randn(LSH_PLANES, dim)
+    return rng.randn(LSH_TABLES * LSH_PLANES_PER_TABLE, EMBED_DIM)
+
+
+def cosine_dup_pairs_lsh(sf_dir: str):
+    """Embedding near-dup pairs via MULTI-TABLE hyperplane LSH: per table, a
+    sign signature over that table's planes → bucket groupby → exact
+    in-bucket cosine ≥ τ; pairs colliding in several tables are deduped with
+    a one-pass aggregate. The all-pairs scan never happens (scale path next
+    to the :func:`cosine_dup_pairs` exact baseline). The embedding rides on
+    each of the 8 table rows (8× duplication — same documented trade as the
+    MinHash band rows: join-free at the cost of a constant factor)."""
+    planes = lsh_planes()
     planes_ref = ray.put(planes)
     ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
 
     def bucket(batch: pa.Table) -> pa.Table:
         p = ray.get(planes_ref)
         m = _matrix(batch)
-        signs = (m @ p.T) > 0  # (n, planes)
-        keys = (signs * (1 << np.arange(LSH_PLANES))).sum(axis=1)
+        signs = (m @ p.T) > 0  # (n, tables*planes)
+        n = len(m)
+        weights = 1 << np.arange(LSH_PLANES_PER_TABLE, dtype=np.int64)
+        buckets = []
+        for t in range(LSH_TABLES):
+            sl = signs[:, t * LSH_PLANES_PER_TABLE:(t + 1) * LSH_PLANES_PER_TABLE]
+            buckets.append((np.int64(t) << 32) | (sl * weights).sum(axis=1))
         return pa.table(
-            {"bucket": pa.array(keys, pa.int64()),
-             "vec_id": batch.column("vec_id"),
-             "embedding": batch.column("embedding")}
+            {"bucket": pa.array(np.concatenate(buckets), pa.int64()),
+             "vec_id": _tile_column(batch.column("vec_id"), LSH_TABLES),
+             "embedding": _tile_column(batch.column("embedding"), LSH_TABLES)}
         )
 
     def in_bucket_pairs(group: pa.Table) -> pa.Table:
         m = _matrix(group)
-        ids = group.column("vec_id").to_pylist()
-        order = np.argsort(ids)
+        ids = _ids(group)
+        order = np.argsort(ids, kind="stable")
         m = m[order]
-        ids = [ids[i] for i in order]
-        norms = np.linalg.norm(m, axis=1, keepdims=True)
-        mn = m / norms
+        ids = ids[order]
+        mn = m / np.linalg.norm(m, axis=1, keepdims=True)
         sims = mn @ mn.T
-        out = {"vec_a": [], "vec_b": [], "cosine": []}
-        n = len(ids)
-        for i in range(n):
-            for j in range(i + 1, n):
-                if sims[i, j] >= COSINE_DUP_TAU and ids[i] != ids[j]:
-                    out["vec_a"].append(ids[i])
-                    out["vec_b"].append(ids[j])
-                    out["cosine"].append(round(float(sims[i, j]), 4))
+        iu, ju = np.triu_indices(len(ids), k=1)
+        hit = sims[iu, ju] >= COSINE_DUP_TAU
+        ia, jb = iu[hit], ju[hit]
+        keep = ids[ia] != ids[jb]
+        ia, jb = ia[keep], jb[keep]
         return pa.table(
-            {"vec_a": pa.array(out["vec_a"], pa.int64()),
-             "vec_b": pa.array(out["vec_b"], pa.int64()),
-             "cosine": pa.array(out["cosine"], pa.float64())}
+            {"vec_a": pa.array(ids[ia], pa.int64()),
+             "vec_b": pa.array(ids[jb], pa.int64()),
+             "cosine": pa.array(np.round(sims[ia, jb], 4), pa.float64())}
         )
 
     ds = ds.map_batches(bucket, batch_format="pyarrow", zero_copy_batch=True)
     pairs = ds.groupby("bucket").map_groups(in_bucket_pairs, batch_format="pyarrow")
-    return pairs.groupby(["vec_a", "vec_b"]).map_groups(
-        lambda g: g.slice(0, 1), batch_format="pyarrow"
-    )
+    return distinct(pairs, ["vec_a", "vec_b"], carry=["cosine"])
+
+
+def _tile_column(col, times: int):
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    return pa.concat_arrays([col] * times)
 
 
 def label_centroids(sf_dir: str):

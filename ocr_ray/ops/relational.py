@@ -13,7 +13,7 @@ import pandas as pd
 import pyarrow as pa
 import ray
 
-from .common import broadcast_lookup, grouped_agg, read_table
+from .common import broadcast_lookup, distinct, from_pandas_clean, grouped_agg, read_table
 
 SHIPDATE_CUTOFF = "1998-09-02"
 ORDERDATE_LO = "1996-01-01"
@@ -34,7 +34,7 @@ def pricing_summary(sf_dir: str):
         df = batch.to_pandas()
         df = df[df["l_shipdate"] <= cutoff]
         df["disc_price"] = df["l_extendedprice"] * (1.0 - df["l_discount"])
-        return pa.Table.from_pandas(df, preserve_index=False)
+        return from_pandas_clean(df)
 
     ds = ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
 
@@ -70,7 +70,7 @@ def top_customers(sf_dir: str, k: int = 10):
     def join_partial(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas()
         out = df.groupby("o_custkey", as_index=False)["o_totalprice"].sum()
-        return pa.Table.from_pandas(out.rename(columns={"o_totalprice": "revenue"}), preserve_index=False)
+        return from_pandas_clean(out.rename(columns={"o_totalprice": "revenue"}))
 
     ds = orders.map_batches(join_partial, batch_format="pyarrow", zero_copy_batch=True)
 
@@ -131,7 +131,7 @@ def supplier_stats_by_region(sf_dir: str):
         n2r_l, r2name_l = ray.get(dims_ref)
         df = batch.to_pandas()
         df["r_name"] = [r2name_l[n2r_l[n]] for n in df["s_nationkey"]]
-        return pa.Table.from_pandas(df[["r_name", "s_acctbal"]], preserve_index=False)
+        return from_pandas_clean(df[["r_name", "s_acctbal"]])
 
     ds = supplier.map_batches(attach_region, batch_format="pyarrow", zero_copy_batch=True)
 
@@ -179,13 +179,11 @@ def daily_active_users(sf_dir: str):
         # engines when the result is compared
         df["day"] = df["ts"].dt.strftime("%Y-%m-%d")
         out = df[["day", "user_id"]].drop_duplicates()
-        return pa.Table.from_pandas(out, preserve_index=False)
+        return from_pandas_clean(out)
 
     ds = ds.map_batches(day_user, batch_format="pyarrow", zero_copy_batch=True)
-    # global distinct on the (already partially-deduped) pairs
-    ds = ds.groupby(["day", "user_id"]).map_groups(
-        lambda g: g.slice(0, 1), batch_format="pyarrow"
-    )
+    # global distinct on the (already partially-deduped) pairs — one-pass agg
+    ds = distinct(ds, ["day", "user_id"])
 
     def fin(df: pd.DataFrame) -> pd.DataFrame:
         return df.sort_values("day").reset_index(drop=True)
@@ -220,7 +218,7 @@ def events_hourly(sf_dir: str):
     def hour(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas()
         df["hour"] = df["ts"].dt.strftime("%H")
-        return pa.Table.from_pandas(df[["hour"]], preserve_index=False)
+        return from_pandas_clean(df[["hour"]])
 
     ds = ds.map_batches(hour, batch_format="pyarrow", zero_copy_batch=True)
 
@@ -275,21 +273,19 @@ def source_stats(sf_dir: str):
     )
 
     pairs = ds.map_batches(
-        lambda b: pa.Table.from_pandas(
-            b.to_pandas()[["source", "lang"]].drop_duplicates(), preserve_index=False
+        lambda b: from_pandas_clean(
+            b.to_pandas()[["source", "lang"]].drop_duplicates()
         ),
         batch_format="pyarrow", zero_copy_batch=True,
     )
-    pairs = pairs.groupby(["source", "lang"]).map_groups(
-        lambda g: g.slice(0, 1), batch_format="pyarrow"
-    )
+    pairs = distinct(pairs, ["source", "lang"])
     langs = grouped_agg(pairs, keys=["source"], specs=[("n_langs", "count", None)])
 
     # both sides are tiny aggregates: join on the driver
     bdf = pd.DataFrame(base.take_all())
     ldf = pd.DataFrame(langs.take_all())
     out = bdf.merge(ldf, on="source").sort_values("source").reset_index(drop=True)
-    return pa.Table.from_pandas(out, preserve_index=False)
+    return from_pandas_clean(out)
 
 
 def longest_docs_per_lang(sf_dir: str, k: int = 2):
@@ -302,7 +298,7 @@ def longest_docs_per_lang(sf_dir: str, k: int = 2):
             ["n_chars", "doc_id"], ascending=[False, True]
         ).head(k)
         df["rank"] = range(1, len(df) + 1)
-        return pa.Table.from_pandas(df, preserve_index=False)
+        return from_pandas_clean(df)
 
     out = ds.groupby("lang").map_groups(topk, batch_format="pyarrow")
     return out.sort(["lang", "rank"])
@@ -352,6 +348,6 @@ def expensive_items(sf_dir: str, k: int = 20):
         df = batch.to_pandas()
         df["l_extendedprice"] = df["l_extendedprice"].round(2)
         df["l_discount"] = df["l_discount"].round(4)
-        return pa.Table.from_pandas(df, preserve_index=False)
+        return from_pandas_clean(df)
 
     return ds.map_batches(fin, batch_format="pyarrow")
