@@ -30,6 +30,15 @@ def page_text(tree: list) -> str:
     return "\n\n".join(pars).strip()
 
 
+def page_text_strs(tree: list) -> str:
+    """par/line/word text, texts-only nested-list variant of
+    :func:`page_text` (same bytes; words are plain strings)."""
+    pars = []
+    for paragraph in tree:
+        pars.append("\n".join(" ".join(line) for line in paragraph))
+    return "\n\n".join(pars).strip()
+
+
 def doc_text(page_texts: list[str], delimiter: bool = False) -> str:
     """Concatenate per-page texts exactly as the TXT export writes them.
 

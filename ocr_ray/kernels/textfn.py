@@ -33,15 +33,16 @@ def polyval(poly, x: float) -> float:
     return x * poly[0] + poly[1]
 
 
+_INDEX_DEL_TABLE = str.maketrans("", "", INDEX_REMOVE_CHARS)
+
+
 def normalize_index_word(raw: str) -> str:
     """Strip the index punctuation set anywhere in the token and lowercase.
 
-    Parity: /root/reference/server/src/utils/export.py:521-527.
+    Parity: /root/reference/server/src/utils/export.py:521-527 (the
+    reference's replace() loop == one translate() deletion pass).
     """
-    w = raw.strip()
-    for ch in INDEX_REMOVE_CHARS:
-        w = w.replace(ch, "")
-    return w.lower()
+    return raw.strip().translate(_INDEX_DEL_TABLE).lower()
 
 
 def index_sort_key(word: str) -> str:

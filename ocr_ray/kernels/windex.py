@@ -19,30 +19,31 @@ Parity targets:
 
 from __future__ import annotations
 
-import copy
 import csv
 import io
 
 from .textfn import index_sort_key, normalize_index_word
 
 
-def page_index_words(tree: list) -> dict[str, int]:
-    """word → count for one page tree (par/line/word lists).
+def page_index_words_texts(tree: list) -> dict[str, int]:
+    """word → count for one page of texts-only nested lists
+    ``[[ [word_str, ...] per line ] per section]``.
 
-    Mutates a private copy of the tree the way the reference mutates the
-    loaded JSON: the joined hyphenated word replaces the first word of the
-    following line before that line is counted.
-    """
-    tree = copy.deepcopy(tree)
+    The CALLER must own ``tree`` (fresh lists of immutable strings): the
+    hyphen merge mutates ``line[0]`` in place exactly the way the reference
+    mutates its loaded JSON — including the quirky ``section[line_idx-1][-1]``
+    previous-word lookup that wraps to the section's LAST line when the
+    hyphen flag crosses a paragraph boundary. Replaces the round-1
+    ``copy.deepcopy(tree)`` per page (53% of the round-1 bench)."""
     index: dict[str, int] = {}
     pending_hyphen = False
 
     for section in tree:
         for line_idx, line in enumerate(section):
             if pending_hyphen:
-                prev_word = section[line_idx - 1][-1]["text"]
-                joined = prev_word.rstrip("-") + line[0]["text"]
-                line[0]["text"] = joined
+                prev_word = section[line_idx - 1][-1]
+                joined = prev_word.rstrip("-") + line[0]
+                line[0] = joined
                 pending_hyphen = False
                 # retract the fragment that was already counted
                 if index.get(prev_word, 0) != 0:
@@ -50,15 +51,23 @@ def page_index_words(tree: list) -> dict[str, int]:
                     if index[prev_word] == 0:
                         del index[prev_word]
 
-            for pos, word in enumerate(line):
-                raw = word["text"]
-                if pos == len(line) - 1 and raw.endswith("-"):
+            last = len(line) - 1
+            for pos, raw in enumerate(line):
+                if pos == last and raw.endswith("-"):
                     pending_hyphen = True
                 for token in raw.split():
                     index_key = normalize_index_word(token)
                     index[index_key] = index.get(index_key, 0) + 1
 
     return index
+
+
+def page_index_words(tree: list) -> dict[str, int]:
+    """word → count for one page tree (par/line/word dicts) — builds a
+    private texts-only copy (strings are immutable, so no deepcopy needed)
+    and runs :func:`page_index_words_texts`."""
+    texts = [[[w["text"] for w in line] for line in section] for section in tree]
+    return page_index_words_texts(texts)
 
 
 def merge_page_indexes(page_indexes: list[dict[str, int]]) -> list[tuple[str, dict]]:

@@ -17,7 +17,6 @@ import pyarrow as pa
 import ray
 
 from ..kernels import sketches, textstats
-from ..kernels.textfn import INDEX_REMOVE_CHARS
 from .common import distinct, grouped_agg, read_table
 
 MINHASH_PERMS = 64
@@ -75,13 +74,12 @@ def word_frequency(sf_dir: str, top_k: int = 100):
     ds = read_table(sf_dir, "documents", columns=["text"])
 
     def partial(batch: pa.Table) -> pa.Table:
+        from ..kernels.textfn import _INDEX_DEL_TABLE
+
         counts: dict[str, int] = {}
         for text in batch.column("text").to_pylist():
             for tok in text.split():
-                for ch in INDEX_REMOVE_CHARS:
-                    if ch in tok:
-                        tok = tok.replace(ch, "")
-                tok = tok.lower()
+                tok = tok.translate(_INDEX_DEL_TABLE).lower()
                 if tok:
                     counts[tok] = counts.get(tok, 0) + 1
         return pa.table(

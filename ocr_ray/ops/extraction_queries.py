@@ -15,7 +15,7 @@ import ray.data
 
 from ..kernels import assemble
 from ..kernels.alto import page_to_alto
-from ..kernels.windex import index_to_csv, merge_page_indexes, page_index_words
+from ..kernels.windex import index_to_csv, merge_page_indexes, page_index_words_texts
 from ..pipelines.extract import extract_dataset, finalize
 from ..synth import pages_dir_for
 
@@ -55,13 +55,16 @@ def _code_fingerprint() -> str:
     return _CODE_FP
 
 
-def extraction_output(sf_dir: str) -> ray.data.Dataset:
+def extraction_output(sf_dir: str, columns: list[str] | None = None) -> ray.data.Dataset:
     """Extraction result for the tier's corpus, materialized ONCE per corpus
     through the resumable sink: the first caller runs the pipeline into a
     cache dir; every later query (word_index, exports, similarity, ...)
     resumes instantly off the committed partitions and reads the shards.
     This is the sink's resume machinery doing double duty as a cache —
-    rows are identical to finalize(extract_dataset(...)) (same code path)."""
+    rows are identical to finalize(extract_dataset(...)) (same code path).
+
+    ``columns`` prunes the parquet read — the spans/text columns dominate
+    shard bytes, so every derived query should name only what it consumes."""
     from ..pipelines.extract import run_extract
     from ..sinks.parquet_sink import SHARD_NAME, committed_parts, partition_dir
 
@@ -75,7 +78,7 @@ def extraction_output(sf_dir: str) -> ray.data.Dataset:
         os.path.join(partition_dir(out_dir, p), SHARD_NAME)
         for p in sorted(committed_parts(out_dir))
     ]
-    return ray.data.read_parquet(shards)
+    return ray.data.read_parquet(shards, columns=columns)
 
 
 def extraction_output_streamed(sf_dir: str) -> ray.data.Dataset:
@@ -87,8 +90,10 @@ def extraction_output_streamed(sf_dir: str) -> ray.data.Dataset:
 def extract_summary(sf_dir: str) -> ray.data.Dataset:
     """Flagship output minus the spans column (drivers hash this; spans are
     exercised by the downstream queries and byte-level pytest goldens)."""
-    return extraction_output(sf_dir).select_columns(
-        ["url", "warc_ts", "lang", "branch", "text", "n_pages", "n_words", "error", "part"]
+    return extraction_output(
+        sf_dir,
+        columns=["url", "warc_ts", "lang", "branch", "text", "n_pages",
+                 "n_words", "error", "part"],
     )
 
 
@@ -100,30 +105,122 @@ def _spans_to_page_trees(spans: list[dict]) -> list[list]:
     return [assemble.spans_to_tree(pages[p]) for p in sorted(pages)]
 
 
+def _doc_stream(batch: pa.Table):
+    """Iterate the non-error docs of an extraction batch WITHOUT
+    materializing row dicts or span trees: yields ``(i, url, pages)`` where
+    ``pages = [(page_no, texts_tree), ...]`` ascending and ``texts_tree`` is
+    the par/line/word nesting holding plain word strings. Reads the span
+    child arrays (text/page/par/line) once per batch — this replaced a
+    per-row ``to_pylist`` + tree rebuild + deepcopy path that was 53% of
+    the round-1 bench."""
+    spans_col = batch.column("spans")
+    if isinstance(spans_col, pa.ChunkedArray):
+        spans_col = spans_col.combine_chunks()
+    offsets = spans_col.offsets.to_numpy()
+    flat = spans_col.flatten()
+    texts = flat.field("text").to_pylist()
+    pages_a = flat.field("page").to_numpy()
+    pars_a = flat.field("par").to_numpy()
+    lines_a = flat.field("line").to_numpy()
+    urls = batch.column("url").to_pylist()
+    ok = pa.compute.is_null(batch.column("error")).to_pylist()
+    base = offsets[0]
+    for i, url in enumerate(urls):
+        if not ok[i]:
+            continue
+        lo, hi = offsets[i] - base, offsets[i + 1] - base
+        per_page: dict[int, list] = {}
+        j = lo
+        while j < hi:
+            pg = int(pages_a[j])
+            secs = per_page.setdefault(pg, [])
+            cur_par = cur_line = None
+            cur_sec: list = []
+            cur_ln: list = []
+            while j < hi and pages_a[j] == pg:
+                if pars_a[j] != cur_par:
+                    cur_sec = []
+                    secs.append(cur_sec)
+                    cur_par = pars_a[j]
+                    cur_line = None
+                if lines_a[j] != cur_line:
+                    cur_ln = []
+                    cur_sec.append(cur_ln)
+                    cur_line = lines_a[j]
+                cur_ln.append(texts[j])
+                j += 1
+        yield i, url, sorted(per_page.items())
+
+
+def _doc_page_texts(batch: pa.Table, i: int, pages, branch_col, text_col) -> list[str]:
+    """Per-page texts for one doc, with the html-branch fallback (an html doc
+    whose spans were dropped still contributes its assembled text)."""
+    page_texts = [assemble.page_text_strs(tree) for _, tree in pages]
+    if not page_texts and branch_col[i] == "html":
+        t = text_col[i]
+        page_texts = [t[:-2] if t.endswith("\n\n") else t]
+    return page_texts
+
+
 def word_index(sf_dir: str) -> ray.data.Dataset:
     """Per-document word index with hyphenation-merge semantics
     (export.py:492-530) over the extraction output spans: one row per
-    (url, word) with count and the reference's '1, 3' pages string."""
-    out = extraction_output(sf_dir)
+    (url, word) with count and the reference's '1, 3' pages string.
+    Oracle: the per-page stage is dumped by :func:`word_index_pages`; the
+    cross-page merge (sum + page-list concat) is recomputed in SQL."""
+    out = extraction_output(sf_dir, columns=["url", "spans", "error"])
 
     def build(batch: pa.Table) -> pa.Table:
-        rows = []
-        for r in batch.to_pylist():
-            if r["error"] is not None or not r["spans"]:
+        urls_out: list[str] = []
+        words: list[str] = []
+        counts: list[int] = []
+        pages_out: list[str] = []
+        for _i, url, pages in _doc_stream(batch):
+            if not pages:
                 continue
-            trees = _spans_to_page_trees(r["spans"])
-            merged = merge_page_indexes([page_index_words(t) for t in trees])
+            merged = merge_page_indexes(
+                [page_index_words_texts(tree) for _, tree in pages]
+            )
             for word, entry in merged:
-                rows.append(
-                    {"url": r["url"], "word": word, "count": entry["count"],
-                     "pages": entry["pages"]}
-                )
-        return pa.Table.from_pylist(
-            rows,
-            schema=pa.schema(
-                [pa.field("url", pa.string()), pa.field("word", pa.string()),
-                 pa.field("count", pa.int64()), pa.field("pages", pa.string())]
-            ),
+                urls_out.append(url)
+                words.append(word)
+                counts.append(entry["count"])
+                pages_out.append(entry["pages"])
+        return pa.table(
+            {"url": pa.array(urls_out, pa.string()),
+             "word": pa.array(words, pa.string()),
+             "count": pa.array(counts, pa.int64()),
+             "pages": pa.array(pages_out, pa.string())}
+        )
+
+    return out.map_batches(build, batch_format="pyarrow")
+
+
+def word_index_pages(sf_dir: str) -> ray.data.Dataset:
+    """The PER-PAGE word-index stage: one row per (url, page_ord, word) with
+    that page's count. ``page_ord`` is the 0-based position in the doc's
+    page order — exactly what the merge enumerates — so the document index
+    is a pure SQL aggregate over this dump (the oracle for word_index /
+    index_csv)."""
+    out = extraction_output(sf_dir, columns=["url", "spans", "error"])
+
+    def build(batch: pa.Table) -> pa.Table:
+        urls_out: list[str] = []
+        ords: list[int] = []
+        words: list[str] = []
+        counts: list[int] = []
+        for _i, url, pages in _doc_stream(batch):
+            for page_ord, (_pg, tree) in enumerate(pages):
+                for word, count in page_index_words_texts(tree).items():
+                    urls_out.append(url)
+                    ords.append(page_ord)
+                    words.append(word)
+                    counts.append(count)
+        return pa.table(
+            {"url": pa.array(urls_out, pa.string()),
+             "page_ord": pa.array(ords, pa.int64()),
+             "word": pa.array(words, pa.string()),
+             "count": pa.array(counts, pa.int64())}
         )
 
     return out.map_batches(build, batch_format="pyarrow")
@@ -131,21 +228,20 @@ def word_index(sf_dir: str) -> ray.data.Dataset:
 
 def index_csv(sf_dir: str) -> ray.data.Dataset:
     """url → the reference-byte-format CSV index (W2) as a column."""
-    out = extraction_output(sf_dir)
+    out = extraction_output(sf_dir, columns=["url", "spans", "error"])
 
     def build(batch: pa.Table) -> pa.Table:
-        rows = []
-        for r in batch.to_pylist():
-            if r["error"] is not None:
-                continue
-            trees = _spans_to_page_trees(r["spans"])
-            merged = merge_page_indexes([page_index_words(t) for t in trees])
-            rows.append({"url": r["url"], "index_csv": index_to_csv(merged)})
-        return pa.Table.from_pylist(
-            rows,
-            schema=pa.schema(
-                [pa.field("url", pa.string()), pa.field("index_csv", pa.string())]
-            ),
+        urls_out: list[str] = []
+        csvs: list[str] = []
+        for _i, url, pages in _doc_stream(batch):
+            merged = merge_page_indexes(
+                [page_index_words_texts(tree) for _, tree in pages]
+            )
+            urls_out.append(url)
+            csvs.append(index_to_csv(merged))
+        return pa.table(
+            {"url": pa.array(urls_out, pa.string()),
+             "index_csv": pa.array(csvs, pa.string())}
         )
 
     return out.map_batches(build, batch_format="pyarrow")
@@ -154,26 +250,48 @@ def index_csv(sf_dir: str) -> ray.data.Dataset:
 def txt_delimited(sf_dir: str) -> ray.data.Dataset:
     """url → the '----- PAGE %04d -----' delimited TXT bytes (W1 variant,
     export.py:180-183)."""
-    out = extraction_output(sf_dir)
+    out = extraction_output(sf_dir, columns=["url", "spans", "error", "branch", "text"])
 
     def build(batch: pa.Table) -> pa.Table:
-        rows = []
-        for r in batch.to_pylist():
-            if r["error"] is not None:
-                continue
-            trees = _spans_to_page_trees(r["spans"])
-            page_texts = [assemble.page_text(t) for t in trees]
-            if not page_texts and r["branch"] == "html":
-                page_texts = [r["text"][:-2] if r["text"].endswith("\n\n") else r["text"]]
-            rows.append(
-                {"url": r["url"],
-                 "txt_delimited": assemble.doc_text(page_texts, delimiter=True)}
-            )
-        return pa.Table.from_pylist(
-            rows,
-            schema=pa.schema(
-                [pa.field("url", pa.string()), pa.field("txt_delimited", pa.string())]
-            ),
+        branch_col = batch.column("branch").to_pylist()
+        text_col = batch.column("text").to_pylist()
+        urls_out: list[str] = []
+        txts: list[str] = []
+        for i, url, pages in _doc_stream(batch):
+            page_texts = _doc_page_texts(batch, i, pages, branch_col, text_col)
+            urls_out.append(url)
+            txts.append(assemble.doc_text(page_texts, delimiter=True))
+        return pa.table(
+            {"url": pa.array(urls_out, pa.string()),
+             "txt_delimited": pa.array(txts, pa.string())}
+        )
+
+    return out.map_batches(build, batch_format="pyarrow")
+
+
+def page_texts_dump(sf_dir: str) -> ray.data.Dataset:
+    """One row per (url, page_ord) with the page's assembled text — the
+    upstream stage shared by txt_delimited / search_index_docs, dumped so
+    their concatenation / record-shaping stages have a SQL oracle."""
+    out = extraction_output(sf_dir, columns=["url", "spans", "error", "branch", "text"])
+
+    def build(batch: pa.Table) -> pa.Table:
+        branch_col = batch.column("branch").to_pylist()
+        text_col = batch.column("text").to_pylist()
+        urls_out: list[str] = []
+        ords: list[int] = []
+        txts: list[str] = []
+        for i, url, pages in _doc_stream(batch):
+            for page_ord, text in enumerate(
+                _doc_page_texts(batch, i, pages, branch_col, text_col)
+            ):
+                urls_out.append(url)
+                ords.append(page_ord)
+                txts.append(text)
+        return pa.table(
+            {"url": pa.array(urls_out, pa.string()),
+             "page_ord": pa.array(ords, pa.int64()),
+             "page_text": pa.array(txts, pa.string())}
         )
 
     return out.map_batches(build, batch_format="pyarrow")
@@ -181,7 +299,7 @@ def txt_delimited(sf_dir: str) -> ray.data.Dataset:
 
 def alto_pages(sf_dir: str) -> ray.data.Dataset:
     """OCR-branch docs → one ALTO v3 XML document per page (W4)."""
-    out = extraction_output(sf_dir)
+    out = extraction_output(sf_dir, columns=["url", "spans", "error", "branch"])
 
     def build(batch: pa.Table) -> pa.Table:
         rows = []
@@ -224,7 +342,7 @@ def extraction_similarity(sf_dir: str) -> ray.data.Dataset:
         crawler[r["url"]] = r["text"]
     crawler_ref = _ray.put(crawler)
 
-    out = extraction_output(sf_dir)
+    out = extraction_output(sf_dir, columns=["url", "branch", "text", "error"])
 
     def score(batch: pa.Table) -> pa.Table:
         cmap = _ray.get(crawler_ref)
@@ -253,32 +371,32 @@ def search_index_docs(sf_dir: str) -> ray.data.Dataset:
     shape {Document, Path, Page, Text, Engine, Config}
     (elastic_search.py:192-231) built as a Dataset; the ES bulk writer is an
     external-service sink and intentionally out of scope (SURVEY.md W8)."""
-    out = extraction_output(sf_dir)
+    out = extraction_output(sf_dir, columns=["url", "spans", "error", "branch", "text"])
 
     def build(batch: pa.Table) -> pa.Table:
-        rows = []
-        for r in batch.to_pylist():
-            if r["error"] is not None:
-                continue
-            trees = _spans_to_page_trees(r["spans"]) if r["spans"] else []
-            page_texts = (
-                [assemble.page_text(t) for t in trees]
-                if trees
-                else [r["text"][:-2] if r["text"].endswith("\n\n") else r["text"]]
-            )
+        branch_col = batch.column("branch").to_pylist()
+        text_col = batch.column("text").to_pylist()
+        docs: list[str] = []
+        paths: list[str] = []
+        page_nos: list[int] = []
+        txts: list[str] = []
+        for i, url, pages in _doc_stream(batch):
+            page_texts = _doc_page_texts(batch, i, pages, branch_col, text_col)
+            if not page_texts:
+                page_texts = [text_col[i][:-2] if text_col[i].endswith("\n\n")
+                              else text_col[i]]
             for page_no, text in enumerate(page_texts):
-                rows.append(
-                    {"document": r["url"], "path": f"{r['url']}#page={page_no}",
-                     "page": page_no, "text": text, "engine": "stub",
-                     "config": "lang=por"}
-                )
-        return pa.Table.from_pylist(
-            rows,
-            schema=pa.schema(
-                [pa.field("document", pa.string()), pa.field("path", pa.string()),
-                 pa.field("page", pa.int64()), pa.field("text", pa.string()),
-                 pa.field("engine", pa.string()), pa.field("config", pa.string())]
-            ),
+                docs.append(url)
+                paths.append(f"{url}#page={page_no}")
+                page_nos.append(page_no)
+                txts.append(text)
+        return pa.table(
+            {"document": pa.array(docs, pa.string()),
+             "path": pa.array(paths, pa.string()),
+             "page": pa.array(page_nos, pa.int64()),
+             "text": pa.array(txts, pa.string()),
+             "engine": pa.array(["stub"] * len(docs), pa.string()),
+             "config": pa.array(["lang=por"] * len(docs), pa.string())}
         )
 
     return out.map_batches(build, batch_format="pyarrow")
@@ -290,7 +408,7 @@ def branch_stats(sf_dir: str) -> ray.data.Dataset:
 
     from .common import grouped_agg
 
-    out = extraction_output(sf_dir)
+    out = extraction_output(sf_dir, columns=["branch", "n_pages", "n_words", "error"])
 
     def with_err(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc

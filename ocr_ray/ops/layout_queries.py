@@ -212,7 +212,7 @@ def cv_layout(sf_dir: str) -> ray.data.Dataset:
 
 def pdf_text_layer(sf_dir: str) -> ray.data.Dataset:
     """Per-word invisible-text placement records for the searchable PDF."""
-    out = extraction_output(sf_dir)
+    out = extraction_output(sf_dir, columns=["url", "spans", "error", "branch"])
 
     def layer(batch: pa.Table) -> pa.Table:
         rows = []
