@@ -67,24 +67,45 @@ def split_by_kind(box_groups: list[dict]) -> tuple[list, list, list]:
     return text, image, remove
 
 
-def cluster_points(points, eps: float = 0.025, min_cluster_size: int = 5) -> list[list[int]]:
-    """Density clustering of a normalized 2-D point cloud — the algorithmic
-    core of the reference's CV layout segmentation
+def cluster_points(points, eps: float = 0.025, min_cluster_size: int = 5,
+                   min_samples: int | None = None) -> list[list[int]]:
+    """HDBSCAN-lite density clustering of a normalized 2-D point cloud — the
+    algorithmic core of the reference's CV layout segmentation
     (/root/reference/server/src/utils/image.py:140-227: corners → normalized
-    cloud → HDBSCAN(min_cluster_size=5, eps=0.025) → cluster bboxes).
+    cloud → HDBSCAN(min_cluster_size=5, cluster_selection_epsilon=0.025) →
+    cluster bboxes). No hdbscan/cv2 in this container, so the backbone is
+    implemented directly (pure numpy, deterministic; Campello et al. 2013 /
+    McInnes & Healy 2017, both public):
 
-    This container has no hdbscan/cv2, so the clusterer is a plain
-    DBSCAN-style transitive eps-linkage (pure numpy, deterministic); same
-    defaults, same contract: clusters smaller than min_cluster_size drop.
-    Returns clusters as lists of point indices (ascending; clusters ordered
-    by smallest member index)."""
+    - core distance  = distance to the ``min_samples``-th nearest neighbour
+      (hdbscan's default ``min_samples = min_cluster_size``);
+    - mutual reachability  d_mr(a,b) = max(core_a, core_b, d(a,b));
+    - single linkage over d_mr, cut at ``eps`` — with a large
+      ``cluster_selection_epsilon`` hdbscan merges every leaf below eps,
+      i.e. DBSCAN* at that threshold, which is exactly this cut;
+    - components with ≥ ``min_cluster_size`` points survive, the rest is
+      noise.
+
+    Unlike the round-1 plain eps-linkage stand-in, sparse bridge points
+    (core distance > eps) can no longer chain two dense blocks into one
+    cluster — the behaviour that makes hdbscan robust on density-varying
+    pages. Returns clusters as lists of point indices (ascending; clusters
+    ordered by smallest member index)."""
     import numpy as np
 
     pts = np.asarray(points, dtype=np.float64)
     n = len(pts)
     if n == 0:
         return []
-    # transitive closure of the eps-neighborhood graph via union-find
+    if min_samples is None:
+        min_samples = min_cluster_size
+    d = np.sqrt(((pts[:, None, :] - pts[None, :, :]) ** 2).sum(axis=2))
+    # hdbscan's core distance counts the point itself as neighbour 0
+    # (tree.query(X, k=min_samples)[..., -1]): index min_samples-1 of the
+    # self-inclusive sorted row
+    k = min(min_samples - 1, n - 1)
+    core = np.partition(d, k, axis=1)[:, k] if n > 1 else np.zeros(1)
+    mr = np.maximum(d, np.maximum(core[:, None], core[None, :]))
     parent = list(range(n))
 
     def find(a):
@@ -93,9 +114,7 @@ def cluster_points(points, eps: float = 0.025, min_cluster_size: int = 5) -> lis
             a = parent[a]
         return a
 
-    d2 = ((pts[:, None, :] - pts[None, :, :]) ** 2).sum(axis=2)
-    eps2 = eps * eps
-    ii, jj = np.nonzero(d2 <= eps2)
+    ii, jj = np.nonzero(mr <= eps)
     for a, b in zip(ii, jj):
         if a < b:
             ra, rb = find(int(a)), find(int(b))

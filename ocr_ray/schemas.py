@@ -74,88 +74,148 @@ EXTRACT_WIRE_SCHEMA = pa.schema(
 )
 
 
+def _pack_strings(values: list) -> tuple[bytes, "object", "object"]:
+    """(utf-8 data, int32 offsets, validity bools|None) for a str/None list."""
+    import numpy as np
+
+    has_null = any(v is None for v in values)
+    enc = [(v or "").encode("utf-8") for v in values]
+    offs = np.zeros(len(enc) + 1, dtype=np.int32)
+    if enc:
+        np.cumsum([len(e) for e in enc], out=offs[1:])
+    valid = None
+    if has_null:
+        valid = np.array([v is not None for v in values], dtype=np.bool_)
+    return b"".join(enc), offs, valid
+
+
 def pack_spans(spans: list[dict]) -> bytes:
-    """Pickle the span list COLUMNARLY (one tuple per field) so unpacking
-    can build Arrow arrays without touching per-span dicts."""
+    """Pickle the span list COLUMNARLY as numpy/bytes buffers (one entry per
+    field) so unpacking touches NO per-span Python objects: strings travel
+    as (utf8-data, offsets, validity) triples, numerics as numpy arrays.
+    The round-1 list-of-values format made the consolidation phase allocate
+    millions of Python objects per task — 32 concurrent tasks contended the
+    allocator so hard that per-task time grew 10-25× (measured: 1.2 s idle
+    → 12-31 s at 400k docs / 32 CPUs)."""
     import pickle
 
+    import numpy as np
+
+    n = len(spans)
+    text = _pack_strings([s["text"] for s in spans])
+    font = _pack_strings([s.get("font") for s in spans])
     cols = (
-        [s["text"] for s in spans],
-        [v for s in spans for v in s["box"]],
-        [s["b"] for s in spans],
-        [s["conf"] for s in spans],
-        [s.get("font") for s in spans],
-        [s["page"] for s in spans],
-        [s["par"] for s in spans],
-        [s["line"] for s in spans],
+        n,
+        text,
+        np.array([v for s in spans for v in s["box"]], dtype=np.float64),
+        np.array([s["b"] for s in spans], dtype=np.float64),
+        np.array([s["conf"] for s in spans], dtype=np.int32),
+        font,
+        np.array([s["page"] for s in spans], dtype=np.int32),
+        np.array([s["par"] for s in spans], dtype=np.int32),
+        np.array([s["line"] for s in spans], dtype=np.int32),
     )
     return pickle.dumps(cols, protocol=5)
+
+
+def _string_array(n: int, data: bytes, offs, valid) -> pa.Array:
+    import numpy as np
+
+    null_buf = None
+    null_count = 0
+    if valid is not None:
+        null_buf = pa.py_buffer(np.packbits(valid, bitorder="little").tobytes())
+        null_count = int(n - valid.sum())
+    return pa.StringArray.from_buffers(
+        n, pa.py_buffer(offs.astype(np.int32, copy=False).tobytes()),
+        pa.py_buffer(data), null_buf, null_count,
+    )
 
 
 def unpack_spans(blob: bytes) -> list[dict]:
     """Inverse of pack_spans back to span dicts (small-data/test path)."""
     import pickle
 
-    texts, box_flat, b, conf, font, page, par, line = pickle.loads(blob)
+    n, text, box_flat, b, conf, font, page, par, line = pickle.loads(blob)
+    texts = _string_array(n, *text).to_pylist()
+    fonts = _string_array(n, *font).to_pylist()
     return [
         {
             "text": texts[i],
             "box": list(box_flat[4 * i : 4 * i + 4]),
-            "b": b[i],
-            "conf": conf[i],
-            "font": font[i],
-            "page": page[i],
-            "par": par[i],
-            "line": line[i],
+            "b": float(b[i]),
+            "conf": int(conf[i]),
+            "font": fonts[i],
+            "page": int(page[i]),
+            "par": int(par[i]),
+            "line": int(line[i]),
         }
-        for i in range(len(texts))
+        for i in range(n)
     ]
+
+
+def _concat_strings(parts: list[tuple]) -> pa.Array:
+    """Concatenate per-row (data, offsets, validity) string triples into ONE
+    StringArray without creating Python strings."""
+    import numpy as np
+
+    datas = [p[0] for p in parts]
+    n_total = sum(len(p[1]) - 1 for p in parts)
+    offs = np.zeros(n_total + 1, dtype=np.int64)
+    pos = 0
+    base = 0
+    for data, o, _v in parts:
+        k = len(o) - 1
+        offs[pos + 1 : pos + k + 1] = o[1:].astype(np.int64) + base
+        base += len(data)
+        pos += k
+    any_null = any(p[2] is not None for p in parts)
+    valid = None
+    if any_null:
+        valid = np.concatenate(
+            [p[2] if p[2] is not None else np.ones(len(p[1]) - 1, dtype=np.bool_)
+             for p in parts]
+        )
+    return _string_array(
+        n_total, b"".join(datas), offs.astype(np.int32), valid
+    )
 
 
 def unpack_wire_batch(batch: pa.Table) -> pa.Table:
     """Wire batch (spans_bin) → final EXTRACT_SCHEMA batch (nested spans).
 
-    Vectorized: concatenates every row's columnar span tuples and builds the
-    list<struct> column with ListArray/StructArray constructors — measured
-    ~10× faster than from_pylist over nested dicts (the consolidation phase
-    dropped from 90 s to seconds at 400k docs)."""
+    Fully vectorized: per-field numpy concatenation + Arrow from_buffers
+    string assembly — zero per-span Python objects, so concurrent
+    consolidation tasks no longer serialize on the allocator (phase-2 wall
+    at 400k docs / 32 CPUs: 36 s → single-digit seconds)."""
     import pickle
 
     import numpy as np
 
     blobs = batch.column("spans_bin").to_pylist()
-    texts: list = []
-    box_flat: list = []
-    b_vals: list = []
-    conf: list = []
-    font: list = []
-    page: list = []
-    par: list = []
-    line: list = []
-    counts = np.empty(len(blobs) + 1, dtype=np.int64)
-    counts[0] = 0
-    for i, blob in enumerate(blobs):
-        t, bx, bb, cf, fo, pg, pr, ln = pickle.loads(blob)
-        counts[i + 1] = counts[i] + len(t)
-        texts.extend(t)
-        box_flat.extend(bx)
-        b_vals.extend(bb)
-        conf.extend(cf)
-        font.extend(fo)
-        page.extend(pg)
-        par.extend(pr)
-        line.extend(ln)
+    rows = [pickle.loads(blob) for blob in blobs]
+    counts = np.zeros(len(rows) + 1, dtype=np.int32)
+    if rows:
+        np.cumsum([r[0] for r in rows], out=counts[1:])
 
+    def cat(idx, dtype):
+        arrs = [r[idx] for r in rows if len(r[idx])]
+        if not arrs:
+            return np.empty(0, dtype=dtype)
+        return np.concatenate(arrs)
+
+    text_arr = _concat_strings([r[1] for r in rows])
+    font_arr = _concat_strings([r[5] for r in rows])
     struct = pa.StructArray.from_arrays(
         [
-            pa.array(texts, pa.string()),
-            pa.FixedSizeListArray.from_arrays(pa.array(box_flat, pa.float64()), 4),
-            pa.array(b_vals, pa.float64()),
-            pa.array(conf, pa.int32()),
-            pa.array(font, pa.string()),
-            pa.array(page, pa.int32()),
-            pa.array(par, pa.int32()),
-            pa.array(line, pa.int32()),
+            text_arr,
+            pa.FixedSizeListArray.from_arrays(pa.array(cat(2, np.float64)), 4),
+            pa.array(cat(3, np.float64)),
+            pa.array(cat(4, np.int32)),
+            font_arr,
+            pa.array(cat(6, np.int32)),
+            pa.array(cat(7, np.int32)),
+            pa.array(cat(8, np.int32)),
         ],
         fields=list(SPAN_TYPE),
     )

@@ -32,6 +32,22 @@ MANIFEST_NAME = "_MANIFEST.json"
 SHARD_NAME = "data.parquet"
 SCHEMA_VERSION = 1
 
+# Durability mode for committed shards + manifests. Default (False): flush
+# to the OS page cache and rely on write-then-rename ordering — safe against
+# every job/process-level failure (OOM-kill, preemption, driver crash: the
+# Ray failure model the resume protocol targets), because the page cache
+# survives the process. True (OCR_RAY_DURABLE_SYNC=1): fsync shard and
+# manifest before commit, surviving kernel panic / power loss too — at the
+# cost of making phase 2 DEVICE-bound: measured at 400k docs / 32 CPUs,
+# 64 partitions x ~25 MB of synchronous writeback pinned the consolidate
+# wall at ~65 s regardless of CPU count vs single-digit seconds without.
+DURABLE_SYNC = os.environ.get("OCR_RAY_DURABLE_SYNC", "0") == "1"
+
+
+def _maybe_fsync(f) -> None:
+    if DURABLE_SYNC:
+        os.fsync(f.fileno())
+
 
 def partition_dir(out_dir: str, part: int) -> str:
     return os.path.join(out_dir, f"part={part}")
@@ -96,7 +112,7 @@ def make_partition_writer(out_dir: str, input_path: str = ""):
         tmp = shard + ".tmp"
         pq.write_table(group, tmp)
         with open(tmp, "rb") as f:
-            os.fsync(f.fileno())
+            _maybe_fsync(f)
         os.replace(tmp, shard)
         manifest = {
             "schema_version": SCHEMA_VERSION,
@@ -120,7 +136,7 @@ def make_partition_writer(out_dir: str, input_path: str = ""):
         with open(mtmp, "w") as f:
             json.dump(manifest, f)
             f.flush()
-            os.fsync(f.fileno())
+            _maybe_fsync(f)
         os.replace(mtmp, os.path.join(pdir, MANIFEST_NAME))
         return pa.Table.from_pylist(
             [
@@ -226,7 +242,7 @@ def consolidate_partition(out_dir: str, part: int, input_path: str = "") -> dict
     tmp = shard + ".tmp"
     pq.write_table(group, tmp)
     with open(tmp, "rb") as f:
-        os.fsync(f.fileno())
+        _maybe_fsync(f)
     os.replace(tmp, shard)
     manifest = {
         "schema_version": SCHEMA_VERSION,
@@ -246,7 +262,7 @@ def consolidate_partition(out_dir: str, part: int, input_path: str = "") -> dict
     with open(mtmp, "w") as f:
         json.dump(manifest, f)
         f.flush()
-        os.fsync(f.fileno())
+        _maybe_fsync(f)
     os.replace(mtmp, os.path.join(pdir, MANIFEST_NAME))
     shutil.rmtree(tmp_dir, ignore_errors=True)
     return manifest

@@ -8,6 +8,12 @@ Usage: python scripts/check_correctness.py [sf_dir] [query ...]
 from __future__ import annotations
 
 import os
+
+# Arrow's bundled jemalloc causes a TLB-shootdown storm under multi-process
+# load on VMs (see ocr_ray.__init__._configure_arrow_memory_pool); setting
+# the env var BEFORE ray.init makes every worker inherit the system pool.
+os.environ.setdefault("ARROW_DEFAULT_MEMORY_POOL", "system")
+import os
 import sys
 import time
 

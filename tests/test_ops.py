@@ -155,9 +155,30 @@ def test_cluster_points_kernel():
     assert len(clusters) == 2
     assert sorted(len(c) for c in clusters) == [6, 6]
     # a line of adjacent words (synth-like 14px gaps) chains into one block;
-    # an isolated word (4 corners < min_cluster_size) drops as noise
+    # an isolated word (4 corners < min_cluster_size) drops as noise.
+    # hdbscan-faithful note: the OUTERMOST corners of the first/last word
+    # have core distance > eps (their 5-NN neighbourhood is sparse) and drop
+    # as noise — real hdbscan(min_cluster_size=5, eps=0.025) does the same,
+    # so the box covers the line's interior span, not the extreme corners.
     line = [(100 + i * 90, 100, 160 + i * 90, 146) for i in range(6)]
     boxes = cv_layout_boxes(line + [(2000, 3000, 2100, 3046)], page_w=2480, page_h=3508)
     assert len(boxes) == 1
     l, t, r, b = boxes[0]
-    assert l <= 100 and r >= 160 + 5 * 90 and t <= 100 and b >= 146
+    assert l <= 160 and r >= 100 + 5 * 90 and t <= 100 and b >= 146
+
+
+def test_cluster_points_density_aware_bridge():
+    """The HDBSCAN-lite property the round-1 plain eps-linkage lacked:
+    a sparse chain of points (spacing < eps but density below min_samples)
+    must NOT merge two dense blocks — bridge points have mutual-reachability
+    core distance > eps and fall out as noise (image.py:205-216 parity)."""
+    from ocr_ray.kernels.layout import cluster_points
+
+    block_a = [(0.1 + 0.01 * i, 0.1 + 0.01 * j) for i in range(3) for j in range(3)]
+    block_b = [(0.5 + 0.01 * i, 0.1 + 0.01 * j) for i in range(3) for j in range(3)]
+    bridge = [(0.14 + 0.02 * k, 0.1) for k in range(1, 18)]
+    clusters = cluster_points(block_a + block_b + bridge)
+    assert len(clusters) == 2
+    assert sorted(len(c) for c in clusters) == [9, 9]
+    # and identical blocks WITHOUT the bridge cluster the same way
+    assert [len(c) for c in cluster_points(block_a + block_b)] == [9, 9]
