@@ -84,6 +84,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "segmented_extract": l_ops.segmented_extract,
         "ann_ivf_topk": e_ops.ann_ivf_topk,
         "pdf_text_layer": l_ops.pdf_text_layer,
+        "pdf_export": l_ops.pdf_export,
+        "word_index_pages": x_ops.word_index_pages,
+        "page_texts": x_ops.page_texts_dump,
     }
 
 

@@ -210,6 +210,63 @@ def cv_layout(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def pdf_export(sf_dir: str) -> ray.data.Dataset:
+    """Searchable PDF (W3) as REAL bytes per OCR-branch document: invisible
+    Times-Roman text layer per page + the trailing 2-column word-index pages
+    (incl. the reference's 134-of-200 pagination quirk), produced by the
+    from-scratch writer in :mod:`ocr_ray.kernels.pdfgen` (export.py:238-489
+    parity; raster underlay omitted — library-gated). Output is
+    byte-deterministic; the sha256 column lets the driver hash pin it."""
+    import hashlib
+
+    from ..kernels.pdfgen import searchable_pdf
+    from ..kernels.windex import merge_page_indexes, page_index_words_texts
+    from .extraction_queries import _doc_stream
+
+    out = extraction_output(sf_dir, columns=["url", "spans", "error", "branch"])
+
+    def build(batch: pa.Table) -> pa.Table:
+        spans_col = batch.column("spans")
+        if isinstance(spans_col, pa.ChunkedArray):
+            spans_col = spans_col.combine_chunks()
+        offsets = spans_col.offsets.to_numpy()
+        flat = spans_col.flatten()
+        texts = flat.field("text").to_pylist()
+        box_np = flat.field("box").flatten().to_numpy(zero_copy_only=False).reshape(-1, 4)
+        b_np = flat.field("b").to_numpy(zero_copy_only=False)
+        pages_a = flat.field("page").to_numpy(zero_copy_only=False)
+        branch = batch.column("branch").to_pylist()
+        base = offsets[0]
+        cols = {"url": [], "n_pdf_pages": [], "pdf_sha256": [], "pdf": []}
+        for i, url, pages in _doc_stream(batch):
+            if branch[i] != "ocr" or not pages:
+                continue
+            lo, hi = offsets[i] - base, offsets[i + 1] - base
+            per_page: dict[int, list] = {}
+            for j in range(lo, hi):
+                per_page.setdefault(int(pages_a[j]), []).append(
+                    (texts[j], float(box_np[j, 0]), float(box_np[j, 2]), float(b_np[j]))
+                )
+            page_spans = [per_page[p] for p in sorted(per_page)]
+            entries = merge_page_indexes(
+                [page_index_words_texts(tree) for _, tree in pages]
+            )
+            pdf = searchable_pdf(page_spans, entries)
+            n_index_pages = (len(entries) + 199) // 200
+            cols["url"].append(url)
+            cols["n_pdf_pages"].append(len(page_spans) + n_index_pages)
+            cols["pdf_sha256"].append(hashlib.sha256(pdf).hexdigest())
+            cols["pdf"].append(pdf)
+        return pa.table(
+            {"url": pa.array(cols["url"], pa.string()),
+             "n_pdf_pages": pa.array(cols["n_pdf_pages"], pa.int32()),
+             "pdf_sha256": pa.array(cols["pdf_sha256"], pa.string()),
+             "pdf": pa.array(cols["pdf"], pa.binary())}
+        )
+
+    return out.map_batches(build, batch_format="pyarrow")
+
+
 def pdf_text_layer(sf_dir: str) -> ray.data.Dataset:
     """Per-word invisible-text placement records for the searchable PDF."""
     out = extraction_output(sf_dir, columns=["url", "spans", "error", "branch"])
