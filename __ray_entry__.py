@@ -100,6 +100,16 @@ def _dict_values_list() -> str:
 
 
 def oracle_sql() -> dict[str, str]:
+    from ocr_ray.ops.oracles import extra_oracle_sql
+
+    sql = _base_oracle_sql()
+    # queries left rows-only in round 1: artifact-stage recomputations,
+    # md5-sketch recomputations, constant-shipped LSH/IVF, golden snapshots
+    sql.update(extra_oracle_sql())
+    return sql
+
+
+def _base_oracle_sql() -> dict[str, str]:
     punct_sql = """'«»“”.,;:!?()[]{}"' || chr(39)"""
     return {
         "pricing_summary": f"""

@@ -216,7 +216,10 @@ def pdf_export(sf_dir: str) -> ray.data.Dataset:
     (incl. the reference's 134-of-200 pagination quirk), produced by the
     from-scratch writer in :mod:`ocr_ray.kernels.pdfgen` (export.py:238-489
     parity; raster underlay omitted — library-gated). Output is
-    byte-deterministic; the sha256 column lets the driver hash pin it."""
+    byte-deterministic; the query returns (sha256, size) per document so
+    the driver's value-hash pins every byte without shipping ~30 KB blobs
+    through the compare — consumers wanting the files render them with
+    kernels.pdfgen.searchable_pdf."""
     import hashlib
 
     from ..kernels.pdfgen import searchable_pdf
@@ -237,7 +240,7 @@ def pdf_export(sf_dir: str) -> ray.data.Dataset:
         pages_a = flat.field("page").to_numpy(zero_copy_only=False)
         branch = batch.column("branch").to_pylist()
         base = offsets[0]
-        cols = {"url": [], "n_pdf_pages": [], "pdf_sha256": [], "pdf": []}
+        cols = {"url": [], "n_pdf_pages": [], "pdf_sha256": [], "n_bytes": []}
         for i, url, pages in _doc_stream(batch):
             if branch[i] != "ocr" or not pages:
                 continue
@@ -256,12 +259,12 @@ def pdf_export(sf_dir: str) -> ray.data.Dataset:
             cols["url"].append(url)
             cols["n_pdf_pages"].append(len(page_spans) + n_index_pages)
             cols["pdf_sha256"].append(hashlib.sha256(pdf).hexdigest())
-            cols["pdf"].append(pdf)
+            cols["n_bytes"].append(len(pdf))
         return pa.table(
             {"url": pa.array(cols["url"], pa.string()),
              "n_pdf_pages": pa.array(cols["n_pdf_pages"], pa.int32()),
              "pdf_sha256": pa.array(cols["pdf_sha256"], pa.string()),
-             "pdf": pa.array(cols["pdf"], pa.binary())}
+             "n_bytes": pa.array(cols["n_bytes"], pa.int64())}
         )
 
     return out.map_batches(build, batch_format="pyarrow")

@@ -1,0 +1,178 @@
+"""Side-dump artifacts that give the extraction-derived queries real
+DuckDB oracles.
+
+The driver's correctness gate runs each Ray query next to an ANSI-SQL
+recomputation. The extraction pipeline itself has no SQL equivalent, so the
+check is decomposed per stage (round-1 verdict "Next round #1"): the Ray
+side dumps each UPSTREAM stage once as parquet, and the oracle SQL
+recomputes the DOWNSTREAM stage (dedup, merge, concatenation, aggregation,
+placement math) from that dump — verifying the distributed part of every
+query against DuckDB while pytest goldens pin the per-document kernels.
+
+Artifacts (all under /tmp, keyed by corpus + code fingerprint so any code
+change regenerates them):
+
+- ``prededup/``    the UNDEDUPED extraction rows (run before the sink's
+                   latest-wins dedup) — extract_summary's oracle recomputes
+                   the dedup with a QUALIFY row_number() window;
+- ``word_pages/``  per-(url, page_ord, word) counts — word_index/index_csv
+                   oracles recompute the cross-page merge + CSV rendering;
+- ``page_texts/``  per-(url, page_ord) assembled text — txt_delimited /
+                   search_index_docs oracles recompute the concatenation /
+                   record shaping;
+- ``ocr_spans/``   per-word (url, page, word, l, r, b) geometry —
+                   pdf_text_layer's oracle recomputes the placement math;
+- ``planes.parquet``    the LSH hyperplane bank (plane, dim, w);
+- ``ivf.parquet`` + ``ivf_probe.parquet``  the trained IVF centroids and
+                   per-query probe lists (deterministic k-means on the
+                   first-2048 sample, computed directly from the
+                   embeddings parquet with numpy — no Ray involved).
+
+``ensure_artifacts`` is invoked from ``oracle_sql()`` so the artifacts
+exist no matter in which order the driver materializes queries vs oracles.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+ORACLE_ROOT = "/tmp/ocr_ray_oracle"
+
+
+def _artifact_dir(sf_dir: str) -> str:
+    from .extraction_queries import _code_fingerprint, pages_corpus
+
+    corpus = pages_corpus(sf_dir)
+    return os.path.join(
+        ORACLE_ROOT, f"{os.path.basename(corpus)}-{_code_fingerprint()}"
+    )
+
+
+def ensure_artifacts(sf_dir: str) -> dict[str, str]:
+    """Create (once) and return the artifact paths for this tier."""
+    root = _artifact_dir(sf_dir)
+    paths = {
+        "prededup": os.path.join(root, "prededup"),
+        "word_pages": os.path.join(root, "word_pages"),
+        "page_texts": os.path.join(root, "page_texts"),
+        "ocr_spans": os.path.join(root, "ocr_spans"),
+        "summary": os.path.join(root, "summary"),
+        "planes": os.path.join(root, "planes.parquet"),
+        "ivf": os.path.join(root, "ivf.parquet"),
+        "ivf_probe": os.path.join(root, "ivf_probe.parquet"),
+    }
+    done_marker = os.path.join(root, "_DONE")
+    if os.path.exists(done_marker):
+        return paths
+    os.makedirs(root, exist_ok=True)
+
+    from . import extraction_queries as xq
+
+    # -- prededup: extraction WITHOUT the sink dedup (wire cols minus spans)
+    from ..pipelines.extract import extract_dataset, read_pages
+
+    ds = read_pages(xq.pages_corpus(sf_dir))
+    pre = extract_dataset(ds).drop_columns(["spans_bin"])
+    pre.write_parquet(paths["prededup"])
+
+    # -- per-page stages
+    xq.word_index_pages(sf_dir).write_parquet(paths["word_pages"])
+    xq.page_texts_dump(sf_dir).write_parquet(paths["page_texts"])
+
+    # -- per-word geometry of OCR-branch docs
+    out = xq.extraction_output(sf_dir, columns=["url", "spans", "error", "branch"])
+
+    def spans_rows(batch: pa.Table) -> pa.Table:
+        spans_col = batch.column("spans")
+        if isinstance(spans_col, pa.ChunkedArray):
+            spans_col = spans_col.combine_chunks()
+        offsets = spans_col.offsets.to_numpy()
+        flat = spans_col.flatten()
+        texts = flat.field("text").to_pylist()
+        box_np = flat.field("box").flatten().to_numpy(zero_copy_only=False).reshape(-1, 4)
+        b_np = flat.field("b").to_numpy(zero_copy_only=False)
+        pages_np = flat.field("page").to_numpy(zero_copy_only=False)
+        urls = batch.column("url").to_pylist()
+        ok = pa.compute.is_null(batch.column("error")).to_pylist()
+        branch = batch.column("branch").to_pylist()
+        base = offsets[0]
+        cols = {"url": [], "page": [], "word": [], "l": [], "r": [], "b": []}
+        for i, url in enumerate(urls):
+            if not ok[i] or branch[i] != "ocr":
+                continue
+            for j in range(offsets[i] - base, offsets[i + 1] - base):
+                cols["url"].append(url)
+                cols["page"].append(int(pages_np[j]))
+                cols["word"].append(texts[j])
+                cols["l"].append(float(box_np[j, 0]))
+                cols["r"].append(float(box_np[j, 2]))
+                cols["b"].append(float(b_np[j]))
+        return pa.table(
+            {"url": pa.array(cols["url"], pa.string()),
+             "page": pa.array(cols["page"], pa.int32()),
+             "word": pa.array(cols["word"], pa.string()),
+             "l": pa.array(cols["l"], pa.float64()),
+             "r": pa.array(cols["r"], pa.float64()),
+             "b": pa.array(cols["b"], pa.float64())}
+        )
+
+    out.map_batches(spans_rows, batch_format="pyarrow").write_parquet(paths["ocr_spans"])
+
+    # -- a flat copy of the committed extraction output minus spans, so SQL
+    # can read the non-error url universe + text/branch without nested cols
+    xq.extract_summary(sf_dir).write_parquet(paths["summary"])
+
+    # -- LSH plane bank
+    from .embeddings import lsh_planes
+
+    planes = lsh_planes()
+    n_planes, dim = planes.shape
+    pq.write_table(
+        pa.table(
+            {"plane": pa.array(np.repeat(np.arange(n_planes), dim), pa.int32()),
+             "dim": pa.array(np.tile(np.arange(1, dim + 1), n_planes), pa.int32()),
+             "w": pa.array(planes.ravel(), pa.float64())}
+        ),
+        os.path.join(root, "planes.parquet"),
+    )
+
+    # -- IVF centroids + probe lists (mirror ann_ivf_topk's training exactly,
+    # numpy-only off the parquet)
+    emb = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    mat = np.array(emb.column("embedding").to_pylist(), dtype=np.float64)
+    ids = np.asarray(emb.column("vec_id").to_pylist())
+    order = np.argsort(ids, kind="stable")
+    from .embeddings import _kmeans
+
+    sample = mat[:2048]
+    centroids = _kmeans(sample, 16)
+    q_ids = ids[order][:8]
+    qmat = mat[order][:8]
+    qd = ((qmat[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+    probe = np.argsort(qd, axis=1)[:, :4]
+    n_cells, dim = centroids.shape
+    pq.write_table(
+        pa.table(
+            {"cell": pa.array(np.repeat(np.arange(n_cells), dim), pa.int32()),
+             "dim": pa.array(np.tile(np.arange(1, dim + 1), n_cells), pa.int32()),
+             "w": pa.array(centroids.ravel(), pa.float64())}
+        ),
+        os.path.join(root, "ivf.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {"query_id": pa.array(np.repeat(q_ids, 4).astype(np.int64), pa.int64()),
+             "cell": pa.array(probe.ravel(), pa.int32())}
+        ),
+        os.path.join(root, "ivf_probe.parquet"),
+    )
+
+    with open(done_marker, "w") as f:
+        f.write("ok")
+    return paths

@@ -182,3 +182,41 @@ def test_cluster_points_density_aware_bridge():
     assert sorted(len(c) for c in clusters) == [9, 9]
     # and identical blocks WITHOUT the bridge cluster the same way
     assert [len(c) for c in cluster_points(block_a + block_b)] == [9, 9]
+
+
+def test_cosine_lsh_recall_at_high_tau(ray_session, tmp_path):
+    """Recall guard for the multi-table LSH path (round-1 verdict #9): on a
+    corpus salted with true near-duplicates, LSH must recover >=90% of the
+    exact-scan pairs at tau=0.95. 8 tables x 8 hyperplanes give p ~ 1-(1-
+    (1-theta/pi)^8)^8 ~ 0.99 at cosine 0.95, so 0.9 leaves real margin."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.RandomState(3)
+    base = rng.randn(60, 64)
+    rows = []
+    vid = 0
+    for v in base:
+        rows.append((vid, v)); vid += 1
+        # a jittered near-duplicate: cosine vs the base typically > 0.99
+        rows.append((vid, v + 0.05 * rng.randn(64))); vid += 1
+    table = pa.table(
+        {"vec_id": pa.array([r[0] for r in rows], pa.int64()),
+         "embedding": pa.array([r[1].tolist() for r in rows],
+                               pa.list_(pa.float32())),
+         "label": pa.array([0] * len(rows), pa.int32())}
+    )
+    sf = tmp_path / "lsh_tier"
+    sf.mkdir()
+    pq.write_table(table, str(sf / "embeddings.parquet"))
+
+    from ocr_ray.ops.embeddings import cosine_dup_pairs, cosine_dup_pairs_lsh
+
+    exact = {(r["vec_a"], r["vec_b"]): r["cosine"]
+             for r in cosine_dup_pairs(str(sf)).take_all()}
+    truth = {p for p, c in exact.items() if c >= 0.95}
+    assert len(truth) >= 40  # the salted corpus produces real near-dups
+    lsh = {(r["vec_a"], r["vec_b"]) for r in cosine_dup_pairs_lsh(str(sf)).take_all()}
+    recall = len(truth & lsh) / len(truth)
+    assert recall >= 0.9, f"LSH recall {recall:.2f} on tau>=0.95 pairs"
