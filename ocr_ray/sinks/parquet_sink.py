@@ -205,8 +205,11 @@ def make_shard_writer(out_dir: str):
             pdir = os.path.join(partition_dir(out_dir, part), TMP_SHARDS)
             os.makedirs(pdir, exist_ok=True)
             name = os.path.join(pdir, f"shard-{uuid.uuid4().hex}.parquet")
-            # tmp shards are transient: skip compression + dictionary work
-            pq.write_table(sub, name + ".tmp", compression="none", use_dictionary=False)
+            # tmp shards are transient but the device is shared: snappy
+            # halves the write+read+discard volume of the storage shuffle
+            # for ~nothing (measured: the consolidate phase is disk-bound,
+            # flat ~11-18 s from 4 to 16 CPUs at 400k docs uncompressed)
+            pq.write_table(sub, name + ".tmp", compression="snappy", use_dictionary=False)
             os.replace(name + ".tmp", name)
             acks.append({"part": part, "n_rows": sub.num_rows})
         return pa.Table.from_pylist(
