@@ -87,6 +87,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pdf_export": l_ops.pdf_export,
         "word_index_pages": x_ops.word_index_pages,
         "page_texts": x_ops.page_texts_dump,
+        "es_bulk_payloads": x_ops.es_bulk_payloads,
     }
 
 

@@ -195,16 +195,43 @@ def run_scaling() -> None:
             time.sleep(2)
         time.sleep(5)
 
+    def wait_disk_settle(min_mbps: float = 250.0, max_wait: float = 240.0) -> None:
+        """Block until the device's write-token bucket has refilled.
+
+        Measured: the hypervisor throttles sustained writes from ~400 MB/s
+        down to ~110 MB/s and refills within ~30 s of idle. Each flagship
+        run writes ~1.2 GB, so whichever configuration runs LAST in a naive
+        loop samples a drained bucket and its efficiency number is garbage
+        (observed: identical binaries scoring 0.83 with a fresh bucket and
+        0.65 with a drained one)."""
+        probe_path = "/tmp/.graft_disk_probe"
+        deadline = time.time() + max_wait
+        while time.time() < deadline:
+            t0 = time.time()
+            subprocess.run(
+                ["dd", "if=/dev/zero", f"of={probe_path}", "bs=1M", "count=256",
+                 "conv=fdatasync"],
+                capture_output=True,
+            )
+            mbps = 256.0 / max(time.time() - t0, 1e-6)
+            try:
+                os.remove(probe_path)
+            except OSError:
+                pass
+            if mbps >= min_mbps:
+                return
+            time.sleep(20)
+
     have_taskset = shutil.which("taskset") is not None
     reps = int(os.environ.get("GRAFT_SCALING_REPS", "2"))
     results = {}
-    # best-of-N per configuration: this sandbox VM shows up to 2× run-to-run
-    # wall-clock noise (kernel migration-thread churn at idle), so a single
-    # sample of either size can invert the comparison
-    for cpus in SCALING_CPUS:
-        best = None
-        for rep in range(reps):
+    # best-of-N per configuration, INTERLEAVED (rep-major) so both cluster
+    # sizes sample the same ambient disk/VM state; this sandbox shows up to
+    # 2× run-to-run wall noise, so a single sample can invert the comparison
+    for rep in range(reps):
+        for cpus in SCALING_CPUS:
             wait_ray_teardown()
+            wait_disk_settle()
             env = dict(
                 os.environ,
                 RAY_GRAFT_CPUS=str(cpus),
@@ -220,9 +247,9 @@ def run_scaling() -> None:
             line = proc.stdout.strip().splitlines()[-1]
             run = json.loads(line)
             print(f"cpus={cpus} rep={rep}: {line}", file=sys.stderr)
+            best = results.get(cpus)
             if best is None or run["extract_docs_per_s"] > best["extract_docs_per_s"]:
-                best = run
-        results[cpus] = best
+                results[cpus] = run
 
     lo, hi = SCALING_CPUS
     t8 = results[lo]["extract_docs_per_s"]

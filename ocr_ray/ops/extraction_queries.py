@@ -406,6 +406,41 @@ def search_index_docs(sf_dir: str) -> ray.data.Dataset:
     return out.map_batches(build, batch_format="pyarrow")
 
 
+def es_bulk_payloads(sf_dir: str) -> ray.data.Dataset:
+    """Elasticsearch bulk-index payloads per page (W8 completed): the
+    search_index_docs doc shape paired with the reference's deterministic
+    page id (seeded-UUID4, file.py:233-237) and rendered as the NDJSON
+    action+document pair a ``_bulk`` POST consumes
+    (sinks/es_bulk.py; golden-snapshot oracle — the id derivation has no
+    SQL form). Idempotence: same path → same _id → re-index overwrites."""
+    from ..sinks.es_bulk import page_bulk_record
+
+    docs = search_index_docs(sf_dir)
+
+    def build(batch: pa.Table) -> pa.Table:
+        document = batch.column("document").to_pylist()
+        path = batch.column("path").to_pylist()
+        page = batch.column("page").to_pylist()
+        text = batch.column("text").to_pylist()
+        engine = batch.column("engine").to_pylist()
+        config = batch.column("config").to_pylist()
+        ids: list[str] = []
+        bulks: list[str] = []
+        for i in range(len(path)):
+            es_id, bulk = page_bulk_record(
+                document[i], path[i], page[i], text[i], engine[i], config[i]
+            )
+            ids.append(es_id)
+            bulks.append(bulk)
+        return pa.table(
+            {"path": pa.array(path, pa.string()),
+             "es_id": pa.array(ids, pa.string()),
+             "bulk": pa.array(bulks, pa.string())}
+        )
+
+    return docs.map_batches(build, batch_format="pyarrow")
+
+
 def branch_stats(sf_dir: str) -> ray.data.Dataset:
     """Extraction health rollup: per-branch doc/page/word/error counts."""
     import pandas as pd

@@ -35,6 +35,7 @@ GOLDEN_QUERIES = (
     "segmented_extract",
     "page_image_features",
     "pdf_export",
+    "es_bulk_payloads",
 )
 
 # Tokens: Python's \w+ with re.UNICODE ≈ RE2's [\p{L}\p{N}_]+ for our corpus
