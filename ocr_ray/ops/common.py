@@ -30,8 +30,25 @@ def from_pandas_clean(df: pd.DataFrame) -> pa.Table:
     return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)
 
 
+def clean_read_schema(path: str, columns: list[str] | None = None) -> pa.Schema:
+    """The file's schema, metadata-stripped and column-pruned. Passing this
+    to read_parquet makes every block carry a METADATA-FREE schema — the
+    driver-generated testdata parquet embeds pandas metadata whose dict
+    defeats Ray's schema-dedup cache on every block boundary (the 'Failed
+    to hash the schemas' warning + a repeated expensive unify)."""
+    import pyarrow.parquet as pq
+
+    schema = pq.read_schema(path).remove_metadata()
+    if columns:
+        schema = pa.schema([schema.field(c) for c in columns])
+    return schema
+
+
 def read_table(sf_dir: str, name: str, columns: list[str] | None = None) -> ray.data.Dataset:
-    return ray.data.read_parquet(f"{sf_dir}/{name}.parquet", columns=columns)
+    path = f"{sf_dir}/{name}.parquet"
+    return ray.data.read_parquet(
+        path, columns=columns, schema=clean_read_schema(path, columns)
+    )
 
 
 _PARTIAL_KINDS = {"sum", "count", "min", "max"}

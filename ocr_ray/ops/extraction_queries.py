@@ -78,7 +78,11 @@ def extraction_output(sf_dir: str, columns: list[str] | None = None) -> ray.data
         os.path.join(partition_dir(out_dir, p), SHARD_NAME)
         for p in sorted(committed_parts(out_dir))
     ]
-    return ray.data.read_parquet(shards, columns=columns)
+    from .common import clean_read_schema
+
+    return ray.data.read_parquet(
+        shards, columns=columns, schema=clean_read_schema(shards[0], columns)
+    )
 
 
 def extraction_output_streamed(sf_dir: str) -> ray.data.Dataset:
@@ -332,7 +336,17 @@ def extraction_similarity(sf_dir: str) -> ray.data.Dataset:
     take_all() (the round-1 verdict's scale sin #1)."""
     from ..kernels.textfn import similarity_ratio
 
-    pages = ray.data.read_parquet(pages_corpus(sf_dir), columns=["url", "text"])
+    from .common import clean_read_schema
+
+    corpus_dir = pages_corpus(sf_dir)
+    first = sorted(
+        os.path.join(corpus_dir, f) for f in os.listdir(corpus_dir)
+        if f.endswith(".parquet")
+    )[0]
+    pages = ray.data.read_parquet(
+        corpus_dir, columns=["url", "text"],
+        schema=clean_read_schema(first, ["url", "text"]),
+    )
     # latest-wins dedup happened in extraction; the crawler corpus still has
     # the recrawl rows, but text is identical per url so any match works —
     # dedup the small projection to keep the join 1:1

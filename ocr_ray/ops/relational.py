@@ -31,10 +31,16 @@ def pricing_summary(sf_dir: str):
     cutoff = pd.Timestamp(SHIPDATE_CUTOFF)
 
     def prep(batch: pa.Table) -> pa.Table:
-        df = batch.to_pandas()
-        df = df[df["l_shipdate"] <= cutoff]
-        df["disc_price"] = df["l_extendedprice"] * (1.0 - df["l_discount"])
-        return from_pandas_clean(df)
+        import pyarrow.compute as pc
+
+        batch = batch.filter(
+            pc.less_equal(batch.column("l_shipdate"), pa.scalar(cutoff))
+        )
+        disc = pc.multiply(
+            batch.column("l_extendedprice"),
+            pc.subtract(pa.scalar(1.0), batch.column("l_discount")),
+        )
+        return batch.append_column("disc_price", disc)
 
     ds = ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
 
@@ -216,9 +222,9 @@ def events_hourly(sf_dir: str):
     ds = read_table(sf_dir, "events", columns=["ts"])
 
     def hour(batch: pa.Table) -> pa.Table:
-        df = batch.to_pandas()
-        df["hour"] = df["ts"].dt.strftime("%H")
-        return from_pandas_clean(df[["hour"]])
+        import pyarrow.compute as pc
+
+        return pa.table({"hour": pc.strftime(batch.column("ts"), format="%H")})
 
     ds = ds.map_batches(hour, batch_format="pyarrow", zero_copy_batch=True)
 

@@ -56,8 +56,80 @@ def default_concurrency() -> int:
 
 def read_pages(input_path: str | list[str]) -> ray.data.Dataset:
     """Columns are NOT pruned: the flagship needs url/ts/html/lang (4 of 5);
-    narrower operators (ops/*) prune at their own read."""
-    return ray.data.read_parquet(input_path)
+    narrower operators (ops/*) prune at their own read. The schema is
+    metadata-stripped (ops.common.clean_read_schema) so block schemas stay
+    hashable for Ray's schema-dedup cache."""
+    from ..ops.common import clean_read_schema
+
+    probe = input_path if isinstance(input_path, str) else input_path[0]
+    try:
+        import os
+
+        if os.path.isdir(probe):
+            cand = sorted(
+                f for f in os.listdir(probe) if f.endswith(".parquet")
+            )
+            probe = os.path.join(probe, cand[0]) if cand else probe
+        schema = clean_read_schema(probe)
+    except Exception:
+        schema = None
+    return ray.data.read_parquet(input_path, schema=schema)
+
+
+# Consolidation parallelism scales with output size: one task per partition,
+# so a fixed part count caps phase-2 parallelism and fattens per-task state.
+# ~32 MB of input per partition keeps consolidation tasks cache-friendly
+# while the floor preserves the historical 64-part layout at test scales
+# (same inputs → same part ids → stable lineage and resume).
+TARGET_PART_INPUT_BYTES = 32 << 20
+MAX_NUM_PARTS = 4096
+
+
+def choose_num_parts(input_path: str | list[str]) -> int:
+    """Deterministic partition count from the input's on-disk size (local
+    paths only; non-local or unstatable inputs keep the default). The value
+    must be a pure function of the INPUT so a resumed job recomputes the
+    same partitioning."""
+    import os
+
+    paths = [input_path] if isinstance(input_path, str) else list(input_path)
+    total = 0
+    try:
+        for p in paths:
+            if os.path.isdir(p):
+                for name in os.listdir(p):
+                    if name.endswith(".parquet"):
+                        total += os.path.getsize(os.path.join(p, name))
+            elif os.path.isfile(p):
+                total += os.path.getsize(p)
+    except OSError:
+        return DEFAULT_NUM_PARTS
+    if total <= 0:
+        return DEFAULT_NUM_PARTS
+    return max(DEFAULT_NUM_PARTS, min(MAX_NUM_PARTS, total // TARGET_PART_INPUT_BYTES))
+
+
+def check_sink_reachability(out_dir: str) -> None:
+    """The two-phase sink shuffles THROUGH STORAGE: every extraction task
+    appends shards under out_dir and consolidation tasks on any node must
+    see them, so on a multi-node cluster out_dir MUST be a shared
+    filesystem (NFS/FSx/GCS-fuse/...). Single-node (this sandbox) is always
+    fine; on multiple nodes we require the operator to acknowledge with
+    OCR_RAY_SHARED_FS=1 rather than silently losing shards."""
+    import os
+
+    try:
+        import ray as _ray
+
+        n_nodes = len([n for n in _ray.nodes() if n.get("Alive")])
+    except Exception:
+        n_nodes = 1
+    if n_nodes > 1 and os.environ.get("OCR_RAY_SHARED_FS") != "1":
+        raise RuntimeError(
+            f"multi-node cluster ({n_nodes} nodes) but {out_dir!r} is not "
+            "declared shared: the storage-shuffle sink requires a shared "
+            "filesystem across nodes. Mount one and set OCR_RAY_SHARED_FS=1."
+        )
 
 
 def extract_dataset(
@@ -178,13 +250,20 @@ def run_extract(
     out_dir: str,
     config: OcrConfig | None = None,
     settings: ExtractSettings = DEFAULT_SETTINGS,
-    num_parts: int = DEFAULT_NUM_PARTS,
+    num_parts: int | None = None,
     resume: bool = True,
     batch_size: int = DEFAULT_BATCH_SIZE,
     concurrency=None,
     sink: str = "sharded",
 ):
-    """Run the flagship pipeline end-to-end into the resumable sink."""
+    """Run the flagship pipeline end-to-end into the resumable sink.
+
+    ``num_parts=None`` auto-scales the partition count with the input size
+    (:func:`choose_num_parts`) — deterministic per input, so resume sees the
+    same partitioning."""
+    if num_parts is None:
+        num_parts = choose_num_parts(input_path)
+    check_sink_reachability(out_dir)
     done = committed_parts(out_dir) if resume else frozenset()
     ds = read_pages(input_path)
     ds = extract_dataset(

@@ -129,3 +129,42 @@ def test_cached_extraction_output_matches_streamed(ray_session):
     for col in ("url", "text", "n_pages", "n_words", "error", "branch"):
         assert cached[col].tolist() == streamed[col].tolist(), col
     assert [len(s) for s in cached["spans"]] == [len(s) for s in streamed["spans"]]
+
+
+def test_choose_num_parts_scales_with_input(tmp_path):
+    from ocr_ray.pipelines.extract import (
+        DEFAULT_NUM_PARTS, MAX_NUM_PARTS, choose_num_parts,
+    )
+
+    # small / missing inputs keep the historical default layout
+    assert choose_num_parts(str(tmp_path)) == DEFAULT_NUM_PARTS
+    assert choose_num_parts("/nonexistent/path") == DEFAULT_NUM_PARTS
+    small = tmp_path / "a.parquet"
+    small.write_bytes(b"x" * 1024)
+    assert choose_num_parts(str(small)) == DEFAULT_NUM_PARTS
+    # large inputs grow ~1 part per 32 MB, capped
+    big = tmp_path / "big.parquet"
+    big.write_bytes(b"")
+    import os
+
+    os.truncate(big, 10 << 30)  # sparse 10 GB
+    assert choose_num_parts(str(big)) == (10 << 30) // (32 << 20)
+    os.truncate(big, 1 << 40)  # sparse 1 TB
+    assert choose_num_parts(str(big)) == MAX_NUM_PARTS
+
+
+def test_sink_reachability_guard(ray_session, monkeypatch):
+    from ocr_ray.pipelines import extract as ex
+
+    # single node: always fine
+    ex.check_sink_reachability("/tmp/whatever")
+    # fake a 4-node cluster: must demand the shared-fs acknowledgement
+    import ray as _ray
+
+    monkeypatch.setattr(_ray, "nodes", lambda: [{"Alive": True}] * 4)
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="shared"):
+        ex.check_sink_reachability("/tmp/whatever")
+    monkeypatch.setenv("OCR_RAY_SHARED_FS", "1")
+    ex.check_sink_reachability("/tmp/whatever")
