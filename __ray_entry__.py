@@ -88,6 +88,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "word_index_pages": x_ops.word_index_pages,
         "page_texts": x_ops.page_texts_dump,
         "es_bulk_payloads": x_ops.es_bulk_payloads,
+        "host_doc_counts": x_ops.host_doc_counts,
+        "length_percentiles": d_ops.length_percentiles,
     }
 
 

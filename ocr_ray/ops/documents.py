@@ -96,6 +96,49 @@ def word_frequency(sf_dir: str, top_k: int = 100):
     return grouped_agg(ds, keys=["word"], specs=[("n", "sum", "n")], finalize=fin)
 
 
+PERCENTILE_QS = (0.25, 0.5, 0.75, 0.9, 0.99)
+
+
+def length_percentiles(sf_dir: str):
+    """EXACT doc-length percentiles computed scale-safely: per-batch value
+    histograms (combiner), one small grouped sum keyed by the value, then a
+    cumulative scan over the tiny histogram on the driver. No global sort,
+    no sampling — the shuffle moves one row per distinct length per block.
+    Definition: p(q) = smallest v whose cumulative count ≥ ceil(q·n)
+    (recomputed identically in the SQL oracle)."""
+    import math
+
+    import pyarrow.compute as pc
+
+    ds = read_table(sf_dir, "documents", columns=["n_chars"])
+
+    def hist(batch: pa.Table) -> pa.Table:
+        counts = batch.column("n_chars").value_counts()
+        return pa.table(
+            {"v": counts.field("values"),
+             "c": pc.cast(counts.field("counts"), pa.int64())}
+        )
+
+    ds = ds.map_batches(hist, batch_format="pyarrow", zero_copy_batch=True)
+    merged = grouped_agg(ds, keys=["v"], specs=[("c", "sum", "c")])
+    rows = sorted(merged.take_all(), key=lambda r: r["v"])
+    n = sum(r["c"] for r in rows)
+    out_q: list[float] = []
+    out_v: list[int] = []
+    for q in PERCENTILE_QS:
+        target = math.ceil(q * n)
+        cum = 0
+        for r in rows:
+            cum += r["c"]
+            if cum >= target:
+                out_q.append(q)
+                out_v.append(int(r["v"]))
+                break
+    return pa.table(
+        {"q": pa.array(out_q, pa.float64()), "n_chars": pa.array(out_v, pa.int64())}
+    )
+
+
 def exact_dedup(sf_dir: str):
     """Exact text dedup: md5(text) groups → keep min doc_id + copy count
     (the D1 analogue on the documents table)."""

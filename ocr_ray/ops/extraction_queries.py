@@ -420,6 +420,39 @@ def search_index_docs(sf_dir: str) -> ray.data.Dataset:
     return out.map_batches(build, batch_format="pyarrow")
 
 
+def host_doc_counts(sf_dir: str) -> ray.data.Dataset:
+    """Per-host rollup over the extraction output — the north-star's
+    "skewed hosts" concern in operator form. Hot hosts cannot skew this
+    aggregation: the per-batch combiner collapses each host to ONE partial
+    row per block before the exchange, so a host with 10^9 pages ships
+    #blocks rows, not 10^9 (ops.common.grouped_agg). Oracle: SQL rollup
+    over the summary artifact with split_part()."""
+    import pyarrow.compute as pc
+
+    from .common import grouped_agg
+
+    out = extraction_output(sf_dir, columns=["url", "error"])
+
+    def host_rows(batch: pa.Table) -> pa.Table:
+        parts = pc.split_pattern(batch.column("url"), pattern="/")
+        host = pc.list_element(parts, 2)
+        is_err = pc.cast(pc.is_valid(batch.column("error")), pa.int32())
+        return pa.table({"host": host, "is_err": is_err})
+
+    ds = out.map_batches(host_rows, batch_format="pyarrow", zero_copy_batch=True)
+
+    import pandas as pd
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values("host").reset_index(drop=True)
+
+    return grouped_agg(
+        ds, keys=["host"],
+        specs=[("n_docs", "count", None), ("n_errors", "sum", "is_err")],
+        finalize=fin,
+    )
+
+
 def es_bulk_payloads(sf_dir: str) -> ray.data.Dataset:
     """Elasticsearch bulk-index payloads per page (W8 completed): the
     search_index_docs doc shape paired with the reference's deterministic

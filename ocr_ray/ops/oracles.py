@@ -466,6 +466,32 @@ def extra_oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
           AND url NOT IN (SELECT DISTINCT url FROM read_parquet('{page_texts}'))
     """
 
+    # ------------------------------------------ artifact: host_doc_counts
+    sql["host_doc_counts"] = f"""
+        SELECT split_part(url, '/', 3) AS host,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(CASE WHEN error IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS n_errors
+        FROM read_parquet('{summary}')
+        GROUP BY 1 ORDER BY 1
+    """
+
+    # -------------------------------------- direct: length_percentiles
+    from .documents import PERCENTILE_QS
+
+    qs_values = ", ".join(f"({q})" for q in PERCENTILE_QS)
+    sql["length_percentiles"] = f"""
+        WITH h AS (
+            SELECT n_chars AS v, CAST(COUNT(*) AS BIGINT) AS c
+            FROM documents GROUP BY 1
+        ),
+        t AS (SELECT v, SUM(c) OVER (ORDER BY v) AS cum FROM h),
+        n AS (SELECT COUNT(*) AS n FROM documents),
+        qs(q) AS (VALUES {qs_values})
+        SELECT q, CAST(MIN(v) AS BIGINT) AS n_chars
+        FROM qs, t, n WHERE t.cum >= ceil(q * n.n)
+        GROUP BY q ORDER BY q
+    """
+
     # --------------------------------------------- artifact: branch_stats
     sql["branch_stats"] = f"""
         SELECT branch, CAST(COUNT(*) AS BIGINT) AS n_docs,
