@@ -90,6 +90,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "es_bulk_payloads": x_ops.es_bulk_payloads,
         "host_doc_counts": x_ops.host_doc_counts,
         "length_percentiles": d_ops.length_percentiles,
+        "training_corpus": d_ops.training_corpus,
     }
 
 

@@ -383,6 +383,100 @@ def ngram_verified_pairs(sf_dir: str):
     return with_ab.map_batches(verify, batch_format="pyarrow")
 
 
+TRAINING_MIN_QUALITY = 0.5
+# the documents table's declared-language codes (TESTDATA.md), not the
+# tesseract 3-letter specs the OCR config uses
+TRAINING_LANGS = ("en", "es", "de")
+
+
+def training_corpus(sf_dir: str):
+    """The end-to-end training-data selection pipeline, composed from the
+    engine's own operators — the capstone of the LLM-data suite:
+
+        exact-dedup winners  (md5 groups → min doc_id)
+      ∖ near-duplicates      (MinHash-LSH pairs: every doc_b drops)
+      ∩ quality ≥ τ          (Gopher/C4-style composite score)
+      ∩ language allowlist
+
+    Scale shape: the winner set and the drop set are each produced by the
+    already-bucketed dedup operators and joined back by doc_id hash
+    (``Dataset.join``) — no broadcast of anything corpus-sized; the filters
+    are per-batch. Fully SQL-oracle-checked (the oracle recomposes the
+    same stages from the shared sketch/quality CTEs)."""
+    import pyarrow.compute as pc
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "lang", "text"])
+
+    def feats(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        scores = []
+        n_tokens = []
+        for t in texts:
+            f = textstats.quality_features(t)
+            scores.append(f["quality_score"])
+            n_tokens.append(textstats.token_count_ws(t))
+        return pa.table(
+            {"doc_id": batch.column("doc_id"),
+             "lang": batch.column("lang"),
+             "n_tokens": pa.array(n_tokens, pa.int64()),
+             "score_raw": pa.array(scores, pa.float64())}
+        )
+
+    feats_ds = docs.map_batches(feats, batch_format="pyarrow", zero_copy_batch=True)
+
+    winners = exact_dedup(sf_dir).map_batches(
+        lambda b: pa.table({"keep_doc": b.column("keep_id")}),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    drops = distinct(
+        minhash_dup_pairs(sf_dir).map_batches(
+            lambda b: pa.table({"drop_doc": b.column("doc_b")}),
+            batch_format="pyarrow", zero_copy_batch=True,
+        ),
+        ["drop_doc"],
+    ).map_batches(
+        lambda b: b.append_column(
+            "dropped", pa.array([1] * b.num_rows, pa.int8())
+        ),
+        batch_format="pyarrow",
+    )
+
+    kept = feats_ds.join(
+        winners, join_type="inner", num_partitions=8,
+        on=("doc_id",), right_on=("keep_doc",),
+    )
+    marked = kept.join(
+        drops, join_type="left_outer", num_partitions=8,
+        on=("doc_id",), right_on=("drop_doc",),
+    )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.is_null(batch.column("dropped")),
+            pc.and_(
+                pc.greater_equal(batch.column("score_raw"),
+                                 pa.scalar(TRAINING_MIN_QUALITY)),
+                pc.is_in(batch.column("lang"),
+                         value_set=pa.array(TRAINING_LANGS)),
+            ),
+        )
+        batch = batch.filter(keep)
+        import numpy as np
+
+        score = pa.array(
+            [round(v, 4) for v in batch.column("score_raw").to_pylist()],
+            pa.float64(),
+        )
+        return pa.table(
+            {"doc_id": batch.column("doc_id"),
+             "lang": batch.column("lang"),
+             "n_tokens": batch.column("n_tokens"),
+             "quality_score": score}
+        )
+
+    return marked.map_batches(finalize, batch_format="pyarrow")
+
+
 def spell_flag(sf_dir: str):
     """Dictionary-membership semi-join (SURVEY.md J1): the dictionary (all
     stopword profiles) is broadcast once via ray.put; per doc, count tokens

@@ -112,6 +112,44 @@ def _sketch_ctes() -> str:
     """
 
 
+
+QUALITY_SCORE_EXPR = """1.0
+                     * (CASE WHEN n_words < 10 THEN 0.2 ELSE 1.0 END)
+                     * (CASE WHEN mean_word_len BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.3 END)
+                     * (CASE WHEN punct_ratio > 0.2 THEN 0.5 ELSE 1.0 END)
+                     * (CASE WHEN upper_ratio > 0.3 THEN 0.5 ELSE 1.0 END)
+                     * (CASE WHEN stop_ratio < 0.05 AND n_words >= 10 THEN 0.5 ELSE 1.0 END)"""
+
+
+def _quality_ctes(union_words: str) -> str:
+    """CTEs f (raw counts) and g (ratios) shared by quality_scores and
+    training_corpus — g feeds QUALITY_SCORE_EXPR."""
+    return f"""
+        f AS (
+            SELECT doc_id,
+                   length(text) AS n_chars,
+                   regexp_extract_all(text, '\\S+') AS words,
+                   len(regexp_extract_all(text, '{PUNCT_RE_SQL}')) AS n_punct,
+                   len(regexp_extract_all(text, '[\\p{{Lu}}]')) AS n_upper,
+                   len(regexp_extract_all(text, '[\\p{{L}}]')) AS n_alpha
+            FROM documents
+        ),
+        g AS (
+            SELECT doc_id, n_chars, len(words) AS n_words,
+                   CASE WHEN len(words) > 0
+                        THEN list_sum(list_transform(words, w -> length(w))) * 1.0 / len(words)
+                        ELSE 0.0 END AS mean_word_len,
+                   CASE WHEN n_chars > 0 THEN n_punct * 1.0 / n_chars ELSE 0.0 END AS punct_ratio,
+                   CASE WHEN n_alpha > 0 THEN n_upper * 1.0 / n_alpha ELSE 0.0 END AS upper_ratio,
+                   CASE WHEN len(words) > 0
+                        THEN len(list_filter(words,
+                             w -> list_contains({union_words},
+                                  lower(trim(w, '.,;:!?"\'\'()[]'))))) * 1.0 / len(words)
+                        ELSE 0.0 END AS stop_ratio
+            FROM f
+        )"""
+
+
 def golden_oracles() -> dict[str, str]:
     out = {}
     for name in GOLDEN_QUERIES:
@@ -180,41 +218,40 @@ def extra_oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
     # ------------------------------------------------- direct: quality_scores
     union_words = _values_list(dictionary_words())
     sql["quality_scores"] = f"""
-        WITH f AS (
-            SELECT doc_id,
-                   length(text) AS n_chars,
-                   regexp_extract_all(text, '\\S+') AS words,
-                   len(regexp_extract_all(text, '{PUNCT_RE_SQL}')) AS n_punct,
-                   len(regexp_extract_all(text, '[\\p{{Lu}}]')) AS n_upper,
-                   len(regexp_extract_all(text, '[\\p{{L}}]')) AS n_alpha
-            FROM documents
-        ),
-        g AS (
-            SELECT doc_id, n_chars, len(words) AS n_words,
-                   CASE WHEN len(words) > 0
-                        THEN list_sum(list_transform(words, w -> length(w))) * 1.0 / len(words)
-                        ELSE 0.0 END AS mean_word_len,
-                   CASE WHEN n_chars > 0 THEN n_punct * 1.0 / n_chars ELSE 0.0 END AS punct_ratio,
-                   CASE WHEN n_alpha > 0 THEN n_upper * 1.0 / n_alpha ELSE 0.0 END AS upper_ratio,
-                   CASE WHEN len(words) > 0
-                        THEN len(list_filter(words,
-                             w -> list_contains({union_words},
-                                  lower(trim(w, '.,;:!?"''()[]'))))) * 1.0 / len(words)
-                        ELSE 0.0 END AS stop_ratio
-            FROM f
-        )
+        WITH {_quality_ctes(union_words)}
         SELECT doc_id, n_chars, CAST(n_words AS BIGINT) AS n_words,
                round_even(mean_word_len, 4) AS mean_word_len,
                round_even(punct_ratio, 4) AS punct_ratio,
                round_even(stop_ratio, 4) AS stop_ratio,
-               round_even(1.0
-                     * (CASE WHEN n_words < 10 THEN 0.2 ELSE 1.0 END)
-                     * (CASE WHEN mean_word_len BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.3 END)
-                     * (CASE WHEN punct_ratio > 0.2 THEN 0.5 ELSE 1.0 END)
-                     * (CASE WHEN upper_ratio > 0.3 THEN 0.5 ELSE 1.0 END)
-                     * (CASE WHEN stop_ratio < 0.05 AND n_words >= 10 THEN 0.5 ELSE 1.0 END),
-                     4) AS quality_score
+               round_even({QUALITY_SCORE_EXPR}, 4) AS quality_score
         FROM g ORDER BY doc_id
+    """
+
+    # ------------------------------------------- direct: training_corpus
+    from .documents import TRAINING_LANGS, TRAINING_MIN_QUALITY
+
+    langs_list = ", ".join(f"'{l}'" for l in TRAINING_LANGS)
+    sql["training_corpus"] = f"""
+        WITH {_sketch_ctes()},
+        {_quality_ctes(union_words)},
+        winners AS (
+            SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+        ),
+        drops AS (SELECT DISTINCT doc_b AS doc_id FROM minhash_pairs),
+        meta AS (
+            SELECT doc_id, lang,
+                   CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens
+            FROM documents
+        )
+        SELECT g.doc_id, meta.lang, meta.n_tokens,
+               round_even({QUALITY_SCORE_EXPR}, 4) AS quality_score
+        FROM g
+        JOIN meta ON meta.doc_id = g.doc_id
+        JOIN winners ON winners.doc_id = g.doc_id
+        WHERE g.doc_id NOT IN (SELECT doc_id FROM drops)
+          AND ({QUALITY_SCORE_EXPR}) >= {TRAINING_MIN_QUALITY}
+          AND meta.lang IN ({langs_list})
+        ORDER BY g.doc_id
     """
 
     # --------------------------------------------- direct: minhash_dup_pairs
