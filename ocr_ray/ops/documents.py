@@ -167,8 +167,8 @@ def exact_dedup(sf_dir: str):
 
 
 def language_id(sf_dir: str):
-    """Heuristic stopword language-ID per doc (kernels.textstats); non-SQL
-    (rows-only check)."""
+    """Heuristic stopword language-ID per doc (kernels.textstats).
+    Oracle: the stopword-hit argmax recomputed in SQL (ops/oracles.py)."""
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text", "lang"])
 
     def f(batch: pa.Table) -> pa.Table:
@@ -461,8 +461,6 @@ def training_corpus(sf_dir: str):
             ),
         )
         batch = batch.filter(keep)
-        import numpy as np
-
         score = pa.array(
             [round(v, 4) for v in batch.column("score_raw").to_pylist()],
             pa.float64(),
