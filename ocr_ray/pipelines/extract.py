@@ -212,7 +212,10 @@ def run_sink(
     acks = ds.map_batches(
         make_shard_writer(out_dir),
         batch_format="pyarrow",
-        batch_size=8192,  # large batches → one decent-sized file per part
+        # batches split per part: 32k rows / 64 parts ≈ 500-row shard files.
+        # Smaller batches quadruple the tmp-file count (parquet footer
+        # overhead + one TRIM per delete on discard-mounted ext4)
+        batch_size=32768,
         zero_copy_batch=True,
     ).materialize()
     stats = acks.stats()
@@ -237,9 +240,17 @@ def run_sink(
             ]
         )
 
+    # num_cpus=2 caps consolidation at CPUs/2 concurrent tasks — the same
+    # law as the extraction actor pool (default_concurrency): memory- and
+    # I/O-heavy work running full-width on this VM collapses (measured at
+    # 1M docs: a full-width wave right after phase 1 ran 100-180 s/task —
+    # competing with ~2 GB of tmp-shard writeback on a drained device
+    # token bucket — while a half-width pool on a settled device takes
+    # 3.6 s/task). Half width costs nothing when the device is healthy
+    # (64 tasks × 3.6 s / 16 ≈ 14 s) and bounds the damage when it isn't.
     manifests = (
         rd.from_items([{"part": p} for p in touched], override_num_blocks=max(1, len(touched)))
-        .map_batches(consolidate, batch_size=1)
+        .map_batches(consolidate, batch_size=1, num_cpus=2)
         .materialize()
     )
     return manifests, stats + "\n" + manifests.stats()

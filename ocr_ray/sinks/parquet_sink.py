@@ -110,7 +110,7 @@ def make_partition_writer(out_dir: str, input_path: str = ""):
         os.makedirs(pdir, exist_ok=True)
         shard = os.path.join(pdir, SHARD_NAME)
         tmp = shard + ".tmp"
-        pq.write_table(group, tmp)
+        pq.write_table(group, tmp, compression="zstd")
         with open(tmp, "rb") as f:
             _maybe_fsync(f)
         os.replace(tmp, shard)
@@ -243,7 +243,7 @@ def consolidate_partition(out_dir: str, part: int, input_path: str = "") -> dict
         group = unpack_wire_batch(group)
     shard = os.path.join(pdir, SHARD_NAME)
     tmp = shard + ".tmp"
-    pq.write_table(group, tmp)
+    pq.write_table(group, tmp, compression="zstd")
     with open(tmp, "rb") as f:
         _maybe_fsync(f)
     os.replace(tmp, shard)
