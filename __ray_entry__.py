@@ -91,6 +91,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_doc_counts": x_ops.host_doc_counts,
         "length_percentiles": d_ops.length_percentiles,
         "training_corpus": d_ops.training_corpus,
+        "boilerplate_line_dedup": x_ops.boilerplate_line_dedup,
     }
 
 

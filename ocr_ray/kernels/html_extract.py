@@ -44,6 +44,17 @@ BLOCK_TAGS = frozenset(
 
 HEADING_TAGS = frozenset({"h1", "h2", "h3", "h4", "h5", "h6"})
 
+# Tags whose content a browser never renders as page text. The difference
+# vs DROP_TAGS (nav/header/footer/aside/form/...) is exactly the VISIBLE
+# boilerplate that per-document heuristics strip by position — and that the
+# corpus-frequency pass (extract_lines_naive + ops.extraction_queries.
+# boilerplate_line_dedup) strips by repetition instead.
+INVISIBLE_TAGS = frozenset(
+    {"head", "script", "style", "noscript", "template", "svg", "iframe",
+     "object", "embed", "applet", "audio", "video", "canvas", "map",
+     "datalist"}
+)
+
 
 @dataclass(frozen=True)
 class ExtractSettings:
@@ -90,13 +101,14 @@ class _Block:
 
 
 class _ContentParser(HTMLParser):
-    def __init__(self):
+    def __init__(self, drop_tags: frozenset = DROP_TAGS):
         super().__init__(convert_charrefs=True)
         self.blocks: list[_Block] = []
         self._cur = _Block("body")
         self._drop_depth = 0
         self._link_depth = 0
         self._drop_stack: list[str] = []
+        self._drop_tags = drop_tags
 
     def _flush(self, next_tag: str) -> None:
         if not self._cur.is_empty:
@@ -105,15 +117,15 @@ class _ContentParser(HTMLParser):
 
     def handle_starttag(self, tag, attrs):
         if self._drop_depth:
-            if tag in DROP_TAGS and tag == self._drop_stack[-1]:
+            if tag in self._drop_tags and tag == self._drop_stack[-1]:
                 # nested same-tag drop region
                 self._drop_stack.append(tag)
                 self._drop_depth += 1
-            elif tag in DROP_TAGS:
+            elif tag in self._drop_tags:
                 self._drop_stack.append(tag)
                 self._drop_depth += 1
             return
-        if tag in DROP_TAGS:
+        if tag in self._drop_tags:
             self._drop_depth = 1
             self._drop_stack = [tag]
             return
@@ -193,14 +205,16 @@ _RAW_CLOSE = {
 class _TokenSink:
     """Re-implements _ContentParser's event handling over the token scan."""
 
-    __slots__ = ("blocks", "_cur", "_drop_depth", "_drop_stack", "_link_depth")
+    __slots__ = ("blocks", "_cur", "_drop_depth", "_drop_stack", "_link_depth",
+                 "_drop_tags")
 
-    def __init__(self):
+    def __init__(self, drop_tags: frozenset = DROP_TAGS):
         self.blocks: list[_Block] = []
         self._cur = _Block("body")
         self._drop_depth = 0
         self._drop_stack: list[str] = []
         self._link_depth = 0
+        self._drop_tags = drop_tags
 
     handle_starttag = _ContentParser.handle_starttag
     handle_startendtag = _ContentParser.handle_startendtag
@@ -268,3 +282,37 @@ def extract_text(html: str, settings: ExtractSettings = DEFAULT_SETTINGS) -> str
     """HTML string → main-content text with the shared assembly semantics."""
     pars = extract_blocks(html, settings)
     return "\n\n".join("\n".join(" ".join(line) for line in lines) for lines in pars).strip()
+
+
+def _lines_from_blocks(blocks: list[_Block]) -> list[tuple[int, int, str]]:
+    out: list[tuple[int, int, str]] = []
+    par_no = 0
+    for block in blocks:
+        word_lines = block.word_lines()
+        if not word_lines:
+            continue
+        for line_no, words in enumerate(word_lines):
+            out.append((par_no, line_no, " ".join(words)))
+        par_no += 1
+    return out
+
+
+def extract_lines_naive(html: str) -> list[tuple[int, int, str]]:
+    """ALL visible text as (par_no, line_no, line) — no block scoring, and
+    only truly invisible containers dropped (INVISIBLE_TAGS), so nav/header/
+    footer boilerplate IS included. This is the per-document stage of the
+    corpus-frequency boilerplate remover (CCNet-style: lines repeated across
+    many documents are template chrome; see ops.extraction_queries.
+    boilerplate_line_dedup). Paragraph/line numbering mirrors
+    extract_blocks' blocks→word_lines structure."""
+    sink = _TokenSink(drop_tags=INVISIBLE_TAGS)
+    _scan(html, sink)
+    return _lines_from_blocks(sink.finish())
+
+
+def extract_lines_naive_stdlib(html: str) -> list[tuple[int, int, str]]:
+    """Stdlib-HTMLParser twin of extract_lines_naive (cross-check tests)."""
+    parser = _ContentParser(drop_tags=INVISIBLE_TAGS)
+    parser.feed(html)
+    parser.close()
+    return _lines_from_blocks(parser.finish())

@@ -453,6 +453,141 @@ def host_doc_counts(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+# Corpus-frequency boilerplate threshold: a line occurring in >= this many
+# page records is template chrome (CCNet-style paragraph dedup, applied at
+# line granularity). Small enough to trip on every test tier, large enough
+# that the 5% url re-crawl duplication (2 copies) never blocks content.
+BOILERPLATE_MIN_DF = 5
+
+
+def _pages_pruned(sf_dir: str, columns: list[str]) -> ray.data.Dataset:
+    from .common import clean_read_schema
+
+    corpus = pages_corpus(sf_dir)
+    probe = os.path.join(
+        corpus, sorted(f for f in os.listdir(corpus) if f.endswith(".parquet"))[0]
+    )
+    return ray.data.read_parquet(
+        corpus, columns=columns, schema=clean_read_schema(probe, columns)
+    )
+
+
+def naive_page_lines(sf_dir: str) -> ray.data.Dataset:
+    """Per-record naive visible lines of the html-branch pages:
+    (url, warc_ts, par_no, line_no, line) with NO block scoring and visible
+    boilerplate containers (nav/header/footer/...) KEPT — the per-document
+    stage of boilerplate_line_dedup, and its oracle artifact. (url, warc_ts)
+    is the unique record key: re-crawled urls appear once per crawl."""
+    from ..extract_core import route
+    from ..kernels.html_extract import extract_lines_naive
+
+    ds = _pages_pruned(sf_dir, ["url", "warc_ts", "html"])
+
+    def line_rows(batch: pa.Table) -> pa.Table:
+        ts_type = batch.schema.field("warc_ts").type
+        urls = batch.column("url").to_pylist()
+        ts = batch.column("warc_ts").to_pylist()
+        payloads = batch.column("html").to_pylist()
+        cols: dict[str, list] = {
+            "url": [], "warc_ts": [], "par_no": [], "line_no": [], "line": []
+        }
+        for i, data in enumerate(payloads):
+            if route(data) != "html":
+                continue
+            markup = data.decode("utf-8", errors="replace")
+            for par_no, line_no, line in extract_lines_naive(markup):
+                cols["url"].append(urls[i])
+                cols["warc_ts"].append(ts[i])
+                cols["par_no"].append(par_no)
+                cols["line_no"].append(line_no)
+                cols["line"].append(line)
+        return pa.table(
+            {"url": pa.array(cols["url"], pa.string()),
+             "warc_ts": pa.array(cols["warc_ts"], ts_type),
+             "par_no": pa.array(cols["par_no"], pa.int32()),
+             "line_no": pa.array(cols["line_no"], pa.int32()),
+             "line": pa.array(cols["line"], pa.string())}
+        )
+
+    return ds.map_batches(line_rows, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def boilerplate_line_dedup(sf_dir: str) -> ray.data.Dataset:
+    """Corpus-level boilerplate removal (CCNet-style): strip lines whose
+    occurrence count across the whole crawl is >= BOILERPLATE_MIN_DF — the
+    frequency-based complement of the per-document DOM heuristics (a line
+    repeated on thousands of pages is template chrome no matter how it
+    scores locally).
+
+    Scale shape — two streaming passes, no line-level shuffle:
+    1. count: per-batch partial counts (ops.common.grouped_agg combiner)
+       → small groupby-sum exchange → filter df >= K BEFORE collecting, so
+       only the hot lines (the blocklist) ever reach the driver;
+    2. rebuild: the blocklist is ray.put ONCE and read from the object
+       store by every task; each record re-derives its naive lines and
+       drops blocked ones (recompute beats materializing the line table —
+       CCNet's own two-pass design).
+    Output: (url, warc_ts, text, n_lines, n_dropped); empty pars vanish,
+    all-blocked docs keep an empty-text row. Oracle: SQL recomputation of
+    count+filter+reassembly from the naive_lines artifact."""
+    import pyarrow.compute as pc
+
+    from ..extract_core import route
+    from ..kernels.html_extract import extract_lines_naive
+    from .common import grouped_agg
+
+    counts = grouped_agg(
+        naive_page_lines(sf_dir).select_columns(["line"]),
+        keys=["line"], specs=[("df", "count", None)],
+    )
+    hot = counts.map_batches(
+        lambda b: b.filter(pc.greater_equal(b.column("df"), BOILERPLATE_MIN_DF)),
+        batch_format="pyarrow",
+    )
+    blocked_ref = ray.put(frozenset(r["line"] for r in hot.take_all()))
+
+    ds = _pages_pruned(sf_dir, ["url", "warc_ts", "html"])
+
+    def rebuild(batch: pa.Table) -> pa.Table:
+        blocked = ray.get(blocked_ref)
+        ts_type = batch.schema.field("warc_ts").type
+        urls = batch.column("url").to_pylist()
+        ts = batch.column("warc_ts").to_pylist()
+        payloads = batch.column("html").to_pylist()
+        cols: dict[str, list] = {
+            "url": [], "warc_ts": [], "text": [], "n_lines": [], "n_dropped": []
+        }
+        for i, data in enumerate(payloads):
+            if route(data) != "html":
+                continue
+            lines = extract_lines_naive(data.decode("utf-8", errors="replace"))
+            if not lines:
+                continue
+            pars: dict[int, list[str]] = {}
+            n_dropped = 0
+            for par_no, _line_no, line in lines:
+                if line in blocked:
+                    n_dropped += 1
+                else:
+                    pars.setdefault(par_no, []).append(line)
+            cols["url"].append(urls[i])
+            cols["warc_ts"].append(ts[i])
+            cols["text"].append(
+                "\n\n".join("\n".join(v) for _, v in sorted(pars.items()))
+            )
+            cols["n_lines"].append(len(lines))
+            cols["n_dropped"].append(n_dropped)
+        return pa.table(
+            {"url": pa.array(cols["url"], pa.string()),
+             "warc_ts": pa.array(cols["warc_ts"], ts_type),
+             "text": pa.array(cols["text"], pa.string()),
+             "n_lines": pa.array(cols["n_lines"], pa.int64()),
+             "n_dropped": pa.array(cols["n_dropped"], pa.int64())}
+        )
+
+    return ds.map_batches(rebuild, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def es_bulk_payloads(sf_dir: str) -> ray.data.Dataset:
     """Elasticsearch bulk-index payloads per page (W8 completed): the
     search_index_docs doc shape paired with the reference's deterministic

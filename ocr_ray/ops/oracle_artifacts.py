@@ -61,6 +61,7 @@ def ensure_artifacts(sf_dir: str) -> dict[str, str]:
         "page_texts": os.path.join(root, "page_texts"),
         "ocr_spans": os.path.join(root, "ocr_spans"),
         "summary": os.path.join(root, "summary"),
+        "naive_lines": os.path.join(root, "naive_lines"),
         "planes": os.path.join(root, "planes.parquet"),
         "ivf": os.path.join(root, "ivf.parquet"),
         "ivf_probe": os.path.join(root, "ivf_probe.parquet"),
@@ -125,6 +126,10 @@ def ensure_artifacts(sf_dir: str) -> dict[str, str]:
     # -- a flat copy of the committed extraction output minus spans, so SQL
     # can read the non-error url universe + text/branch without nested cols
     xq.extract_summary(sf_dir).write_parquet(paths["summary"])
+
+    # -- naive visible lines per page record — boilerplate_line_dedup's
+    # oracle recomputes the count+filter+reassembly from this dump
+    xq.naive_page_lines(sf_dir).write_parquet(paths["naive_lines"])
 
     # -- LSH plane bank
     from .embeddings import lsh_planes

@@ -550,5 +550,42 @@ def extra_oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         ORDER BY url, page
     """
 
+    # -------------------------------- artifact: boilerplate_line_dedup
+    from .extraction_queries import BOILERPLATE_MIN_DF
+
+    naive_lines = f"{a['naive_lines']}/*.parquet"
+    sql["boilerplate_line_dedup"] = f"""
+        WITH nl AS (SELECT * FROM read_parquet('{naive_lines}')),
+        counts AS (SELECT line, COUNT(*) AS df FROM nl GROUP BY line),
+        blocked AS (SELECT line FROM counts WHERE df >= {BOILERPLATE_MIN_DF}),
+        flags AS (
+            SELECT url, warc_ts, par_no, line_no, line,
+                   line IN (SELECT line FROM blocked) AS is_blocked
+            FROM nl
+        ),
+        pars AS (
+            SELECT url, warc_ts, par_no,
+                   string_agg(line, chr(10) ORDER BY line_no) AS par_text
+            FROM flags WHERE NOT is_blocked
+            GROUP BY url, warc_ts, par_no
+        ),
+        docs AS (
+            SELECT url, warc_ts,
+                   string_agg(par_text, chr(10) || chr(10) ORDER BY par_no) AS text
+            FROM pars GROUP BY url, warc_ts
+        ),
+        stats AS (
+            SELECT url, warc_ts, CAST(COUNT(*) AS BIGINT) AS n_lines,
+                   CAST(SUM(CASE WHEN is_blocked THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_dropped
+            FROM flags GROUP BY url, warc_ts
+        )
+        SELECT s.url, s.warc_ts, COALESCE(d.text, '') AS text,
+               s.n_lines, s.n_dropped
+        FROM stats s
+        LEFT JOIN docs d ON s.url = d.url AND s.warc_ts = d.warc_ts
+        ORDER BY s.url, s.warc_ts
+    """
+
     sql.update(golden_oracles())
     return sql

@@ -77,3 +77,41 @@ def test_fast_and_stdlib_extractors_agree_on_corpus():
     ]
     for h in htmls + adversarial:
         assert extract_blocks(h) == extract_blocks_stdlib(h)
+
+
+def test_naive_lines_keep_visible_boilerplate():
+    """The naive pass keeps nav/header/footer (visible chrome) and all
+    short/link-heavy blocks, drops only invisible containers."""
+    from ocr_ray.kernels.html_extract import extract_lines_naive
+
+    lines = [line for _, _, line in extract_lines_naive(PAGE)]
+    joined = "\n".join(lines)
+    assert "Boilerplate site header navigation text here" in lines
+    assert "Home Section A Section B" in lines  # nav kept
+    assert "Copyright boilerplate footer text that must never appear" in lines
+    assert "Short." in lines  # no block scoring
+    assert "link farm block full of links only here" in joined
+    assert "Site title" not in joined  # head is invisible
+    assert "script text" not in joined
+    # par/line numbering: <br> split still yields two lines in one par
+    br = [(p, ln) for p, ln, line in extract_lines_naive(PAGE)
+          if line.startswith(("Second real", "line two"))]
+    assert len(br) == 2 and br[0][0] == br[1][0] and (br[0][1], br[1][1]) == (0, 1)
+
+
+def test_naive_lines_fast_and_stdlib_agree_on_corpus():
+    from ocr_ray.extract_core import route
+    from ocr_ray.kernels.html_extract import (
+        extract_lines_naive,
+        extract_lines_naive_stdlib,
+    )
+    from ocr_ray.synth import rows_for_range
+
+    htmls = [
+        r["html"].decode("utf-8", errors="replace")
+        for r in rows_for_range(0, 800).to_pylist()
+        if route(r["html"]) == "html"
+    ]
+    assert len(htmls) > 500
+    for h in htmls:
+        assert extract_lines_naive(h) == extract_lines_naive_stdlib(h)

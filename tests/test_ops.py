@@ -220,3 +220,26 @@ def test_cosine_lsh_recall_at_high_tau(ray_session, tmp_path):
     lsh = {(r["vec_a"], r["vec_b"]) for r in cosine_dup_pairs_lsh(str(sf)).take_all()}
     recall = len(truth & lsh) / len(truth)
     assert recall >= 0.9, f"LSH recall {recall:.2f} on tau>=0.95 pairs"
+
+
+def test_boilerplate_line_dedup(ray_session):
+    """Corpus-frequency boilerplate removal: the three template lines
+    (header/nav/footer) are blocked everywhere; unique content and the 2×
+    re-crawl duplicates (below BOILERPLATE_MIN_DF) survive."""
+    from ocr_ray.ops.extraction_queries import boilerplate_line_dedup
+
+    df = _df(boilerplate_line_dedup(SF))
+    assert list(df.columns) == ["url", "warc_ts", "text", "n_lines", "n_dropped"]
+    assert len(df) > 500  # ~85% of 1000 records are html
+    # every html doc carries exactly the 3 template lines
+    assert (df["n_dropped"] == 3).all()
+    assert (df["n_lines"] > df["n_dropped"]).all()
+    joined = "\n".join(df["text"])
+    assert "cabeçalho repetido" not in joined
+    assert "direitos reservados" not in joined
+    assert "Início Arquivo" not in joined
+    # re-crawled urls keep BOTH records, content intact (df=2 < threshold)
+    dups = df[df.duplicated("url", keep=False)]
+    assert len(dups) > 0
+    for _, grp in dups.groupby("url"):
+        assert grp["text"].nunique() == 1  # same payload, both kept
