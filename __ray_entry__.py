@@ -92,6 +92,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "length_percentiles": d_ops.length_percentiles,
         "training_corpus": d_ops.training_corpus,
         "boilerplate_line_dedup": x_ops.boilerplate_line_dedup,
+        "gopher_filter": d_ops.gopher_filter,
+        "stratified_sample": d_ops.stratified_sample,
+        "novel_docs": d_ops.novel_docs,
     }
 
 
@@ -259,6 +262,92 @@ def _base_oracle_sql() -> dict[str, str]:
                    CAST(len(list_filter(toks,
                         t -> list_contains({_dict_values_list()}, lower(t)))) AS BIGINT) AS n_dict_hits
             FROM d ORDER BY doc_id
+        """,
+        "stratified_sample": f"""
+            WITH b AS (
+                SELECT doc_id, lang, n_chars,
+                       CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 16))::UBIGINT
+                            % 100 AS BIGINT) AS sample_bucket
+                FROM documents
+            )
+            SELECT doc_id, lang, n_chars, sample_bucket
+            FROM b
+            WHERE sample_bucket < CASE lang
+                {" ".join(f"WHEN '{lang}' THEN {pct}" for lang, pct in sorted(d_ops.SAMPLE_RATES_PCT.items()))}
+                ELSE {d_ops.SAMPLE_DEFAULT_PCT} END
+            ORDER BY doc_id
+        """,
+        "novel_docs": """
+            SELECT d.doc_id, md5(d.text) AS text_hash,
+                   md5(d.text) NOT IN (
+                       SELECT md5(text) FROM documents WHERE doc_id % 2 = 0
+                   ) AS is_novel
+            FROM documents d ORDER BY d.doc_id
+        """,
+        "gopher_filter": f"""
+            WITH w AS (
+                SELECT doc_id, regexp_extract_all(text, '\\S+') AS ws
+                FROM documents
+            ),
+            tok AS (
+                SELECT doc_id, generate_subscripts(ws, 1) AS i,
+                       unnest(ws) AS tokw
+                FROM w
+            ),
+            bgc AS (
+                SELECT a.doc_id, a.tokw || ' ' || b.tokw AS big,
+                       COUNT(*) AS c
+                FROM tok a JOIN tok b
+                  ON a.doc_id = b.doc_id AND b.i = a.i + 1
+                GROUP BY a.doc_id, big
+            ),
+            top AS (
+                SELECT doc_id, MAX(c) * 1.0 / SUM(c) AS tbf
+                FROM bgc GROUP BY doc_id
+            ),
+            dw AS (
+                SELECT doc_id, COUNT(*) AS n, COUNT(DISTINCT tokw) AS nd,
+                       SUM(length(tokw)) AS sl,
+                       SUM(CASE WHEN regexp_matches(tokw,
+                               '[A-Za-zÀ-ÖØ-öø-ÿ]') THEN 1 ELSE 0 END) AS na,
+                       SUM(CASE WHEN list_contains({_dict_values_list()},
+                               lower(tokw)) THEN 1 ELSE 0 END) AS nstop
+                FROM tok GROUP BY doc_id
+            ),
+            sig AS (
+                SELECT w.doc_id,
+                       COALESCE(dw.n, 0) AS n,
+                       CASE WHEN dw.n IS NULL THEN 0.0
+                            ELSE dw.sl * 1.0 / dw.n END AS mean_wl,
+                       CASE WHEN dw.n IS NULL THEN 0.0
+                            ELSE dw.na * 1.0 / dw.n END AS alpha,
+                       COALESCE(dw.nstop, 0) AS nstop,
+                       COALESCE(top.tbf, 0.0) AS tbf,
+                       CASE WHEN dw.n IS NULL THEN 0.0
+                            ELSE 1.0 - dw.nd * 1.0 / dw.n END AS dwf
+                FROM w
+                LEFT JOIN dw ON w.doc_id = dw.doc_id
+                LEFT JOIN top ON w.doc_id = top.doc_id
+            )
+            SELECT doc_id, CAST(n AS BIGINT) AS n_words,
+                   round_even(mean_wl, 4) AS mean_word_len,
+                   round_even(alpha, 4) AS frac_alpha_words,
+                   CAST(nstop AS BIGINT) AS n_stop_hits,
+                   round_even(tbf, 4) AS top_bigram_frac,
+                   round_even(dwf, 4) AS dup_word_frac,
+                   n BETWEEN {d_ops.GOPHER_MIN_WORDS} AND {d_ops.GOPHER_MAX_WORDS} AS ok_words,
+                   mean_wl BETWEEN {d_ops.GOPHER_MIN_MEAN_WL} AND {d_ops.GOPHER_MAX_MEAN_WL} AS ok_mean_wl,
+                   alpha >= {d_ops.GOPHER_MIN_ALPHA_FRAC} AS ok_alpha,
+                   nstop >= {d_ops.GOPHER_MIN_STOP_HITS} AS ok_stop,
+                   tbf <= {d_ops.GOPHER_MAX_TOP_BIGRAM} AS ok_bigram,
+                   dwf <= {d_ops.GOPHER_MAX_DUP_WORD} AS ok_dupword,
+                   (n BETWEEN {d_ops.GOPHER_MIN_WORDS} AND {d_ops.GOPHER_MAX_WORDS})
+                   AND (mean_wl BETWEEN {d_ops.GOPHER_MIN_MEAN_WL} AND {d_ops.GOPHER_MAX_MEAN_WL})
+                   AND alpha >= {d_ops.GOPHER_MIN_ALPHA_FRAC}
+                   AND nstop >= {d_ops.GOPHER_MIN_STOP_HITS}
+                   AND tbf <= {d_ops.GOPHER_MAX_TOP_BIGRAM}
+                   AND dwf <= {d_ops.GOPHER_MAX_DUP_WORD} AS passes
+            FROM sig ORDER BY doc_id
         """,
         "embedding_norms": """
             SELECT vec_id,

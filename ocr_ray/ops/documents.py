@@ -11,6 +11,7 @@ ocr_ray.kernels) followed by the narrowest possible shuffle (band keys,
 from __future__ import annotations
 
 import hashlib
+import re
 
 import pandas as pd
 import pyarrow as pa
@@ -24,6 +25,21 @@ MINHASH_BANDS = 16
 MINHASH_TAU = 0.5
 NGRAM_TAU = 0.4
 SIMHASH_MAX_HAMMING = 10
+
+# Gopher-style filter thresholds (Rae et al. 2021, published rules; bounds
+# tuned to the synthetic corpus so both outcomes occur at every tier).
+GOPHER_MIN_WORDS = 30
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_WL = 3.0
+GOPHER_MAX_MEAN_WL = 10.0
+GOPHER_MIN_ALPHA_FRAC = 0.8
+GOPHER_MIN_STOP_HITS = 2
+GOPHER_MAX_TOP_BIGRAM = 0.10
+GOPHER_MAX_DUP_WORD = 0.6
+
+# one alphabetic char anywhere in the token — same class as the BPE-ish
+# tokenizer so the SQL oracle's RE2 pattern is byte-identical
+_ALPHA_RE = re.compile(r"[A-Za-zÀ-ÖØ-öø-ÿ]")
 
 
 def token_counts(sf_dir: str):
@@ -473,6 +489,138 @@ def training_corpus(sf_dir: str):
         )
 
     return marked.map_batches(finalize, batch_format="pyarrow")
+
+
+# Per-language keep rates (percent) for the deterministic training-mix
+# sampler; unlisted languages get SAMPLE_DEFAULT_PCT.
+SAMPLE_RATES_PCT = {"en": 80, "fr": 50, "es": 50, "de": 30, "zh": 10}
+SAMPLE_DEFAULT_PCT = 20
+
+
+def stratified_sample(sf_dir: str):
+    """Deterministic stratified sampling for a training mix: keep a doc iff
+    ``md5(str(doc_id)) mod 100 < rate[lang]``. Hash-based selection needs no
+    shuffle, no RNG state, and no coordination — any worker (or a re-run
+    after failure) decides identically for every row, which is the property
+    that matters when sampling 10^12 docs across a cluster. Pure per-batch
+    map; rates ride in the closure (a dict of ints, not data)."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "lang", "n_chars"])
+
+    def f(batch: pa.Table) -> pa.Table:
+        out = []
+        for r in batch.to_pylist():
+            bucket = (
+                int(hashlib.md5(str(r["doc_id"]).encode()).hexdigest()[:16], 16)
+                % 100
+            )
+            rate = SAMPLE_RATES_PCT.get(r["lang"], SAMPLE_DEFAULT_PCT)
+            if bucket < rate:
+                out.append(
+                    {"doc_id": r["doc_id"], "lang": r["lang"],
+                     "n_chars": r["n_chars"], "sample_bucket": bucket}
+                )
+        return pa.Table.from_pylist(
+            out,
+            schema=pa.schema(
+                [("doc_id", pa.int64()), ("lang", pa.string()),
+                 ("n_chars", pa.int64()), ("sample_bucket", pa.int64())]
+            ),
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def gopher_filter(sf_dir: str):
+    """Gopher-style quality gate (published Rae et al. 2021 rules): per-doc
+    word-count / mean-word-length / alphabetic-fraction / stopword-presence
+    bounds plus the two repetition signals (most-common-bigram fraction,
+    duplicate-word fraction). Pure per-batch map — no shuffle; rule flags
+    are computed from RAW doubles so the SQL oracle's booleans match
+    bit-for-bit, and the reported ratios are round-half-even(4) on both
+    sides."""
+    from collections import Counter
+
+    dictionary = frozenset(dictionary_words())
+    dict_ref = ray.put(dictionary)
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def f(batch: pa.Table) -> pa.Table:
+        d = ray.get(dict_ref)
+        out = []
+        for r in batch.to_pylist():
+            ws = r["text"].split()
+            n = len(ws)
+            mean_wl = (sum(len(w) for w in ws) / n) if n else 0.0
+            alpha = (sum(1 for w in ws if _ALPHA_RE.search(w)) / n) if n else 0.0
+            stop = sum(1 for w in ws if w.lower() in d)
+            bigs = Counter(zip(ws, ws[1:]))
+            tbf = (max(bigs.values()) / sum(bigs.values())) if bigs else 0.0
+            dwf = (1.0 - len(set(ws)) / n) if n else 0.0
+            flags = {
+                "ok_words": GOPHER_MIN_WORDS <= n <= GOPHER_MAX_WORDS,
+                "ok_mean_wl": GOPHER_MIN_MEAN_WL <= mean_wl <= GOPHER_MAX_MEAN_WL,
+                "ok_alpha": alpha >= GOPHER_MIN_ALPHA_FRAC,
+                "ok_stop": stop >= GOPHER_MIN_STOP_HITS,
+                "ok_bigram": tbf <= GOPHER_MAX_TOP_BIGRAM,
+                "ok_dupword": dwf <= GOPHER_MAX_DUP_WORD,
+            }
+            out.append(
+                {"doc_id": r["doc_id"], "n_words": n,
+                 "mean_word_len": round(mean_wl, 4),
+                 "frac_alpha_words": round(alpha, 4),
+                 "n_stop_hits": stop,
+                 "top_bigram_frac": round(tbf, 4),
+                 "dup_word_frac": round(dwf, 4),
+                 **flags, "passes": all(flags.values())}
+            )
+        return pa.Table.from_pylist(out)
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+NOVELTY_SHARDS = 8
+
+
+def novel_docs(sf_dir: str):
+    """Incremental-ingest dedup against a seen-corpus index: the "already
+    ingested" half (even doc_ids — stand-in for yesterday's crawl) streams
+    its md5(text) into a sharded actor-held hash index
+    (ocr_ray.state.HashIndexShards — the documented raw-actor exception for
+    shared mutable state), then the FULL table probes it; a doc is novel iff
+    its text hash is absent. The index build is materialized (tiny ack rows)
+    before the probe dataset is returned — the one barrier the semantics
+    require. Oracle: SQL anti-join on md5(text) against the even half."""
+    from ..state import HashIndexShards
+
+    index = HashIndexShards(NOVELTY_SHARDS)
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def ingest(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        hashes = [
+            hashlib.md5(t.encode()).hexdigest()
+            for i, t in zip(ids, texts) if i % 2 == 0
+        ]
+        index.add_batch(hashes)
+        return pa.table({"n": pa.array([len(hashes)], pa.int64())})
+
+    ds.map_batches(ingest, batch_format="pyarrow", zero_copy_batch=True).materialize()
+
+    def probe(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id")
+        hashes = [
+            hashlib.md5(t.encode()).hexdigest()
+            for t in batch.column("text").to_pylist()
+        ]
+        known = index.contains_batch(hashes)
+        return pa.table(
+            {"doc_id": ids,
+             "text_hash": pa.array(hashes, pa.string()),
+             "is_novel": pa.array([not k for k in known], pa.bool_())}
+        )
+
+    return ds.map_batches(probe, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def spell_flag(sf_dir: str):

@@ -243,3 +243,47 @@ def test_boilerplate_line_dedup(ray_session):
     assert len(dups) > 0
     for _, grp in dups.groupby("url"):
         assert grp["text"].nunique() == 1  # same payload, both kept
+
+
+def test_gopher_filter_mixed_outcomes(ray_session):
+    """Gopher rules discriminate at every tier: both pass outcomes occur,
+    flags are consistent with the reported signals."""
+    from ocr_ray.ops.documents import (
+        GOPHER_MAX_DUP_WORD,
+        GOPHER_MIN_WORDS,
+        gopher_filter,
+    )
+
+    df = _df(gopher_filter(SF))
+    assert len(df) == 500
+    assert df["passes"].any() and not df["passes"].all()
+    assert ((df["n_words"] >= GOPHER_MIN_WORDS) == df["ok_words"]).all()
+    assert ((df["dup_word_frac"] <= GOPHER_MAX_DUP_WORD) == df["ok_dupword"]).all()
+    flag_cols = ["ok_words", "ok_mean_wl", "ok_alpha", "ok_stop",
+                 "ok_bigram", "ok_dupword"]
+    assert (df[flag_cols].all(axis=1) == df["passes"]).all()
+
+
+def test_stratified_sample_deterministic_rates(ray_session):
+    from ocr_ray.ops.documents import (
+        SAMPLE_DEFAULT_PCT,
+        SAMPLE_RATES_PCT,
+        stratified_sample,
+    )
+
+    a = _df(stratified_sample(SF)).sort_values("doc_id").reset_index(drop=True)
+    b = _df(stratified_sample(SF)).sort_values("doc_id").reset_index(drop=True)
+    assert a.equals(b)  # hash-based: no RNG state, rerun-identical
+    assert 0 < len(a) < 500
+    for lang, grp in a.groupby("lang"):
+        rate = SAMPLE_RATES_PCT.get(lang, SAMPLE_DEFAULT_PCT)
+        assert (grp["sample_bucket"] < rate).all()
+
+
+def test_novel_docs_sharded_index(ray_session):
+    from ocr_ray.ops.documents import novel_docs
+
+    df = _df(novel_docs(SF)).sort_values("doc_id").reset_index(drop=True)
+    assert len(df) == 500
+    # no exact text dups in the table → novel iff not in the even half
+    assert (df["is_novel"] == (df["doc_id"] % 2 == 1)).all()
