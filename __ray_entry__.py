@@ -95,6 +95,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gopher_filter": d_ops.gopher_filter,
         "stratified_sample": d_ops.stratified_sample,
         "novel_docs": d_ops.novel_docs,
+        "asof_last_purchase": r_ops.asof_last_purchase,
+        "events_sliding_1h": r_ops.events_sliding_1h,
     }
 
 
@@ -262,6 +264,33 @@ def _base_oracle_sql() -> dict[str, str]:
                    CAST(len(list_filter(toks,
                         t -> list_contains({_dict_values_list()}, lower(t)))) AS BIGINT) AS n_dict_hits
             FROM d ORDER BY doc_id
+        """,
+        "asof_last_purchase": f"""
+            WITH anchors AS (
+                SELECT user_id, ts AS last_purchase_ts,
+                       MAX(value) AS last_purchase_value
+                FROM events WHERE event_type = '{r_ops.ASOF_ANCHOR_TYPE}'
+                GROUP BY user_id, ts
+            )
+            SELECT e.user_id, e.ts, e.event_type, e.value,
+                   a.last_purchase_ts, a.last_purchase_value
+            FROM events e
+            ASOF LEFT JOIN anchors a
+              ON e.user_id = a.user_id AND e.ts >= a.last_purchase_ts
+            ORDER BY e.user_id, e.ts, e.event_type
+        """,
+        "events_sliding_1h": """
+            WITH expanded AS (
+                SELECT event_type,
+                       time_bucket(INTERVAL '10 minutes', ts)
+                           - k * INTERVAL '10 minutes' AS window_start,
+                       value
+                FROM events, (SELECT unnest(range(6)) AS k)
+            )
+            SELECT event_type, window_start,
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   ROUND(SUM(value), 2) AS sum_value
+            FROM expanded GROUP BY 1, 2 ORDER BY 1, 2
         """,
         "stratified_sample": f"""
             WITH b AS (

@@ -337,6 +337,90 @@ def user_sessions(sf_dir: str):
     return ds.groupby("user_id").map_groups(sessions, batch_format="pyarrow").sort("user_id")
 
 
+ASOF_ANCHOR_TYPE = "purchase"
+ASOF_PARTS = 64
+
+
+def asof_last_purchase(sf_dir: str):
+    """As-of join (an operator Ray Data lacks natively): attach to every
+    event the user's most recent purchase at-or-before its timestamp.
+
+    Partitioning assumption (documented per the driver brief): all events of
+    a user must co-locate — done by grouping on ``user_id % ASOF_PARTS``, a
+    SALTED key, so the Python-call count is bounded by ASOF_PARTS (not by
+    the user count: a per-user map_groups pays a Python call per user and
+    dies at 10^6 users). Inside each part the whole as-of match is ONE
+    vectorized ``pd.merge_asof(by="user_id")``. Equal-timestamp anchor ties
+    collapse to MAX(value) first so both sides are deterministic. Oracle:
+    DuckDB native ASOF LEFT JOIN."""
+    ds = read_table(sf_dir, "events", columns=["user_id", "ts", "event_type", "value"])
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["upart"] = (df["user_id"] % ASOF_PARTS).astype("int64")
+        return from_pandas_clean(df)
+
+    ds = ds.map_batches(add_part, batch_format="pyarrow", zero_copy_batch=True)
+
+    def asof_part(group: pa.Table) -> pa.Table:
+        df = group.to_pandas()
+        left = df.sort_values("ts", kind="mergesort")
+        anchors = (
+            df[df["event_type"] == ASOF_ANCHOR_TYPE]
+            .groupby(["user_id", "ts"], as_index=False)["value"].max()
+            .rename(columns={"ts": "last_purchase_ts",
+                             "value": "last_purchase_value"})
+            .sort_values("last_purchase_ts", kind="mergesort")
+        )
+        merged = pd.merge_asof(
+            left, anchors,
+            left_on="ts", right_on="last_purchase_ts", by="user_id",
+            direction="backward", allow_exact_matches=True,
+        )
+        return from_pandas_clean(
+            merged[["user_id", "ts", "event_type", "value",
+                    "last_purchase_ts", "last_purchase_value"]]
+        )
+
+    return ds.groupby("upart").map_groups(asof_part, batch_format="pyarrow")
+
+
+def events_sliding_1h(sf_dir: str):
+    """Sliding-window aggregate (1-hour window, 10-minute slide) per event
+    type. Scale shape: each event expands to the 6 windows it belongs to
+    INSIDE map_batches (bounded 6× row fan-out, no window state), then the
+    standard partial-aggregate combiner collapses each (type, window) to one
+    row per block before the small exchange — a windowed aggregate with no
+    sort and no per-key Python. Oracle: the same expansion in SQL via
+    range(6) cross join + time_bucket."""
+    ds = read_table(sf_dir, "events", columns=["event_type", "ts", "value"])
+
+    def expand(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        bucket = df["ts"].dt.floor("10min")
+        frames = [
+            pd.DataFrame(
+                {"event_type": df["event_type"],
+                 "window_start": bucket - pd.Timedelta(minutes=10 * k),
+                 "value": df["value"]}
+            )
+            for k in range(6)
+        ]
+        return from_pandas_clean(pd.concat(frames, ignore_index=True))
+
+    exp = ds.map_batches(expand, batch_format="pyarrow", zero_copy_batch=True)
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        df["sum_value"] = df["sum_value"].round(2)
+        return df.sort_values(["event_type", "window_start"]).reset_index(drop=True)
+
+    return grouped_agg(
+        exp, keys=["event_type", "window_start"],
+        specs=[("n_events", "count", None), ("sum_value", "sum", "value")],
+        finalize=fin,
+    )
+
+
 def expensive_items(sf_dir: str, k: int = 20):
     """filter → sort → limit with deterministic tiebreaks (the reference has
     no top-k — SURVEY.md §2.6 — this is the idiomatic Ray Data form)."""

@@ -287,3 +287,44 @@ def test_novel_docs_sharded_index(ray_session):
     assert len(df) == 500
     # no exact text dups in the table → novel iff not in the even half
     assert (df["is_novel"] == (df["doc_id"] % 2 == 1)).all()
+
+
+def test_asof_last_purchase_matches_bruteforce(ray_session):
+    """As-of join vs a per-row brute-force recomputation on the small tier."""
+    from ocr_ray.ops.relational import ASOF_ANCHOR_TYPE, asof_last_purchase
+
+    df = _df(asof_last_purchase(SF)).sort_values(
+        ["user_id", "ts", "event_type"]).reset_index(drop=True)
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    assert len(df) == len(ev)
+    anchors = (ev[ev["event_type"] == ASOF_ANCHOR_TYPE]
+               .groupby(["user_id", "ts"], as_index=False)["value"].max())
+    for _, row in df.sample(n=50, random_state=7).iterrows():
+        mine = anchors[(anchors["user_id"] == row["user_id"])
+                       & (anchors["ts"] <= row["ts"])]
+        if mine.empty:
+            assert pd.isna(row["last_purchase_ts"])
+        else:
+            best = mine.loc[mine["ts"].idxmax()]
+            assert row["last_purchase_ts"] == best["ts"]
+            assert row["last_purchase_value"] == best["value"]
+
+
+def test_events_sliding_1h_window_identities(ray_session):
+    from ocr_ray.ops.relational import events_sliding_1h
+
+    df = _df(events_sliding_1h(SF))
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    # every event lands in exactly 6 windows
+    assert df["n_events"].sum() == 6 * len(ev)
+    # window starts are 10-minute aligned
+    ns = df["window_start"].astype("datetime64[ns]").astype("int64")
+    assert (ns % (600 * 10**9) == 0).all()
+    # peak window count equals a direct rolling recount for one type
+    typ = df["event_type"].iloc[0]
+    sub = ev[ev["event_type"] == typ]
+    got = df[df["event_type"] == typ]
+    for _, row in got.sample(n=min(20, len(got)), random_state=3).iterrows():
+        lo = row["window_start"]
+        hi = lo + pd.Timedelta(hours=1)
+        assert ((sub["ts"] >= lo) & (sub["ts"] < hi)).sum() == row["n_events"]
