@@ -97,6 +97,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "novel_docs": d_ops.novel_docs,
         "asof_last_purchase": r_ops.asof_last_purchase,
         "events_sliding_1h": r_ops.events_sliding_1h,
+        "unigram_logprob": d_ops.unigram_logprob,
     }
 
 
@@ -264,6 +265,37 @@ def _base_oracle_sql() -> dict[str, str]:
                    CAST(len(list_filter(toks,
                         t -> list_contains({_dict_values_list()}, lower(t)))) AS BIGINT) AS n_dict_hits
             FROM d ORDER BY doc_id
+        """,
+        "unigram_logprob": f"""
+            WITH toks AS (
+                SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS w
+                FROM documents
+            ),
+            counts AS (SELECT w, COUNT(*) AS n FROM toks GROUP BY w),
+            total AS (SELECT SUM(n) AS N FROM counts),
+            vocab AS (
+                SELECT w, n FROM counts
+                ORDER BY n DESC, w LIMIT {d_ops.UNIGRAM_VOCAB}
+            ),
+            scored AS (
+                SELECT t.doc_id,
+                       -ln(COALESCE(v.n, 1) * 1.0 / total.N) AS nlp,
+                       CASE WHEN v.w IS NULL THEN 1 ELSE 0 END AS oov
+                FROM toks t
+                LEFT JOIN vocab v ON t.w = v.w
+                CROSS JOIN total
+            ),
+            agg AS (
+                SELECT doc_id, COUNT(*) AS n_tokens, SUM(oov) AS n_oov,
+                       SUM(nlp) / COUNT(*) AS s
+                FROM scored GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(COALESCE(agg.n_tokens, 0) AS BIGINT) AS n_tokens,
+                   CAST(COALESCE(agg.n_oov, 0) AS BIGINT) AS n_oov,
+                   round_even(COALESCE(agg.s, 0.0), 4) AS avg_neg_logprob
+            FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
+            ORDER BY d.doc_id
         """,
         "asof_last_purchase": f"""
             WITH anchors AS (

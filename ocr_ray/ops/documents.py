@@ -578,6 +578,64 @@ def gopher_filter(sf_dir: str):
     return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
 
 
+UNIGRAM_VOCAB = 1000
+
+
+def unigram_logprob(sf_dir: str):
+    """Perplexity-style quality score (CCNet's LM filter reduced to its
+    unigram core, which keeps it oracle-checkable): score(doc) =
+    -mean(ln p(w)) over whitespace tokens, with p(w) = count(w)/N for the
+    corpus top-UNIGRAM_VOCAB words and a 1/N floor for everything else.
+
+    Two streaming passes: (1) the word_frequency combiner builds the global
+    unigram table; only the top-V vocabulary (sort-desc-limit over the
+    ALREADY-AGGREGATED table, far smaller than the corpus) plus the scalar
+    token total leave the cluster and are ray.put ONCE; (2) a shuffle-free
+    per-batch scoring map. Tokens are raw split() forms (no case folding) so
+    the SQL twin is exact; sums are rounded (4) to absorb float addition
+    order."""
+    import math
+
+    counts = grouped_agg(
+        read_table(sf_dir, "documents", columns=["text"]).map_batches(
+            lambda b: pa.table(
+                {"word": [w for t in b.column("text").to_pylist() for w in t.split()]}
+            ),
+            batch_format="pyarrow", zero_copy_batch=True,
+        ),
+        keys=["word"], specs=[("n", "count", None)],
+    )
+    total = counts.sum("n")
+    vocab_rows = (
+        counts.sort(["n", "word"], descending=[True, False])
+        .limit(UNIGRAM_VOCAB).take_all()
+    )
+    vocab_ref = ray.put({r["word"]: r["n"] for r in vocab_rows})
+    total_n = int(total)
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def score(batch: pa.Table) -> pa.Table:
+        vocab = ray.get(vocab_ref)
+        out = []
+        for r in batch.to_pylist():
+            ws = r["text"].split()
+            if ws:
+                s = sum(
+                    -math.log(vocab.get(w, 1) / total_n) for w in ws
+                ) / len(ws)
+            else:
+                s = 0.0
+            out.append(
+                {"doc_id": r["doc_id"], "n_tokens": len(ws),
+                 "n_oov": sum(1 for w in ws if w not in vocab),
+                 "avg_neg_logprob": round(s, 4)}
+            )
+        return pa.Table.from_pylist(out)
+
+    return ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+
+
 NOVELTY_SHARDS = 8
 
 

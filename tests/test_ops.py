@@ -328,3 +328,25 @@ def test_events_sliding_1h_window_identities(ray_session):
         lo = row["window_start"]
         hi = lo + pd.Timedelta(hours=1)
         assert ((sub["ts"] >= lo) & (sub["ts"] < hi)).sum() == row["n_events"]
+
+
+def test_unigram_logprob_scores(ray_session):
+    """Perplexity-proxy scoring: rerun-deterministic, OOV raises the score,
+    in-vocab docs score near the corpus entropy."""
+    from ocr_ray.ops.documents import unigram_logprob
+
+    a = _df(unigram_logprob(SF)).sort_values("doc_id").reset_index(drop=True)
+    b = _df(unigram_logprob(SF)).sort_values("doc_id").reset_index(drop=True)
+    assert a.equals(b)
+    assert len(a) == 500
+    assert (a["avg_neg_logprob"] > 0).all()
+    assert (a["n_oov"] <= a["n_tokens"]).all()
+    # docs with more OOV mass score worse on average (tiers where the
+    # top-V vocabulary covers the whole corpus have nothing to compare)
+    oov_frac = a["n_oov"] / a["n_tokens"].clip(lower=1)
+    if (oov_frac > 0).any():
+        hi = a.loc[oov_frac > 0, "avg_neg_logprob"].mean()
+        lo = a.loc[oov_frac == 0, "avg_neg_logprob"].mean()
+        assert hi >= lo
+    # scores sit in a plausible unigram-entropy band for this corpus
+    assert a["avg_neg_logprob"].between(1.0, 25.0).all()
