@@ -98,6 +98,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_last_purchase": r_ops.asof_last_purchase,
         "events_sliding_1h": r_ops.events_sliding_1h,
         "unigram_logprob": d_ops.unigram_logprob,
+        "media_exact_dedup": m_ops.media_exact_dedup,
     }
 
 

@@ -111,3 +111,67 @@ def page_image_features(sf_dir: str, frame_stride: int = 1) -> ray.data.Dataset:
         concurrency=small_pool(),
         num_cpus=1,
     )
+
+
+def media_hash_rows(sf_dir: str) -> ray.data.Dataset:
+    """Per OCR-branch record: md5 of the raw binary payload + its size —
+    the per-record stage of media_exact_dedup and its oracle artifact
+    (branch routing is the pytest-pinned Python kernel; the distributed
+    rollup is what SQL recomputes)."""
+    import hashlib
+
+    from .common import clean_read_schema
+
+    corpus = pages_corpus(sf_dir)
+    import os as _os
+
+    probe = _os.path.join(
+        corpus, sorted(f for f in _os.listdir(corpus) if f.endswith(".parquet"))[0]
+    )
+    ds = ray.data.read_parquet(
+        corpus, columns=["url", "warc_ts", "html"],
+        schema=clean_read_schema(probe, ["url", "warc_ts", "html"]),
+    )
+
+    def rows(batch: pa.Table) -> pa.Table:
+        ts_type = batch.schema.field("warc_ts").type
+        urls = batch.column("url").to_pylist()
+        ts = batch.column("warc_ts").to_pylist()
+        payloads = batch.column("html").to_pylist()
+        cols: dict[str, list] = {"url": [], "warc_ts": [], "media_hash": [], "n_bytes": []}
+        for i, data in enumerate(payloads):
+            if route(data) != "ocr":
+                continue
+            cols["url"].append(urls[i])
+            cols["warc_ts"].append(ts[i])
+            cols["media_hash"].append(hashlib.md5(data).hexdigest())
+            cols["n_bytes"].append(len(data))
+        return pa.table(
+            {"url": pa.array(cols["url"], pa.string()),
+             "warc_ts": pa.array(cols["warc_ts"], ts_type),
+             "media_hash": pa.array(cols["media_hash"], pa.string()),
+             "n_bytes": pa.array(cols["n_bytes"], pa.int64())}
+        )
+
+    return ds.map_batches(rows, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def media_exact_dedup(sf_dir: str) -> ray.data.Dataset:
+    """Exact dedup of binary media payloads — the multimodal counterpart of
+    documents exact_dedup. Only 16-byte hashes plus keys cross the exchange
+    (never the binary); the combiner collapses each hash per block before
+    the small groupby. Keep rule: lexicographically smallest url."""
+    import pandas as pd
+
+    from .common import grouped_agg
+
+    def fin(df: "pd.DataFrame") -> "pd.DataFrame":
+        return df.sort_values("media_hash").reset_index(drop=True)
+
+    return grouped_agg(
+        media_hash_rows(sf_dir).select_columns(["media_hash", "url", "n_bytes"]),
+        keys=["media_hash"],
+        specs=[("keep_url", "min", "url"), ("n_copies", "count", None),
+               ("n_bytes", "max", "n_bytes")],
+        finalize=fin,
+    )

@@ -62,6 +62,7 @@ def ensure_artifacts(sf_dir: str) -> dict[str, str]:
         "ocr_spans": os.path.join(root, "ocr_spans"),
         "summary": os.path.join(root, "summary"),
         "naive_lines": os.path.join(root, "naive_lines"),
+        "media_hashes": os.path.join(root, "media_hashes"),
         "planes": os.path.join(root, "planes.parquet"),
         "ivf": os.path.join(root, "ivf.parquet"),
         "ivf_probe": os.path.join(root, "ivf_probe.parquet"),
@@ -130,6 +131,12 @@ def ensure_artifacts(sf_dir: str) -> dict[str, str]:
     # -- naive visible lines per page record — boilerplate_line_dedup's
     # oracle recomputes the count+filter+reassembly from this dump
     xq.naive_page_lines(sf_dir).write_parquet(paths["naive_lines"])
+
+    # -- per-record media payload hashes — media_exact_dedup's oracle
+    # recomputes the grouped rollup from this dump
+    from . import multimodal as mm
+
+    mm.media_hash_rows(sf_dir).write_parquet(paths["media_hashes"])
 
     # -- LSH plane bank
     from .embeddings import lsh_planes

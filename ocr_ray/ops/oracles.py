@@ -587,5 +587,15 @@ def extra_oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         ORDER BY s.url, s.warc_ts
     """
 
+    # ------------------------------------ artifact: media_exact_dedup
+    media_hashes = f"{a['media_hashes']}/*.parquet"
+    sql["media_exact_dedup"] = f"""
+        SELECT media_hash, MIN(url) AS keep_url,
+               CAST(COUNT(*) AS BIGINT) AS n_copies,
+               CAST(MAX(n_bytes) AS BIGINT) AS n_bytes
+        FROM read_parquet('{media_hashes}')
+        GROUP BY media_hash ORDER BY media_hash
+    """
+
     sql.update(golden_oracles())
     return sql

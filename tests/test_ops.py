@@ -350,3 +350,16 @@ def test_unigram_logprob_scores(ray_session):
         assert hi >= lo
     # scores sit in a plausible unigram-entropy band for this corpus
     assert a["avg_neg_logprob"].between(1.0, 25.0).all()
+
+
+def test_media_exact_dedup_recrawl_copies(ray_session):
+    """Re-crawled OCR payloads (identical bytes, same url, later ts) fold
+    into one group with n_copies == 2; only hashes cross the exchange."""
+    from ocr_ray.ops.multimodal import media_exact_dedup
+
+    df = _df(media_exact_dedup(SF))
+    assert len(df) > 50  # ~13% of 1000 records route to the ocr branch
+    assert df["media_hash"].is_unique
+    assert set(df["n_copies"].unique()) <= {1, 2}
+    assert (df["n_copies"] == 2).any()
+    assert (df["n_bytes"] > 0).all()
