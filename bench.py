@@ -88,6 +88,9 @@ BENCH_QUERIES = [
     "minhash_dup_pairs",
     "ann_brute_topk",
     "word_index",
+    # round-2 training-data headliners
+    "boilerplate_line_dedup",
+    "unigram_logprob",
 ]
 
 

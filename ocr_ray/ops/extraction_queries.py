@@ -460,6 +460,14 @@ def host_doc_counts(sf_dir: str) -> ray.data.Dataset:
 BOILERPLATE_MIN_DF = 5
 
 
+def line_hash64(line: str) -> int:
+    """64-bit line key: top half of md5, matching the oracle SQL's
+    ``('0x' || substr(md5(line), 1, 16))::UBIGINT`` (ops.oracles.H64)."""
+    import hashlib
+
+    return int(hashlib.md5(line.encode()).hexdigest()[:16], 16)
+
+
 def _pages_pruned(sf_dir: str, columns: list[str]) -> ray.data.Dataset:
     from .common import clean_read_schema
 
@@ -520,31 +528,51 @@ def boilerplate_line_dedup(sf_dir: str) -> ray.data.Dataset:
     scores locally).
 
     Scale shape — two streaming passes, no line-level shuffle:
-    1. count: per-batch partial counts (ops.common.grouped_agg combiner)
-       → small groupby-sum exchange → filter df >= K BEFORE collecting, so
-       only the hot lines (the blocklist) ever reach the driver;
-    2. rebuild: the blocklist is ray.put ONCE and read from the object
+    1. count: lines are reduced to 64-bit md5 hashes INSIDE the batch (the
+       exchange ships fixed-width ints, never line strings — most content
+       lines are globally unique, so the combiner can't shrink the row
+       count and the key WIDTH is what the sort exchange pays for; measured
+       30 s → ~8 s at sf0.1), then the grouped_agg combiner → small
+       groupby-sum → filter df >= K BEFORE collecting, so only the hot
+       hashes (the blocklist) ever reach the driver;
+    2. rebuild: the hash blocklist is ray.put ONCE and read from the object
        store by every task; each record re-derives its naive lines and
        drops blocked ones (recompute beats materializing the line table —
-       CCNet's own two-pass design).
+       CCNet's own two-pass design, hashes and all).
     Output: (url, warc_ts, text, n_lines, n_dropped); empty pars vanish,
     all-blocked docs keep an empty-text row. Oracle: SQL recomputation of
-    count+filter+reassembly from the naive_lines artifact."""
+    count+filter+reassembly from the naive_lines artifact with the same
+    md5-based 64-bit hash (oracles.H64)."""
     import pyarrow.compute as pc
 
     from ..extract_core import route
     from ..kernels.html_extract import extract_lines_naive
     from .common import grouped_agg
 
+    def hash_lines(batch: pa.Table) -> pa.Table:
+        # parse → hash in one step: never materializes the per-line row
+        # table pass 1 doesn't need (the artifact dump keeps the full rows)
+        hashes: list[int] = []
+        for data in batch.column("html").to_pylist():
+            if route(data) != "html":
+                continue
+            for _p, _l, line in extract_lines_naive(
+                data.decode("utf-8", errors="replace")
+            ):
+                hashes.append(line_hash64(line))
+        return pa.table({"h": pa.array(hashes, pa.uint64())})
+
     counts = grouped_agg(
-        naive_page_lines(sf_dir).select_columns(["line"]),
-        keys=["line"], specs=[("df", "count", None)],
+        _pages_pruned(sf_dir, ["html"]).map_batches(
+            hash_lines, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        keys=["h"], specs=[("df", "count", None)],
     )
     hot = counts.map_batches(
         lambda b: b.filter(pc.greater_equal(b.column("df"), BOILERPLATE_MIN_DF)),
         batch_format="pyarrow",
     )
-    blocked_ref = ray.put(frozenset(r["line"] for r in hot.take_all()))
+    blocked_ref = ray.put(frozenset(r["h"] for r in hot.take_all()))
 
     ds = _pages_pruned(sf_dir, ["url", "warc_ts", "html"])
 
@@ -566,7 +594,7 @@ def boilerplate_line_dedup(sf_dir: str) -> ray.data.Dataset:
             pars: dict[int, list[str]] = {}
             n_dropped = 0
             for par_no, _line_no, line in lines:
-                if line in blocked:
+                if line_hash64(line) in blocked:
                     n_dropped += 1
                 else:
                     pars.setdefault(par_no, []).append(line)

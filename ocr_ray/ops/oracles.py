@@ -554,13 +554,14 @@ def extra_oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
     from .extraction_queries import BOILERPLATE_MIN_DF
 
     naive_lines = f"{a['naive_lines']}/*.parquet"
+    lh = H64.format(expr="line")
     sql["boilerplate_line_dedup"] = f"""
-        WITH nl AS (SELECT * FROM read_parquet('{naive_lines}')),
-        counts AS (SELECT line, COUNT(*) AS df FROM nl GROUP BY line),
-        blocked AS (SELECT line FROM counts WHERE df >= {BOILERPLATE_MIN_DF}),
+        WITH nl AS (SELECT *, {lh} AS lh FROM read_parquet('{naive_lines}')),
+        counts AS (SELECT lh, COUNT(*) AS df FROM nl GROUP BY lh),
+        blocked AS (SELECT lh FROM counts WHERE df >= {BOILERPLATE_MIN_DF}),
         flags AS (
             SELECT url, warc_ts, par_no, line_no, line,
-                   line IN (SELECT line FROM blocked) AS is_blocked
+                   lh IN (SELECT lh FROM blocked) AS is_blocked
             FROM nl
         ),
         pars AS (
