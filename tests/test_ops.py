@@ -363,3 +363,18 @@ def test_media_exact_dedup_recrawl_copies(ray_session):
     assert set(df["n_copies"].unique()) <= {1, 2}
     assert (df["n_copies"] == 2).any()
     assert (df["n_bytes"] > 0).all()
+
+
+def test_line_hash64_matches_duckdb_h64():
+    """line_hash64 must equal the oracle's H64 SQL expression forever —
+    a silent divergence would flip boilerplate_line_dedup's blocklist."""
+    import duckdb
+
+    from ocr_ray.ops.extraction_queries import line_hash64
+
+    con = duckdb.connect()
+    for s in ["", "a", "Início Arquivo Sobre Contacto", "héllo wörld", "x" * 500]:
+        sql_val = con.execute(
+            "SELECT ('0x' || substr(md5(?), 1, 16))::UBIGINT", [s]
+        ).fetchone()[0]
+        assert line_hash64(s) == sql_val, s
