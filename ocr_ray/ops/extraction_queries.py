@@ -461,11 +461,17 @@ BOILERPLATE_MIN_DF = 5
 
 
 def line_hash64(line: str) -> int:
-    """64-bit line key: top half of md5, matching the oracle SQL's
-    ``('0x' || substr(md5(line), 1, 16))::UBIGINT`` (ops.oracles.H64)."""
+    """64-bit line key: top 8 bytes of md5 as a SIGNED int64 — the same bits
+    the oracle SQL keys on (``('0x' || substr(md5(line), 1, 16))::UBIGINT``,
+    ops.oracles.H64) reinterpreted two's-complement. Equality is all either
+    side uses, so the signedness never shows; signed matters on the Ray side
+    because values >= 2**63 in an int column make Ray's aggregate block
+    builder fail Arrow conversion and silently fall back to PICKLED blocks
+    for the whole exchange (measured: every partial block took the fallback
+    at uint64)."""
     import hashlib
 
-    return int(hashlib.md5(line.encode()).hexdigest()[:16], 16)
+    return int.from_bytes(hashlib.md5(line.encode()).digest()[:8], "big", signed=True)
 
 
 def _pages_pruned(sf_dir: str, columns: list[str]) -> ray.data.Dataset:
@@ -560,7 +566,7 @@ def boilerplate_line_dedup(sf_dir: str) -> ray.data.Dataset:
                 data.decode("utf-8", errors="replace")
             ):
                 hashes.append(line_hash64(line))
-        return pa.table({"h": pa.array(hashes, pa.uint64())})
+        return pa.table({"h": pa.array(hashes, pa.int64())})
 
     counts = grouped_agg(
         _pages_pruned(sf_dir, ["html"]).map_batches(

@@ -366,8 +366,11 @@ def test_media_exact_dedup_recrawl_copies(ray_session):
 
 
 def test_line_hash64_matches_duckdb_h64():
-    """line_hash64 must equal the oracle's H64 SQL expression forever —
-    a silent divergence would flip boilerplate_line_dedup's blocklist."""
+    """line_hash64 must stay the signed-int64 reinterpretation of the
+    oracle's H64 SQL expression forever — a silent divergence would flip
+    boilerplate_line_dedup's blocklist. (Signed on the Ray side because
+    uint64 values >= 2**63 force Ray's aggregate exchange into pickled-block
+    fallback; H64 stays UBIGINT in SQL and only equality is ever used.)"""
     import duckdb
 
     from ocr_ray.ops.extraction_queries import line_hash64
@@ -377,4 +380,4 @@ def test_line_hash64_matches_duckdb_h64():
         sql_val = con.execute(
             "SELECT ('0x' || substr(md5(?), 1, 16))::UBIGINT", [s]
         ).fetchone()[0]
-        assert line_hash64(s) == sql_val, s
+        assert line_hash64(s) == sql_val - (sql_val >= 1 << 63) * (1 << 64), s
