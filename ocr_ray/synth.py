@@ -70,8 +70,30 @@ def _content_paragraphs(rng: random.Random, n_lo=2, n_hi=6) -> list[list[list[st
 
 # ------------------------------------------------------------------- HTML
 
-def _html_payload(rng: random.Random) -> tuple[bytes, str]:
+
+def _syndicated_pool() -> list[list[list[str]]]:
+    """20 fixed 'wire-service' paragraphs shared across hosts (seeded rng
+    independent of the corpus seed) — the cross-document n-gram overlap
+    substrate for contamination_check / paragraph_dedup / near-dup ops."""
+    rng = random.Random(987654)
+    return [
+        [_sentence_words(rng, 8, 14) for _ in range(2)] for _ in range(20)
+    ]
+
+
+_SYNDICATED = _syndicated_pool()
+
+
+def _phone(rng: random.Random) -> str:
+    return f"+351 {rng.randrange(100):02d} {rng.randrange(1000):03d} {rng.randrange(10000):04d}"
+
+
+def _html_payload(rng: random.Random, host: str) -> tuple[bytes, str]:
     pars = _content_paragraphs(rng)
+    if rng.random() < 0.08:  # syndicated wire paragraph (cross-host overlap)
+        pars.append([list(line) for line in _SYNDICATED[rng.randrange(20)]])
+    if rng.random() < 0.15:  # inline contact email inside main content
+        pars[-1].append(["escreva", "para", f"{_word(rng)}@{host}.example"])
     heading = " ".join(_sentence_words(rng, 3, 6)).title()
     body = [
         "<!DOCTYPE html>",
@@ -89,8 +111,18 @@ def _html_payload(rng: random.Random) -> tuple[bytes, str]:
             f'<a href="/t/{i}">{_word(rng)}</a>' for i in range(rng.randint(3, 8))
         )
         body.append(f"<div>{links}</div>")
+    if rng.random() < 0.35:  # cross-host "see also" links (host link graph)
+        links = " ".join(
+            f'<a href="https://host{rng.randrange(50)}.example/p/{rng.randrange(2000)}">'
+            f"{_word(rng)}</a>"
+            for _ in range(rng.randint(1, 3))
+        )
+        body.append(f'<div class="seealso">{links}</div>')
     body.append("</main>")
     body.append(_BOILER_FOOTER)
+    body.append(
+        f"<footer><p>Contacto: {_word(rng)}@{host}.example Tel. {_phone(rng)}</p></footer>"
+    )
     body.append("</body></html>")
     crawler_text = " ".join(w for lines in pars for ws in lines for w in ws)
     return "\n".join(body).encode("utf-8"), f"{heading} {crawler_text}"
@@ -136,11 +168,11 @@ def _page_hocr(rng: random.Random, hyphen: bool = False) -> str:
 
 # ------------------------------------------------------------------- rows
 
-def _payload_for(ci: int, rng: random.Random) -> tuple[bytes, str]:
+def _payload_for(ci: int, rng: random.Random, host: str) -> tuple[bytes, str]:
     """(payload bytes, crawler text) for canonical row index ci."""
     slot = ci % 100
     if slot < 85:
-        return _html_payload(rng)
+        return _html_payload(rng, host)
     if slot < 91:  # single page image
         hocr = _page_hocr(rng, hyphen=(slot == 90))
         return build_fake_image(hocr), " ".join(_sentence_words(rng))
@@ -178,7 +210,7 @@ def row_for_index(i: int, seed: int = SEED) -> dict:
     rng = random.Random((seed << 32) ^ ci)
     host = "host0" if rng.random() < 0.30 else f"host{1 + rng.randrange(49)}"
     url = f"https://{host}.example/p/{ci}"
-    payload, crawler_text = _payload_for(ci, rng)
+    payload, crawler_text = _payload_for(ci, rng, host)
     lang = _LANG_WHEEL[rng.randrange(len(_LANG_WHEEL))]
     return {
         "url": url,
@@ -240,7 +272,7 @@ def generate_pages_parquet_ray(
     return out_dir
 
 
-_CACHE_VERSION = "v1"
+_CACHE_VERSION = "v2"  # v2: contact PII + cross-host links + syndicated pool
 
 
 def pages_dir_for(n_rows: int, seed: int = SEED, base: str = "/tmp/ocr_ray_pages") -> str:

@@ -225,14 +225,19 @@ def test_cosine_lsh_recall_at_high_tau(ray_session, tmp_path):
 def test_boilerplate_line_dedup(ray_session):
     """Corpus-frequency boilerplate removal: the three template lines
     (header/nav/footer) are blocked everywhere; unique content and the 2×
-    re-crawl duplicates (below BOILERPLATE_MIN_DF) survive."""
+    re-crawl duplicates (below BOILERPLATE_MIN_DF) survive. Corpus v2's
+    syndicated wire paragraphs can cross the frequency threshold too, so
+    some docs drop MORE than the 3 template lines — that is the operator
+    working as designed (CCNet drops any corpus-frequent line)."""
     from ocr_ray.ops.extraction_queries import boilerplate_line_dedup
 
     df = _df(boilerplate_line_dedup(SF))
     assert list(df.columns) == ["url", "warc_ts", "text", "n_lines", "n_dropped"]
     assert len(df) > 500  # ~85% of 1000 records are html
-    # every html doc carries exactly the 3 template lines
-    assert (df["n_dropped"] == 3).all()
+    # every html doc carries at least the 3 template lines (+ contact footer
+    # and heading/content lines are unique per page — never blocked)
+    assert (df["n_dropped"] >= 3).all()
+    assert (df["n_dropped"] > 3).any()  # syndicated lines blocked somewhere
     assert (df["n_lines"] > df["n_dropped"]).all()
     joined = "\n".join(df["text"])
     assert "cabeçalho repetido" not in joined
