@@ -23,6 +23,7 @@ from typing import Any
 from ocr_ray.ops import documents as d_ops
 from ocr_ray.ops import embeddings as e_ops
 from ocr_ray.ops import extraction_queries as x_ops
+from ocr_ray.ops import graph as g_ops
 from ocr_ray.ops import layout_queries as l_ops
 from ocr_ray.ops import multimodal as m_ops
 from ocr_ray.ops import relational as r_ops
@@ -99,6 +100,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sliding_1h": r_ops.events_sliding_1h,
         "unigram_logprob": d_ops.unigram_logprob,
         "media_exact_dedup": m_ops.media_exact_dedup,
+        # ---- corpus hygiene & graph suite (round-2 session 4)
+        "pii_scrub": x_ops.pii_scrub,
+        "paragraph_dedup": x_ops.paragraph_dedup,
+        "contamination_check": x_ops.contamination_check,
+        "host_link_graph": g_ops.host_link_graph,
+        "pagerank_hosts": g_ops.pagerank_hosts,
+        "dup_clusters": g_ops.dup_clusters,
+        "tfidf_top_terms": d_ops.tfidf_top_terms,
     }
 
 

@@ -636,6 +636,88 @@ def unigram_logprob(sf_dir: str):
     return ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
 
 
+TFIDF_VOCAB = 256
+TFIDF_TOP_K = 3
+
+
+def tfidf_top_terms(sf_dir: str):
+    """Per-document top-k TF-IDF terms over a corpus-selected vocabulary —
+    the classic relevance/topical-fingerprint operator. Scale shape: the
+    full-vocabulary document frequencies would be a corpus-wide join, so
+    the operator restricts scoring to the top-V vocabulary (V=TFIDF_VOCAB,
+    deterministic count-desc/word-asc tiebreak) computed by the combiner
+    pattern and broadcast ONCE via ray.put (same discipline as
+    unigram_logprob); the scoring pass is then shuffle-free. Tokens are
+    lower().split() forms; score = tf * ln(N/df), round-half-even 6.
+    Output: (doc_id, rank, term, tf, df, score)."""
+    import math
+
+    # single pass computes both corpus counts (vocab selection) and
+    # document frequencies (idf): per batch emit (word, n, nd)
+    def partial(batch: pa.Table) -> pa.Table:
+        n: dict[str, int] = {}
+        nd: dict[str, int] = {}
+        for text in batch.column("text").to_pylist():
+            toks = text.lower().split()
+            for w in toks:
+                n[w] = n.get(w, 0) + 1
+            for w in set(toks):
+                nd[w] = nd.get(w, 0) + 1
+        words = list(n.keys())
+        return pa.table(
+            {"word": pa.array(words, pa.string()),
+             "n": pa.array([n[w] for w in words], pa.int64()),
+             "nd": pa.array([nd[w] for w in words], pa.int64())}
+        )
+
+    counts = grouped_agg(
+        read_table(sf_dir, "documents", columns=["text"]).map_batches(
+            partial, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        keys=["word"], specs=[("n", "sum", "n"), ("df", "sum", "nd")],
+    )
+    vocab_rows = (
+        counts.sort(["n", "word"], descending=[True, False])
+        .limit(TFIDF_VOCAB).take_all()
+    )
+    vocab_ref = ray.put({r["word"]: r["df"] for r in vocab_rows})
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    n_docs = ds.count()
+
+    def score(batch: pa.Table) -> pa.Table:
+        vocab = ray.get(vocab_ref)
+        cols: dict[str, list] = {
+            "doc_id": [], "rank": [], "term": [], "tf": [], "df": [], "score": []
+        }
+        for r in batch.to_pylist():
+            tf: dict[str, int] = {}
+            for w in r["text"].lower().split():
+                if w in vocab:
+                    tf[w] = tf.get(w, 0) + 1
+            scored = sorted(
+                ((t * math.log(n_docs / vocab[w]), w, t) for w, t in tf.items()),
+                key=lambda x: (-x[0], x[1]),
+            )[:TFIDF_TOP_K]
+            for rank, (s, w, t) in enumerate(scored, start=1):
+                cols["doc_id"].append(r["doc_id"])
+                cols["rank"].append(rank)
+                cols["term"].append(w)
+                cols["tf"].append(t)
+                cols["df"].append(vocab[w])
+                cols["score"].append(round(s, 6))
+        return pa.table(
+            {"doc_id": pa.array(cols["doc_id"], pa.int64()),
+             "rank": pa.array(cols["rank"], pa.int64()),
+             "term": pa.array(cols["term"], pa.string()),
+             "tf": pa.array(cols["tf"], pa.int64()),
+             "df": pa.array(cols["df"], pa.int64()),
+             "score": pa.array(cols["score"], pa.float64())}
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+
+
 NOVELTY_SHARDS = 8
 
 

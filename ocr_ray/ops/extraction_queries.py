@@ -622,6 +622,189 @@ def boilerplate_line_dedup(sf_dir: str) -> ray.data.Dataset:
     return ds.map_batches(rebuild, batch_format="pyarrow", zero_copy_batch=True)
 
 
+# PII patterns shared verbatim with the DuckDB oracle — both engines use
+# RE2-compatible / Python-re-compatible syntax (ASCII classes, no
+# lookaround), so match sets are identical by construction.
+EMAIL_RE_S = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE_S = r"\+[0-9]{1,3} [0-9]{2} [0-9]{3} [0-9]{4}"
+
+
+def pii_scrub(sf_dir: str) -> ray.data.Dataset:
+    """PII redaction over the naive visible text of the html branch: count
+    and mask email addresses and phone numbers per record (the
+    training-data hygiene pass every web-scale corpus needs before the LM
+    sees it). Shuffle-free: one streaming map over the pages corpus, lines
+    re-derived per record exactly like boilerplate_line_dedup's rebuild.
+    Output: (url, warc_ts, n_emails, n_phones, text_redacted). Oracle: SQL
+    recomputation (regexp_extract_all counts + chained regexp_replace +
+    line/paragraph reassembly) from the naive_lines artifact."""
+    import re as _re
+
+    from ..extract_core import route
+    from ..kernels.html_extract import extract_lines_naive
+
+    email_re = _re.compile(EMAIL_RE_S)
+    phone_re = _re.compile(PHONE_RE_S)
+
+    ds = _pages_pruned(sf_dir, ["url", "warc_ts", "html"])
+
+    def scrub(batch: pa.Table) -> pa.Table:
+        ts_type = batch.schema.field("warc_ts").type
+        urls = batch.column("url").to_pylist()
+        ts = batch.column("warc_ts").to_pylist()
+        payloads = batch.column("html").to_pylist()
+        cols: dict[str, list] = {
+            "url": [], "warc_ts": [], "n_emails": [], "n_phones": [], "text_redacted": []
+        }
+        for i, data in enumerate(payloads):
+            if route(data) != "html":
+                continue
+            lines = extract_lines_naive(data.decode("utf-8", errors="replace"))
+            if not lines:
+                continue
+            n_e = n_p = 0
+            pars: dict[int, list[str]] = {}
+            for par_no, _line_no, line in lines:
+                n_e += len(email_re.findall(line))
+                n_p += len(phone_re.findall(line))
+                red = phone_re.sub("<PHONE>", email_re.sub("<EMAIL>", line))
+                pars.setdefault(par_no, []).append(red)
+            cols["url"].append(urls[i])
+            cols["warc_ts"].append(ts[i])
+            cols["n_emails"].append(n_e)
+            cols["n_phones"].append(n_p)
+            cols["text_redacted"].append(
+                "\n\n".join("\n".join(v) for _, v in sorted(pars.items()))
+            )
+        return pa.table(
+            {"url": pa.array(cols["url"], pa.string()),
+             "warc_ts": pa.array(cols["warc_ts"], ts_type),
+             "n_emails": pa.array(cols["n_emails"], pa.int64()),
+             "n_phones": pa.array(cols["n_phones"], pa.int64()),
+             "text_redacted": pa.array(cols["text_redacted"], pa.string())}
+        )
+
+    return ds.map_batches(scrub, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def paragraph_dedup(sf_dir: str) -> ray.data.Dataset:
+    """Cross-document paragraph-level exact dedup over the extracted main
+    content (the granularity CCNet dedups at): paragraphs repeated across
+    DIFFERENT urls (syndicated wire copy) surface with their copy count and
+    a deterministic keeper. Only 8-byte hashes + urls cross the exchange —
+    never paragraph text; the combiner collapses each hash per block before
+    the small groupby. Output: one row per duplicated paragraph hash
+    (n_copies >= 2). Oracle: SQL split/unnest/group over the summary
+    artifact with the same signed-md5 hash."""
+    import pandas as pd
+
+    from .common import grouped_agg
+
+    out = extraction_output(sf_dir, columns=["url", "text", "error"])
+
+    def pars(batch: pa.Table) -> pa.Table:
+        urls = batch.column("url").to_pylist()
+        texts = batch.column("text").to_pylist()
+        ok = pa.compute.is_null(batch.column("error")).to_pylist()
+        cols: dict[str, list] = {"h": [], "url": [], "n_chars": []}
+        for i, text in enumerate(texts):
+            if not ok[i] or not text:
+                continue
+            for p in text.split("\n\n"):
+                if p:
+                    cols["h"].append(line_hash64(p))
+                    cols["url"].append(urls[i])
+                    cols["n_chars"].append(len(p))
+        return pa.table(
+            {"h": pa.array(cols["h"], pa.int64()),
+             "url": pa.array(cols["url"], pa.string()),
+             "n_chars": pa.array(cols["n_chars"], pa.int64())}
+        )
+
+    def fin(df: "pd.DataFrame") -> "pd.DataFrame":
+        df = df[df["n_copies"] >= 2]
+        return df.sort_values("h").reset_index(drop=True)
+
+    return grouped_agg(
+        out.map_batches(pars, batch_format="pyarrow", zero_copy_batch=True),
+        keys=["h"],
+        specs=[("n_copies", "count", None), ("keep_url", "min", "url"),
+               ("n_chars", "max", "n_chars")],
+        finalize=fin,
+    )
+
+
+CONTAM_NGRAM = 8
+CONTAM_MOD = 19  # ~5% of urls land in the held-out eval set
+
+
+def _is_eval_url(url: str) -> bool:
+    """Deterministic eval-set membership — first md5 byte mod CONTAM_MOD
+    (SQL twin: ``('0x' || substr(md5(url), 1, 2))::UBIGINT % 19 = 0``)."""
+    import hashlib
+
+    return int(hashlib.md5(url.encode()).hexdigest()[:2], 16) % CONTAM_MOD == 0
+
+
+def contamination_check(sf_dir: str) -> ray.data.Dataset:
+    """Benchmark-contamination scan: flag training documents sharing any
+    8-token shingle with a held-out eval set (the pre-training hygiene
+    check; eval set = a deterministic ~5% url sample here). Scale shape:
+    eval sets are SMALL by definition, so the eval shingle hashes are
+    distinct-reduced and broadcast once via ray.put; the train side is one
+    shuffle-free scoring pass (same shape as unigram_logprob's vocab).
+    Output per train doc: (url, n_shared, contaminated) where n_shared
+    counts DISTINCT shared shingles. Oracle: SQL shingle join over the
+    summary artifact."""
+    from .common import distinct
+
+    out = extraction_output(sf_dir, columns=["url", "text", "error"])
+
+    def eval_shingles(batch: pa.Table) -> pa.Table:
+        urls = batch.column("url").to_pylist()
+        texts = batch.column("text").to_pylist()
+        ok = pa.compute.is_null(batch.column("error")).to_pylist()
+        hs: list[int] = []
+        for i, url in enumerate(urls):
+            if not ok[i] or not _is_eval_url(url):
+                continue
+            toks = texts[i].lower().split()
+            for j in range(len(toks) - CONTAM_NGRAM + 1):
+                hs.append(line_hash64(" ".join(toks[j:j + CONTAM_NGRAM])))
+        return pa.table({"h": pa.array(hs, pa.int64())})
+
+    eval_ds = distinct(
+        out.map_batches(eval_shingles, batch_format="pyarrow", zero_copy_batch=True),
+        keys=["h"],
+    )
+    blocked_ref = ray.put(frozenset(r["h"] for r in eval_ds.take_all()))
+
+    def score(batch: pa.Table) -> pa.Table:
+        blocked = ray.get(blocked_ref)
+        urls = batch.column("url").to_pylist()
+        texts = batch.column("text").to_pylist()
+        ok = pa.compute.is_null(batch.column("error")).to_pylist()
+        cols: dict[str, list] = {"url": [], "n_shared": [], "contaminated": []}
+        for i, url in enumerate(urls):
+            if not ok[i] or _is_eval_url(url):
+                continue
+            toks = texts[i].lower().split()
+            shared = {
+                h for j in range(len(toks) - CONTAM_NGRAM + 1)
+                if (h := line_hash64(" ".join(toks[j:j + CONTAM_NGRAM]))) in blocked
+            }
+            cols["url"].append(url)
+            cols["n_shared"].append(len(shared))
+            cols["contaminated"].append(bool(shared))
+        return pa.table(
+            {"url": pa.array(cols["url"], pa.string()),
+             "n_shared": pa.array(cols["n_shared"], pa.int64()),
+             "contaminated": pa.array(cols["contaminated"], pa.bool_())}
+        )
+
+    return out.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def es_bulk_payloads(sf_dir: str) -> ray.data.Dataset:
     """Elasticsearch bulk-index payloads per page (W8 completed): the
     search_index_docs doc shape paired with the reference's deterministic

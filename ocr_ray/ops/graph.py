@@ -1,0 +1,256 @@
+"""Graph-shaped operators over the crawl: the host link graph mined from
+raw HTML, an iterative PageRank over it, and connected-component clustering
+of the near-duplicate pair graph.
+
+These are the operators where the reference has nothing comparable and Ray
+Data has no built-in — each is expressed as dataflow (map_batches partials
++ grouped aggregates + hash joins), with the iterative loops driven from
+the driver over MATERIALIZED per-iteration label/rank tables (node->scalar
+only — the per-iteration state is O(nodes), never O(corpus); re-executing
+lineage instead would recompute the whole upstream per iteration).
+
+Scale notes:
+- link extraction is a shuffle-free scan; only (src_host, dst_host) pairs
+  cross the exchange, pre-collapsed per block by the combiner;
+- PageRank iterations move one row per edge + one per node;
+- label propagation converges in O(cluster diameter) rounds — near-dup
+  clusters are shallow (dups of dups), so the loop exits early on the
+  monotone label-sum fixpoint test (one cheap aggregate per round, no
+  old-vs-new join).
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data
+
+from .common import grouped_agg
+
+# ASCII-only on purpose: the oracle runs the same pattern via DuckDB RE2
+# over decode(html); ASCII literals render identically in both engines.
+HOST_LINK_RE_S = r"https://(host[0-9]+)\.example"
+SRC_HOST_RE_S = r"https://([A-Za-z0-9.-]+)\.example"
+
+PAGERANK_DAMPING = 0.85
+PAGERANK_ITERS = 4
+
+CLUSTER_MAX_ITERS = 12
+
+
+def _html_pages(sf_dir: str, columns: list[str]) -> ray.data.Dataset:
+    from .extraction_queries import _pages_pruned
+
+    return _pages_pruned(sf_dir, columns)
+
+
+def host_link_rows(sf_dir: str) -> ray.data.Dataset:
+    """(src_host, dst_host) per absolute cross-host anchor in each HTML
+    record. The html-branch predicate is the literal '<!DOCTYPE html>'
+    prefix — on this corpus it is exactly the router's html branch, and it
+    is the predicate the SQL oracle can express over the raw blob
+    (CAST(html AS VARCHAR) LIKE '<!DOCTYPE html>%')."""
+    link_re = re.compile(HOST_LINK_RE_S)
+    src_re = re.compile(SRC_HOST_RE_S)
+
+    ds = _html_pages(sf_dir, ["url", "html"])
+
+    def rows(batch: pa.Table) -> pa.Table:
+        urls = batch.column("url").to_pylist()
+        payloads = batch.column("html").to_pylist()
+        cols: dict[str, list] = {"src_host": [], "dst_host": []}
+        for i, data in enumerate(payloads):
+            if not data.startswith(b"<!DOCTYPE html>"):
+                continue
+            m = src_re.search(urls[i])
+            if m is None:
+                continue
+            src = m.group(1)
+            for dst in link_re.findall(data.decode("utf-8")):
+                cols["src_host"].append(src)
+                cols["dst_host"].append(dst)
+        return pa.table(
+            {"src_host": pa.array(cols["src_host"], pa.string()),
+             "dst_host": pa.array(cols["dst_host"], pa.string())}
+        )
+
+    return ds.map_batches(rows, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def host_link_graph(sf_dir: str) -> ray.data.Dataset:
+    """Weighted host-to-host link graph: grouped count of cross-host
+    anchors (combiner collapses per block; re-crawled records count each
+    crawl, same as the oracle). Output: (src_host, dst_host, n_links)."""
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(["src_host", "dst_host"]).reset_index(drop=True)
+
+    return grouped_agg(
+        host_link_rows(sf_dir),
+        keys=["src_host", "dst_host"],
+        specs=[("n_links", "count", None)],
+        finalize=fin,
+    )
+
+
+def pagerank_hosts(sf_dir: str) -> ray.data.Dataset:
+    """Weighted PageRank over the host link graph, PAGERANK_ITERS fixed
+    iterations (damping 0.85, uniform teleport, no dangling-mass
+    redistribution — the simple variant, declared so the SQL twin unrolls
+    the same recurrence). Each iteration is one hash join (ranks ⋈ edges on
+    src) + one grouped sum keyed by dst — both distributed; the driver only
+    sequences iterations and holds nothing but the loop counter. Output:
+    (host, rank) rounded to 6 (absorbs per-dst float summation order).
+
+    The per-iteration rank table is materialized: it is O(hosts) — at
+    crawl scale millions of rows, not corpus-sized — and without it each
+    round would re-execute the whole upstream lineage."""
+    edges = host_link_graph(sf_dir)
+
+    # out-weight per source, joined onto edges once: contribution fraction
+    outw = grouped_agg(
+        edges.select_columns(["src_host", "n_links"]),
+        keys=["src_host"], specs=[("outw", "sum", "n_links")],
+    )
+    edges = edges.join(
+        outw, join_type="inner", num_partitions=4,
+        on=("src_host",),
+    ).materialize()
+
+    # node table stays distributed: distinct(src ∪ dst) via one-pass
+    # aggregate — the host universe is never collected to the driver
+    from .common import distinct
+
+    hosts_ds = distinct(
+        edges.select_columns(["src_host"]).rename_columns({"src_host": "host"})
+        .union(
+            edges.select_columns(["dst_host"]).rename_columns({"dst_host": "host"})
+        ),
+        keys=["host"],
+    ).materialize()
+    n = hosts_ds.count()
+    ranks = hosts_ds.map_batches(
+        lambda b: pa.table({"host": b.column("host"),
+                            "rank": pa.array([1.0 / n] * b.num_rows, pa.float64())}),
+        batch_format="pyarrow",
+    )
+
+    for _ in range(PAGERANK_ITERS):
+        contrib = edges.join(
+            ranks, join_type="inner", num_partitions=4,
+            on=("src_host",), right_on=("host",),
+        )
+
+        def c_rows(batch: pa.Table) -> pa.Table:
+            r = batch.column("rank").to_numpy(zero_copy_only=False)
+            w = batch.column("n_links").to_numpy(zero_copy_only=False)
+            ow = batch.column("outw").to_numpy(zero_copy_only=False)
+            return pa.table(
+                {"host": batch.column("dst_host"),
+                 "c": pa.array(r * w / ow, pa.float64())}
+            )
+
+        summed = grouped_agg(
+            contrib.map_batches(c_rows, batch_format="pyarrow"),
+            keys=["host"], specs=[("c", "sum", "c")],
+        )
+        joined = ranks.select_columns(["host"]).join(
+            summed, join_type="left_outer", num_partitions=4, on=("host",),
+        )
+
+        def apply(batch: pa.Table) -> pa.Table:
+            import numpy as np
+
+            c = batch.column("c").to_numpy(zero_copy_only=False)
+            c = np.where(np.isnan(c), 0.0, c)
+            return pa.table(
+                {"host": batch.column("host"),
+                 "rank": pa.array((1.0 - PAGERANK_DAMPING) / n
+                                  + PAGERANK_DAMPING * c, pa.float64())}
+            )
+
+        ranks = joined.map_batches(apply, batch_format="pyarrow").materialize()
+
+    def finish(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        r = batch.column("rank").to_numpy(zero_copy_only=False)
+        # round-half-even to match the SQL twin's round_even
+        return pa.table(
+            {"host": batch.column("host"),
+             "rank": pa.array([round(float(x), 6) for x in r], pa.float64())}
+        )
+
+    return ranks.map_batches(finish, batch_format="pyarrow")
+
+
+def dup_clusters(sf_dir: str) -> ray.data.Dataset:
+    """Connected components of the MinHash near-duplicate pair graph —
+    the step that turns pairwise candidates into dedup DECISIONS (keep one
+    doc per cluster). Distributed min-label propagation: every doc starts
+    labeled with its own id; each round, labels flow across edges (hash
+    join on the symmetrized pair list) and each node keeps the minimum —
+    the classic large-graph CC algorithm, O(diameter) rounds. Convergence
+    is detected by the monotone label-sum fixpoint (labels only ever
+    decrease, so an unchanged SUM(label) aggregate means a fixpoint — no
+    old-vs-new join needed). Output: (doc_id, cluster_id, cluster_size)
+    for every document; singletons cluster to themselves. Oracle: DuckDB
+    recursive CTE over the same recomputed pair graph."""
+    from .common import read_table
+    from .documents import minhash_dup_pairs
+
+    pairs = minhash_dup_pairs(sf_dir).select_columns(["doc_a", "doc_b"])
+
+    def sym(batch: pa.Table) -> pa.Table:
+        a = batch.column("doc_a")
+        b = batch.column("doc_b")
+        return pa.table(
+            {"a": pa.concat_arrays([a.combine_chunks(), b.combine_chunks()]),
+             "b": pa.concat_arrays([b.combine_chunks(), a.combine_chunks()])}
+        )
+
+    edges = pairs.map_batches(sym, batch_format="pyarrow").materialize()
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id"])
+    labels = docs.map_batches(
+        lambda b: pa.table({"node": b.column("doc_id"),
+                            "label": b.column("doc_id")}),
+        batch_format="pyarrow", zero_copy_batch=True,
+    ).materialize()
+
+    prev_sum = None
+    for _ in range(CLUSTER_MAX_ITERS):
+        msgs = edges.join(
+            labels, join_type="inner", num_partitions=4,
+            on=("a",), right_on=("node",),
+        ).map_batches(
+            lambda batch: pa.table({"node": batch.column("b"),
+                                    "label": batch.column("label")}),
+            batch_format="pyarrow",
+        )
+        labels = grouped_agg(
+            labels.union(msgs), keys=["node"], specs=[("label", "min", "label")]
+        ).materialize()
+        s = labels.sum("label")
+        if s == prev_sum:
+            break
+        prev_sum = s
+
+    sizes = grouped_agg(
+        labels.select_columns(["label"]), keys=["label"],
+        specs=[("cluster_size", "count", None)],
+    )
+    out = labels.join(sizes, join_type="inner", num_partitions=4, on=("label",))
+
+    def shape(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {"doc_id": batch.column("node"),
+             "cluster_id": batch.column("label"),
+             "cluster_size": pa.compute.cast(
+                 batch.column("cluster_size"), pa.int64())}
+        )
+
+    return out.map_batches(shape, batch_format="pyarrow")

@@ -58,6 +58,16 @@ def _minhash_param_values() -> str:
 
 H64 = "('0x' || substr(md5({expr}), 1, 16))::UBIGINT"
 
+# the same 64 bits as H64 reinterpreted two's-complement signed — the form
+# the Ray side ships across exchanges (uint64 >= 2^63 would force Ray's
+# aggregate blocks into pickled-object fallback; see
+# extraction_queries.line_hash64)
+H64S = (
+    "CAST(CAST(('0x' || substr(md5({expr}), 1, 16))::UBIGINT AS HUGEINT)"
+    " - CASE WHEN ('0x' || substr(md5({expr}), 1, 16))::UBIGINT"
+    " >= 9223372036854775808 THEN 18446744073709551616 ELSE 0 END AS BIGINT)"
+)
+
 
 def _sketch_ctes() -> str:
     """Shared CTEs recomputing MinHash signatures + banded candidate pairs
@@ -596,6 +606,207 @@ def extra_oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
                CAST(MAX(n_bytes) AS BIGINT) AS n_bytes
         FROM read_parquet('{media_hashes}')
         GROUP BY media_hash ORDER BY media_hash
+    """
+
+    # ------------------------------------------------ artifact: pii_scrub
+    from .extraction_queries import EMAIL_RE_S, PHONE_RE_S
+
+    sql["pii_scrub"] = f"""
+        WITH red AS (
+            SELECT url, warc_ts, par_no, line_no,
+                   len(regexp_extract_all(line, '{EMAIL_RE_S}')) AS ne,
+                   len(regexp_extract_all(line, '{PHONE_RE_S}')) AS np,
+                   regexp_replace(
+                       regexp_replace(line, '{EMAIL_RE_S}', '<EMAIL>', 'g'),
+                       '{PHONE_RE_S}', '<PHONE>', 'g') AS rline
+            FROM read_parquet('{naive_lines}')
+        ),
+        pars AS (
+            SELECT url, warc_ts, par_no,
+                   string_agg(rline, chr(10) ORDER BY line_no) AS par_text
+            FROM red GROUP BY url, warc_ts, par_no
+        ),
+        docs AS (
+            SELECT url, warc_ts,
+                   string_agg(par_text, chr(10) || chr(10) ORDER BY par_no)
+                       AS text_redacted
+            FROM pars GROUP BY url, warc_ts
+        ),
+        stats AS (
+            SELECT url, warc_ts, CAST(SUM(ne) AS BIGINT) AS n_emails,
+                   CAST(SUM(np) AS BIGINT) AS n_phones
+            FROM red GROUP BY url, warc_ts
+        )
+        SELECT s.url, s.warc_ts, s.n_emails, s.n_phones, d.text_redacted
+        FROM stats s JOIN docs d ON s.url = d.url AND s.warc_ts = d.warc_ts
+        ORDER BY s.url, s.warc_ts
+    """
+
+    # ------------------------------------------ artifact: paragraph_dedup
+    h64s_par = H64S.format(expr="par")
+    sql["paragraph_dedup"] = f"""
+        WITH pars AS (
+            SELECT url, u.par AS par
+            FROM read_parquet('{summary}'),
+                 UNNEST(string_split(text, chr(10) || chr(10))) AS u(par)
+            WHERE error IS NULL AND u.par <> ''
+        ),
+        hashed AS (SELECT {h64s_par} AS h, url, length(par) AS n_chars FROM pars)
+        SELECT h, CAST(COUNT(*) AS BIGINT) AS n_copies, MIN(url) AS keep_url,
+               CAST(MAX(n_chars) AS BIGINT) AS n_chars
+        FROM hashed GROUP BY h HAVING COUNT(*) >= 2 ORDER BY h
+    """
+
+    # ------------------------------------- artifact: contamination_check
+    from .extraction_queries import CONTAM_MOD, CONTAM_NGRAM
+
+    sql["contamination_check"] = f"""
+        WITH docs AS (
+            SELECT url, regexp_extract_all(lower(text), '\\S+') AS ws,
+                   ('0x' || substr(md5(url), 1, 2))::UBIGINT % {CONTAM_MOD} = 0
+                       AS is_eval
+            FROM read_parquet('{summary}') WHERE error IS NULL
+        ),
+        sh AS (
+            SELECT url, is_eval,
+                   array_to_string(
+                       ws[CAST(i AS INT):CAST(i AS INT) + {CONTAM_NGRAM - 1}], ' ')
+                       AS shingle
+            FROM docs, LATERAL unnest(range(1, len(ws) - {CONTAM_NGRAM - 2}))
+                 AS r(i)
+            WHERE len(ws) >= {CONTAM_NGRAM}
+        ),
+        eval_sh AS (SELECT DISTINCT shingle FROM sh WHERE is_eval),
+        hits AS (
+            SELECT t.url, COUNT(DISTINCT t.shingle) AS n_shared
+            FROM sh t JOIN eval_sh e ON t.shingle = e.shingle
+            WHERE NOT t.is_eval
+            GROUP BY t.url
+        )
+        SELECT d.url, CAST(COALESCE(h.n_shared, 0) AS BIGINT) AS n_shared,
+               COALESCE(h.n_shared, 0) > 0 AS contaminated
+        FROM docs d LEFT JOIN hits h ON d.url = h.url
+        WHERE NOT d.is_eval
+        ORDER BY d.url
+    """
+
+    # ---------------------------------------- corpus: host_link_graph
+    from .extraction_queries import pages_corpus
+    from .graph import HOST_LINK_RE_S, PAGERANK_DAMPING, PAGERANK_ITERS, SRC_HOST_RE_S
+
+    corpus_glob = f"{pages_corpus(sf_dir)}/*.parquet"
+    link_ctes = f"""
+        h AS (
+            SELECT url, decode(html) AS markup
+            FROM read_parquet('{corpus_glob}')
+            WHERE CAST(html AS VARCHAR) LIKE '<!DOCTYPE html>%'
+        ),
+        links AS (
+            SELECT regexp_extract(url, '{SRC_HOST_RE_S}', 1) AS src_host,
+                   u.dst AS dst_host
+            FROM h, LATERAL unnest(
+                regexp_extract_all(markup, '{HOST_LINK_RE_S}', 1)) AS u(dst)
+        ),
+        edges AS (
+            SELECT src_host, dst_host, CAST(COUNT(*) AS BIGINT) AS n_links
+            FROM links GROUP BY src_host, dst_host
+        )"""
+    sql["host_link_graph"] = f"""
+        WITH {link_ctes}
+        SELECT * FROM edges ORDER BY src_host, dst_host
+    """
+
+    # ------------------------------------------- corpus: pagerank_hosts
+    # the same fixed-iteration recurrence, unrolled: r0 = 1/N,
+    # r_(k+1)(v) = (1-d)/N + d * sum over in-edges of r_k(u) * w / outw(u)
+    pr_ctes = [
+        link_ctes,
+        """nodes AS (
+            SELECT DISTINCT src_host AS host FROM edges
+            UNION SELECT DISTINCT dst_host FROM edges
+        ),
+        nn AS (SELECT COUNT(*) AS n FROM nodes),
+        ew AS (
+            SELECT e.src_host, e.dst_host,
+                   e.n_links * 1.0 / SUM(e.n_links) OVER (PARTITION BY e.src_host)
+                       AS frac
+            FROM edges e
+        ),
+        r0 AS (SELECT host, 1.0 / (SELECT n FROM nn) AS rank FROM nodes)""",
+    ]
+    d = PAGERANK_DAMPING
+    for k in range(PAGERANK_ITERS):
+        pr_ctes.append(f"""r{k + 1} AS (
+            SELECT nodes.host,
+                   (1.0 - {d}) / (SELECT n FROM nn)
+                   + {d} * COALESCE(SUM(r.rank * ew.frac), 0) AS rank
+            FROM nodes
+            LEFT JOIN ew ON ew.dst_host = nodes.host
+            LEFT JOIN r{k} r ON r.host = ew.src_host
+            GROUP BY nodes.host
+        )""")
+    sql["pagerank_hosts"] = (
+        "WITH " + ",\n".join(pr_ctes)
+        + f"""
+        SELECT host, round_even(rank, 6) AS rank FROM r{PAGERANK_ITERS}
+        ORDER BY host
+    """
+    )
+
+    # --------------------------------------------- direct: dup_clusters
+    sql["dup_clusters"] = f"""
+        WITH RECURSIVE {_sketch_ctes()},
+        sym(a, b) AS (
+            SELECT doc_a, doc_b FROM minhash_pairs
+            UNION SELECT doc_b, doc_a FROM minhash_pairs
+        ),
+        walk(node, lab) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT sym.b, walk.lab FROM walk JOIN sym ON sym.a = walk.node
+        ),
+        cc AS (SELECT node AS doc_id, MIN(lab) AS cluster_id FROM walk GROUP BY node)
+        SELECT doc_id, cluster_id,
+               CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT)
+                   AS cluster_size
+        FROM cc ORDER BY doc_id
+    """
+
+    # ------------------------------------------- direct: tfidf_top_terms
+    from .documents import TFIDF_TOP_K, TFIDF_VOCAB
+
+    sql["tfidf_top_terms"] = f"""
+        WITH toks AS (
+            SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS ws
+            FROM documents
+        ),
+        words AS (SELECT doc_id, u.w AS w FROM toks, UNNEST(ws) AS u(w)),
+        counts AS (
+            SELECT w, COUNT(*) AS n, COUNT(DISTINCT doc_id) AS df
+            FROM words GROUP BY w
+        ),
+        vocab AS (SELECT w, df FROM counts ORDER BY n DESC, w ASC LIMIT {TFIDF_VOCAB}),
+        nd AS (SELECT COUNT(*) AS c FROM documents),
+        tf AS (
+            SELECT w.doc_id, w.w, COUNT(*) AS tf
+            FROM words w JOIN vocab v ON v.w = w.w
+            GROUP BY w.doc_id, w.w
+        ),
+        scored AS (
+            SELECT t.doc_id, t.w AS term, t.tf, v.df,
+                   t.tf * ln((SELECT c FROM nd) * 1.0 / v.df) AS raw_score
+            FROM tf t JOIN vocab v ON v.w = t.w
+        ),
+        ranked AS (
+            SELECT *, row_number() OVER (
+                PARTITION BY doc_id ORDER BY raw_score DESC, term ASC) AS rk
+            FROM scored
+        )
+        SELECT doc_id, CAST(rk AS BIGINT) AS rank, term,
+               CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+               round_even(raw_score, 6) AS score
+        FROM ranked WHERE rk <= {TFIDF_TOP_K}
+        ORDER BY doc_id, rank
     """
 
     sql.update(golden_oracles())

@@ -386,3 +386,124 @@ def test_line_hash64_matches_duckdb_h64():
             "SELECT ('0x' || substr(md5(?), 1, 16))::UBIGINT", [s]
         ).fetchone()[0]
         assert line_hash64(s) == sql_val - (sql_val >= 1 << 63) * (1 << 64), s
+
+
+# ---------------------------------------------- corpus hygiene & graph suite
+
+
+def test_pii_scrub(ray_session):
+    """Every html record carries the contact-footer phone; redacted text
+    never matches the PII patterns again; counts match what was removed."""
+    import re
+
+    from ocr_ray.ops.extraction_queries import EMAIL_RE_S, PHONE_RE_S, pii_scrub
+
+    df = _df(pii_scrub(SF))
+    assert list(df.columns) == ["url", "warc_ts", "n_emails", "n_phones",
+                                "text_redacted"]
+    assert len(df) > 500
+    assert (df["n_phones"] == 1).all()  # exactly one footer phone per page
+    assert (df["n_emails"] >= 1).all()  # footer contact + optional inline
+    assert (df["n_emails"] <= 2).all()
+    email_re = re.compile(EMAIL_RE_S)
+    phone_re = re.compile(PHONE_RE_S)
+    for t in df["text_redacted"]:
+        assert not email_re.search(t)
+        assert not phone_re.search(t)
+    assert df["text_redacted"].str.contains("<EMAIL>").all()
+    assert df["text_redacted"].str.contains("<PHONE>").all()
+
+
+def test_paragraph_dedup(ray_session):
+    """Only cross-record duplicate paragraphs surface (syndicated wire copy
+    + re-crawl pairs); hashes unique; keeper is the lexicographic min."""
+    from ocr_ray.ops.extraction_queries import paragraph_dedup
+
+    df = _df(paragraph_dedup(SF))
+    assert list(df.columns) == ["h", "n_copies", "keep_url", "n_chars"]
+    assert len(df) > 0
+    assert (df["n_copies"] >= 2).all()
+    assert df["h"].is_unique
+    assert (df["n_chars"] > 0).all()
+    # syndicated pool paragraphs are shared across MORE than a re-crawl pair
+    assert (df["n_copies"] > 2).any()
+
+
+def test_contamination_check(ray_session):
+    """Deterministic eval split; contaminated flag consistent with n_shared;
+    the syndicated pool produces real train/eval 8-gram overlap."""
+    from ocr_ray.ops.extraction_queries import _is_eval_url, contamination_check
+
+    df = _df(contamination_check(SF))
+    assert list(df.columns) == ["url", "n_shared", "contaminated"]
+    assert len(df) > 500
+    assert (~df["url"].map(_is_eval_url)).all()  # eval docs excluded
+    assert (df["contaminated"] == (df["n_shared"] > 0)).all()
+    assert df["contaminated"].any()
+
+
+def test_host_link_graph(ray_session):
+    from ocr_ray.ops.graph import host_link_graph
+
+    df = _df(host_link_graph(SF))
+    assert list(df.columns) == ["src_host", "dst_host", "n_links"]
+    assert len(df) > 100
+    assert (df["n_links"] >= 1).all()
+    assert df["src_host"].str.match(r"host\d+$").all()
+    assert df["dst_host"].str.match(r"host\d+$").all()
+    assert not df.duplicated(["src_host", "dst_host"]).any()
+
+
+def test_pagerank_hosts(ray_session):
+    """Fixed-iteration PageRank: probability-like (sum < 1 without dangling
+    redistribution, every rank >= teleport floor), deterministic rerun."""
+    from ocr_ray.ops.graph import PAGERANK_DAMPING, pagerank_hosts
+
+    df = _df(pagerank_hosts(SF)).sort_values("host").reset_index(drop=True)
+    assert list(df.columns) == ["host", "rank"]
+    n = len(df)
+    assert n > 10
+    floor = (1.0 - PAGERANK_DAMPING) / n
+    assert (df["rank"] >= floor - 1e-9).all()
+    assert 0.5 < df["rank"].sum() <= 1.0 + 1e-9
+    again = _df(pagerank_hosts(SF)).sort_values("host").reset_index(drop=True)
+    assert again.equals(df)
+
+
+def test_dup_clusters(ray_session):
+    """Connected components: every doc labeled once, labels are cluster
+    minima, pair endpoints co-clustered, sizes consistent."""
+    from ocr_ray.ops.documents import minhash_dup_pairs
+    from ocr_ray.ops.graph import dup_clusters
+
+    df = _df(dup_clusters(SF))
+    assert list(df.columns) == ["doc_id", "cluster_id", "cluster_size"]
+    assert df["doc_id"].is_unique
+    assert len(df) == 500
+    assert (df["cluster_id"] <= df["doc_id"]).all()
+    sizes = df.groupby("cluster_id").size()
+    by_doc = df.set_index("doc_id")
+    for cid, grp in df.groupby("cluster_id"):
+        assert (grp["cluster_size"] == len(grp)).all()
+        assert cid == grp["doc_id"].min()
+    pairs = _df(minhash_dup_pairs(SF))
+    for _, p in pairs.iterrows():
+        assert (
+            by_doc.loc[p["doc_a"], "cluster_id"]
+            == by_doc.loc[p["doc_b"], "cluster_id"]
+        )
+
+
+def test_tfidf_top_terms(ray_session):
+    from ocr_ray.ops.documents import TFIDF_TOP_K, tfidf_top_terms
+
+    df = _df(tfidf_top_terms(SF))
+    assert list(df.columns) == ["doc_id", "rank", "term", "tf", "df", "score"]
+    assert df["rank"].between(1, TFIDF_TOP_K).all()
+    for _, grp in df.groupby("doc_id"):
+        g = grp.sort_values("rank")
+        assert g["score"].is_monotonic_decreasing or (
+            g["score"].round(6).diff().dropna() <= 1e-12
+        ).all()
+    assert (df["tf"] >= 1).all()
+    assert (df["df"] >= 1).all()
