@@ -108,6 +108,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank_hosts": g_ops.pagerank_hosts,
         "dup_clusters": g_ops.dup_clusters,
         "tfidf_top_terms": d_ops.tfidf_top_terms,
+        "substring_dedup": d_ops.substring_dedup,
     }
 
 

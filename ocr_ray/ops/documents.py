@@ -399,6 +399,103 @@ def ngram_verified_pairs(sf_dir: str):
     return with_ab.map_batches(verify, batch_format="pyarrow")
 
 
+# Exact-substring duplication (Lee et al. 2022, "Deduplicating Training
+# Data Makes Language Models Better"): a SUBSTR_NGRAM-token window occurring
+# in >= 2 documents is duplicated text. 16 tokens ~ the paper's 50-BPE-token
+# threshold at this corpus's word lengths; the flag threshold splits the
+# observed bimodal distribution (clean docs ~0.0, near-copies >= 0.89).
+SUBSTR_NGRAM = 16
+SUBSTR_DUP_FRAC_FLAG = 0.95
+
+
+def _h64(s: str) -> int:
+    """Top 8 bytes of md5 as SIGNED int64 — the same bits as the oracle's
+    H64S SQL expression (signed so Ray's aggregate blocks stay Arrow-typed;
+    uint64 >= 2^63 forces the pickled-block fallback, see
+    extraction_queries.line_hash64)."""
+    return int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "big", signed=True)
+
+
+def substring_dedup(sf_dir: str):
+    """Per-document exact-substring duplication profile — the dataflow form
+    of ExactSubstr dedup: every SUBSTR_NGRAM-token window hashed to 64 bits,
+    windows seen in >= 2 docs counted back per doc. Output: (doc_id,
+    n_grams, n_dup_grams, dup_frac, flagged) with n_grams/n_dup_grams over
+    DISTINCT windows; flagged from the RAW ratio (display ratio rounded 4).
+
+    Scale shape: only (doc_id, h) int64 pairs cross any exchange — one row
+    per distinct window, ~16 bytes/token (a few % of corpus bytes,
+    spill-friendly; the suffix-array formulation trades this space for a
+    global sort, which is the worse fit for a streaming shuffle). The pair
+    table is materialized once because three consumers branch from it
+    (per-doc totals, the window document-frequency, and the hit join); the
+    duplicated-window table stays distributed — unlike
+    contamination_check's eval set it is corpus-sized, so it is joined,
+    never broadcast."""
+    import pyarrow.compute as pc
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def gram_rows(batch: pa.Table) -> pa.Table:
+        ids: list[int] = []
+        hs: list[int] = []
+        for r in batch.to_pylist():
+            ws = r["text"].lower().split()
+            win = {
+                _h64(" ".join(ws[i:i + SUBSTR_NGRAM]))
+                for i in range(len(ws) - SUBSTR_NGRAM + 1)
+            }
+            ids.extend([r["doc_id"]] * len(win))
+            hs.extend(win)
+        return pa.table(
+            {"doc_id": pa.array(ids, pa.int64()), "h": pa.array(hs, pa.int64())}
+        )
+
+    pairs = ds.map_batches(
+        gram_rows, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+
+    totals = grouped_agg(pairs, keys=["doc_id"], specs=[("n_grams", "count", None)])
+    dup = grouped_agg(
+        pairs.select_columns(["h"]), keys=["h"], specs=[("n_docs", "count", None)]
+    ).map_batches(
+        lambda b: b.filter(pc.greater_equal(b.column("n_docs"), 2))
+        .drop_columns(["n_docs"]),
+        batch_format="pyarrow",
+    )
+    hits = grouped_agg(
+        pairs.join(dup, join_type="inner", num_partitions=4, on=("h",))
+        .select_columns(["doc_id"]),
+        keys=["doc_id"], specs=[("n_dup_grams", "count", None)],
+    )
+
+    # doc_id spine: docs shorter than SUBSTR_NGRAM tokens have zero windows
+    # and would otherwise vanish from the profile
+    out = (
+        read_table(sf_dir, "documents", columns=["doc_id"])
+        .join(totals, join_type="left_outer", num_partitions=4, on=("doc_id",))
+        .join(hits, join_type="left_outer", num_partitions=4, on=("doc_id",))
+    )
+
+    def shape(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        n = batch.column("n_grams").to_numpy(zero_copy_only=False).astype("float64")
+        nd = batch.column("n_dup_grams").to_numpy(zero_copy_only=False).astype("float64")
+        n = np.nan_to_num(n)
+        nd = np.nan_to_num(nd)
+        frac = np.divide(nd, n, out=np.zeros_like(nd), where=n > 0)
+        return pa.table(
+            {"doc_id": batch.column("doc_id"),
+             "n_grams": pa.array(n.astype("int64"), pa.int64()),
+             "n_dup_grams": pa.array(nd.astype("int64"), pa.int64()),
+             "dup_frac": pa.array([round(float(f), 4) for f in frac], pa.float64()),
+             "flagged": pa.array(frac >= SUBSTR_DUP_FRAC_FLAG, pa.bool_())}
+        )
+
+    return out.map_batches(shape, batch_format="pyarrow")
+
+
 TRAINING_MIN_QUALITY = 0.5
 # the documents table's declared-language codes (TESTDATA.md), not the
 # tesseract 3-letter specs the OCR config uses

@@ -809,5 +809,37 @@ def extra_oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         ORDER BY doc_id, rank
     """
 
+    # ------------------------------------------------ direct: substring_dedup
+    from .documents import SUBSTR_DUP_FRAC_FLAG, SUBSTR_NGRAM
+
+    gh = H64S.format(expr=f"array_to_string(ws[i:i+{SUBSTR_NGRAM - 1}], ' ')")
+    sql["substring_dedup"] = f"""
+        WITH toks AS (
+            SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS ws
+            FROM documents
+        ),
+        grams AS (
+            SELECT DISTINCT doc_id, {gh} AS h
+            FROM toks,
+                 UNNEST(range(1, greatest(len(ws) - {SUBSTR_NGRAM - 2}, 1))) AS t(i)
+        ),
+        dup AS (SELECT h FROM grams GROUP BY h HAVING count(*) >= 2),
+        tot AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+        hit AS (SELECT g.doc_id, count(*) AS nd
+                FROM grams g JOIN dup USING (h) GROUP BY g.doc_id)
+        SELECT d.doc_id,
+               CAST(COALESCE(t.n, 0) AS BIGINT) AS n_grams,
+               CAST(COALESCE(ht.nd, 0) AS BIGINT) AS n_dup_grams,
+               round_even(
+                   COALESCE(ht.nd, 0) * 1.0 / greatest(COALESCE(t.n, 0), 1), 4
+               ) AS dup_frac,
+               COALESCE(ht.nd, 0) * 1.0 / greatest(COALESCE(t.n, 0), 1)
+                   >= {SUBSTR_DUP_FRAC_FLAG} AS flagged
+        FROM documents d
+        LEFT JOIN tot t USING (doc_id)
+        LEFT JOIN hit ht USING (doc_id)
+        ORDER BY d.doc_id
+    """
+
     sql.update(golden_oracles())
     return sql

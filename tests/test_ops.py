@@ -507,3 +507,48 @@ def test_tfidf_top_terms(ray_session):
         ).all()
     assert (df["tf"] >= 1).all()
     assert (df["df"] >= 1).all()
+
+
+def test_substring_dedup(ray_session):
+    """Every doc appears exactly once (spine join keeps zero-window docs);
+    near-copy pairs show high dup_frac, clean docs zero; the flag follows
+    the raw ratio; a brute-force local recount agrees on the dup universe."""
+    import duckdb
+
+    from ocr_ray.ops.documents import (
+        SUBSTR_DUP_FRAC_FLAG, SUBSTR_NGRAM, _h64, substring_dedup,
+    )
+
+    df = _df(substring_dedup(SF)).sort_values("doc_id").reset_index(drop=True)
+    assert list(df.columns) == ["doc_id", "n_grams", "n_dup_grams", "dup_frac",
+                                "flagged"]
+    n_docs = duckdb.sql(
+        f"SELECT count(*) FROM read_parquet('{SF}/documents.parquet')"
+    ).fetchone()[0]
+    assert len(df) == n_docs
+    assert df["doc_id"].is_unique
+    assert (df["n_dup_grams"] <= df["n_grams"]).all()
+    assert df["dup_frac"].between(0.0, 1.0).all()
+    assert df["flagged"].any() and (~df["flagged"]).any()
+    # flag is a pure function of the raw ratio (rounded display can straddle)
+    raw = df["n_dup_grams"] / df["n_grams"].clip(lower=1)
+    assert (df["flagged"] == (raw >= SUBSTR_DUP_FRAC_FLAG)).all()
+
+    # brute-force parity: recompute the duplicated-window universe locally
+    texts = duckdb.sql(
+        f"SELECT doc_id, text FROM read_parquet('{SF}/documents.parquet')"
+    ).fetchall()
+    per_doc = {}
+    for doc_id, text in texts:
+        ws = text.lower().split()
+        per_doc[doc_id] = {
+            _h64(" ".join(ws[i:i + SUBSTR_NGRAM]))
+            for i in range(len(ws) - SUBSTR_NGRAM + 1)
+        }
+    from collections import Counter
+
+    freq = Counter(h for s in per_doc.values() for h in s)
+    for _, row in df.iterrows():
+        win = per_doc[row["doc_id"]]
+        assert row["n_grams"] == len(win)
+        assert row["n_dup_grams"] == sum(1 for h in win if freq[h] >= 2)
