@@ -109,6 +109,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_clusters": g_ops.dup_clusters,
         "tfidf_top_terms": d_ops.tfidf_top_terms,
         "substring_dedup": d_ops.substring_dedup,
+        "domain_mix_sample": d_ops.domain_mix_sample,
     }
 
 
@@ -420,6 +421,37 @@ def _base_oracle_sql() -> dict[str, str]:
                    AND tbf <= {d_ops.GOPHER_MAX_TOP_BIGRAM}
                    AND dwf <= {d_ops.GOPHER_MAX_DUP_WORD} AS passes
             FROM sig ORDER BY doc_id
+        """,
+        "domain_mix_sample": f"""
+            WITH d AS (
+                SELECT doc_id, source,
+                       array_length(regexp_extract_all(text, '\\S+')) AS nt
+                FROM documents
+            ),
+            s AS (
+                SELECT source, COUNT(*) AS n_docs, SUM(nt) AS n_toks
+                FROM d GROUP BY source
+            ),
+            w AS (
+                SELECT source, n_docs,
+                       sqrt(CAST(n_toks AS DOUBLE)) AS sq,
+                       SUM(sqrt(CAST(n_toks AS DOUBLE))) OVER () AS denom,
+                       SUM(n_docs) OVER () AS total
+                FROM s
+            ),
+            p AS (
+                SELECT source,
+                       least(CAST(4294967296 AS BIGINT),
+                             CAST(floor(least(1.0,
+                                 ((total * {d_ops.MIX_BUDGET_FRAC_PCT}) // 100)
+                                 * (sq / denom) / n_docs) * 4294967296.0)
+                             AS BIGINT)) AS p32
+                FROM w
+            )
+            SELECT d.doc_id, d.source, p.p32,
+                   ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::UBIGINT
+                       < p.p32 AS sampled
+            FROM d JOIN p USING (source) ORDER BY d.doc_id
         """,
         "embedding_norms": """
             SELECT vec_id,

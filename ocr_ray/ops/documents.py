@@ -627,6 +627,79 @@ def stratified_sample(sf_dir: str):
     return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
 
 
+# Temperature-weighted domain mixing (the multilingual/data-mixture sampling
+# rule p_s ∝ mass_s^α): α = 0.5 exactly, because sqrt is correctly-rounded
+# IEEE in both engines where pow(x, 0.5) need not be — the oracle recomputes
+# the weights bit-for-bit. Budget = half the corpus.
+MIX_BUDGET_FRAC_PCT = 50
+
+
+def domain_mix_sample(sf_dir: str):
+    """Temperature-rebalanced domain sampling: per-source token mass →
+    sqrt-flattened mixture weight → per-source inclusion rate, applied as a
+    deterministic per-doc hash threshold. Output per doc: (doc_id, source,
+    p32, sampled) where p32 = floor(rate × 2^32) and sampled ⇔ the top 4
+    md5 bytes of str(doc_id) < p32 — integer compares, so re-runs and the
+    SQL twin decide identically for every row.
+
+    Scale shape: one grouped count (sources are few by definition) whose
+    ~|sources| rows are collected and broadcast as the rate table — the
+    documented small-side exception — then a single shuffle-free scoring
+    pass. The quantization to 2^32 exists so no float boundary is ever
+    compared across engines."""
+    import math
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "source", "text"])
+
+    def tok_rows(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {"source": batch.column("source"),
+             "n_toks": pa.array(
+                 [textstats.token_count_ws(t)
+                  for t in batch.column("text").to_pylist()], pa.int64())}
+        )
+
+    per_source = grouped_agg(
+        ds.map_batches(tok_rows, batch_format="pyarrow", zero_copy_batch=True),
+        keys=["source"],
+        specs=[("n_docs", "count", None), ("n_toks", "sum", "n_toks")],
+    )
+    # |sources| rows — the legitimate small-side broadcast
+    rows = sorted(per_source.take_all(), key=lambda r: r["source"])
+    total_docs = sum(r["n_docs"] for r in rows)
+    budget = total_docs * MIX_BUDGET_FRAC_PCT // 100
+    denom = sum(math.sqrt(r["n_toks"]) for r in rows)
+    p32 = {
+        r["source"]: min(
+            2**32,
+            int(math.floor(
+                min(1.0, budget * (math.sqrt(r["n_toks"]) / denom) / r["n_docs"])
+                * 4294967296.0
+            )),
+        )
+        for r in rows
+    }
+    p32_ref = ray.put(p32)
+
+    def score(batch: pa.Table) -> pa.Table:
+        rates = ray.get(p32_ref)
+        ids = batch.column("doc_id").to_pylist()
+        srcs = batch.column("source").to_pylist()
+        u32 = [
+            int.from_bytes(hashlib.md5(str(i).encode()).digest()[:4], "big")
+            for i in ids
+        ]
+        return pa.table(
+            {"doc_id": pa.array(ids, pa.int64()),
+             "source": pa.array(srcs, pa.string()),
+             "p32": pa.array([rates[s] for s in srcs], pa.int64()),
+             "sampled": pa.array(
+                 [u < rates[s] for u, s in zip(u32, srcs)], pa.bool_())}
+        )
+
+    return ds.drop_columns(["text"]).map_batches(score, batch_format="pyarrow")
+
+
 def gopher_filter(sf_dir: str):
     """Gopher-style quality gate (published Rae et al. 2021 rules): per-doc
     word-count / mean-word-length / alphabetic-fraction / stopword-presence

@@ -552,3 +552,34 @@ def test_substring_dedup(ray_session):
         win = per_doc[row["doc_id"]]
         assert row["n_grams"] == len(win)
         assert row["n_dup_grams"] == sum(1 for h in win if freq[h] >= 2)
+
+
+def test_domain_mix_sample(ray_session):
+    """Every doc decided exactly once; rates are a pure function of source;
+    the realized sample lands near the declared budget; the per-doc decision
+    is exactly the hash-threshold recomputation."""
+    import hashlib
+
+    import duckdb
+
+    from ocr_ray.ops.documents import MIX_BUDGET_FRAC_PCT, domain_mix_sample
+
+    df = _df(domain_mix_sample(SF)).sort_values("doc_id").reset_index(drop=True)
+    assert list(df.columns) == ["doc_id", "source", "p32", "sampled"]
+    n_docs = duckdb.sql(
+        f"SELECT count(*) FROM read_parquet('{SF}/documents.parquet')"
+    ).fetchone()[0]
+    assert len(df) == n_docs
+    assert df["doc_id"].is_unique
+    # one rate per source, and token-mass variation makes them differ
+    per_src = df.groupby("source")["p32"].nunique()
+    assert (per_src == 1).all()
+    assert df["p32"].nunique() > 1
+    # realized sample ≈ budget (hash-uniform, so binomial noise only)
+    frac = df["sampled"].mean()
+    assert abs(frac - MIX_BUDGET_FRAC_PCT / 100) < 0.15
+    # decision is exactly u32 < p32
+    u32 = df["doc_id"].map(
+        lambda i: int.from_bytes(hashlib.md5(str(i).encode()).digest()[:4], "big")
+    )
+    assert (df["sampled"] == (u32 < df["p32"])).all()
