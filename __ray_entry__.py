@@ -110,6 +110,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_top_terms": d_ops.tfidf_top_terms,
         "substring_dedup": d_ops.substring_dedup,
         "domain_mix_sample": d_ops.domain_mix_sample,
+        "sequence_pack": d_ops.sequence_pack,
     }
 
 
@@ -452,6 +453,32 @@ def _base_oracle_sql() -> dict[str, str]:
                    ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::UBIGINT
                        < p.p32 AS sampled
             FROM d JOIN p USING (source) ORDER BY d.doc_id
+        """,
+        "sequence_pack": f"""
+            WITH RECURSIVE rows_t AS (
+                SELECT doc_id, doc_id % {d_ops.SEQ_PACK_PARTS} AS part,
+                       array_length(regexp_extract_all(text, '\\S+')) AS nt,
+                       row_number() OVER (
+                           PARTITION BY doc_id % {d_ops.SEQ_PACK_PARTS}
+                           ORDER BY doc_id) AS rn
+                FROM documents
+            ),
+            packed AS (
+                SELECT part, rn, doc_id, nt,
+                       CAST(0 AS BIGINT) AS seq, CAST(0 AS BIGINT) AS off
+                FROM rows_t WHERE rn = 1
+                UNION ALL
+                SELECT r.part, r.rn, r.doc_id, r.nt,
+                       CASE WHEN p.off + p.nt + r.nt <= {d_ops.SEQ_PACK_BUDGET}
+                            THEN p.seq ELSE p.seq + 1 END,
+                       CASE WHEN p.off + p.nt + r.nt <= {d_ops.SEQ_PACK_BUDGET}
+                            THEN p.off + p.nt ELSE CAST(0 AS BIGINT) END
+                FROM packed p
+                JOIN rows_t r ON r.part = p.part AND r.rn = p.rn + 1
+            )
+            SELECT doc_id, part, seq, off AS seq_offset,
+                   CAST(nt AS BIGINT) AS n_toks
+            FROM packed ORDER BY doc_id
         """,
         "embedding_norms": """
             SELECT vec_id,

@@ -700,6 +700,75 @@ def domain_mix_sample(sf_dir: str):
     return ds.drop_columns(["text"]).map_batches(score, batch_format="pyarrow")
 
 
+# Sequence packing: the pre-tokenization batching step that concatenates
+# documents into fixed-token-budget training sequences. Packing is
+# PARTITION-LOCAL by design — the only formulation that scales, since a
+# global greedy pack is a serial scan; each partition packs its docs in
+# doc_id order independently, so P partitions = P independent serial scans.
+SEQ_PACK_BUDGET = 512
+SEQ_PACK_PARTS = 32
+
+
+def sequence_pack(sf_dir: str):
+    """Greedy sequence packing: within each of SEQ_PACK_PARTS deterministic
+    partitions (doc_id mod P), docs in doc_id order are appended to the
+    current sequence while they fit in SEQ_PACK_BUDGET tokens, else a new
+    sequence starts (an oversized doc occupies its own sequence). Output:
+    (doc_id, part, seq, seq_offset, n_toks) — enough to materialize packed
+    training rows without re-deciding anything.
+
+    Scale shape: only (doc_id, n_toks) rows cross the exchange; the
+    groupby has exactly P groups (a knob that scales with the cluster), and
+    each group's pack is a single in-order pass over narrow columns. The
+    SQL twin replays the same greedy recurrence as a recursive CTE."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def tok_rows(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id")
+        import numpy as np
+
+        part = np.mod(ids.to_numpy(zero_copy_only=False), SEQ_PACK_PARTS)
+        return pa.table(
+            {"doc_id": ids,
+             "part": pa.array(part, pa.int64()),
+             "n_toks": pa.array(
+                 [textstats.token_count_ws(t)
+                  for t in batch.column("text").to_pylist()], pa.int64())}
+        )
+
+    rows = ds.map_batches(tok_rows, batch_format="pyarrow", zero_copy_batch=True)
+
+    def pack(group: pa.Table) -> pa.Table:
+        recs = sorted(group.to_pylist(), key=lambda r: r["doc_id"])
+        seq = 0
+        cur = 0
+        out_seq: list[int] = []
+        out_off: list[int] = []
+        for i, r in enumerate(recs):
+            nt = r["n_toks"]
+            if i == 0:
+                off = 0
+                cur = nt
+            elif cur + nt <= SEQ_PACK_BUDGET:
+                off = cur
+                cur += nt
+            else:
+                seq += 1
+                off = 0
+                cur = nt
+            out_seq.append(seq)
+            out_off.append(off)
+        return pa.table(
+            {"doc_id": pa.array([r["doc_id"] for r in recs], pa.int64()),
+             "part": pa.array([r["part"] for r in recs], pa.int64()),
+             "seq": pa.array(out_seq, pa.int64()),
+             "seq_offset": pa.array(out_off, pa.int64()),
+             "n_toks": pa.array([r["n_toks"] for r in recs], pa.int64())}
+        )
+
+    return rows.groupby("part").map_groups(pack, batch_format="pyarrow")
+
+
 def gopher_filter(sf_dir: str):
     """Gopher-style quality gate (published Rae et al. 2021 rules): per-doc
     word-count / mean-word-length / alphabetic-fraction / stopword-presence

@@ -583,3 +583,34 @@ def test_domain_mix_sample(ray_session):
         lambda i: int.from_bytes(hashlib.md5(str(i).encode()).digest()[:4], "big")
     )
     assert (df["sampled"] == (u32 < df["p32"])).all()
+
+
+def test_sequence_pack(ray_session):
+    """Every doc packed exactly once; within every (part, seq) the docs
+    tile the sequence contiguously from offset 0 and fit the budget unless
+    a single doc overflows it; packing actually concatenates (some seqs
+    hold >1 doc)."""
+    import duckdb
+
+    from ocr_ray.ops.documents import (
+        SEQ_PACK_BUDGET, SEQ_PACK_PARTS, sequence_pack,
+    )
+
+    df = _df(sequence_pack(SF)).sort_values("doc_id").reset_index(drop=True)
+    assert list(df.columns) == ["doc_id", "part", "seq", "seq_offset", "n_toks"]
+    n_docs = duckdb.sql(
+        f"SELECT count(*) FROM read_parquet('{SF}/documents.parquet')"
+    ).fetchone()[0]
+    assert len(df) == n_docs
+    assert df["doc_id"].is_unique
+    assert (df["part"] == df["doc_id"] % SEQ_PACK_PARTS).all()
+    multi = 0
+    for (_, _), grp in df.groupby(["part", "seq"]):
+        g = grp.sort_values("doc_id")
+        # contiguous tiling: each offset is the running sum of predecessors
+        assert g["seq_offset"].iloc[0] == 0
+        assert (g["seq_offset"] == g["n_toks"].cumsum().shift(fill_value=0)).all()
+        total = g["n_toks"].sum()
+        assert total <= SEQ_PACK_BUDGET or len(g) == 1
+        multi += len(g) > 1
+    assert multi > 0
