@@ -111,6 +111,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "substring_dedup": d_ops.substring_dedup,
         "domain_mix_sample": d_ops.domain_mix_sample,
         "sequence_pack": d_ops.sequence_pack,
+        "events_range_join": r_ops.events_range_join,
     }
 
 
@@ -479,6 +480,16 @@ def _base_oracle_sql() -> dict[str, str]:
             SELECT doc_id, part, seq, off AS seq_offset,
                    CAST(nt AS BIGINT) AS n_toks
             FROM packed ORDER BY doc_id
+        """,
+        "events_range_join": f"""
+            SELECT a.user_id, a.event_id AS event_a, b.event_id AS event_b,
+                   epoch_us(b.ts) - epoch_us(a.ts) AS dt_us
+            FROM events a
+            JOIN events b
+              ON a.user_id = b.user_id AND a.event_id < b.event_id
+             AND abs(epoch_us(b.ts) - epoch_us(a.ts))
+                 <= {r_ops.RANGE_JOIN_WINDOW_US}
+            ORDER BY event_a, event_b
         """,
         "embedding_norms": """
             SELECT vec_id,

@@ -421,6 +421,71 @@ def events_sliding_1h(sf_dir: str):
     )
 
 
+# Banded range join half-width: pairs of same-user events within ±5 minutes.
+RANGE_JOIN_WINDOW_US = 300_000_000
+
+
+def events_range_join(sf_dir: str):
+    """Range (interval) join — the third custom-join the brief names next
+    to as-of and windowed aggregation, and one Ray Data lacks natively:
+    all pairs of same-user events within ±5 minutes of each other.
+
+    Scale shape — the canonical banded equi-join reduction: time is
+    bucketed at the band width, the probe side expands to its bucket ±1
+    (bounded 3× fan-out, no sort, no window state), the join is a plain
+    hash join on (user_id, bucket), and the exact |Δt| ≤ W predicate plus
+    the event_a < event_b orientation filter run vectorized post-join.
+    Every qualifying pair matches exactly once (|Δt| ≤ W ⇒ bucket distance
+    ≤ 1, and only the lower-id side survives as probe). Partitioning
+    assumption: a (user, bucket) cell's rows co-locate — cell size is
+    bounded by per-user event density in one band, the documented skew
+    knob. Output: (user_id, event_a, event_b, dt_us); dt_us is exact
+    integer microseconds, so no float crosses the oracle compare."""
+    import pyarrow.compute as pc
+
+    ds = read_table(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+
+    def build_rows(batch: pa.Table) -> pa.Table:
+        ts_us = batch.column("ts").cast(pa.int64())
+        bucket = pc.divide(ts_us, RANGE_JOIN_WINDOW_US)
+        return pa.table(
+            {"user_id": batch.column("user_id"), "bucket": bucket,
+             "event_b": batch.column("event_id"), "ts_b": ts_us}
+        )
+
+    def probe_rows(batch: pa.Table) -> pa.Table:
+        ts_us = batch.column("ts").cast(pa.int64())
+        bucket = pc.divide(ts_us, RANGE_JOIN_WINDOW_US)
+        parts = [
+            pa.table(
+                {"user_id": batch.column("user_id"),
+                 "jb": pc.add(bucket, k),
+                 "event_a": batch.column("event_id"), "ts_a": ts_us}
+            )
+            for k in (-1, 0, 1)
+        ]
+        return pa.concat_tables(parts)
+
+    build = ds.map_batches(build_rows, batch_format="pyarrow", zero_copy_batch=True)
+    probe = ds.map_batches(probe_rows, batch_format="pyarrow", zero_copy_batch=True)
+
+    joined = probe.join(
+        build, join_type="inner", num_partitions=8,
+        on=("user_id", "jb"), right_on=("user_id", "bucket"),
+    )
+
+    def shape(batch: pa.Table) -> pa.Table:
+        dt = pc.subtract(batch.column("ts_b"), batch.column("ts_a"))
+        keep = pc.and_(
+            pc.less(batch.column("event_a"), batch.column("event_b")),
+            pc.less_equal(pc.abs(dt), RANGE_JOIN_WINDOW_US),
+        )
+        out = batch.append_column("dt_us", dt).filter(keep)
+        return out.select(["user_id", "event_a", "event_b", "dt_us"])
+
+    return joined.map_batches(shape, batch_format="pyarrow")
+
+
 def expensive_items(sf_dir: str, k: int = 20):
     """filter → sort → limit with deterministic tiebreaks (the reference has
     no top-k — SURVEY.md §2.6 — this is the idiomatic Ray Data form)."""

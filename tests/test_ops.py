@@ -614,3 +614,31 @@ def test_sequence_pack(ray_session):
         assert total <= SEQ_PACK_BUDGET or len(g) == 1
         multi += len(g) > 1
     assert multi > 0
+
+
+def test_events_range_join(ray_session):
+    """Banded-join reduction matches the naive quadratic range join exactly
+    — every pair once, oriented a < b, dt within the band."""
+    import duckdb
+
+    from ocr_ray.ops.relational import RANGE_JOIN_WINDOW_US, events_range_join
+
+    df = (
+        _df(events_range_join(SF))
+        .sort_values(["event_a", "event_b"]).reset_index(drop=True)
+    )
+    assert list(df.columns) == ["user_id", "event_a", "event_b", "dt_us"]
+    assert (df["event_a"] < df["event_b"]).all()
+    assert (df["dt_us"].abs() <= RANGE_JOIN_WINDOW_US).all()
+    oracle = duckdb.sql(f"""
+        SELECT a.user_id, a.event_id AS event_a, b.event_id AS event_b,
+               epoch_us(b.ts) - epoch_us(a.ts) AS dt_us
+        FROM read_parquet('{SF}/events.parquet') a
+        JOIN read_parquet('{SF}/events.parquet') b
+          ON a.user_id = b.user_id AND a.event_id < b.event_id
+         AND abs(epoch_us(b.ts) - epoch_us(a.ts)) <= {RANGE_JOIN_WINDOW_US}
+        ORDER BY event_a, event_b
+    """).df()
+    assert len(df) == len(oracle) > 0
+    for col in df.columns:
+        assert (df[col].to_numpy() == oracle[col].to_numpy()).all(), col
