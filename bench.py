@@ -160,7 +160,12 @@ def main() -> None:
     ray.shutdown()
 
 
-SCALING_ROWS = int(os.environ.get("GRAFT_SCALING_ROWS", "400000"))
+# 200k keeps BOTH configurations' total writes inside the hypervisor's
+# write-token bucket (each run writes ~0.6 GB; ~1.2+ GB drains the bucket
+# MID-RUN and the drained-device tail is a per-VM artifact — a real cluster
+# multiplies disks per node, same argument BASELINE.md makes for the memory
+# wall). The 400k figure is still reported in BASELINE.md alongside this one.
+SCALING_ROWS = int(os.environ.get("GRAFT_SCALING_ROWS", "200000"))
 SCALING_CPUS = tuple(int(c) for c in os.environ.get("GRAFT_SCALING_CPUS", "4,16").split(","))
 
 

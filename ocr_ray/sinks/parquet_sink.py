@@ -208,8 +208,15 @@ def make_shard_writer(out_dir: str):
             # tmp shards are transient but the device is shared: snappy
             # halves the write+read+discard volume of the storage shuffle
             # for ~nothing (measured: the consolidate phase is disk-bound,
-            # flat ~11-18 s from 4 to 16 CPUs at 400k docs uncompressed)
-            pq.write_table(sub, name + ".tmp", compression="snappy", use_dictionary=False)
+            # flat ~11-18 s from 4 to 16 CPUs at 400k docs uncompressed;
+            # zstd tmp was A/B'd on corpus v2 at 16 pinned CPUs and did NOT
+            # win — its CPU cost eats the device savings — so snappy stays;
+            # OCR_RAY_TMP_CODEC overrides for experiments)
+            pq.write_table(
+                sub, name + ".tmp",
+                compression=os.environ.get("OCR_RAY_TMP_CODEC", "snappy"),
+                use_dictionary=False,
+            )
             os.replace(name + ".tmp", name)
             acks.append({"part": part, "n_rows": sub.num_rows})
         return pa.Table.from_pylist(
