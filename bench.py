@@ -176,9 +176,11 @@ def run_scaling() -> None:
     when available: ray.init(num_cpus=N) only caps logical scheduling —
     multithreaded libraries (Arrow IO, parquet encode) would otherwise use
     all physical cores and inflate the small-cluster baseline, understating
-    efficiency. A 4× corpus (GRAFT_SCALING_ROWS, default 400k) amortizes the
-    per-run fixed costs (ray startup excluded; read warmup/actor spin-up
-    included) that would otherwise dominate the 32-CPU run."""
+    efficiency. A 2× corpus (GRAFT_SCALING_ROWS, default 200k — large enough
+    to amortize per-run fixed costs, small enough that both configurations'
+    sink writes stay inside the hypervisor's write-token bucket; see the
+    comment at SCALING_ROWS) is used for both runs (ray startup excluded;
+    read warmup/actor spin-up included)."""
     import ray
 
     # warm the corpus cache once (Ray-parallel) so neither run pays generation
