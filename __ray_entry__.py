@@ -124,13 +124,23 @@ def _dict_values_list() -> str:
     return f"[{quoted}]"
 
 
-def oracle_sql() -> dict[str, str]:
+def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
+    """Oracle SQL per query. The driver calls this with NO argument and
+    compares at sf0.01; the artifact-backed oracles (extraction-stage
+    recomputations) are tier-specific, so the active tier can be overridden
+    with ``sf_dir`` or the OCR_RAY_ORACLE_SF_DIR env var — running the gate
+    at another tier without either would silently compare against sf0.01
+    artifacts (the round-2 ADVICE finding)."""
+    import os
+
     from ocr_ray.ops.oracles import extra_oracle_sql
 
+    if sf_dir is None:
+        sf_dir = os.environ.get("OCR_RAY_ORACLE_SF_DIR", "/root/testdata/sf0.01")
     sql = _base_oracle_sql()
     # queries left rows-only in round 1: artifact-stage recomputations,
     # md5-sketch recomputations, constant-shipped LSH/IVF, golden snapshots
-    sql.update(extra_oracle_sql())
+    sql.update(extra_oracle_sql(sf_dir))
     return sql
 
 
@@ -436,18 +446,19 @@ def _base_oracle_sql() -> dict[str, str]:
             ),
             w AS (
                 SELECT source, n_docs,
-                       sqrt(CAST(n_toks AS DOUBLE)) AS sq,
-                       SUM(sqrt(CAST(n_toks AS DOUBLE))) OVER () AS denom,
+                       CAST(floor(sqrt(CAST(n_toks AS DOUBLE)) * 1000000.0)
+                            AS HUGEINT) AS wq,
+                       SUM(CAST(floor(sqrt(CAST(n_toks AS DOUBLE)) * 1000000.0)
+                                AS HUGEINT)) OVER () AS denom,
                        SUM(n_docs) OVER () AS total
                 FROM s
             ),
             p AS (
                 SELECT source,
-                       least(CAST(4294967296 AS BIGINT),
-                             CAST(floor(least(1.0,
-                                 ((total * {d_ops.MIX_BUDGET_FRAC_PCT}) // 100)
-                                 * (sq / denom) / n_docs) * 4294967296.0)
-                             AS BIGINT)) AS p32
+                       CAST(least(CAST(4294967296 AS HUGEINT),
+                             (((total * {d_ops.MIX_BUDGET_FRAC_PCT}) // 100)
+                              * wq * CAST(4294967296 AS HUGEINT))
+                             // (denom * n_docs)) AS BIGINT) AS p32
                 FROM w
             )
             SELECT d.doc_id, d.source, p.p32,

@@ -147,3 +147,61 @@ def round_cols(df: pd.DataFrame, cols: dict[str, int]) -> pd.DataFrame:
     for col, nd in cols.items():
         df[col] = df[col].astype("float64").round(nd)
     return df
+
+
+# Join/groupby exchanges must not be bounded by a constant: num_partitions=4
+# caps join parallelism at 4 tasks forever. Derive the partition count from
+# the participating tables' on-disk size (64 MB of input per partition), the
+# same discipline pipelines.extract.choose_num_parts applies to the sink. The
+# result is a pure function of the INPUT (deterministic for resume/retry) and
+# clamps to the old constants as floors so small-scale plans are unchanged.
+JOIN_PART_TARGET_BYTES = 64 << 20
+MAX_JOIN_PARTS = 512
+
+
+def choose_join_parts(sf_dir: str, *tables: str, floor: int = 4) -> int:
+    import os
+
+    total = 0
+    try:
+        for t in tables or ("",):
+            # no table names → size sf_dir itself (a parquet dir/file path)
+            p = os.path.join(sf_dir, f"{t}.parquet") if t else sf_dir
+            if os.path.isfile(p):
+                total += os.path.getsize(p)
+            elif os.path.isdir(p):
+                for name in os.listdir(p):
+                    if name.endswith(".parquet"):
+                        total += os.path.getsize(os.path.join(p, name))
+    except OSError:
+        return floor
+    return max(floor, min(MAX_JOIN_PARTS, total // JOIN_PART_TARGET_BYTES))
+
+
+# One degenerate LSH bucket (empty docs, template pages sharing a band) makes
+# a single group O(n^2) at crawl scale. Every all-pairs-in-a-bucket stage caps
+# membership at this many rows, keeps a DETERMINISTIC prefix (sorted by id),
+# and logs the drop — the repo's "no silent caps" rule. The cap is far above
+# any bucket the test corpora produce (their dup clusters are < 100 docs), so
+# all oracles stay exact; at crawl scale a >4k-member bucket is boilerplate by
+# definition and pair recall inside it is worthless anyway.
+BUCKET_MEMBER_CAP = 4096
+
+
+def cap_bucket_members(n: int, label: str, key=None, cap: int | None = None) -> int:
+    """Return how many members of an n-member bucket to keep; log truncation.
+
+    Callers sort members by their id column first so the kept prefix is
+    deterministic across runs and partitionings. ``cap`` defaults to the
+    module constant AT CALL TIME so tests can shrink it."""
+    if cap is None:
+        cap = BUCKET_MEMBER_CAP
+    if n <= cap:
+        return n
+    import logging
+
+    logging.getLogger("ocr_ray.lsh").warning(
+        "%s: bucket %r has %d members > cap %d; keeping first %d by id "
+        "(%d members dropped from pairing)", label, key, n, cap, cap, n - cap
+    )
+    return cap

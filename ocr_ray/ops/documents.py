@@ -18,7 +18,9 @@ import pyarrow as pa
 import ray
 
 from ..kernels import sketches, textstats
-from .common import distinct, grouped_agg, read_table
+from .common import (
+    cap_bucket_members, choose_join_parts, distinct, grouped_agg, read_table,
+)
 
 MINHASH_PERMS = 64
 MINHASH_BANDS = 16
@@ -271,6 +273,9 @@ def _band_rows(batch: pa.Table) -> pa.Table:
 
 def _bucket_pairs(group: pa.Table) -> pa.Table:
     rows = sorted(group.to_pylist(), key=lambda r: r["doc_id"])
+    keep = cap_bucket_members(
+        len(rows), "minhash_lsh", rows[0]["band_key"] if rows else None)
+    rows = rows[:keep]
     out = []
     for i in range(len(rows)):
         for j in range(i + 1, len(rows)):
@@ -329,6 +334,9 @@ def simhash_dup_pairs(sf_dir: str):
 
     def bucket_pairs(group: pa.Table) -> pa.Table:
         rows = sorted(group.to_pylist(), key=lambda r: r["doc_id"])
+        keep = cap_bucket_members(
+            len(rows), "simhash", rows[0]["chunk_key"] if rows else None)
+        rows = rows[:keep]
         out = []
         for i in range(len(rows)):
             for j in range(i + 1, len(rows)):
@@ -353,9 +361,6 @@ def simhash_dup_pairs(sf_dir: str):
     return distinct(pairs, ["doc_a", "doc_b"], carry=["hamming"])
 
 
-JOIN_PARTITIONS = 8
-
-
 def ngram_verified_pairs(sf_dir: str):
     """Two-stage near dedup: MinHash-LSH candidates, then EXACT character
     n-gram Jaccard verification ≥ τ. The verify stage fetches the two texts
@@ -364,13 +369,14 @@ def ngram_verified_pairs(sf_dir: str):
     materialized on the driver (round-1 carried a take_all() broadcast of
     the whole corpus here — the round-1 verdict's top scale sin)."""
     docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    parts = choose_join_parts(sf_dir, "documents", floor=8)
     candidates = minhash_dup_pairs(sf_dir)
     with_a = candidates.join(
-        docs, join_type="inner", num_partitions=JOIN_PARTITIONS,
+        docs, join_type="inner", num_partitions=parts,
         on=("doc_a",), right_on=("doc_id",),
     ).rename_columns({"text": "text_a"})
     with_ab = with_a.join(
-        docs, join_type="inner", num_partitions=JOIN_PARTITIONS,
+        docs, join_type="inner", num_partitions=parts,
         on=("doc_b",), right_on=("doc_id",),
     ).rename_columns({"text": "text_b"})
 
@@ -463,8 +469,9 @@ def substring_dedup(sf_dir: str):
         .drop_columns(["n_docs"]),
         batch_format="pyarrow",
     )
+    parts = choose_join_parts(sf_dir, "documents")
     hits = grouped_agg(
-        pairs.join(dup, join_type="inner", num_partitions=4, on=("h",))
+        pairs.join(dup, join_type="inner", num_partitions=parts, on=("h",))
         .select_columns(["doc_id"]),
         keys=["doc_id"], specs=[("n_dup_grams", "count", None)],
     )
@@ -473,8 +480,8 @@ def substring_dedup(sf_dir: str):
     # and would otherwise vanish from the profile
     out = (
         read_table(sf_dir, "documents", columns=["doc_id"])
-        .join(totals, join_type="left_outer", num_partitions=4, on=("doc_id",))
-        .join(hits, join_type="left_outer", num_partitions=4, on=("doc_id",))
+        .join(totals, join_type="left_outer", num_partitions=parts, on=("doc_id",))
+        .join(hits, join_type="left_outer", num_partitions=parts, on=("doc_id",))
     )
 
     def shape(batch: pa.Table) -> pa.Table:
@@ -554,12 +561,13 @@ def training_corpus(sf_dir: str):
         batch_format="pyarrow",
     )
 
+    parts = choose_join_parts(sf_dir, "documents", floor=8)
     kept = feats_ds.join(
-        winners, join_type="inner", num_partitions=8,
+        winners, join_type="inner", num_partitions=parts,
         on=("doc_id",), right_on=("keep_doc",),
     )
     marked = kept.join(
-        drops, join_type="left_outer", num_partitions=8,
+        drops, join_type="left_outer", num_partitions=parts,
         on=("doc_id",), right_on=("drop_doc",),
     )
 
@@ -664,18 +672,22 @@ def domain_mix_sample(sf_dir: str):
         keys=["source"],
         specs=[("n_docs", "count", None), ("n_toks", "sum", "n_toks")],
     )
-    # |sources| rows — the legitimate small-side broadcast
+    # |sources| rows — the legitimate small-side broadcast. The sqrt weights
+    # are QUANTIZED to integers (floor(sqrt * 10^6)) before the ratio, so the
+    # denominator is an exact integer sum (order-free) and the threshold is
+    # pure integer arithmetic — no float summation-order ulp can flip a
+    # boundary doc between engines (round-2 ADVICE). IEEE sqrt is correctly
+    # rounded, so floor(sqrt(x)*1e6) is bit-identical in Python and DuckDB.
     rows = sorted(per_source.take_all(), key=lambda r: r["source"])
     total_docs = sum(r["n_docs"] for r in rows)
     budget = total_docs * MIX_BUDGET_FRAC_PCT // 100
-    denom = sum(math.sqrt(r["n_toks"]) for r in rows)
+    wq = {r["source"]: int(math.floor(math.sqrt(r["n_toks"]) * 1_000_000.0))
+          for r in rows}
+    denom = sum(wq.values())
     p32 = {
         r["source"]: min(
             2**32,
-            int(math.floor(
-                min(1.0, budget * (math.sqrt(r["n_toks"]) / denom) / r["n_docs"])
-                * 4294967296.0
-            )),
+            (budget * wq[r["source"]] * 4294967296) // (denom * r["n_docs"]),
         )
         for r in rows
     }
@@ -706,6 +718,11 @@ def domain_mix_sample(sf_dir: str):
 # global greedy pack is a serial scan; each partition packs its docs in
 # doc_id order independently, so P partitions = P independent serial scans.
 SEQ_PACK_BUDGET = 512
+# SEQ_PACK_PARTS is OUTPUT-SEMANTIC (the part column and packing decisions
+# depend on it, and the SQL oracle replays the same P) — unlike the join
+# partition counts it must stay a fixed constant, not input-scaled. 32
+# independent serial scans is the parallelism bound; raising it changes the
+# packing, so a deployment picks it once per corpus.
 SEQ_PACK_PARTS = 32
 
 

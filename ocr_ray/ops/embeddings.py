@@ -14,7 +14,7 @@ import numpy as np
 import pyarrow as pa
 import ray
 
-from .common import distinct, from_pandas_clean, read_table
+from .common import cap_bucket_members, distinct, from_pandas_clean, read_table
 
 COSINE_DUP_TAU = 0.4
 # Multi-table hyperplane LSH: τ=0.9 pairs agree on one 8-plane table with
@@ -204,13 +204,29 @@ def ann_ivf_topk(sf_dir: str, n_queries: int = 8, k: int = 10,
     return ds.groupby("query_id").map_groups(final_topk, batch_format="pyarrow")
 
 
+# cosine_dup_pairs materializes the embedding table once to build the
+# broadcast side — an EXACT O(n^2) baseline, only sane below this many rows
+# (10M × 64 f64 = 5 GB broadcast + a 10M-col matmul per batch). Above it the
+# guard raises and points at the sub-quadratic cosine_dup_pairs_lsh twin
+# instead of silently OOMing the driver.
+COSINE_EXACT_MAX_ROWS = 10_000_000
+
+
 def cosine_dup_pairs(sf_dir: str):
     """Embedding near-dup pairs (cosine ≥ τ), exact: broadcast the full
     normalized matrix (ray.put once — n×64 floats stays broadcastable far
     beyond test scale), one matmul per batch, emit pairs with
     batch_id < other_id so each pair appears exactly once. The sub-quadratic
-    scale path is :func:`cosine_dup_pairs_lsh`."""
+    scale path is :func:`cosine_dup_pairs_lsh`; a row-count guard keeps this
+    exact baseline from ever materializing a crawl-scale table."""
     ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    n = ds.count()
+    if n > COSINE_EXACT_MAX_ROWS:
+        raise ValueError(
+            f"cosine_dup_pairs is the exact O(n^2) baseline and materializes "
+            f"the embedding table ({n} rows > cap {COSINE_EXACT_MAX_ROWS}); "
+            f"use cosine_dup_pairs_lsh for corpora past the cap"
+        )
     all_rows = ds.take_all()
     ids = np.array([r["vec_id"] for r in all_rows])
     m = np.array([list(r["embedding"]) for r in all_rows], dtype=np.float64)
@@ -282,6 +298,10 @@ def cosine_dup_pairs_lsh(sf_dir: str):
         order = np.argsort(ids, kind="stable")
         m = m[order]
         ids = ids[order]
+        keep = cap_bucket_members(
+            len(ids), "cosine_lsh",
+            group.column("bucket")[0].as_py() if len(group) else None)
+        m, ids = m[:keep], ids[:keep]
         mn = m / np.linalg.norm(m, axis=1, keepdims=True)
         sims = mn @ mn.T
         iu, ju = np.triu_indices(len(ids), k=1)

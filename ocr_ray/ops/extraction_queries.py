@@ -361,8 +361,11 @@ def extraction_similarity(sf_dir: str) -> ray.data.Dataset:
         return batch.filter(pc.is_null(batch.column("error"))).drop_columns(["error"])
 
     out = out.map_batches(keep_ok, batch_format="pyarrow", zero_copy_batch=True)
+    from .common import choose_join_parts
+
     joined = out.join(
-        pages, join_type="inner", num_partitions=16,
+        pages, join_type="inner",
+        num_partitions=choose_join_parts(corpus_dir, floor=16),
         on=("url",), left_suffix="", right_suffix="_crawler",
     )
 

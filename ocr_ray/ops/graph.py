@@ -28,7 +28,7 @@ import pyarrow as pa
 import ray
 import ray.data
 
-from .common import grouped_agg
+from .common import choose_join_parts, grouped_agg
 
 # ASCII-only on purpose: the oracle runs the same pattern via DuckDB RE2
 # over decode(html); ASCII literals render identically in both engines.
@@ -115,8 +115,9 @@ def pagerank_hosts(sf_dir: str) -> ray.data.Dataset:
         edges.select_columns(["src_host", "n_links"]),
         keys=["src_host"], specs=[("outw", "sum", "n_links")],
     )
+    parts = choose_join_parts(sf_dir, "documents")
     edges = edges.join(
-        outw, join_type="inner", num_partitions=4,
+        outw, join_type="inner", num_partitions=parts,
         on=("src_host",),
     ).materialize()
 
@@ -140,7 +141,7 @@ def pagerank_hosts(sf_dir: str) -> ray.data.Dataset:
 
     for _ in range(PAGERANK_ITERS):
         contrib = edges.join(
-            ranks, join_type="inner", num_partitions=4,
+            ranks, join_type="inner", num_partitions=parts,
             on=("src_host",), right_on=("host",),
         )
 
@@ -158,7 +159,7 @@ def pagerank_hosts(sf_dir: str) -> ray.data.Dataset:
             keys=["host"], specs=[("c", "sum", "c")],
         )
         joined = ranks.select_columns(["host"]).join(
-            summed, join_type="left_outer", num_partitions=4, on=("host",),
+            summed, join_type="left_outer", num_partitions=parts, on=("host",),
         )
 
         def apply(batch: pa.Table) -> pa.Table:
@@ -187,18 +188,115 @@ def pagerank_hosts(sf_dir: str) -> ray.data.Dataset:
     return ranks.map_batches(finish, batch_format="pyarrow")
 
 
+def _cc_single_pass(edges: ray.data.Dataset, docs: ray.data.Dataset) -> ray.data.Dataset:
+    """Union-find over the (small, already-LSH-shrunk) pair list; the
+    {node → min-label} map — O(near-dup docs), NOT corpus-sized — is
+    ray.put once and applied per batch over the distributed doc spine."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for batch in edges.iter_batches(batch_format="pyarrow"):
+        a_col = batch.column("a").to_pylist()
+        b_col = batch.column("b").to_pylist()
+        for a, b in zip(a_col, b_col):
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                if rb < ra:
+                    ra, rb = rb, ra
+                parent[rb] = ra
+        del a_col, b_col
+
+    # min-doc_id labeling: union-by-smaller-root above keeps every root the
+    # min of its component, matching the label-propagation fixpoint exactly
+    label_map = {x: find(x) for x in list(parent.keys())}
+    map_ref = ray.put(label_map)
+
+    def apply(batch: pa.Table) -> pa.Table:
+        m = ray.get(map_ref)
+        ids = batch.column("doc_id").to_pylist()
+        return pa.table(
+            {"node": batch.column("doc_id"),
+             "label": pa.array([m.get(i, i) for i in ids], pa.int64())}
+        )
+
+    return docs.map_batches(apply, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _cc_label_propagation(
+    edges: ray.data.Dataset, docs: ray.data.Dataset, parts: int
+) -> ray.data.Dataset:
+    labels = docs.map_batches(
+        lambda b: pa.table({"node": b.column("doc_id"),
+                            "label": b.column("doc_id")}),
+        batch_format="pyarrow", zero_copy_batch=True,
+    ).materialize()
+
+    prev_sum = None
+    converged = False
+    for _ in range(CLUSTER_MAX_ITERS):
+        msgs = edges.join(
+            labels, join_type="inner", num_partitions=parts,
+            on=("a",), right_on=("node",),
+        ).map_batches(
+            lambda batch: pa.table({"node": batch.column("b"),
+                                    "label": batch.column("label")}),
+            batch_format="pyarrow",
+        )
+        labels = grouped_agg(
+            labels.union(msgs), keys=["node"], specs=[("label", "min", "label")]
+        ).materialize()
+        s = labels.sum("label")
+        if s == prev_sum:
+            converged = True
+            break
+        prev_sum = s
+    if not converged:
+        import logging
+
+        logging.getLogger("ocr_ray.graph").warning(
+            "dup_clusters: label propagation hit CLUSTER_MAX_ITERS=%d without "
+            "reaching the fixpoint — a component has diameter > %d and its "
+            "cluster ids may not be fully merged", CLUSTER_MAX_ITERS,
+            CLUSTER_MAX_ITERS,
+        )
+    return labels
+
+
+# Below this many dup pairs the whole CC runs as ONE union-find pass on the
+# driver over the pair list only (O(dup pairs) — never corpus-sized: the LSH
+# stage has already shrunk the graph to verified near-dup candidates). Above
+# it, distributed min-label propagation takes over. 5M edges ≈ 80 MB.
+CC_SINGLE_PASS_EDGE_CAP = 5_000_000
+
+
 def dup_clusters(sf_dir: str) -> ray.data.Dataset:
     """Connected components of the MinHash near-duplicate pair graph —
     the step that turns pairwise candidates into dedup DECISIONS (keep one
-    doc per cluster). Distributed min-label propagation: every doc starts
-    labeled with its own id; each round, labels flow across edges (hash
-    join on the symmetrized pair list) and each node keeps the minimum —
-    the classic large-graph CC algorithm, O(diameter) rounds. Convergence
-    is detected by the monotone label-sum fixpoint (labels only ever
-    decrease, so an unchanged SUM(label) aggregate means a fixpoint — no
-    old-vs-new join needed). Output: (doc_id, cluster_id, cluster_size)
-    for every document; singletons cluster to themselves. Oracle: DuckDB
-    recursive CTE over the same recomputed pair graph."""
+    doc per cluster). Output: (doc_id, cluster_id, cluster_size) for every
+    document; singletons cluster to themselves; cluster_id is the MIN doc_id
+    in the component. Oracle: DuckDB recursive CTE over the same recomputed
+    pair graph.
+
+    Two paths, switched on the pair-graph size (NOT the corpus size):
+
+    - ``≤ CC_SINGLE_PASS_EDGE_CAP`` edges: one union-find pass over the pair
+      list, broadcast of the resulting {node → min-label} map (O(near-dup
+      docs)), labels applied per-batch over the distributed doc spine. Full
+      transitive closure, no iteration cap, and none of the per-round Ray
+      job overhead that dominated the distributed loop at small scale.
+    - larger graphs: distributed min-label propagation — each round one hash
+      join (labels ⋈ symmetrized edges) + a grouped min, O(diameter) rounds.
+      Convergence = monotone label-sum fixpoint (labels only decrease, so an
+      unchanged SUM(label) means fixpoint). If CLUSTER_MAX_ITERS exhausts
+      without the fixpoint (component diameter > cap), a WARNING is logged —
+      never a silent cap-exit."""
     from .common import read_table
     from .documents import minhash_dup_pairs
 
@@ -213,37 +311,19 @@ def dup_clusters(sf_dir: str) -> ray.data.Dataset:
         )
 
     edges = pairs.map_batches(sym, batch_format="pyarrow").materialize()
-
+    parts = choose_join_parts(sf_dir, "documents")
     docs = read_table(sf_dir, "documents", columns=["doc_id"])
-    labels = docs.map_batches(
-        lambda b: pa.table({"node": b.column("doc_id"),
-                            "label": b.column("doc_id")}),
-        batch_format="pyarrow", zero_copy_batch=True,
-    ).materialize()
 
-    prev_sum = None
-    for _ in range(CLUSTER_MAX_ITERS):
-        msgs = edges.join(
-            labels, join_type="inner", num_partitions=4,
-            on=("a",), right_on=("node",),
-        ).map_batches(
-            lambda batch: pa.table({"node": batch.column("b"),
-                                    "label": batch.column("label")}),
-            batch_format="pyarrow",
-        )
-        labels = grouped_agg(
-            labels.union(msgs), keys=["node"], specs=[("label", "min", "label")]
-        ).materialize()
-        s = labels.sum("label")
-        if s == prev_sum:
-            break
-        prev_sum = s
+    if edges.count() <= CC_SINGLE_PASS_EDGE_CAP:
+        labels = _cc_single_pass(edges, docs)
+    else:
+        labels = _cc_label_propagation(edges, docs, parts)
 
     sizes = grouped_agg(
         labels.select_columns(["label"]), keys=["label"],
         specs=[("cluster_size", "count", None)],
     )
-    out = labels.join(sizes, join_type="inner", num_partitions=4, on=("label",))
+    out = labels.join(sizes, join_type="inner", num_partitions=parts, on=("label",))
 
     def shape(batch: pa.Table) -> pa.Table:
         return pa.table(

@@ -160,7 +160,15 @@ def _quality_ctes(union_words: str) -> str:
         )"""
 
 
-def golden_oracles() -> dict[str, str]:
+# Golden snapshots are regenerated by scripts/make_goldens.py at this tier;
+# at any other tier they must NOT be offered as oracles (they would either
+# fail spuriously or, worse, a re-snapshot would pass vacuously).
+GOLDEN_SF_DIR = "/root/testdata/sf0.01"
+
+
+def golden_oracles(sf_dir: str = GOLDEN_SF_DIR) -> dict[str, str]:
+    if os.path.normpath(sf_dir) != os.path.normpath(GOLDEN_SF_DIR):
+        return {}
     out = {}
     for name in GOLDEN_QUERIES:
         path = os.path.join(GOLDEN_DIR, f"{name}.parquet")
@@ -841,5 +849,5 @@ def extra_oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         ORDER BY d.doc_id
     """
 
-    sql.update(golden_oracles())
+    sql.update(golden_oracles(sf_dir))
     return sql

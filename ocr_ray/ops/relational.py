@@ -9,8 +9,10 @@ aggregates rounded identically on both sides).
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 
 from .common import broadcast_lookup, distinct, from_pandas_clean, grouped_agg, read_table
@@ -313,28 +315,57 @@ def longest_docs_per_lang(sf_dir: str, k: int = 2):
 SESSION_GAP_MIN = 30
 
 
+SESSION_PARTS = 64
+
+
 def user_sessions(sf_dir: str):
     """Gap-based sessionization (no counterpart in the reference —
     SURVEY.md §2.11 has no windows; this is the training-data engine's
     stateful-window representative): events per user sorted by ts; a gap
-    > 30 min starts a new session. groupby(user) keeps all of a user's
-    events in one task — the standard keyed-window partitioning assumption."""
+    > 30 min starts a new session.
+
+    Partitioning assumption (same salted-key rule as asof_last_purchase
+    below): all events of a user co-locate via ``user_id % SESSION_PARTS``,
+    so the Python-call count is bounded by SESSION_PARTS, not the user
+    count — a per-user map_groups pays a Python call per user and dies at
+    10^6 users. Inside each part the whole computation is one vectorized
+    pass: sort by (user, ts), diff ts, a gap counts as a session break only
+    when the previous row is the SAME user (groupby-free segment logic)."""
     ds = read_table(sf_dir, "events", columns=["user_id", "ts"])
 
-    def sessions(group: pa.Table) -> pa.Table:
-        df = group.to_pandas().sort_values("ts")
-        gaps = df["ts"].diff().dt.total_seconds() > SESSION_GAP_MIN * 60
-        n_sessions = int(gaps.sum()) + 1 if len(df) else 0
-        return pa.Table.from_pylist(
-            [{"user_id": int(df["user_id"].iloc[0]),
-              "n_events": len(df), "n_sessions": n_sessions}],
-            schema=pa.schema(
-                [pa.field("user_id", pa.int64()), pa.field("n_events", pa.int64()),
-                 pa.field("n_sessions", pa.int64())]
-            ),
-        )
+    def add_part(batch: pa.Table) -> pa.Table:
+        uid = batch.column("user_id").combine_chunks().to_numpy(zero_copy_only=False)
+        return batch.append_column("upart", pa.array(uid % SESSION_PARTS, pa.int64()))
 
-    return ds.groupby("user_id").map_groups(sessions, batch_format="pyarrow").sort("user_id")
+    ds = ds.map_batches(add_part, batch_format="pyarrow", zero_copy_batch=True)
+
+    def sessions_part(group: pa.Table) -> pa.Table:
+        df = group.to_pandas().sort_values(["user_id", "ts"], kind="mergesort")
+        if not len(df):
+            return pa.Table.from_pylist([], schema=pa.schema(
+                [pa.field("user_id", pa.int64()), pa.field("n_events", pa.int64()),
+                 pa.field("n_sessions", pa.int64())]))
+        uid = df["user_id"].to_numpy()
+        same_user = np.empty(len(df), dtype=bool)
+        same_user[0] = False
+        same_user[1:] = uid[1:] == uid[:-1]
+        gap = df["ts"].diff().dt.total_seconds().to_numpy() > SESSION_GAP_MIN * 60
+        # one session per user start, plus one per over-gap step within a user
+        breaks = same_user & gap
+        out = pd.DataFrame({"user_id": uid, "is_start": ~same_user,
+                            "is_break": breaks})
+        agg = out.groupby("user_id", as_index=False).agg(
+            n_events=("user_id", "size"),
+            n_sessions=("is_break", "sum"))
+        agg["n_sessions"] = (agg["n_sessions"] + 1).astype("int64")
+        agg["n_events"] = agg["n_events"].astype("int64")
+        return from_pandas_clean(agg)
+
+    return (
+        ds.groupby("upart")
+        .map_groups(sessions_part, batch_format="pyarrow")
+        .sort("user_id")
+    )
 
 
 ASOF_ANCHOR_TYPE = "purchase"
@@ -469,8 +500,11 @@ def events_range_join(sf_dir: str):
     build = ds.map_batches(build_rows, batch_format="pyarrow", zero_copy_batch=True)
     probe = ds.map_batches(probe_rows, batch_format="pyarrow", zero_copy_batch=True)
 
+    from .common import choose_join_parts
+
     joined = probe.join(
-        build, join_type="inner", num_partitions=8,
+        build, join_type="inner",
+        num_partitions=choose_join_parts(sf_dir, "events", floor=8),
         on=("user_id", "jb"), right_on=("user_id", "bucket"),
     )
 

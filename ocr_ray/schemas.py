@@ -176,6 +176,15 @@ def _concat_strings(parts: list[tuple]) -> pa.Array:
             [p[2] if p[2] is not None else np.ones(len(p[1]) - 1, dtype=np.bool_)
              for p in parts]
         )
+    # StringArray offsets are int32: a consolidated partition whose string
+    # data tops 2 GiB would silently WRAP on the astype(int32) below and
+    # produce corrupt strings. Fail loudly instead — the fix at that point
+    # is more partitions (choose_num_parts), not a bigger array.
+    if base > np.iinfo(np.int32).max:
+        raise ValueError(
+            f"concatenated string data is {base} bytes > int32 offset limit; "
+            f"raise the partition count so each consolidated part stays < 2 GiB"
+        )
     return _string_array(
         n_total, b"".join(datas), offs.astype(np.int32), valid
     )

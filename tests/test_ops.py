@@ -642,3 +642,56 @@ def test_events_range_join(ray_session):
     assert len(df) == len(oracle) > 0
     for col in df.columns:
         assert (df[col].to_numpy() == oracle[col].to_numpy()).all(), col
+
+
+def test_bucket_member_cap_bounds_degenerate_buckets(ray_session, monkeypatch, caplog):
+    """Skew guard: a degenerate LSH bucket (10k members sharing a band) must
+    complete in bounded time — the cap keeps a deterministic prefix and logs
+    the drop instead of running an O(n^2) pair scan."""
+    import logging
+
+    import pyarrow as pa
+
+    from ocr_ray.ops import common
+    from ocr_ray.ops.documents import _bucket_pairs
+
+    monkeypatch.setattr(common, "BUCKET_MEMBER_CAP", 64)
+    sig = list(range(64))
+    group = pa.Table.from_pylist(
+        [{"band_key": 7, "doc_id": i, "sig": sig} for i in range(10_000)],
+        schema=pa.schema(
+            [pa.field("band_key", pa.uint64()), pa.field("doc_id", pa.int64()),
+             pa.field("sig", pa.list_(pa.uint32()))]
+        ),
+    )
+    with caplog.at_level(logging.WARNING, logger="ocr_ray.lsh"):
+        out = _bucket_pairs(group)
+    # identical sigs => every surviving pair passes tau; 64 kept => C(64,2)
+    assert out.num_rows == 64 * 63 // 2
+    assert out.column("doc_a").to_pylist()[0] == 0  # deterministic prefix
+    assert any("9936 members dropped" in r.message for r in caplog.records)
+
+
+def test_cosine_exact_guard(ray_session, monkeypatch):
+    """cosine_dup_pairs must refuse to materialize past the row cap and point
+    at the LSH twin."""
+    import pytest as _pytest
+
+    from ocr_ray.ops import embeddings
+
+    monkeypatch.setattr(embeddings, "COSINE_EXACT_MAX_ROWS", 10)
+    with _pytest.raises(ValueError, match="cosine_dup_pairs_lsh"):
+        embeddings.cosine_dup_pairs(SF)
+
+
+def test_choose_join_parts_scales_with_input(tmp_path):
+    from ocr_ray.ops.common import JOIN_PART_TARGET_BYTES, choose_join_parts
+
+    small = tmp_path / "documents.parquet"
+    small.write_bytes(b"x" * 1024)
+    assert choose_join_parts(str(tmp_path), "documents") == 4
+    big = tmp_path / "big.parquet"
+    big.write_bytes(b"x" * (20 * JOIN_PART_TARGET_BYTES))
+    assert choose_join_parts(str(tmp_path), "big") == 20
+    # bare-dir form sizes everything in the directory
+    assert choose_join_parts(str(tmp_path)) == 20
