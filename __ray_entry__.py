@@ -26,6 +26,7 @@ from ocr_ray.ops import extraction_queries as x_ops
 from ocr_ray.ops import graph as g_ops
 from ocr_ray.ops import layout_queries as l_ops
 from ocr_ray.ops import multimodal as m_ops
+from ocr_ray.ops import ner as n_ops
 from ocr_ray.ops import relational as r_ops
 
 
@@ -112,6 +113,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "domain_mix_sample": d_ops.domain_mix_sample,
         "sequence_pack": d_ops.sequence_pack,
         "events_range_join": r_ops.events_range_join,
+        # ---- corpus v3 suite (round 3): raster decode, crawl hygiene, NER
+        "page_pixel_stats": m_ops.page_pixel_stats,
+        "url_canonicalize": x_ops.url_canonicalize,
+        "doc_entities": n_ops.doc_entities,
     }
 
 

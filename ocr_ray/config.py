@@ -23,7 +23,7 @@ OUTPUTS = frozenset(
 )
 
 DEFAULTS = {
-    "engine": "stub",
+    "engine": "pixel",
     "lang": ("por",),
     "outputs": ("txt",),
     "engineMode": 3,
@@ -34,7 +34,7 @@ DEFAULTS = {
 
 @dataclass(frozen=True)
 class OcrConfig:
-    engine: str = "stub"
+    engine: str = "pixel"
     lang: tuple[str, ...] = ("por",)
     outputs: tuple[str, ...] = ("txt",)
     engine_mode: int = 3

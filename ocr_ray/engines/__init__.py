@@ -11,9 +11,10 @@ and registration is an explicit dict — same extension surface
 from __future__ import annotations
 
 from .base import OcrEngine
+from .pixel import PixelEngine
 from .stub import StubEngine
 
-_REGISTRY: dict[str, type] = {"stub": StubEngine}
+_REGISTRY: dict[str, type] = {"pixel": PixelEngine, "stub": StubEngine}
 
 try:  # real Tesseract adapter only when the binding exists
     from .tesseract import TesserocrEngine
@@ -43,4 +44,4 @@ def get_engine_cls(name: str) -> type:
         ) from None
 
 
-__all__ = ["OcrEngine", "StubEngine", "register_engine", "get_engine_cls"]
+__all__ = ["OcrEngine", "PixelEngine", "StubEngine", "register_engine", "get_engine_cls"]

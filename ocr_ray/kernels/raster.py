@@ -1,0 +1,336 @@
+"""From-scratch raster page pipeline: PNG codec, glyph renderer, pixel OCR.
+
+The sandbox ships no PIL/tesseract, so (following the ``pdfgen`` playbook
+that replaced reportlab with a from-scratch PDF writer) the OCR branch gets
+a real raster path built on stdlib ``zlib`` + numpy only:
+
+- :func:`png_encode` / :func:`png_decode` — a genuine PNG codec (8-bit
+  grayscale, all five scanline filters on decode, filter-0 + fixed-level
+  zlib on encode: byte-deterministic).
+- :func:`render_tree` — rasterizes an hOCR word tree onto a white canvas
+  with a synthetic 5×7 template font; each word's ink pixels carry its OCR
+  confidence as the gray value (a physically-motivated encoding: fainter
+  ink ⇒ lower confidence, and the recognizer derives confidence from ink
+  intensity exactly like a real engine derives it from pixel quality).
+- :func:`recognize_pixels` — pixel-only OCR: line banding by horizontal
+  ink projection, paragraph grouping by vertical gap, word segmentation by
+  column-gap thresholding, character recognition by exact template match
+  against the same font, confidence from ink intensity. No metadata side
+  channel: everything is recovered from pixels.
+- :func:`white_fill` — the real M10 ignore-region mask (white rectangles
+  over pixels; reference parity: celery_app.py:1083-1092).
+
+Geometry contract (shared with ocr_ray.synth page trees): character cell
+CELL_W×CELL_H px, glyph ink block GLYPH_W×GLYPH_H at offset (MARGIN_X,
+MARGIN_Y) inside the cell, so a word occupying hOCR box
+``[x, y, x + CELL_W*len, y + CELL_H]`` leaves ink exactly in
+``cols [x+MARGIN_X, x+MARGIN_X+GLYPH_W*len... )`` — the recognizer inverts
+this mapping to recover cell boxes bit-exactly. Every glyph has full-width
+ink bars in its top and bottom font rows, which pins the ink bounding box
+of every character to the full glyph block and makes the inversion exact.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+import zlib
+
+import numpy as np
+
+# ---------------------------------------------------------------- font
+
+FONT_ROWS = 7
+FONT_COLS = 5
+SCALE_X = 2
+SCALE_Y = 4
+GLYPH_W = FONT_COLS * SCALE_X  # 10
+GLYPH_H = FONT_ROWS * SCALE_Y  # 28
+MARGIN_X = 2
+MARGIN_Y = 9
+CELL_W = 14  # == hOCR char advance used by the synth page trees
+CELL_H = 46  # == hOCR line box height
+WORD_GAP_PX = CELL_W  # inter-word advance
+
+ALPHABET = "abcdefghijklmnopqrstuvwxyz-0123456789"
+_FONT_SALT = 0  # bump if the uniqueness assertion below ever trips
+
+
+def _glyph_bitmap(ch: str) -> np.ndarray:
+    """Deterministic synthetic 7×5 glyph: full ink bars in rows 0 and 6
+    (pins the ink bbox of every char to the full block), interior 5×5 cells
+    from the md5 of the character (a template alphabet — recognition is
+    exact template matching, no OCR ambiguity)."""
+    bm = np.zeros((FONT_ROWS, FONT_COLS), dtype=bool)
+    bm[0, :] = True
+    bm[-1, :] = True
+    digest = hashlib.md5(f"glyph:{_FONT_SALT}:{ch}".encode()).digest()
+    bits = np.unpackbits(np.frombuffer(digest, dtype=np.uint8))
+    bm[1:-1, :] = bits[: (FONT_ROWS - 2) * FONT_COLS].reshape(
+        FONT_ROWS - 2, FONT_COLS
+    ).astype(bool)
+    return bm
+
+
+FONT: dict[str, np.ndarray] = {ch: _glyph_bitmap(ch) for ch in ALPHABET}
+_REVERSE: dict[bytes, str] = {bm.tobytes(): ch for ch, bm in FONT.items()}
+assert len(_REVERSE) == len(FONT), "glyph hash collision; bump _FONT_SALT"
+
+
+# ---------------------------------------------------------------- codec
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _chunk(tag: bytes, payload: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(payload)) + tag + payload
+        + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF)
+    )
+
+
+def png_encode(img: np.ndarray) -> bytes:
+    """8-bit grayscale PNG, filter 0 per scanline, fixed zlib level —
+    deterministic bytes for identical pixels."""
+    if img.dtype != np.uint8 or img.ndim != 2:
+        raise ValueError("png_encode expects a 2-D uint8 array")
+    h, w = img.shape
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    raw = np.empty((h, w + 1), dtype=np.uint8)
+    raw[:, 0] = 0  # filter type 0 (None) per scanline
+    raw[:, 1:] = img
+    idat = zlib.compress(raw.tobytes(), 6)
+    return _PNG_SIG + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", idat) + _chunk(b"IEND", b"")
+
+
+def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
+    p = a.astype(np.int16) + b.astype(np.int16) - c.astype(np.int16)
+    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+    out = np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+    return out.astype(np.uint8)
+
+
+def png_decode(data: bytes) -> np.ndarray:
+    """Parse IHDR/IDAT/IEND, inflate, undo all five scanline filters.
+    Supports the profile this engine emits (8-bit grayscale) — anything
+    else raises (honest failure, not a silent wrong answer)."""
+    if not data.startswith(_PNG_SIG):
+        raise ValueError("not a PNG payload")
+    off = len(_PNG_SIG)
+    width = height = None
+    idat = bytearray()
+    while off + 8 <= len(data):
+        (length,) = struct.unpack_from(">I", data, off)
+        tag = data[off + 4 : off + 8]
+        payload = data[off + 8 : off + 8 + length]
+        off += 12 + length  # length + tag + payload + crc
+        if tag == b"IHDR":
+            width, height, depth, color, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", payload
+            )
+            if (depth, color, comp, filt, interlace) != (8, 0, 0, 0, 0):
+                raise ValueError(
+                    f"unsupported PNG profile depth={depth} color={color} "
+                    f"interlace={interlace} (this codec reads 8-bit grayscale)"
+                )
+        elif tag == b"IDAT":
+            idat.extend(payload)
+        elif tag == b"IEND":
+            break
+    if width is None:
+        raise ValueError("PNG missing IHDR")
+    raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
+    if len(raw) != height * (width + 1):
+        raise ValueError("PNG data length mismatch")
+    raw = raw.reshape(height, width + 1)
+    filters = raw[:, 0]
+    out = np.zeros((height, width), dtype=np.uint8)
+    for y in range(height):
+        line = raw[y, 1:].copy()
+        f = filters[y]
+        prev = out[y - 1] if y else np.zeros(width, dtype=np.uint8)
+        if f == 0:
+            out[y] = line
+        elif f == 1:  # Sub
+            acc = 0
+            for x in range(width):
+                acc = (int(line[x]) + acc) & 0xFF
+                out[y, x] = acc
+        elif f == 2:  # Up
+            out[y] = line + prev
+        elif f == 3:  # Average
+            acc = 0
+            for x in range(width):
+                acc = (int(line[x]) + ((acc + int(prev[x])) >> 1)) & 0xFF
+                out[y, x] = acc
+        elif f == 4:  # Paeth
+            left = np.uint8(0)
+            upleft = np.uint8(0)
+            for x in range(width):
+                pred = _paeth(
+                    np.array(left), np.array(prev[x]), np.array(upleft)
+                )
+                left = np.uint8((int(line[x]) + int(pred)) & 0xFF)
+                out[y, x] = left
+                upleft = prev[x]
+        else:
+            raise ValueError(f"bad PNG filter {f}")
+    return out
+
+
+# -------------------------------------------------------------- renderer
+
+BACKGROUND = 255
+
+
+def _canvas_size(tree: list) -> tuple[int, int]:
+    right = 0.0
+    bottom = 0.0
+    for par in tree:
+        for line in par:
+            for w in line:
+                right = max(right, w["box"][2])
+                bottom = max(bottom, w["box"][3])
+    return int(bottom) + 100, int(right) + 100  # (h, w) — synth page margins
+
+
+def render_tree(tree: list) -> np.ndarray:
+    """hOCR word tree → grayscale page pixels. Ink value = word confidence
+    (55-99 in the synth corpus; anything < BACKGROUND reads as ink)."""
+    h, w = _canvas_size(tree)
+    img = np.full((h, w), BACKGROUND, dtype=np.uint8)
+    for par in tree:
+        for line in par:
+            for word in line:
+                x0 = int(word["box"][0])
+                y0 = int(word["box"][1])
+                ink = np.uint8(int(word["confidence"]))
+                for k, ch in enumerate(word["text"]):
+                    bm = FONT.get(ch)
+                    if bm is None:
+                        raise ValueError(f"glyph for {ch!r} not in font")
+                    block = np.kron(bm, np.ones((SCALE_Y, SCALE_X), dtype=bool))
+                    cy = y0 + MARGIN_Y
+                    cx = x0 + k * CELL_W + MARGIN_X
+                    region = img[cy : cy + GLYPH_H, cx : cx + GLYPH_W]
+                    region[block] = ink
+    return img
+
+
+def render_page_png(tree: list) -> bytes:
+    return png_encode(render_tree(tree))
+
+
+# ------------------------------------------------------------- recognizer
+
+# Blank pixel rows tolerated inside one text line: the glyph top/bottom bars
+# are always inked, but a short word whose random interior font rows are all
+# empty leaves up to 20 blank rows between its bars; lines proper are 32
+# blank rows apart, so 24 cleanly separates the two cases.
+_LINE_MERGE_GAP = 24
+_WORD_SPLIT_GAP = 10  # blank pixel cols: intra-word char gap 4, word gap 18
+_PAR_GAP = 30  # cell-box vertical gap: 14 within a paragraph, 54 across
+
+
+def _runs(mask: np.ndarray, merge_gap: int) -> list[tuple[int, int]]:
+    """[start, stop) runs of True, merging runs separated by < merge_gap."""
+    idx = np.flatnonzero(mask)
+    if not len(idx):
+        return []
+    splits = np.flatnonzero(np.diff(idx) > merge_gap)
+    starts = np.concatenate(([0], splits + 1))
+    stops = np.concatenate((splits, [len(idx) - 1]))
+    return [(int(idx[a]), int(idx[b]) + 1) for a, b in zip(starts, stops)]
+
+
+def _read_word(img: np.ndarray, r0: int, r1: int, c0: int, c1: int) -> dict:
+    """Ink bbox rows [r0,r1) cols [c0,c1) → word dict with the cell box."""
+    n_chars = (c1 - c0 + 2 * MARGIN_X) // CELL_W
+    if n_chars * CELL_W != (c1 - c0) + 2 * MARGIN_X:
+        raise ValueError("ink span is not a whole number of character cells")
+    x = c0 - MARGIN_X
+    y = r0 - MARGIN_Y
+    crop = img[r0:r1, c0:c1]
+    ink_vals = crop[crop < BACKGROUND]
+    vals = np.unique(ink_vals)
+    if len(vals) != 1:
+        raise ValueError(f"mixed ink intensities in one word: {vals[:4]}")
+    chars = []
+    for k in range(n_chars):
+        cell = crop[:, k * CELL_W : k * CELL_W + GLYPH_W]
+        bm = (cell[::SCALE_Y, ::SCALE_X] < BACKGROUND)
+        ch = _REVERSE.get(bm.tobytes())
+        if ch is None:
+            raise ValueError(f"unrecognized glyph bitmap at cell {k}")
+        chars.append(ch)
+    bottom = float(y + CELL_H)
+    return {
+        "text": "".join(chars),
+        "box": [float(x), float(y), float(x + n_chars * CELL_W), bottom],
+        "b": bottom,
+        "confidence": int(vals[0]),
+    }
+
+
+def recognize_pixels(img: np.ndarray) -> list:
+    """Pixels → hOCR word tree (paragraphs → lines → words), the inverse of
+    :func:`render_tree`. Pure pixel evidence: projections + template match."""
+    ink = img < BACKGROUND
+    rows_with_ink = ink.any(axis=1)
+    lines = []
+    for r0, r1 in _runs(rows_with_ink, _LINE_MERGE_GAP):
+        band = ink[r0:r1]
+        cols_with_ink = band.any(axis=0)
+        words = []
+        for c0, c1 in _runs(cols_with_ink, _WORD_SPLIT_GAP):
+            # tighten rows per word (words on a line share the band)
+            sub = ink[r0:r1, c0:c1]
+            wr = np.flatnonzero(sub.any(axis=1))
+            words.append(
+                _read_word(img, r0 + int(wr[0]), r0 + int(wr[-1]) + 1, c0, c1)
+            )
+        if words:
+            lines.append(words)
+    # group lines into paragraphs by cell-box vertical gap
+    tree: list = []
+    prev_bottom = None
+    for words in lines:
+        top = min(w["box"][1] for w in words)
+        if prev_bottom is None or top - prev_bottom > _PAR_GAP:
+            tree.append([])
+        tree[-1].append(words)
+        prev_bottom = max(w["box"][3] for w in words)
+    return tree
+
+
+# ------------------------------------------------------------------ mask
+
+def white_fill(img: np.ndarray, boxes: list[list[float]]) -> np.ndarray:
+    """M10 ignore-region mask, real semantics: white rectangles over pixels
+    (reference: celery_app.py:1083-1092 fills the region before OCR)."""
+    out = img.copy()
+    h, w = out.shape
+    for left, top, right, bottom in boxes:
+        x0 = max(0, int(left))
+        y0 = max(0, int(top))
+        x1 = min(w, int(right))
+        y1 = min(h, int(bottom))
+        if x1 > x0 and y1 > y0:
+            out[y0:y1, x0:x1] = BACKGROUND
+    return out
+
+
+# ----------------------------------------------------------------- stats
+
+def pixel_stats(img: np.ndarray) -> dict:
+    """Decoded-pixel statistics for the page_pixel_stats query."""
+    ink = img < BACKGROUND
+    n_ink = int(ink.sum())
+    h, w = img.shape
+    return {
+        "width": int(w),
+        "height": int(h),
+        "n_ink_px": n_ink,
+        "ink_frac": round(n_ink / (h * w), 6) if h * w else 0.0,
+        "mean_ink": round(float(img[ink].mean()), 4) if n_ink else 0.0,
+    }

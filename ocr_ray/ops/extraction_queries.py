@@ -875,3 +875,28 @@ def branch_stats(sf_dir: str) -> ray.data.Dataset:
         ],
         finalize=fin,
     )
+
+
+def url_canonicalize(sf_dir: str) -> ray.data.Dataset:
+    """URL canonicalization over the crawl (kernels.urlnorm.canonical_url:
+    fragment/tracking-param/default-port/case/trailing-slash rules — the
+    day-one normalizer of every real crawl pipeline). Shuffle shape: one
+    distinct over urls (re-crawls collapse), then a per-batch map; no join.
+    Output: (url, canon_url, changed). Oracle: the identical regex algebra
+    in DuckDB string functions over the same corpus parquet."""
+    from ..kernels.urlnorm import canonical_url
+    from .common import distinct
+
+    ds = distinct(_pages_pruned(sf_dir, ["url"]), ["url"])
+
+    def canon(batch: pa.Table) -> pa.Table:
+        urls = batch.column("url").to_pylist()
+        canons = [canonical_url(u) for u in urls]
+        return pa.table(
+            {"url": pa.array(urls, pa.string()),
+             "canon_url": pa.array(canons, pa.string()),
+             "changed": pa.array(
+                 [c != u for u, c in zip(urls, canons)], pa.bool_())}
+        )
+
+    return ds.map_batches(canon, batch_format="pyarrow", zero_copy_batch=True)

@@ -66,7 +66,7 @@ class LayoutWorker:
     """Actor: block segmentation + reading-order (T4-style heavy state slot)."""
 
     def __init__(self):
-        self.engine = get_engine_cls("stub")(resolve_config())
+        self.engine = get_engine_cls(resolve_config().engine)(resolve_config())
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         out = []
@@ -112,7 +112,7 @@ class SegmentOcrWorker:
     """Layout-routed OCR: recognize each text box with segment semantics."""
 
     def __init__(self):
-        self.engine = get_engine_cls("stub")(resolve_config())
+        self.engine = get_engine_cls(resolve_config().engine)(resolve_config())
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         out = []
@@ -163,19 +163,21 @@ class CvLayoutWorker:
     (T4) — a real deployment loads cv2/hdbscan here once per actor."""
 
     def __init__(self):
-        self.engine = get_engine_cls("stub")(resolve_config())
+        self.engine = get_engine_cls(resolve_config().engine)(resolve_config())
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         from ..kernels.hocr import parse_hocr
         from ..kernels.layout import cv_layout_boxes
-        from ..sources.payloads import FAKEIMG_MAGIC
 
         out = []
         for r in batch.to_pylist():
             page = r["page_png"]
-            if not page.startswith(FAKEIMG_MAGIC):
+            try:
+                # word corners from the engine's pixel recognition (the "CV
+                # corner detector" input — real decoded geometry, not markup)
+                tree = parse_hocr(self.engine.recognize(page))
+            except Exception:  # noqa: BLE001 — undecodable page: no layout
                 continue
-            tree = parse_hocr(page[len(FAKEIMG_MAGIC):].decode("utf-8"))
             word_boxes = [w["box"] for par in tree for line in par for w in line]
             if not word_boxes:
                 continue

@@ -2,11 +2,11 @@
 with typed metadata, decode/feature/resize/frame-sample as actor-pool
 map_batches stages.
 
-The decode itself is STUBBED (this container ships no PIL/libjpeg — see
-ocr_ray.engines.stub for the policy): FAKEIMG payloads yield deterministic
-metadata derived from their embedded hOCR; real image bytes raise
-``NotImplementedError`` into the error column. The Ray-side plumbing —
-schema, actor signature, batch sizing, output layout — is real and tested.
+The decode is REAL as of corpus v3: page payloads are genuine PNGs and the
+features come from decoded pixels (width/height from the pixel array, word
+metadata from pixel-template recognition — kernels.raster). Legacy FAKEIMG
+fixtures still decode via their embedded hOCR; unknown raster formats
+(JPEG/…: no codec in this container) raise into the error column.
 """
 
 from __future__ import annotations
@@ -15,6 +15,7 @@ import pyarrow as pa
 import ray.data
 
 from ..extract_core import route
+from ..kernels import raster
 from ..kernels.hocr import parse_hocr
 from ..sources.payloads import FAKEIMG_MAGIC, explode_pages
 from .common import small_pool
@@ -34,16 +35,21 @@ FEATURE_SCHEMA = pa.schema(
 )
 
 
-def _decode_fake_image(page: bytes) -> dict:
-    """STUB decode: a real implementation opens the raster and reads
-    (width, height, mode); the fake derives page geometry from the payload's
-    hOCR word boxes. Raises NotImplementedError for real image bytes."""
-    if not page.startswith(FAKEIMG_MAGIC):
-        raise NotImplementedError("real image decode requires PIL (not installed)")
-    tree = parse_hocr(page[len(FAKEIMG_MAGIC):].decode("utf-8"))
-    words = [w for par in tree for line in par for w in line]
-    width = int(max((w["box"][2] for w in words), default=0)) + 100
-    height = int(max((w["box"][3] for w in words), default=0)) + 100
+def _decode_page_image(page: bytes) -> dict:
+    """REAL decode: PNG bytes → pixel array → geometry from arr.shape, word
+    metadata from pixel-template recognition. FAKEIMG fixtures (legacy
+    corpora/tests) fall back to their embedded hOCR; other raster formats
+    raise (no JPEG codec in this container)."""
+    if page.startswith(FAKEIMG_MAGIC):
+        tree = parse_hocr(page[len(FAKEIMG_MAGIC):].decode("utf-8"))
+        words = [w for par in tree for line in par for w in line]
+        width = int(max((w["box"][2] for w in words), default=0)) + 100
+        height = int(max((w["box"][3] for w in words), default=0)) + 100
+    else:
+        img = raster.png_decode(page)  # raises for non-PNG payloads
+        height, width = img.shape
+        tree = raster.recognize_pixels(img)
+        words = [w for par in tree for line in par for w in line]
     confs = [w["confidence"] for w in words]
     return {
         "width": width,
@@ -70,7 +76,7 @@ class ImageFeatureWorker:
                    "height": 0, "n_blocks": 0, "n_words": 0, "mean_conf": 0.0,
                    "error": None}
             try:
-                rec.update(_decode_fake_image(r["page_png"]))
+                rec.update(_decode_page_image(r["page_png"]))
             except Exception as exc:  # noqa: BLE001
                 rec["error"] = f"{type(exc).__name__}: {exc}"
             out.append(rec)
@@ -175,3 +181,48 @@ def media_exact_dedup(sf_dir: str) -> ray.data.Dataset:
                ("n_bytes", "max", "n_bytes")],
         finalize=fin,
     )
+
+
+def page_pixel_stats(sf_dir: str) -> ray.data.Dataset:
+    """Single-image OCR rows: DECODED pixel dimensions vs the stored PNG
+    header. The query reports width/height from the pixel array (the full
+    zlib-inflate + unfilter path in kernels.raster must agree with them) and
+    the payload size; the SQL oracle independently re-reads width/height
+    from the raw IHDR bytes of the stored payload — a genuine cross-check
+    that the decode path reproduces the container's declared geometry.
+    Shuffle shape: none (streaming map + distinct on url)."""
+    from .common import clean_read_schema, distinct
+
+    corpus = pages_corpus(sf_dir)
+    import os as _os
+
+    probe = _os.path.join(
+        corpus, sorted(f for f in _os.listdir(corpus) if f.endswith(".parquet"))[0]
+    )
+    ds = ray.data.read_parquet(
+        corpus, columns=["url", "html"],
+        schema=clean_read_schema(probe, ["url", "html"]),
+    )
+
+    def stats(batch: pa.Table) -> pa.Table:
+        urls = batch.column("url").to_pylist()
+        payloads = batch.column("html").to_pylist()
+        cols: dict[str, list] = {"url": [], "width": [], "height": [], "n_bytes": []}
+        for i, data in enumerate(payloads):
+            if not data.startswith(b"\x89PNG\r\n\x1a\n"):
+                continue  # single-image rows only: containers hide the IHDR
+            img = raster.png_decode(data)
+            h, w = img.shape
+            cols["url"].append(urls[i])
+            cols["width"].append(w)
+            cols["height"].append(h)
+            cols["n_bytes"].append(len(data))
+        return pa.table(
+            {"url": pa.array(cols["url"], pa.string()),
+             "width": pa.array(cols["width"], pa.int64()),
+             "height": pa.array(cols["height"], pa.int64()),
+             "n_bytes": pa.array(cols["n_bytes"], pa.int64())}
+        )
+
+    mapped = ds.map_batches(stats, batch_format="pyarrow", zero_copy_batch=True)
+    return distinct(mapped, ["url"], carry=["width", "height", "n_bytes"])

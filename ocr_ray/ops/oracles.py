@@ -849,5 +849,84 @@ def extra_oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         ORDER BY d.doc_id
     """
 
+    # --------------------------------------- corpus: url_canonicalize
+    # the same regex algebra as kernels.urlnorm.canonical_url, step for step
+    sql["url_canonicalize"] = f"""
+        WITH u AS (SELECT DISTINCT url FROM read_parquet('{corpus_glob}')),
+        s AS (SELECT url, regexp_replace(url, '#.*$', '') AS nofrag FROM u),
+        p AS (
+          SELECT url,
+            lower(regexp_extract(nofrag, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+            lower(regexp_extract(nofrag, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)) AS authority,
+            regexp_extract(nofrag, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)', 1) AS path,
+            regexp_extract(nofrag, '\\?([^#]*)', 1) AS query
+          FROM s
+        ),
+        q AS (
+          SELECT url, scheme,
+            CASE WHEN scheme = 'https' AND authority LIKE '%:443'
+                     THEN left(authority, length(authority)-4)
+                 WHEN scheme = 'http' AND authority LIKE '%:80'
+                     THEN left(authority, length(authority)-3)
+                 ELSE authority END AS authority,
+            CASE WHEN path = '' OR path = '/' THEN '/'
+                 ELSE regexp_replace(path, '/+$', '') END AS path,
+            array_to_string(
+              list_filter(string_split(query, '&'),
+                          x -> x <> '' AND NOT regexp_matches(x, '^(utm_[^=]*|ref)(=|$)')),
+              '&') AS query
+          FROM p
+        ),
+        c AS (
+          SELECT url,
+            scheme || '://' || authority || path ||
+            CASE WHEN query <> '' THEN '?' || query ELSE '' END AS canon_url
+          FROM q
+        )
+        SELECT url, canon_url, url <> canon_url AS changed
+        FROM c ORDER BY url
+    """
+
+    # --------------------------------------- corpus: page_pixel_stats
+    # independent recomputation of the decoded geometry straight from the
+    # stored payload's IHDR bytes (PNG: width/height are big-endian u32 at
+    # byte offsets 16/20; hex() then integer-parse the nibbles)
+    sql["page_pixel_stats"] = f"""
+        WITH png AS (
+            SELECT DISTINCT url, html FROM read_parquet('{corpus_glob}')
+            WHERE substr(hex(html), 1, 16) = '89504E470D0A1A0A'
+        )
+        SELECT url,
+               ('0x' || substr(hex(html), 33, 8))::BIGINT AS width,
+               ('0x' || substr(hex(html), 41, 8))::BIGINT AS height,
+               CAST(octet_length(html) AS BIGINT) AS n_bytes
+        FROM png ORDER BY url
+    """
+
+    # --------------------------------------- artifact: doc_entities (W7)
+    from .ner import ENTITY_PATTERNS
+
+    entity_selects = "\n            UNION ALL\n".join(
+        f"""            SELECT url, warc_ts, '{name}' AS entity_type, u.e AS e
+            FROM read_parquet('{naive_lines}'),
+                 LATERAL unnest(regexp_extract_all(line, '{pat}')) AS u(e)"""
+        for name, pat in ENTITY_PATTERNS
+    )
+    sql["doc_entities"] = f"""
+        WITH hits AS (
+{entity_selects}
+        ),
+        onecrawl AS (
+            SELECT url, min(warc_ts) AS ts FROM hits GROUP BY url
+        )
+        SELECT h.url, h.entity_type,
+               CAST(COUNT(*) AS BIGINT) AS n_mentions,
+               CAST(COUNT(DISTINCT h.e) AS BIGINT) AS n_distinct,
+               string_agg(DISTINCT h.e, '|' ORDER BY h.e) AS entities
+        FROM hits h JOIN onecrawl o ON h.url = o.url AND h.warc_ts = o.ts
+        GROUP BY h.url, h.entity_type
+        ORDER BY h.url, h.entity_type
+    """
+
     sql.update(golden_oracles(sf_dir))
     return sql

@@ -102,21 +102,22 @@ def _unpack_blobs(data: bytes, magic: bytes) -> list[bytes]:
     return blobs
 
 
-def build_fake_pdf(page_hocrs: list[str]) -> bytes:
-    return _pack_blobs(FAKEPDF_MAGIC, [build_fake_image(h) for h in page_hocrs])
+def build_fake_pdf(page_images: list[bytes]) -> bytes:
+    """Multi-page container of page-image blobs (corpus v3: real PNGs)."""
+    return _pack_blobs(FAKEPDF_MAGIC, list(page_images))
 
 
-def build_fake_tiff(frame_hocrs: list[str]) -> bytes:
-    return _pack_blobs(FAKETIFF_MAGIC, [build_fake_image(h) for h in frame_hocrs])
+def build_fake_tiff(frame_images: list[bytes]) -> bytes:
+    return _pack_blobs(FAKETIFF_MAGIC, list(frame_images))
 
 
-def build_zip(members: list[tuple[str, str]]) -> bytes:
-    """Real zip of (member_name, hocr) pairs — stored, deterministic."""
+def build_zip(members: list[tuple[str, bytes]]) -> bytes:
+    """Real zip of (member_name, image bytes) pairs — stored, deterministic."""
     buf = io.BytesIO()
     with zipfile.ZipFile(buf, "w", zipfile.ZIP_STORED) as zf:
-        for name, hocr in members:
+        for name, blob in members:
             info = zipfile.ZipInfo(name, date_time=(1980, 1, 1, 0, 0, 0))
-            zf.writestr(info, build_fake_image(hocr))
+            zf.writestr(info, blob)
     return buf.getvalue()
 
 

@@ -27,8 +27,8 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 from .schemas import PAGES_SCHEMA
-from .sources.payloads import build_fake_image, build_fake_pdf, build_fake_tiff, build_zip
-from .kernels.hocr_write import tree_to_hocr
+from .sources.payloads import build_fake_pdf, build_fake_tiff, build_zip
+from .kernels import raster
 
 SEED = 42
 BASE_TS_US = 1_704_067_200_000_000  # 2024-01-01T00:00:00Z in microseconds
@@ -92,6 +92,10 @@ def _html_payload(rng: random.Random, host: str) -> tuple[bytes, str]:
     pars = _content_paragraphs(rng)
     if rng.random() < 0.08:  # syndicated wire paragraph (cross-host overlap)
         pars.append([list(line) for line in _SYNDICATED[rng.randrange(20)]])
+    if rng.random() < 0.10:  # intra-doc repeated paragraph (corpus v3: makes
+        # paragraph-level dedup non-vacuous — real pages repeat pull quotes,
+        # summaries and teaser blocks inside one document)
+        pars.append([list(line) for line in pars[0]])
     if rng.random() < 0.15:  # inline contact email inside main content
         pars[-1].append(["escreva", "para", f"{_word(rng)}@{host}.example"])
     heading = " ".join(_sentence_words(rng, 3, 6)).title()
@@ -159,11 +163,15 @@ def _page_tree(rng: random.Random, hyphen: bool = False) -> list:
         y += 40
     if hyphen and len(tree[0]) >= 2:
         tree[0][0][-1]["text"] += "-"
+        tree[0][0][-1]["box"][2] += 14.0  # box stays one cell per character
     return tree
 
 
-def _page_hocr(rng: random.Random, hyphen: bool = False) -> str:
-    return tree_to_hocr(_page_tree(rng, hyphen=hyphen))
+def _page_png(rng: random.Random, hyphen: bool = False) -> bytes:
+    """A REAL page image: the word tree rasterized to genuine PNG bytes
+    (glyph templates, confidence-as-ink) — the OCR branch decodes pixels,
+    no metadata side channel (corpus v3; v1/v2 embedded hOCR in FAKEIMG)."""
+    return raster.render_page_png(_page_tree(rng, hyphen=hyphen))
 
 
 # ------------------------------------------------------------------- rows
@@ -173,28 +181,27 @@ def _payload_for(ci: int, rng: random.Random, host: str) -> tuple[bytes, str]:
     slot = ci % 100
     if slot < 85:
         return _html_payload(rng, host)
-    if slot < 91:  # single page image
-        hocr = _page_hocr(rng, hyphen=(slot == 90))
-        return build_fake_image(hocr), " ".join(_sentence_words(rng))
+    if slot < 91:  # single page image (real PNG)
+        return _page_png(rng, hyphen=(slot == 90)), " ".join(_sentence_words(rng))
     if slot < 95:  # PDF, multi-page (incl. hyphen-across-lines page)
         n_pages = 5 if slot == 94 else rng.randint(2, 3)
-        pages = [_page_hocr(rng, hyphen=(p == 0 and slot == 93)) for p in range(n_pages)]
+        pages = [_page_png(rng, hyphen=(p == 0 and slot == 93)) for p in range(n_pages)]
         return build_fake_pdf(pages), " ".join(_sentence_words(rng))
     if slot < 96:  # ZIP with mixed-case member names (casefold sort test)
         members = [
-            ("Page_B.png", _page_hocr(rng)),
-            ("page_a.png", _page_hocr(rng)),
-            ("PAGE_C.png", _page_hocr(rng)),
+            ("Page_B.png", _page_png(rng)),
+            ("page_a.png", _page_png(rng)),
+            ("PAGE_C.png", _page_png(rng)),
         ]
         return build_zip(members), " ".join(_sentence_words(rng))
     if slot < 97:  # multi-frame TIFF
-        return build_fake_tiff([_page_hocr(rng) for _ in range(2)]), ""
+        return build_fake_tiff([_page_png(rng) for _ in range(2)]), ""
     if slot < 98:  # empty body
         return b"", ""
     if slot < 99:  # garbage bytes
         return bytes(rng.getrandbits(8) for _ in range(64)), "garbage"
     # truncated fake pdf (error path: bad container)
-    good = build_fake_pdf([_page_hocr(rng)])
+    good = build_fake_pdf([_page_png(rng)])
     return good[: len(good) // 2], "truncated"
 
 
@@ -205,12 +212,38 @@ def canonical_index(i: int) -> int:
     return i
 
 
+def variant_source(ci: int) -> int | None:
+    """Messy-URL rule (corpus v3): every 25th-ish row is a VARIANT CRAWL of
+    the row 3 before it — same payload bytes, but the url carries crawl dirt
+    (tracking params, host case, default port, fragment, trailing slash)
+    that a canonicalizer must strip. Real crawls hit this on day one; these
+    rows are the url_canonicalize substrate."""
+    if ci % 25 == 3 and ci >= 3:
+        return ci - 3
+    return None
+
+
+def _messy_url(host: str, src: int, ci: int) -> str:
+    form = (ci // 25) % 5
+    if form == 0:
+        return f"https://{host}.example/p/{src}?utm_source=feed&utm_campaign=sync"
+    if form == 1:
+        return f"https://{host.upper()}.Example/p/{src}"
+    if form == 2:
+        return f"https://{host}.example/p/{src}/"
+    if form == 3:
+        return f"https://{host}.example/p/{src}#section-2"
+    return f"https://{host}.example:443/p/{src}?ref=home"
+
+
 def row_for_index(i: int, seed: int = SEED) -> dict:
     ci = canonical_index(i)
-    rng = random.Random((seed << 32) ^ ci)
+    vi = variant_source(ci)
+    src = vi if vi is not None else ci
+    rng = random.Random((seed << 32) ^ src)
     host = "host0" if rng.random() < 0.30 else f"host{1 + rng.randrange(49)}"
-    url = f"https://{host}.example/p/{ci}"
-    payload, crawler_text = _payload_for(ci, rng, host)
+    url = _messy_url(host, src, ci) if vi is not None else f"https://{host}.example/p/{src}"
+    payload, crawler_text = _payload_for(src, rng, host)
     lang = _LANG_WHEEL[rng.randrange(len(_LANG_WHEEL))]
     return {
         "url": url,
@@ -272,7 +305,9 @@ def generate_pages_parquet_ray(
     return out_dir
 
 
-_CACHE_VERSION = "v2"  # v2: contact PII + cross-host links + syndicated pool
+_CACHE_VERSION = "v3"  # v3: real PNG page images, messy-URL variant crawls,
+# intra-doc repeated paragraphs (v2: contact PII + cross-host links +
+# syndicated pool)
 
 
 def pages_dir_for(n_rows: int, seed: int = SEED, base: str = "/tmp/ocr_ray_pages") -> str:

@@ -8,7 +8,7 @@ from ocr_ray.config import OcrConfig, parse_other_params, resolve_config, verify
 
 def test_defaults():
     cfg = resolve_config()
-    assert cfg.engine == "stub"
+    assert cfg.engine == "pixel"
     assert cfg.lang == ("por",)
     assert cfg.engine_mode == 3 and cfg.segment_mode == 3 and cfg.threshold_method == 0
 
