@@ -144,6 +144,8 @@ def png_decode(data: bytes) -> np.ndarray:
         raise ValueError("PNG data length mismatch")
     raw = raw.reshape(height, width + 1)
     filters = raw[:, 0]
+    if not filters.any():  # filter-0-only stream (what png_encode emits):
+        return raw[:, 1:].copy()  # one vectorized slice, no per-row loop
     out = np.zeros((height, width), dtype=np.uint8)
     for y in range(height):
         line = raw[y, 1:].copy()
@@ -252,9 +254,9 @@ def _read_word(img: np.ndarray, r0: int, r1: int, c0: int, c1: int) -> dict:
     y = r0 - MARGIN_Y
     crop = img[r0:r1, c0:c1]
     ink_vals = crop[crop < BACKGROUND]
-    vals = np.unique(ink_vals)
-    if len(vals) != 1:
-        raise ValueError(f"mixed ink intensities in one word: {vals[:4]}")
+    v0 = int(ink_vals.min())
+    if int(ink_vals.max()) != v0:
+        raise ValueError(f"mixed ink intensities in one word: {v0}..{int(ink_vals.max())}")
     chars = []
     for k in range(n_chars):
         cell = crop[:, k * CELL_W : k * CELL_W + GLYPH_W]
@@ -268,7 +270,7 @@ def _read_word(img: np.ndarray, r0: int, r1: int, c0: int, c1: int) -> dict:
         "text": "".join(chars),
         "box": [float(x), float(y), float(x + n_chars * CELL_W), bottom],
         "b": bottom,
-        "confidence": int(vals[0]),
+        "confidence": v0,
     }
 
 

@@ -65,7 +65,10 @@ def host_link_rows(sf_dir: str) -> ray.data.Dataset:
         for i, data in enumerate(payloads):
             if not data.startswith(b"<!DOCTYPE html>"):
                 continue
-            m = src_re.search(urls[i])
+            # lowercase first: variant crawls carry mixed-case hosts
+            # (corpus v3) and the SAME page must attribute to the SAME
+            # source host — mirrored by lower(url) in the SQL oracle
+            m = src_re.search(urls[i].lower())
             if m is None:
                 continue
             src = m.group(1)

@@ -710,7 +710,7 @@ def extra_oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             WHERE CAST(html AS VARCHAR) LIKE '<!DOCTYPE html>%'
         ),
         links AS (
-            SELECT regexp_extract(url, '{SRC_HOST_RE_S}', 1) AS src_host,
+            SELECT regexp_extract(lower(url), '{SRC_HOST_RE_S}', 1) AS src_host,
                    u.dst AS dst_host
             FROM h, LATERAL unnest(
                 regexp_extract_all(markup, '{HOST_LINK_RE_S}', 1)) AS u(dst)

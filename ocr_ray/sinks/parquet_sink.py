@@ -195,6 +195,10 @@ def make_shard_writer(out_dir: str):
     one shard file per part, return tiny ack rows."""
     import uuid
 
+    # captured DRIVER-side at plan build (workers may not share driver env)
+    tmp_format = os.environ.get("OCR_RAY_TMP_FORMAT", "parquet")
+    tmp_codec = os.environ.get("OCR_RAY_TMP_CODEC", "snappy")
+
     def write_shards(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
@@ -204,19 +208,30 @@ def make_shard_writer(out_dir: str):
             sub = batch.filter(pc.equal(parts, part))
             pdir = os.path.join(partition_dir(out_dir, part), TMP_SHARDS)
             os.makedirs(pdir, exist_ok=True)
-            name = os.path.join(pdir, f"shard-{uuid.uuid4().hex}.parquet")
             # tmp shards are transient but the device is shared: snappy
             # halves the write+read+discard volume of the storage shuffle
             # for ~nothing (measured: the consolidate phase is disk-bound,
             # flat ~11-18 s from 4 to 16 CPUs at 400k docs uncompressed;
             # zstd tmp was A/B'd on corpus v2 at 16 pinned CPUs and did NOT
             # win — its CPU cost eats the device savings — so snappy stays;
-            # OCR_RAY_TMP_CODEC overrides for experiments)
-            pq.write_table(
-                sub, name + ".tmp",
-                compression=os.environ.get("OCR_RAY_TMP_CODEC", "snappy"),
-                use_dictionary=False,
-            )
+            # OCR_RAY_TMP_CODEC overrides for experiments).
+            # OCR_RAY_TMP_FORMAT=ipc switches the transient format to Arrow
+            # IPC + lz4 — no column stats/footer/encoding work on files that
+            # exist only to cross the storage shuffle (A/B knob, round 3).
+            if tmp_format == "ipc":
+                import pyarrow.ipc as ipc
+
+                name = os.path.join(pdir, f"shard-{uuid.uuid4().hex}.arrow")
+                opts = ipc.IpcWriteOptions(compression="lz4")
+                with ipc.new_file(name + ".tmp", sub.schema, options=opts) as w:
+                    w.write_table(sub)
+            else:
+                name = os.path.join(pdir, f"shard-{uuid.uuid4().hex}.parquet")
+                pq.write_table(
+                    sub, name + ".tmp",
+                    compression=tmp_codec,
+                    use_dictionary=False,
+                )
             os.replace(name + ".tmp", name)
             acks.append({"part": part, "n_rows": sub.num_rows})
         return pa.Table.from_pylist(
@@ -239,11 +254,16 @@ def consolidate_partition(out_dir: str, part: int, input_path: str = "") -> dict
     pdir = partition_dir(out_dir, part)
     tmp_dir = os.path.join(pdir, TMP_SHARDS)
     shards = sorted(os.listdir(tmp_dir)) if os.path.isdir(tmp_dir) else []
-    tables = [
-        pq.read_table(os.path.join(tmp_dir, s))
-        for s in shards
-        if s.endswith(".parquet")
-    ]
+    tables = []
+    for s in shards:
+        path = os.path.join(tmp_dir, s)
+        if s.endswith(".parquet"):
+            tables.append(pq.read_table(path))
+        elif s.endswith(".arrow"):
+            import pyarrow.ipc as ipc
+
+            with ipc.open_file(path) as reader:
+                tables.append(reader.read_all())
     group = pa.concat_tables(tables)
     group = dedup_and_sort(group)
     if "spans_bin" in group.column_names:

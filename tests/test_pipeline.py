@@ -168,3 +168,18 @@ def test_sink_reachability_guard(ray_session, monkeypatch):
         ex.check_sink_reachability("/tmp/whatever")
     monkeypatch.setenv("OCR_RAY_SHARED_FS", "1")
     ex.check_sink_reachability("/tmp/whatever")
+
+
+def test_sink_ipc_tmp_format(ray_session, corpus_dir, golden, tmp_path_factory, monkeypatch):
+    """OCR_RAY_TMP_FORMAT=ipc routes the transient storage-shuffle shards
+    through Arrow IPC + lz4; committed output must be identical."""
+    import ray
+
+    from ocr_ray.pipelines.extract import run_extract
+    from ocr_ray.sinks.parquet_sink import read_output
+
+    monkeypatch.setenv("OCR_RAY_TMP_FORMAT", "ipc")
+    out_dir = str(tmp_path_factory.mktemp("extract_out_ipc"))
+    run_extract(corpus_dir, out_dir)
+    got = _sorted(read_output(out_dir))
+    _assert_tables_equal(got, golden)
