@@ -27,6 +27,11 @@ from ..kernels.hocr_write import tree_to_hocr
 class PixelEngine:
     """Engine-protocol implementation over real PNG page images."""
 
+    # Warm state is the module-level glyph template table: construction is
+    # a handle copy, so extraction may run as a task pool with a process-
+    # global engine cache instead of an actor pool (extract_stage docs).
+    CHEAP_INIT = True
+
     def __init__(self, config: OcrConfig):
         self.config = config
         # Warm state (T1): a real engine would InitFull traineddata here; the
@@ -39,7 +44,10 @@ class PixelEngine:
         self.pages_processed += 1
         img = raster.png_decode(page)
         if segment_box is not None:
-            left, top, right, bottom = (int(v) for v in segment_box)
+            # segment boxes are tree coordinates; the page renders at
+            # 1:PIXEL_SCALE (150-DPI duality — see kernels.raster)
+            s = raster.PIXEL_SCALE
+            left, top, right, bottom = (int(v) // s for v in segment_box)
             img = img[top:bottom, left:right]
         return tree_to_hocr(raster.recognize_pixels(img))
 

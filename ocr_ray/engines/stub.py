@@ -54,6 +54,8 @@ def _shift_tree(tree: list, dx: float, dy: float) -> list:
 class StubEngine:
     """Engine-protocol implementation over FAKEIMG payloads."""
 
+    CHEAP_INIT = True  # no model residency: task-pool extraction is fine
+
     def __init__(self, config: OcrConfig):
         self.config = config
         # Warm-state marker: a real engine would InitFull traineddata here,

@@ -42,15 +42,24 @@ import numpy as np
 
 FONT_ROWS = 7
 FONT_COLS = 5
-SCALE_X = 2
-SCALE_Y = 4
-GLYPH_W = FONT_COLS * SCALE_X  # 10
-GLYPH_H = FONT_ROWS * SCALE_Y  # 28
-MARGIN_X = 2
-MARGIN_Y = 9
-CELL_W = 14  # == hOCR char advance used by the synth page trees
-CELL_H = 46  # == hOCR line box height
-WORD_GAP_PX = CELL_W  # inter-word advance
+# Pages render at HALF the hOCR coordinate resolution (the reference's
+# 300-DPI-ingest / 150-DPI-export duality, celery_app.py:896-898 vs
+# export.py:33): tree coordinates stay the full-resolution contract (cell
+# 14x46 per char), pixels are 1:2. A page canvas is 4x smaller, which is
+# what bounds this stage at scale — decode and recognition are memory-
+# traffic-bound, not compute-bound. All tree coordinates the synth corpus
+# produces are even, so the mapping is exact (render raises otherwise).
+PIXEL_SCALE = 2  # tree units per pixel
+SCALE_X = 1
+SCALE_Y = 2
+GLYPH_W = FONT_COLS * SCALE_X  # 5 px
+GLYPH_H = FONT_ROWS * SCALE_Y  # 14 px
+MARGIN_X = 1  # px inside the 7-px char cell
+MARGIN_Y = 4  # px inside the 23-px line cell
+CELL_W_T = 14  # tree units: hOCR char advance used by the synth page trees
+CELL_H_T = 46  # tree units: hOCR line box height
+CELL_W = CELL_W_T // PIXEL_SCALE  # 7 px
+CELL_H = CELL_H_T // PIXEL_SCALE  # 23 px
 
 ALPHABET = "abcdefghijklmnopqrstuvwxyz-0123456789"
 _FONT_SALT = 0  # bump if the uniqueness assertion below ever trips
@@ -193,7 +202,21 @@ def _canvas_size(tree: list) -> tuple[int, int]:
             for w in line:
                 right = max(right, w["box"][2])
                 bottom = max(bottom, w["box"][3])
-    return int(bottom) + 100, int(right) + 100  # (h, w) — synth page margins
+    # (h, w) px — the +100-tree-unit page margins at pixel scale
+    return (int(bottom) + 100) // PIXEL_SCALE, (int(right) + 100) // PIXEL_SCALE
+
+
+def _px(v: float) -> int:
+    t = int(v)
+    if t != v or t % PIXEL_SCALE:
+        raise ValueError(f"tree coordinate {v!r} is not pixel-exact")
+    return t // PIXEL_SCALE
+
+
+_BLOCKS = {
+    ch: np.kron(bm, np.ones((SCALE_Y, SCALE_X), dtype=bool))
+    for ch, bm in FONT.items()
+}
 
 
 def render_tree(tree: list) -> np.ndarray:
@@ -204,14 +227,13 @@ def render_tree(tree: list) -> np.ndarray:
     for par in tree:
         for line in par:
             for word in line:
-                x0 = int(word["box"][0])
-                y0 = int(word["box"][1])
+                x0 = _px(word["box"][0])
+                y0 = _px(word["box"][1])
                 ink = np.uint8(int(word["confidence"]))
                 for k, ch in enumerate(word["text"]):
-                    bm = FONT.get(ch)
-                    if bm is None:
+                    block = _BLOCKS.get(ch)
+                    if block is None:
                         raise ValueError(f"glyph for {ch!r} not in font")
-                    block = np.kron(bm, np.ones((SCALE_Y, SCALE_X), dtype=bool))
                     cy = y0 + MARGIN_Y
                     cx = x0 + k * CELL_W + MARGIN_X
                     region = img[cy : cy + GLYPH_H, cx : cx + GLYPH_W]
@@ -227,11 +249,12 @@ def render_page_png(tree: list) -> bytes:
 
 # Blank pixel rows tolerated inside one text line: the glyph top/bottom bars
 # are always inked, but a short word whose random interior font rows are all
-# empty leaves up to 20 blank rows between its bars; lines proper are 32
-# blank rows apart, so 24 cleanly separates the two cases.
-_LINE_MERGE_GAP = 24
-_WORD_SPLIT_GAP = 10  # blank pixel cols: intra-word char gap 4, word gap 18
-_PAR_GAP = 30  # cell-box vertical gap: 14 within a paragraph, 54 across
+# empty leaves up to 10 blank rows between its bars; lines proper are 16
+# blank rows apart (60-tree-unit step at pixel scale), so 13 separates them.
+_LINE_MERGE_GAP = 13
+_WORD_SPLIT_GAP = 5  # blank pixel cols: intra-word char gap 2, word gap 9
+# tree-space (not pixel) line-box gap: 14 within a paragraph, 54 across
+_PAR_GAP = 30
 
 
 def _runs(mask: np.ndarray, merge_gap: int) -> list[tuple[int, int]]:
@@ -246,12 +269,13 @@ def _runs(mask: np.ndarray, merge_gap: int) -> list[tuple[int, int]]:
 
 
 def _read_word(img: np.ndarray, r0: int, r1: int, c0: int, c1: int) -> dict:
-    """Ink bbox rows [r0,r1) cols [c0,c1) → word dict with the cell box."""
+    """Ink bbox rows [r0,r1) cols [c0,c1) in PIXELS → word dict with the
+    cell box converted back to tree coordinates."""
     n_chars = (c1 - c0 + 2 * MARGIN_X) // CELL_W
     if n_chars * CELL_W != (c1 - c0) + 2 * MARGIN_X:
         raise ValueError("ink span is not a whole number of character cells")
-    x = c0 - MARGIN_X
-    y = r0 - MARGIN_Y
+    x = (c0 - MARGIN_X) * PIXEL_SCALE
+    y = (r0 - MARGIN_Y) * PIXEL_SCALE
     crop = img[r0:r1, c0:c1]
     ink_vals = crop[crop < BACKGROUND]
     v0 = int(ink_vals.min())
@@ -265,10 +289,10 @@ def _read_word(img: np.ndarray, r0: int, r1: int, c0: int, c1: int) -> dict:
         if ch is None:
             raise ValueError(f"unrecognized glyph bitmap at cell {k}")
         chars.append(ch)
-    bottom = float(y + CELL_H)
+    bottom = float(y + CELL_H_T)
     return {
         "text": "".join(chars),
-        "box": [float(x), float(y), float(x + n_chars * CELL_W), bottom],
+        "box": [float(x), float(y), float(x + n_chars * CELL_W_T), bottom],
         "b": bottom,
         "confidence": v0,
     }
@@ -309,14 +333,16 @@ def recognize_pixels(img: np.ndarray) -> list:
 
 def white_fill(img: np.ndarray, boxes: list[list[float]]) -> np.ndarray:
     """M10 ignore-region mask, real semantics: white rectangles over pixels
-    (reference: celery_app.py:1083-1092 fills the region before OCR)."""
+    (reference: celery_app.py:1083-1092 fills the region before OCR).
+    Boxes arrive in tree coordinates; the fill COVERS the box (floor/ceil
+    at pixel scale) so no target ink survives on odd-aligned regions."""
     out = img.copy()
     h, w = out.shape
     for left, top, right, bottom in boxes:
-        x0 = max(0, int(left))
-        y0 = max(0, int(top))
-        x1 = min(w, int(right))
-        y1 = min(h, int(bottom))
+        x0 = max(0, int(left) // PIXEL_SCALE)
+        y0 = max(0, int(top) // PIXEL_SCALE)
+        x1 = min(w, -(-int(right) // PIXEL_SCALE))
+        y1 = min(h, -(-int(bottom) // PIXEL_SCALE))
         if x1 > x0 and y1 > y0:
             out[y0:y1, x0:x1] = BACKGROUND
     return out

@@ -103,9 +103,13 @@ def pagerank_hosts(sf_dir: str) -> ray.data.Dataset:
     """Weighted PageRank over the host link graph, PAGERANK_ITERS fixed
     iterations (damping 0.85, uniform teleport, no dangling-mass
     redistribution — the simple variant, declared so the SQL twin unrolls
-    the same recurrence). Each iteration is one hash join (ranks ⋈ edges on
-    src) + one grouped sum keyed by dst — both distributed; the driver only
-    sequences iterations and holds nothing but the loop counter. Output:
+    the same recurrence). Two paths, switched on the WEIGHTED-EDGE count of
+    the already-aggregated host graph (never page-level): small graphs run
+    the whole recurrence as one numpy pass on the driver
+    (:func:`_pagerank_single_pass` — per-round Ray job overhead dwarfs the
+    math below the cap); large graphs run each iteration as one hash join
+    (ranks ⋈ edges on src) + one grouped sum keyed by dst — both
+    distributed, the driver holding only the loop counter. Output:
     (host, rank) rounded to 6 (absorbs per-dst float summation order).
 
     The per-iteration rank table is materialized: it is O(hosts) — at
@@ -141,6 +145,9 @@ def pagerank_hosts(sf_dir: str) -> ray.data.Dataset:
                             "rank": pa.array([1.0 / n] * b.num_rows, pa.float64())}),
         batch_format="pyarrow",
     )
+
+    if edges.count() <= PR_SINGLE_PASS_EDGE_CAP:
+        return _pagerank_single_pass(edges, hosts_ds, n)
 
     for _ in range(PAGERANK_ITERS):
         contrib = edges.join(
@@ -189,6 +196,54 @@ def pagerank_hosts(sf_dir: str) -> ray.data.Dataset:
         )
 
     return ranks.map_batches(finish, batch_format="pyarrow")
+
+
+# The HOST graph is the already-aggregated link rollup (one row per
+# (src_host, dst_host), never page-level). Below this many weighted edges
+# the fixed-iteration recurrence runs as one numpy pass on the driver —
+# each distributed round otherwise costs more in Ray job overhead than the
+# whole computation. Above it (a genuine web-scale host graph), the
+# join+grouped-sum rounds take over. 2M edges ≈ 50 MB.
+PR_SINGLE_PASS_EDGE_CAP = 2_000_000
+
+
+def _pagerank_single_pass(
+    edges: ray.data.Dataset, hosts_ds: ray.data.Dataset, n: int
+) -> ray.data.Dataset:
+    """Same recurrence, one process: r0 = 1/N; r_{k+1}(v) = (1-d)/N +
+    d * Σ_in r_k(u)·w/outw(u), PAGERANK_ITERS rounds, round-half-even 6.
+    Rounding absorbs the summation-order difference vs the distributed
+    grouped sum (both are plain float64 adds of the same terms)."""
+    import numpy as np
+
+    host_rows = [r["host"] for r in hosts_ds.select_columns(["host"]).take_all()]
+    idx = {h: i for i, h in enumerate(sorted(host_rows))}
+    src = np.empty(edges.count(), dtype=np.int64)
+    dst = np.empty_like(src)
+    frac = np.empty(len(src), dtype=np.float64)
+    pos = 0
+    for batch in edges.iter_batches(batch_format="pyarrow"):
+        s = batch.column("src_host").to_pylist()
+        d = batch.column("dst_host").to_pylist()
+        w = batch.column("n_links").to_numpy(zero_copy_only=False)
+        ow = batch.column("outw").to_numpy(zero_copy_only=False)
+        k = len(s)
+        src[pos : pos + k] = [idx[x] for x in s]
+        dst[pos : pos + k] = [idx[x] for x in d]
+        frac[pos : pos + k] = w / ow
+        pos += k
+    rank = np.full(len(idx), 1.0 / n)
+    for _ in range(PAGERANK_ITERS):
+        c = np.zeros(len(idx))
+        np.add.at(c, dst, rank[src] * frac)
+        rank = (1.0 - PAGERANK_DAMPING) / n + PAGERANK_DAMPING * c
+    hosts_sorted = sorted(idx)
+    return ray.data.from_arrow(
+        pa.table(
+            {"host": pa.array(hosts_sorted, pa.string()),
+             "rank": pa.array([round(float(r), 6) for r in rank], pa.float64())}
+        )
+    )
 
 
 def _cc_single_pass(edges: ray.data.Dataset, docs: ray.data.Dataset) -> ray.data.Dataset:

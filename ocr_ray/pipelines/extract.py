@@ -16,9 +16,12 @@ in :mod:`ocr_ray.pipelines.explode_variant`.
 
 from __future__ import annotations
 
+import os
+
 import ray.data
 
 from ..config import OcrConfig, resolve_config
+from ..engines import get_engine_cls
 from ..extract_core import DEFAULT_NUM_PARTS
 from ..kernels.html_extract import DEFAULT_SETTINGS, ExtractSettings
 from ..sinks.parquet_sink import committed_parts, dedup_and_sort, make_partition_writer
@@ -85,11 +88,8 @@ TARGET_PART_INPUT_BYTES = 32 << 20
 MAX_NUM_PARTS = 4096
 
 
-def choose_num_parts(input_path: str | list[str]) -> int:
-    """Deterministic partition count from the input's on-disk size (local
-    paths only; non-local or unstatable inputs keep the default). The value
-    must be a pure function of the INPUT so a resumed job recomputes the
-    same partitioning."""
+def _input_bytes(input_path: str | list[str]) -> int:
+    """Total on-disk size of the input parquet (0 if unstatable)."""
     import os
 
     paths = [input_path] if isinstance(input_path, str) else list(input_path)
@@ -103,7 +103,16 @@ def choose_num_parts(input_path: str | list[str]) -> int:
             elif os.path.isfile(p):
                 total += os.path.getsize(p)
     except OSError:
-        return DEFAULT_NUM_PARTS
+        return 0
+    return total
+
+
+def choose_num_parts(input_path: str | list[str]) -> int:
+    """Deterministic partition count from the input's on-disk size (local
+    paths only; non-local or unstatable inputs keep the default). The value
+    must be a pure function of the INPUT so a resumed job recomputes the
+    same partitioning."""
+    total = _input_bytes(input_path)
     if total <= 0:
         return DEFAULT_NUM_PARTS
     return max(DEFAULT_NUM_PARTS, min(MAX_NUM_PARTS, total // TARGET_PART_INPUT_BYTES))
@@ -143,13 +152,33 @@ def extract_dataset(
 ) -> ray.data.Dataset:
     """pages Dataset → extraction Dataset (EXTRACT_SCHEMA), pre-dedup."""
     config = config or resolve_config()
-    if concurrency is None:
-        concurrency = default_concurrency()
     ds = ds.map_batches(
         make_stamp_fn(num_parts, done_parts),
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
+    engine_cls = get_engine_cls(config.engine)
+    task_pool = os.environ.get("OCR_RAY_TASK_EXTRACT", "0") == "1"
+    if task_pool and getattr(engine_cls, "CHEAP_INIT", False) and concurrency is None:
+        # Opt-in TASK-pool extraction for cheap-init engines (stub/pixel:
+        # module-level warm state) with a process-global engine cache: no
+        # per-execution actor spawn and no half-width cap. Measured round 3
+        # at 100k docs: 4 pinned CPUs 65 s → 44 s (the half-width pool
+        # wastes half a tiny allocation), but 16 pinned CPUs 23.5 s → 37 s —
+        # full-width extraction saturates the single-socket memory
+        # bandwidth and starves the write stage (the documented pool law).
+        # Default stays the half-width actor pool: cluster nodes have
+        # ≥16 cores, where it wins; flip this on for ≤8-core allocations.
+        from ..stages.extract_stage import make_extract_fn
+
+        return ds.map_batches(
+            make_extract_fn(config, settings),
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            num_cpus=1,
+        )
+    if concurrency is None:
+        concurrency = default_concurrency()
     return ds.map_batches(
         ExtractWorker,
         fn_constructor_kwargs={"config": config, "settings": settings},
@@ -240,17 +269,17 @@ def run_sink(
             ]
         )
 
-    # num_cpus=2 caps consolidation at CPUs/2 concurrent tasks — the same
-    # law as the extraction actor pool (default_concurrency): memory- and
-    # I/O-heavy work running full-width on this VM collapses (measured at
-    # 1M docs: a full-width wave right after phase 1 ran 100-180 s/task —
-    # competing with ~2 GB of tmp-shard writeback on a drained device
-    # token bucket — while a half-width pool on a settled device takes
-    # 3.6 s/task). Half width costs nothing when the device is healthy
-    # (64 tasks × 3.6 s / 16 ≈ 14 s) and bounds the damage when it isn't.
+    # Consolidation width is INPUT-SCALED (same law as the extraction actor
+    # pool): big runs get num_cpus=2 (half-width wave) — measured at 1M
+    # docs, a full-width memory/IO-heavy wave right after ~2 GB of phase-1
+    # writeback ran 100-180 s/task on the drained device vs 3.6 s/task
+    # half-width on a settled one. Small runs (< ~1 GB of input) never
+    # drain the bucket, and the half-width cap only stretches the phase-2
+    # tail that bounds scaling efficiency — so they run full width.
+    big_run = _input_bytes(input_path) > (1 << 30)
     manifests = (
         rd.from_items([{"part": p} for p in touched], override_num_blocks=max(1, len(touched)))
-        .map_batches(consolidate, batch_size=1, num_cpus=2)
+        .map_batches(consolidate, batch_size=1, num_cpus=2 if big_run else 1)
         .materialize()
     )
     return manifests, stats + "\n" + manifests.stats()

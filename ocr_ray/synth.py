@@ -305,9 +305,11 @@ def generate_pages_parquet_ray(
     return out_dir
 
 
-_CACHE_VERSION = "v3"  # v3: real PNG page images, messy-URL variant crawls,
-# intra-doc repeated paragraphs (v2: contact PII + cross-host links +
-# syndicated pool)
+_CACHE_VERSION = "v4"  # v4: page images render at half resolution (the
+# 300/150-DPI duality; tree coordinates unchanged — see kernels.raster
+# PIXEL_SCALE). v3: real PNG page images, messy-URL variant crawls,
+# intra-doc repeated paragraphs. v2: contact PII + cross-host links +
+# syndicated pool.
 
 
 def pages_dir_for(n_rows: int, seed: int = SEED, base: str = "/tmp/ocr_ray_pages") -> str:

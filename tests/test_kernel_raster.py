@@ -119,7 +119,8 @@ def test_segment_crop_matches_center_inside_semantics():
     words = [w for line in par for w in line]
     seg = [min(w["box"][0] for w in words), min(w["box"][1] for w in words),
            max(w["box"][2] for w in words), max(w["box"][3] for w in words)]
-    crop = img[int(seg[1]):int(seg[3]), int(seg[0]):int(seg[2])]
+    s = raster.PIXEL_SCALE
+    crop = img[int(seg[1]) // s:int(seg[3]) // s, int(seg[0]) // s:int(seg[2]) // s]
     got = raster.recognize_pixels(crop)
     exp = _filter_tree(copy.deepcopy(tree), lambda w: _center_inside(w["box"], seg))
     exp = _shift_tree(exp, -seg[0], -seg[1])

@@ -695,3 +695,15 @@ def test_choose_join_parts_scales_with_input(tmp_path):
     assert choose_join_parts(str(tmp_path), "big") == 20
     # bare-dir form sizes everything in the directory
     assert choose_join_parts(str(tmp_path)) == 20
+
+
+def test_pagerank_single_pass_matches_distributed(ray_session, monkeypatch):
+    """The small-graph numpy path and the distributed join+grouped-sum path
+    must agree after the round-6 output rounding."""
+    from ocr_ray.ops import graph
+
+    df_fast = _df(graph.pagerank_hosts(SF)).sort_values("host").reset_index(drop=True)
+    monkeypatch.setattr(graph, "PR_SINGLE_PASS_EDGE_CAP", 0)
+    df_dist = _df(graph.pagerank_hosts(SF)).sort_values("host").reset_index(drop=True)
+    assert list(df_fast["host"]) == list(df_dist["host"])
+    assert (df_fast["rank"] == df_dist["rank"]).all()
