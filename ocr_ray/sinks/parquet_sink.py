@@ -71,28 +71,70 @@ def dedup_and_sort(group: pa.Table) -> pa.Table:
     partition group. Latest = max warc_ts; exact warc_ts ties (distinct
     payloads crawled in the same microsecond) fall back to max extracted
     text — a total order, so the winner never depends on shard arrival
-    order."""
+    order.
+
+    Last-occurrence selection is one vectorized shifted not-equal over the
+    sorted url array (runs inside the hot consolidate task — no per-row
+    Python loop)."""
+    import numpy as np
+    import pyarrow.compute as pc
+
     group = group.sort_by(
         [("url", "ascending"), ("warc_ts", "ascending"), ("text", "ascending")]
     )
-    urls = group.column("url").to_pylist()
-    keep = []
-    for i, url in enumerate(urls):
-        if i + 1 == len(urls) or urls[i + 1] != url:
-            keep.append(i)
-    if len(keep) != len(urls):
-        group = group.take(pa.array(keep, pa.int64()))
+    n = group.num_rows
+    if n <= 1:
+        return group
+    urls = group.column("url").combine_chunks()
+    # row i survives iff it is the LAST row of its url run: url[i] != url[i+1]
+    changed = pc.not_equal(urls.slice(0, n - 1), urls.slice(1, n - 1))
+    keep = np.ones(n, dtype=bool)
+    keep[: n - 1] = changed.to_numpy(zero_copy_only=False)
+    if not keep.all():
+        group = group.take(pa.array(np.flatnonzero(keep), pa.int64()))
     return group
 
 
+def _string_payload_bytes(arr: pa.Array) -> memoryview:
+    """Contiguous utf-8 bytes of ALL values of a string Array, in order
+    (Arrow layout: values live back-to-back in the data buffer between
+    offsets[0] and offsets[-1])."""
+    import numpy as np
+
+    if len(arr) == 0:
+        return memoryview(b"")
+    offs = np.frombuffer(arr.buffers()[1], dtype=np.int32)[
+        arr.offset : arr.offset + len(arr) + 1
+    ]
+    return memoryview(arr.buffers()[2])[int(offs[0]) : int(offs[-1])]
+
+
 def _text_checksum(table: pa.Table) -> str:
+    """sha256 over url\\x00text\\x01 per row — byte-identical to the
+    historical per-row loop, computed as ONE Arrow join kernel + one
+    contiguous buffer update."""
+    import pyarrow.compute as pc
+
     h = hashlib.sha256()
-    for url, text in zip(table.column("url").to_pylist(), table.column("text").to_pylist()):
-        h.update(url.encode("utf-8"))
-        h.update(b"\x00")
-        h.update((text or "").encode("utf-8"))
-        h.update(b"\x01")
+    if table.num_rows == 0:
+        return h.hexdigest()
+    texts = pc.fill_null(table.column("text"), "")
+    joined = pc.binary_join_element_wise(table.column("url"), texts, "\x00")
+    joined = pc.binary_join_element_wise(joined, "", "\x01")
+    chunks = joined.chunks if isinstance(joined, pa.ChunkedArray) else [joined]
+    for chunk in chunks:
+        h.update(_string_payload_bytes(chunk))
     return h.hexdigest()
+
+
+def _text_bytes(table: pa.Table) -> int:
+    """Total utf-8 byte length of the text column (nulls count as empty)."""
+    import pyarrow.compute as pc
+
+    if table.num_rows == 0:
+        return 0
+    texts = pc.fill_null(table.column("text"), "").cast(pa.binary())
+    return int(pc.sum(pc.binary_length(texts)).as_py() or 0)
 
 
 def make_partition_writer(out_dir: str, input_path: str = ""):
@@ -127,9 +169,7 @@ def make_partition_writer(out_dir: str, input_path: str = ""):
                 ).as_py()
                 or 0
             ),
-            "bytes": sum(
-                len((t or "").encode()) for t in group.column("text").to_pylist()
-            ),
+            "bytes": _text_bytes(group),
             "text_sha256": _text_checksum(group),
         }
         mtmp = os.path.join(pdir, MANIFEST_NAME + ".tmp")
@@ -285,7 +325,7 @@ def consolidate_partition(out_dir: str, part: int, input_path: str = "") -> dict
             ).as_py()
             or 0
         ),
-        "bytes": sum(len((t or "").encode()) for t in group.column("text").to_pylist()),
+        "bytes": _text_bytes(group),
         "text_sha256": _text_checksum(group),
     }
     mtmp = os.path.join(pdir, MANIFEST_NAME + ".tmp")
