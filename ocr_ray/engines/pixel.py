@@ -45,9 +45,20 @@ class PixelEngine:
         img = raster.png_decode(page)
         if segment_box is not None:
             # segment boxes are tree coordinates; the page renders at
-            # 1:PIXEL_SCALE (150-DPI duality — see kernels.raster)
+            # 1:PIXEL_SCALE (150-DPI duality — see kernels.raster). Validate
+            # pixel-exactness like raster._px: a silent floor-divide on an
+            # odd coordinate would shift the crop by a pixel and mis-read.
             s = raster.PIXEL_SCALE
-            left, top, right, bottom = (int(v) // s for v in segment_box)
+            coords = []
+            for v in segment_box:
+                t = int(v)
+                if t != v or t % s:
+                    raise ValueError(
+                        f"segment_box coordinate {v!r} is not pixel-exact "
+                        f"(must be an integer multiple of {s})"
+                    )
+                coords.append(t // s)
+            left, top, right, bottom = coords
             img = img[top:bottom, left:right]
         return tree_to_hocr(raster.recognize_pixels(img))
 

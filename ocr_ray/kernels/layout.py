@@ -129,20 +129,10 @@ def cluster_points(points, eps: float = 0.025, min_cluster_size: int = 5,
     return out
 
 
-def cv_layout_boxes(word_boxes, page_w: float, page_h: float,
-                    pad: float = 5.0) -> list[list[float]]:
-    """CV layout segmentation over a synthetic corner cloud: the reference
-    feeds FAST/contour corners of the *pixels*; with no raster libs the
-    corner detector is stubbed as the corners of the word boxes (what a
-    corner detector finds on rendered text), then the REAL pipeline runs:
-    normalize → cluster → merged cluster bbox ±pad px
-    (image.py:195-227)."""
-    points = []
-    owners = []
-    for wi, (left, top, right, bottom) in enumerate(word_boxes):
-        for x, y in ((left, top), (right, top), (left, bottom), (right, bottom)):
-            points.append((x / page_w, y / page_h))
-            owners.append(wi)
+def _cluster_corner_boxes(points, page_w: float, page_h: float,
+                          pad: float) -> list[list[float]]:
+    """Normalized (x, y) corner cloud → clustered layout boxes ±pad
+    (image.py:195-227: normalize → HDBSCAN → merged cluster bbox)."""
     boxes = []
     for cluster in cluster_points(points):
         xs = [points[i][0] for i in cluster]
@@ -152,6 +142,39 @@ def cv_layout_boxes(word_boxes, page_w: float, page_h: float,
              min(page_w, max(xs) * page_w + pad), min(page_h, max(ys) * page_h + pad)]
         )
     return boxes
+
+
+def cv_layout_boxes(word_boxes, page_w: float, page_h: float,
+                    pad: float = 5.0) -> list[list[float]]:
+    """CV layout segmentation over a word-box corner cloud: the corner
+    detector is approximated as the corners of already-recognized word
+    boxes, then the REAL pipeline runs: normalize → cluster → merged
+    cluster bbox ±pad (image.py:195-227). Kept for markup-only inputs;
+    the pixel-native front end is :func:`cv_layout_boxes_pixels`."""
+    points = []
+    for left, top, right, bottom in word_boxes:
+        for x, y in ((left, top), (right, top), (left, bottom), (right, bottom)):
+            points.append((x / page_w, y / page_h))
+    return _cluster_corner_boxes(points, page_w, page_h, pad)
+
+
+def cv_layout_boxes_pixels(img, page_w: float, page_h: float,
+                           pad: float = 5.0) -> list[list[float]]:
+    """PIXEL-NATIVE L2 front end: corner points computed from ink
+    transitions over the decoded page array (kernels.raster.corner_points —
+    threshold → morphological closing → quad-count corners), exactly the
+    reference's FAST/contour chain shape (image.py:140-227), then the same
+    normalize → cluster → bbox back end. Corner coordinates are converted
+    from pixels back to tree units (×PIXEL_SCALE) so downstream geometry
+    matches the word-box path's coordinate system."""
+    from .raster import PIXEL_SCALE, corner_points
+
+    pts = corner_points(img)
+    points = [
+        (x * PIXEL_SCALE / page_w, y * PIXEL_SCALE / page_h)
+        for x, y in pts.tolist()
+    ]
+    return _cluster_corner_boxes(points, page_w, page_h, pad)
 
 
 def group_bounds(group: dict) -> list[float]:

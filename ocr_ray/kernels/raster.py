@@ -112,13 +112,6 @@ def png_encode(img: np.ndarray) -> bytes:
     return _PNG_SIG + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", idat) + _chunk(b"IEND", b"")
 
 
-def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
-    p = a.astype(np.int16) + b.astype(np.int16) - c.astype(np.int16)
-    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
-    out = np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
-    return out.astype(np.uint8)
-
-
 def png_decode(data: bytes) -> np.ndarray:
     """Parse IHDR/IDAT/IEND, inflate, undo all five scanline filters.
     Supports the profile this engine emits (8-bit grayscale) — anything
@@ -162,28 +155,36 @@ def png_decode(data: bytes) -> np.ndarray:
         prev = out[y - 1] if y else np.zeros(width, dtype=np.uint8)
         if f == 0:
             out[y] = line
-        elif f == 1:  # Sub
-            acc = 0
-            for x in range(width):
-                acc = (int(line[x]) + acc) & 0xFF
-                out[y, x] = acc
+        elif f == 1:  # Sub: running sum mod 256 — one vectorized cumsum
+            out[y] = np.cumsum(line, dtype=np.uint8)
         elif f == 2:  # Up
             out[y] = line + prev
-        elif f == 3:  # Average
+        elif f == 3:  # Average (serial left-dependency; plain-int loop)
             acc = 0
-            for x in range(width):
-                acc = (int(line[x]) + ((acc + int(prev[x])) >> 1)) & 0xFF
+            prev_l = prev.tolist()
+            for x, raw_v in enumerate(line.tolist()):
+                acc = (raw_v + ((acc + prev_l[x]) >> 1)) & 0xFF
                 out[y, x] = acc
-        elif f == 4:  # Paeth
-            left = np.uint8(0)
-            upleft = np.uint8(0)
-            for x in range(width):
-                pred = _paeth(
-                    np.array(left), np.array(prev[x]), np.array(upleft)
-                )
-                left = np.uint8((int(line[x]) + int(pred)) & 0xFF)
-                out[y, x] = left
-                upleft = prev[x]
+        elif f == 4:  # Paeth (serial left-dependency; plain-int loop, no
+            # per-pixel numpy allocation)
+            left = 0
+            upleft = 0
+            prev_l = prev.tolist()
+            row = [0] * width
+            for x, raw_v in enumerate(line.tolist()):
+                up = prev_l[x]
+                p = left + up - upleft
+                pa, pb, pc = abs(p - left), abs(p - up), abs(p - upleft)
+                if pa <= pb and pa <= pc:
+                    pred = left
+                elif pb <= pc:
+                    pred = up
+                else:
+                    pred = upleft
+                left = (raw_v + pred) & 0xFF
+                row[x] = left
+                upleft = up
+            out[y] = row
         else:
             raise ValueError(f"bad PNG filter {f}")
     return out
@@ -312,9 +313,17 @@ def recognize_pixels(img: np.ndarray) -> list:
             # tighten rows per word (words on a line share the band)
             sub = ink[r0:r1, c0:c1]
             wr = np.flatnonzero(sub.any(axis=1))
-            words.append(
-                _read_word(img, r0 + int(wr[0]), r0 + int(wr[-1]) + 1, c0, c1)
-            )
+            try:
+                words.append(
+                    _read_word(img, r0 + int(wr[0]), r0 + int(wr[-1]) + 1, c0, c1)
+                )
+            except ValueError:
+                # Unreadable ink span (e.g. a white_fill box that clipped a
+                # word, or off-contract pixels): degrade PER WORD like the
+                # reference engine does — the rest of the page survives
+                # (reference OCRs whatever pixels remain; a raise here would
+                # void the whole page into an error record).
+                continue
         if words:
             lines.append(words)
     # group lines into paragraphs by cell-box vertical gap
@@ -327,6 +336,60 @@ def recognize_pixels(img: np.ndarray) -> list:
         tree[-1].append(words)
         prev_bottom = max(w["box"][3] for w in words)
     return tree
+
+
+# ---------------------------------------------------------------- corners
+
+def _dilate_1d(mask: np.ndarray, radius: int, axis: int) -> np.ndarray:
+    """Binary dilation with a 1-D box of half-width ``radius`` along axis."""
+    out = mask.copy()
+    for d in range(1, radius + 1):
+        if axis == 0:
+            out[d:, :] |= mask[:-d, :]
+            out[:-d, :] |= mask[d:, :]
+        else:
+            out[:, d:] |= mask[:, :-d]
+            out[:, :-d] |= mask[:, d:]
+    return out
+
+
+def _close_1d(mask: np.ndarray, radius: int, axis: int) -> np.ndarray:
+    """1-D morphological closing (fills blank gaps ≤ 2*radius)."""
+    return ~_dilate_1d(~_dilate_1d(mask, radius, axis), radius, axis)
+
+
+# Closing radii for the corner detector (see corner_points): vertical 5
+# fills the ≤10-px blank band between a glyph's top/bottom ink bars without
+# bridging the 16-px inter-line gap; horizontal 1 fills the 2-px intra-word
+# char gap without bridging the 9-px word gap — so blobs are per-WORD solid
+# rectangles, the same corner density the reference's FAST detector sees on
+# dilated text (image.py:140-227: Otsu → morphology → FAST).
+_CLOSE_RADIUS_Y = 5
+_CLOSE_RADIUS_X = 1
+
+
+def corner_points(img: np.ndarray) -> np.ndarray:
+    """Corner detector over RAW PAGE PIXELS (the reference's L2 front end,
+    /root/reference/server/src/utils/image.py:140-227: threshold →
+    morphological closing → FAST corners → point cloud).
+
+    Threshold (ink = non-background), anisotropic closing to solidify words
+    into blobs, then the classic binary quad-count corner rule: a 2×2 window
+    containing exactly 1 or 3 ink pixels marks a convex/concave boundary
+    corner (Gray 1971's perimeter quads — public domain technique). Returns
+    an (n, 2) int array of (x, y) PIXEL coordinates.
+    """
+    ink = img < BACKGROUND
+    closed = _close_1d(_close_1d(ink, _CLOSE_RADIUS_Y, 0), _CLOSE_RADIUS_X, 1)
+    padded = np.pad(closed, 1).astype(np.int8)
+    quad = (
+        padded[:-1, :-1] + padded[:-1, 1:] + padded[1:, :-1] + padded[1:, 1:]
+    )
+    ys, xs = np.nonzero((quad == 1) | (quad == 3))
+    # quad (y, x) indexes the window whose pixels are (y-1..y, x-1..x) of the
+    # unpadded image: the coordinate lands ON the blob boundary either way,
+    # and the ±1 px is far below the clustering eps (~62 tree units).
+    return np.stack([xs, ys], axis=1)
 
 
 # ------------------------------------------------------------------ mask

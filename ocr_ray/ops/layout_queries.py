@@ -158,30 +158,32 @@ def segmented_extract(sf_dir: str) -> ray.data.Dataset:
 
 
 class CvLayoutWorker:
-    """L2 path: corner-cloud density clustering instead of engine block
-    segmentation (kernels.layout.cv_layout_boxes). Heavy-import actor slot
-    (T4) — a real deployment loads cv2/hdbscan here once per actor."""
+    """L2 path: PIXEL-NATIVE corner detection + density clustering — decode
+    the page PNG, compute ink-transition corners over the raw pixel array
+    (kernels.raster.corner_points), cluster (kernels.layout HDBSCAN-lite).
+    No recognition step at all: like the reference's image.py chain, layout
+    comes straight from pixels. Heavy-import actor slot (T4) — a real
+    deployment loads cv2/hdbscan here once per actor."""
 
     def __init__(self):
-        self.engine = get_engine_cls(resolve_config().engine)(resolve_config())
+        # warm state: the codec/kernel modules (a real deployment's cv2 init)
+        from ..kernels import raster
+
+        self.raster = raster
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        from ..kernels.hocr import parse_hocr
-        from ..kernels.layout import cv_layout_boxes
+        from ..kernels.layout import cv_layout_boxes_pixels
 
         out = []
         for r in batch.to_pylist():
             page = r["page_png"]
             try:
-                # word corners from the engine's pixel recognition (the "CV
-                # corner detector" input — real decoded geometry, not markup)
-                tree = parse_hocr(self.engine.recognize(page))
+                img = self.raster.png_decode(page)
             except Exception:  # noqa: BLE001 — undecodable page: no layout
                 continue
-            word_boxes = [w["box"] for par in tree for line in par for w in line]
-            if not word_boxes:
+            boxes = cv_layout_boxes_pixels(img, page_w=2480.0, page_h=3508.0)
+            if not boxes:
                 continue
-            boxes = cv_layout_boxes(word_boxes, page_w=2480.0, page_h=3508.0)
             groups = [
                 make_box_group(l, t, rr, b, seed=f"{r['url']}#{r['page_no']}cv")
                 for (l, t, rr, b) in boxes

@@ -159,3 +159,92 @@ def test_pixel_engine_protocol():
     n_after = sum(len(l) for p in masked_tree for l in p)
     assert n_after == n_before - 1
     assert eng.mask(png, []) == png  # no-op guard
+
+
+def test_png_decode_average_and_paeth_filters():
+    """Decode parity for the remaining wild-PNG filters (Average, Paeth)."""
+    import struct
+
+    rng = np.random.RandomState(3)
+    img = rng.randint(0, 256, size=(9, 17), dtype=np.uint8)
+    h, w = img.shape
+    raw = bytearray()
+    prev = np.zeros(w, dtype=int)
+    for y in range(h):
+        line = img[y].astype(int)
+        left = np.concatenate(([0], line[:-1]))
+        if y % 2 == 0:  # Average
+            raw.append(3)
+            raw.extend(((line - (left + prev) // 2) % 256).astype(np.uint8))
+        else:  # Paeth
+            raw.append(4)
+            ul = np.concatenate(([0], prev[:-1]))
+            p = left + prev - ul
+            pred = np.where(
+                (abs(p - left) <= abs(p - prev)) & (abs(p - left) <= abs(p - ul)),
+                left, np.where(abs(p - prev) <= abs(p - ul), prev, ul))
+            raw.extend(((line - pred) % 256).astype(np.uint8))
+        prev = line
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    data = (b"\x89PNG\r\n\x1a\n" + raster._chunk(b"IHDR", ihdr)
+            + raster._chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + raster._chunk(b"IEND", b""))
+    assert np.array_equal(raster.png_decode(data), img)
+
+
+def test_corner_points_come_from_pixels():
+    """L2 front end: corners are computed from the rendered PIXEL array —
+    each word's solid blob yields exactly its 4 ink-bbox corners."""
+    tree = [[[{"text": "abc", "box": [100.0, 200.0, 142.0, 246.0],
+               "b": 246.0, "confidence": 90},
+              {"text": "de", "box": [170.0, 200.0, 198.0, 246.0],
+               "b": 246.0, "confidence": 90}]],
+            [[{"text": "xyz", "box": [100.0, 400.0, 142.0, 446.0],
+               "b": 446.0, "confidence": 80}]]]
+    img = raster.render_tree(tree)
+    pts = {tuple(p) for p in raster.corner_points(img).tolist()}
+    assert len(pts) == 12  # 4 per word
+    # word "abc": glyph cells at cols 51-56/58-63/65-70 → ink bbox cols
+    # [51, 70), rows [104, 118) in pixels — quad-count corners land on
+    # {x0, x1} × {y0, y1} of the closed blob
+    for x in (51, 70):
+        for y in (104, 118):
+            assert (x, y) in pts
+    # erasing the pixels erases the corners (no markup side channel)
+    blank = np.full_like(img, raster.BACKGROUND)
+    assert len(raster.corner_points(blank)) == 0
+
+
+def test_cv_layout_boxes_pixels_matches_paragraphs():
+    """Pixel-native cv layout: one clustered box per paragraph block of a
+    rendered synthetic page, covering that paragraph's words."""
+    from ocr_ray.kernels.layout import cv_layout_boxes_pixels
+
+    rng = random.Random(13)
+    tree = _page_tree(rng)
+    img = raster.render_tree(tree)
+    boxes = cv_layout_boxes_pixels(img, page_w=2480.0, page_h=3508.0)
+    assert boxes, "no layout boxes from pixel corners"
+    for par in tree:
+        words = [w for line in par for w in line]
+        cx = (min(w["box"][0] for w in words) + max(w["box"][2] for w in words)) / 2
+        cy = (min(w["box"][1] for w in words) + max(w["box"][3] for w in words)) / 2
+        assert any(l <= cx <= r and t <= cy <= b for l, t, r, b in boxes), (
+            "paragraph center not covered by any pixel-corner layout box")
+
+
+def test_recognize_degrades_per_word_on_clipped_ink():
+    """A white_fill box that only PARTIALLY covers a word must not void the
+    page: the clipped word drops, every other word survives (reference
+    parity: the engine OCRs whatever pixels remain)."""
+    tree = [[[{"text": "abc", "box": [100.0, 200.0, 142.0, 246.0],
+               "b": 246.0, "confidence": 90},
+              {"text": "de", "box": [170.0, 200.0, 198.0, 246.0],
+               "b": 246.0, "confidence": 90}]],
+            [[{"text": "xyz", "box": [100.0, 400.0, 142.0, 446.0],
+               "b": 446.0, "confidence": 80}]]]
+    img = raster.render_tree(tree)
+    clipped = raster.white_fill(img, [[180.0, 200.0, 198.0, 246.0]])
+    rec = raster.recognize_pixels(clipped)
+    texts = [w["text"] for par in rec for line in par for w in line]
+    assert texts == ["abc", "xyz"]
