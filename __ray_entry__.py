@@ -42,6 +42,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # the 50 already hash-verified in r03 follow. Long-runners sit at the
     # end of their group.
     return {
+        # ---- round-4 additions (newest first)
+        "image_crops": m_ops.image_crops,
+        "crop_exact_dedup": m_ops.crop_exact_dedup,
         # ---- round 2-4 suite: corpus hygiene, graph, raster, NER (not yet
         # in a driver CORRECTNESS snapshot as of r03)
         "pii_scrub": x_ops.pii_scrub,

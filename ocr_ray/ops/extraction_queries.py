@@ -91,6 +91,40 @@ def extraction_output_streamed(sf_dir: str) -> ray.data.Dataset:
     return finalize(extract_dataset(ds))
 
 
+def naive_lines_output(sf_dir: str, columns: list[str] | None = None) -> ray.data.Dataset:
+    """:func:`naive_page_lines` materialized ONCE per corpus+code under
+    /tmp — the shared visible-lines artifact. Consumers (doc_entities, and
+    anything else that only needs the parsed lines) stream-read the dump
+    instead of re-parsing the full raw corpus; the first caller pays the
+    parse. Atomic publish via staging-dir rename, so concurrent callers
+    either see the finished dump or build their own staging copy."""
+    import shutil
+
+    from .common import clean_read_schema
+
+    corpus = pages_corpus(sf_dir)
+    out_dir = os.path.join(
+        "/tmp/ocr_ray_naive_lines",
+        f"{os.path.basename(corpus)}-{_code_fingerprint()}",
+    )
+    if not os.path.isdir(out_dir):
+        staging = f"{out_dir}.staging-{os.getpid()}"
+        shutil.rmtree(staging, ignore_errors=True)
+        naive_page_lines(sf_dir).write_parquet(staging)
+        try:
+            os.replace(staging, out_dir)
+        except OSError:  # lost the publish race: another builder won
+            shutil.rmtree(staging, ignore_errors=True)
+    files = [
+        os.path.join(out_dir, f)
+        for f in sorted(os.listdir(out_dir))
+        if f.endswith(".parquet")
+    ]
+    return ray.data.read_parquet(
+        files, columns=columns, schema=clean_read_schema(files[0], columns)
+    )
+
+
 def extract_summary(sf_dir: str) -> ray.data.Dataset:
     """Flagship output minus the spans column (drivers hash this; spans are
     exercised by the downstream queries and byte-level pytest goldens)."""

@@ -11,6 +11,7 @@ fixtures still decode via their embedded hOCR; unknown raster formats
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
 import ray.data
 
@@ -116,6 +117,145 @@ def page_image_features(sf_dir: str, frame_stride: int = 1) -> ray.data.Dataset:
         batch_size=32,
         concurrency=small_pool(),
         num_cpus=1,
+    )
+
+
+CROP_SCHEMA = pa.schema(
+    [
+        pa.field("url", pa.string()),
+        pa.field("page_no", pa.int32()),
+        pa.field("crop_idx", pa.int32()),
+        pa.field("l", pa.float64()),
+        pa.field("t", pa.float64()),
+        pa.field("r", pa.float64()),
+        pa.field("b", pa.float64()),
+        pa.field("crop_png", pa.binary()),
+    ]
+)
+
+# Synthetic page geometry in tree coordinates (A4 @ 300 dpi equivalent)
+_PAGE_W_T = 2480.0
+_PAGE_H_T = 3508.0
+
+
+class ImageCropWorker:
+    """M9/W6 parity: crop each layout-group region out of the DECODED page
+    pixels and re-encode it as a standalone PNG (reference: celery_app.py
+    :1062-1081 crops layout image boxes with PIL, export.py:132-146 zips
+    them). Layout boxes come from the pixel-native corner detector; boxes
+    arrive in tree coordinates and the crop COVERS the box (floor/ceil at
+    pixel scale, same convention as raster.white_fill). Codec/kernel state
+    is bound once per actor."""
+
+    def __init__(self):
+        from ..kernels import raster
+        from ..kernels.layout import cv_layout_boxes_pixels
+
+        self.raster = raster
+        self.layout_boxes = cv_layout_boxes_pixels
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = []
+        s = self.raster.PIXEL_SCALE
+        for r in batch.to_pylist():
+            try:
+                img = self.raster.png_decode(r["page_png"])
+            except Exception:  # noqa: BLE001 — undecodable page: no crops
+                continue
+            h, w = img.shape
+            boxes = self.layout_boxes(img, page_w=_PAGE_W_T, page_h=_PAGE_H_T)
+            for idx, (left, top, right, bottom) in enumerate(boxes):
+                x0 = max(0, int(left) // s)
+                y0 = max(0, int(top) // s)
+                x1 = min(w, -(-int(right) // s))
+                y1 = min(h, -(-int(bottom) // s))
+                if x1 <= x0 or y1 <= y0:
+                    continue
+                crop = self.raster.png_encode(np.ascontiguousarray(img[y0:y1, x0:x1]))
+                out.append(
+                    {"url": r["url"], "page_no": r["page_no"], "crop_idx": idx,
+                     "l": float(left), "t": float(top), "r": float(right),
+                     "b": float(bottom), "crop_png": crop}
+                )
+        return pa.Table.from_pylist(out, schema=CROP_SCHEMA)
+
+
+def image_region_crops(sf_dir: str) -> ray.data.Dataset:
+    """OCR-branch pages → cropped layout-region PNG payloads (the
+    reference's saved image groups, M9/W6). Binary-heavy actor-pool stage:
+    small batches so batch × concurrency stays in worker heap; downstream
+    consumers (media dedup, export zips) read the `crop_png` column."""
+    ds = ray.data.read_parquet(pages_corpus(sf_dir), columns=["url", "html"])
+    ds = ds.map_batches(_explode_images, batch_format="pyarrow", zero_copy_batch=True)
+    return ds.map_batches(
+        ImageCropWorker,
+        batch_format="pyarrow",
+        batch_size=16,
+        concurrency=small_pool(),
+        num_cpus=1,
+    )
+
+
+def image_crops(sf_dir: str) -> ray.data.Dataset:
+    """Driver-facing crop manifest: geometry + payload digest + size per
+    cropped region — the blobs themselves stay out of the compare (the
+    oracle recomputes the digest from the stored artifact payloads).
+    ``crop_md5`` is md5 over the LOWERCASE-HEX encoding of the PNG bytes:
+    DuckDB's md5() only accepts VARCHAR, so both sides hash
+    ``lower(to_hex(payload))`` — still a pure function of the stored
+    bytes."""
+    import hashlib
+
+    def digest(batch: pa.Table) -> pa.Table:
+        crops = batch.column("crop_png").to_pylist()
+        md5s = [hashlib.md5(c.hex().encode()).hexdigest() for c in crops]
+        sizes = [len(c) for c in crops]
+        t = batch.drop_columns(["crop_png"])
+        return t.append_column("crop_md5", pa.array(md5s, pa.string())) \
+                .append_column("n_bytes", pa.array(sizes, pa.int64()))
+
+    return image_region_crops(sf_dir).map_batches(digest, batch_format="pyarrow")
+
+
+def crop_exact_dedup(sf_dir: str) -> ray.data.Dataset:
+    """media_exact_dedup over GENUINE image-region crops: exact dedup of
+    the cropped payloads by digest — only 16-byte-hash rows cross the
+    exchange, never the crop bytes. Keep rule: lexicographically smallest
+    (url, page_no, crop_idx) key string."""
+    import hashlib
+
+    import pandas as pd
+
+    from .common import grouped_agg
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        crops = batch.column("crop_png").to_pylist()
+        md5s = [hashlib.md5(c.hex().encode()).hexdigest() for c in crops]
+        keys = [
+            f"{u}#{p}#{i}"
+            for u, p, i in zip(
+                batch.column("url").to_pylist(),
+                batch.column("page_no").to_pylist(),
+                batch.column("crop_idx").to_pylist(),
+            )
+        ]
+        return pa.table(
+            {"crop_md5": pa.array(md5s, pa.string()),
+             "crop_key": pa.array(keys, pa.string()),
+             "n_bytes": pa.array([len(c) for c in crops], pa.int64())}
+        )
+
+    rows = image_region_crops(sf_dir).map_batches(keyed, batch_format="pyarrow")
+
+    def fin(df: "pd.DataFrame") -> "pd.DataFrame":
+        return df.sort_values("crop_md5").reset_index(drop=True)
+
+    return grouped_agg(
+        rows,
+        keys=["crop_md5"],
+        specs=[("keep_key", "min", "crop_key"), ("n_copies", "count", None),
+               ("n_bytes", "max", "n_bytes")],
+        finalize=fin,
     )
 
 

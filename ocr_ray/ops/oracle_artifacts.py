@@ -63,6 +63,7 @@ def ensure_artifacts(sf_dir: str) -> dict[str, str]:
         "summary": os.path.join(root, "summary"),
         "naive_lines": os.path.join(root, "naive_lines"),
         "media_hashes": os.path.join(root, "media_hashes"),
+        "crops": os.path.join(root, "crops"),
         "planes": os.path.join(root, "planes.parquet"),
         "ivf": os.path.join(root, "ivf.parquet"),
         "ivf_probe": os.path.join(root, "ivf_probe.parquet"),
@@ -137,6 +138,11 @@ def ensure_artifacts(sf_dir: str) -> dict[str, str]:
     from . import multimodal as mm
 
     mm.media_hash_rows(sf_dir).write_parquet(paths["media_hashes"])
+
+    # -- cropped layout-region PNG payloads (M9/W6) — the image_crops /
+    # crop_exact_dedup oracles recompute digests and rollups from the
+    # stored blobs themselves
+    mm.image_region_crops(sf_dir).write_parquet(paths["crops"])
 
     # -- LSH plane bank
     from .embeddings import lsh_planes

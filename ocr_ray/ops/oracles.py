@@ -616,6 +616,32 @@ def extra_oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         GROUP BY media_hash ORDER BY media_hash
     """
 
+    # --------------------- artifact: image_crops / crop_exact_dedup (M9/W6)
+    # The artifact stores the actual cropped PNG payloads; both oracles
+    # recompute the digest FROM THE STORED BYTES (DuckDB md5() is
+    # VARCHAR-only, so both sides hash the lowercase-hex encoding).
+    crops = f"{a['crops']}/*.parquet"
+    sql["image_crops"] = f"""
+        SELECT url, page_no, crop_idx, l, t, r, b,
+               md5(lower(to_hex(crop_png))) AS crop_md5,
+               CAST(octet_length(crop_png) AS BIGINT) AS n_bytes
+        FROM read_parquet('{crops}')
+        ORDER BY url, page_no, crop_idx
+    """
+    sql["crop_exact_dedup"] = f"""
+        WITH d AS (
+            SELECT md5(lower(to_hex(crop_png))) AS crop_md5,
+                   url || '#' || CAST(page_no AS VARCHAR)
+                       || '#' || CAST(crop_idx AS VARCHAR) AS crop_key,
+                   octet_length(crop_png) AS n_bytes
+            FROM read_parquet('{crops}')
+        )
+        SELECT crop_md5, MIN(crop_key) AS keep_key,
+               CAST(COUNT(*) AS BIGINT) AS n_copies,
+               CAST(MAX(n_bytes) AS BIGINT) AS n_bytes
+        FROM d GROUP BY crop_md5 ORDER BY crop_md5
+    """
+
     # ------------------------------------------------ artifact: pii_scrub
     from .extraction_queries import EMAIL_RE_S, PHONE_RE_S
 

@@ -98,3 +98,67 @@ def test_oracle_rejects_unknown_engine():
 
     with pytest.raises(ValueError, match="unknown OCR engine"):
         get_engine_cls("nope")
+
+
+def test_skewed_corpus_pipeline(ray_session, tmp_path):
+    """Degenerate-skew regression at PIPELINE level (round-3 verdict #8):
+    one url re-crawled thousands of times — every re-crawl hashes to the
+    SAME output partition — plus one giant multi-page document inside an
+    otherwise normal corpus. The run must complete inside a sane wall
+    bound, commit every manifest, collapse the hot url to exactly one
+    latest-wins row, and extract every page of the giant doc. Constants are
+    scaled to the 4-CPU test session; bench-scale skew (10k re-crawls /
+    2000 pages / 100k rows) keeps the same shape — per-partition work stays
+    bounded because the latest-wins dedup collapses the hot group before
+    the canonical write."""
+    import random
+    import time
+
+    import pyarrow.parquet as pq
+
+    from ocr_ray.pipelines.extract import run_extract
+    from ocr_ray.sinks.parquet_sink import committed_parts, read_output
+    from ocr_ray.sources.payloads import build_fake_pdf
+    from ocr_ray.synth import BASE_TS_US, _page_png, rows_for_range
+
+    n_base, n_hot, n_giant_pages = 2000, 3000, 300
+    base = rows_for_range(0, n_base).to_pylist()
+    hot_url = "https://hot.example/recrawled"
+    hot = [
+        {"url": hot_url, "warc_ts": BASE_TS_US + 10_000_000_000 + k * 1_000_000,
+         "html": (f"<html><body><p>recrawl number {k} of the hot url with "
+                  "enough words to extract</p></body></html>").encode(),
+         "text": "", "lang": "eng"}
+        for k in range(n_hot)
+    ]
+    rng = random.Random(99)
+    giant = {
+        "url": "https://giant.example/book",
+        "warc_ts": BASE_TS_US,
+        "html": build_fake_pdf([_page_png(rng) for _ in range(n_giant_pages)]),
+        "text": "", "lang": "por",
+    }
+    rows = base + hot + [giant]
+    table = pa.Table.from_pylist(rows, schema=PAGES_SCHEMA)
+    path = str(tmp_path / "skew.parquet")
+    pq.write_table(table, path)
+
+    out = str(tmp_path / "skew_out")
+    t0 = time.time()
+    manifests, _ = run_extract(path, out, num_parts=32)
+    wall = time.time() - t0
+    # pathological-collapse guard, generous for the ~2x VM wall noise: the
+    # healthy run takes a few tens of seconds at 4 CPUs
+    assert wall < 240, f"skewed corpus took {wall:.0f}s"
+    assert len(committed_parts(out)) == 32  # every manifest green
+
+    t = read_output(out)
+    by_url = {}
+    for r in t.to_pylist():
+        by_url.setdefault(r["url"], []).append(r)
+    # latest-wins: the hot url collapsed to exactly ONE row, the last crawl
+    assert len(by_url[hot_url]) == 1
+    assert f"recrawl number {n_hot - 1}" in by_url[hot_url][0]["text"]
+    # the giant doc extracted all its pages without poisoning its partition
+    g = by_url["https://giant.example/book"][0]
+    assert g["error"] is None and g["n_pages"] == n_giant_pages
