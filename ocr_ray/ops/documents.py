@@ -271,10 +271,11 @@ def _band_rows(batch: pa.Table) -> pa.Table:
     )
 
 
-def _bucket_pairs(group: pa.Table) -> pa.Table:
+def _bucket_pairs(group: pa.Table, cap: int | None = None) -> pa.Table:
     rows = sorted(group.to_pylist(), key=lambda r: r["doc_id"])
     keep = cap_bucket_members(
-        len(rows), "minhash_lsh", rows[0]["band_key"] if rows else None)
+        len(rows), "minhash_lsh", rows[0]["band_key"] if rows else None,
+        cap=cap)
     rows = rows[:keep]
     out = []
     for i in range(len(rows)):
@@ -297,12 +298,19 @@ def _bucket_pairs(group: pa.Table) -> pa.Table:
     )
 
 
-def minhash_dup_pairs(sf_dir: str):
+def minhash_dup_pairs(sf_dir: str, bucket_cap: int | None = None):
     """MinHash + LSH near-duplicate candidate pairs: shingle → signature →
-    band bucket groupby → in-bucket pairing → cross-band pair dedup."""
+    band bucket groupby → in-bucket pairing → cross-band pair dedup.
+    ``bucket_cap`` overrides BUCKET_MEMBER_CAP (threaded into the group fn
+    as a captured value so it reaches Ray workers — tests shrink it to
+    exercise truncation parity with the oracle)."""
+    import functools
+
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
     ds = ds.map_batches(_band_rows, batch_format="pyarrow", zero_copy_batch=True)
-    pairs = ds.groupby("band_key").map_groups(_bucket_pairs, batch_format="pyarrow")
+    pairs = ds.groupby("band_key").map_groups(
+        functools.partial(_bucket_pairs, cap=bucket_cap), batch_format="pyarrow"
+    )
     # a pair can collide in several bands: one-pass distinct (est_jaccard is
     # recomputed from the same signatures in every band, so Max == identity)
     return distinct(pairs, ["doc_a", "doc_b"], carry=["est_jaccard"])

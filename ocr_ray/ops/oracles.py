@@ -69,10 +69,22 @@ H64S = (
 )
 
 
-def _sketch_ctes() -> str:
+def _bucket_cap() -> int:
+    """The engine's LSH bucket-membership cap AT CALL TIME (ops.common.
+    BUCKET_MEMBER_CAP) — read dynamically so tests that shrink the cap get
+    matching oracles, and the divergence the cap used to introduce (engine
+    truncates, oracle computed all pairs) is closed on both sides."""
+    from . import common
+
+    return int(common.BUCKET_MEMBER_CAP)
+
+
+def _sketch_ctes(cap: int | None = None) -> str:
     """Shared CTEs recomputing MinHash signatures + banded candidate pairs
-    (word_shingles → md5 base hash → 64 permutations → 16 bands of 4)."""
+    (word_shingles → md5 base hash → 64 permutations → 16 bands of 4).
+    ``cap`` overrides the engine bucket cap (test parity hook)."""
     h = H64.format(expr="shingle")
+    cap = cap if cap is not None else _bucket_cap()
     return f"""
         params(i, a, b) AS (VALUES {_minhash_param_values()}),
         toks AS (
@@ -102,9 +114,16 @@ def _sketch_ctes() -> str:
                    string_agg(CAST(s AS VARCHAR), ',' ORDER BY i) AS bs
             FROM sig GROUP BY doc_id, i // 4
         ),
+        -- engine parity: buckets over BUCKET_MEMBER_CAP members keep the
+        -- sorted-by-id prefix (ops.common.cap_bucket_members)
+        bandcap AS (
+            SELECT doc_id, band, bs FROM bandsig
+            QUALIFY row_number() OVER (PARTITION BY band, bs ORDER BY doc_id)
+                    <= {cap}
+        ),
         cand AS (
             SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-            FROM bandsig a JOIN bandsig b
+            FROM bandcap a JOIN bandcap b
               ON a.band = b.band AND a.bs = b.bs AND a.doc_id < b.doc_id
         ),
         est AS (
@@ -158,6 +177,52 @@ def _quality_ctes(union_words: str) -> str:
                         ELSE 0.0 END AS stop_ratio
             FROM f
         )"""
+
+
+def url_canonicalize_sql(url_source_sql: str) -> str:
+    """The full canonicalization algebra over ``url_source_sql`` (any
+    relation with a url column) — the same regex algebra as
+    kernels.urlnorm.canonical_url, step for step. Shared by the driver
+    oracle and the kernel parity test (which feeds literal VALUES,
+    including edge urls the synth corpus never produces)."""
+    return f"""
+        WITH u AS (SELECT DISTINCT url FROM {url_source_sql}),
+        s AS (SELECT url, regexp_replace(url, '#.*$', '') AS nofrag FROM u),
+        p AS (
+          SELECT url,
+            lower(regexp_extract(nofrag, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+            lower(regexp_extract(nofrag, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)) AS authority,
+            regexp_extract(nofrag, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)', 1) AS path,
+            regexp_extract(nofrag, '\\?([^#]*)', 1) AS query
+          FROM s
+        ),
+        q AS (
+          SELECT url, scheme,
+            CASE WHEN scheme = 'https' AND authority LIKE '%:443'
+                     THEN left(authority, length(authority)-4)
+                 WHEN scheme = 'http' AND authority LIKE '%:80'
+                     THEN left(authority, length(authority)-3)
+                 ELSE authority END AS authority,
+            CASE WHEN path = '' OR path = '/' THEN '/'
+                 -- all-slash paths ('//', '///'): Python rstrips to '' then
+                 -- restores '/'; mirror the restore here
+                 WHEN regexp_replace(path, '/+$', '') = '' THEN '/'
+                 ELSE regexp_replace(path, '/+$', '') END AS path,
+            array_to_string(
+              list_filter(string_split(query, '&'),
+                          x -> x <> '' AND NOT regexp_matches(x, '^(utm_[^=]*|ref)(=|$)')),
+              '&') AS query
+          FROM p
+        ),
+        c AS (
+          SELECT url,
+            scheme || '://' || authority || path ||
+            CASE WHEN query <> '' THEN '?' || query ELSE '' END AS canon_url
+          FROM q
+        )
+        SELECT url, canon_url, url <> canon_url AS changed
+        FROM c ORDER BY url
+    """
 
 
 # Golden snapshots are regenerated by scripts/make_goldens.py at this tier;
@@ -342,10 +407,16 @@ def extra_oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
                    (simhash >> CAST(16 * c AS INT)) & 65535 AS chunk
             FROM sh, LATERAL unnest(range(0, 4)) AS r(c)
         ),
+        -- engine parity: per-bucket sorted-prefix cap (cap_bucket_members)
+        chunkcap AS (
+            SELECT doc_id, simhash, c, chunk FROM chunks
+            QUALIFY row_number() OVER (PARTITION BY c, chunk ORDER BY doc_id)
+                    <= {_bucket_cap()}
+        ),
         pairs AS (
             SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
                    bit_count(xor(a.simhash, b.simhash)) AS hamming
-            FROM chunks a JOIN chunks b
+            FROM chunkcap a JOIN chunkcap b
               ON a.c = b.c AND a.chunk = b.chunk AND a.doc_id < b.doc_id
         )
         SELECT doc_a, doc_b, CAST(hamming AS BIGINT) AS hamming
@@ -372,9 +443,15 @@ def extra_oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
                         ELSE 0 END) AS bucket
             FROM dots GROUP BY vec_id, plane // {LSH_PLANES_PER_TABLE}
         ),
+        -- engine parity: per-bucket sorted-prefix cap (cap_bucket_members)
+        bcap AS (
+            SELECT vec_id, tbl, bucket FROM buckets
+            QUALIFY row_number() OVER (PARTITION BY tbl, bucket ORDER BY vec_id)
+                    <= {_bucket_cap()}
+        ),
         cand AS (
             SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
-            FROM buckets a JOIN buckets b
+            FROM bcap a JOIN bcap b
               ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id
         ),
         n AS (
@@ -876,42 +953,7 @@ def extra_oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
     """
 
     # --------------------------------------- corpus: url_canonicalize
-    # the same regex algebra as kernels.urlnorm.canonical_url, step for step
-    sql["url_canonicalize"] = f"""
-        WITH u AS (SELECT DISTINCT url FROM read_parquet('{corpus_glob}')),
-        s AS (SELECT url, regexp_replace(url, '#.*$', '') AS nofrag FROM u),
-        p AS (
-          SELECT url,
-            lower(regexp_extract(nofrag, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
-            lower(regexp_extract(nofrag, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)) AS authority,
-            regexp_extract(nofrag, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)', 1) AS path,
-            regexp_extract(nofrag, '\\?([^#]*)', 1) AS query
-          FROM s
-        ),
-        q AS (
-          SELECT url, scheme,
-            CASE WHEN scheme = 'https' AND authority LIKE '%:443'
-                     THEN left(authority, length(authority)-4)
-                 WHEN scheme = 'http' AND authority LIKE '%:80'
-                     THEN left(authority, length(authority)-3)
-                 ELSE authority END AS authority,
-            CASE WHEN path = '' OR path = '/' THEN '/'
-                 ELSE regexp_replace(path, '/+$', '') END AS path,
-            array_to_string(
-              list_filter(string_split(query, '&'),
-                          x -> x <> '' AND NOT regexp_matches(x, '^(utm_[^=]*|ref)(=|$)')),
-              '&') AS query
-          FROM p
-        ),
-        c AS (
-          SELECT url,
-            scheme || '://' || authority || path ||
-            CASE WHEN query <> '' THEN '?' || query ELSE '' END AS canon_url
-          FROM q
-        )
-        SELECT url, canon_url, url <> canon_url AS changed
-        FROM c ORDER BY url
-    """
+    sql["url_canonicalize"] = url_canonicalize_sql(f"read_parquet('{corpus_glob}')")
 
     # --------------------------------------- corpus: page_pixel_stats
     # independent recomputation of the decoded geometry straight from the

@@ -707,3 +707,42 @@ def test_pagerank_single_pass_matches_distributed(ray_session, monkeypatch):
     df_dist = _df(graph.pagerank_hosts(SF)).sort_values("host").reset_index(drop=True)
     assert list(df_fast["host"]) == list(df_dist["host"])
     assert (df_fast["rank"] == df_dist["rank"]).all()
+
+
+def test_minhash_bucket_cap_parity_with_oracle(ray_session, tmp_path):
+    """Round-3 ADVICE: the LSH bucket-membership cap must truncate
+    IDENTICALLY on the engine and oracle sides. Eight identical docs
+    overflow a cap of 4 in every band; both sides must pair only the first
+    4 doc_ids (sorted-prefix rule) — 6 pairs, not C(8,2)=28."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ocr_ray.ops.documents import minhash_dup_pairs
+    from ocr_ray.ops.oracles import _sketch_ctes
+
+    docs = pa.Table.from_pylist(
+        [{"doc_id": i, "text": "alpha beta gamma delta epsilon zeta eta"}
+         for i in range(8)]
+        + [{"doc_id": 100, "text": "totally different content words appear here"}]
+    )
+    pq.write_table(docs, str(tmp_path / "documents.parquet"))
+
+    pairs = _df(minhash_dup_pairs(str(tmp_path), bucket_cap=4))
+    pairs = pairs.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    assert len(pairs) == 6  # C(4,2): truncation fired
+    assert set(pairs["doc_a"]).union(pairs["doc_b"]) == {0, 1, 2, 3}
+
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet')"
+    )
+    sql = (f"WITH {_sketch_ctes(cap=4)} SELECT doc_a, doc_b, est_jaccard "
+           "FROM minhash_pairs ORDER BY doc_a, doc_b")
+    oracle = con.sql(sql).df()
+    assert len(oracle) == 6
+    assert (oracle["doc_a"].to_numpy() == pairs["doc_a"].to_numpy()).all()
+    assert (oracle["doc_b"].to_numpy() == pairs["doc_b"].to_numpy()).all()
+    assert (oracle["est_jaccard"].to_numpy()
+            == pairs["est_jaccard"].to_numpy()).all()
