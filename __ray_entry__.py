@@ -45,6 +45,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ---- round-4 additions (newest first)
         "image_crops": m_ops.image_crops,
         "crop_exact_dedup": m_ops.crop_exact_dedup,
+        "fuzzy_search": x_ops.fuzzy_search,
         # ---- round 2-4 suite: corpus hygiene, graph, raster, NER (not yet
         # in a driver CORRECTNESS snapshot as of r03)
         "pii_scrub": x_ops.pii_scrub,

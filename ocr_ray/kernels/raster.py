@@ -269,24 +269,55 @@ def _runs(mask: np.ndarray, merge_gap: int) -> list[tuple[int, int]]:
     return [(int(idx[a]), int(idx[b]) + 1) for a, b in zip(starts, stops)]
 
 
+# packed-bit glyph table: 35 template booleans → 5 bytes, so recognition is
+# one vectorized packbits over all of a word's cells + dict lookups
+_PACKED_REVERSE: dict[bytes, str] = {
+    np.packbits(bm, axis=None).tobytes(): ch for ch, bm in FONT.items()
+}
+assert len(_PACKED_REVERSE) == len(FONT)
+
+# gather-index for all chars of an n-char word: cell k contributes glyph
+# columns [k*CELL_W, k*CELL_W + GLYPH_W); precomputed once per word length
+_GLYPH_COL_IDX: dict[int, np.ndarray] = {}
+
+
+def _glyph_cols(n_chars: int) -> np.ndarray:
+    idx = _GLYPH_COL_IDX.get(n_chars)
+    if idx is None:
+        idx = (
+            np.arange(n_chars)[:, None] * CELL_W + np.arange(GLYPH_W)[None, :]
+        ).ravel()
+        _GLYPH_COL_IDX[n_chars] = idx
+    return idx
+
+
 def _read_word(img: np.ndarray, r0: int, r1: int, c0: int, c1: int) -> dict:
     """Ink bbox rows [r0,r1) cols [c0,c1) in PIXELS → word dict with the
-    cell box converted back to tree coordinates."""
+    cell box converted back to tree coordinates. All chars decode in ONE
+    vectorized gather + packbits (the per-char Python loop was ~2/3 of
+    recognition time, the hottest kernel of the whole extraction stage)."""
     n_chars = (c1 - c0 + 2 * MARGIN_X) // CELL_W
     if n_chars * CELL_W != (c1 - c0) + 2 * MARGIN_X:
         raise ValueError("ink span is not a whole number of character cells")
     x = (c0 - MARGIN_X) * PIXEL_SCALE
     y = (r0 - MARGIN_Y) * PIXEL_SCALE
     crop = img[r0:r1, c0:c1]
-    ink_vals = crop[crop < BACKGROUND]
-    v0 = int(ink_vals.min())
-    if int(ink_vals.max()) != v0:
-        raise ValueError(f"mixed ink intensities in one word: {v0}..{int(ink_vals.max())}")
+    v0 = int(crop.min())
+    if v0 >= BACKGROUND:
+        raise ValueError("no ink in word span")
+    if ((crop != BACKGROUND) & (crop != v0)).any():
+        raise ValueError(f"mixed ink intensities in one word starting at {v0}")
+    # (FONT_ROWS, n_chars, GLYPH_W) downsampled glyph grid → per-char masks
+    cells = crop[:: SCALE_Y, _glyph_cols(n_chars)].reshape(
+        -1, n_chars, GLYPH_W
+    )[:, :, ::SCALE_X]
+    masks = (cells < BACKGROUND).transpose(1, 0, 2)
+    packed = np.packbits(
+        masks.reshape(n_chars, FONT_ROWS * FONT_COLS), axis=1
+    )
     chars = []
     for k in range(n_chars):
-        cell = crop[:, k * CELL_W : k * CELL_W + GLYPH_W]
-        bm = (cell[::SCALE_Y, ::SCALE_X] < BACKGROUND)
-        ch = _REVERSE.get(bm.tobytes())
+        ch = _PACKED_REVERSE.get(packed[k].tobytes())
         if ch is None:
             raise ValueError(f"unrecognized glyph bitmap at cell {k}")
         chars.append(ch)
@@ -301,22 +332,31 @@ def _read_word(img: np.ndarray, r0: int, r1: int, c0: int, c1: int) -> dict:
 
 def recognize_pixels(img: np.ndarray) -> list:
     """Pixels → hOCR word tree (paragraphs → lines → words), the inverse of
-    :func:`render_tree`. Pure pixel evidence: projections + template match."""
-    ink = img < BACKGROUND
-    rows_with_ink = ink.any(axis=1)
+    :func:`render_tree`. Pure pixel evidence: projections + template match.
+
+    Ink projections come from uint8 MIN-reductions (a read-only SIMD pass)
+    instead of materializing a page-sized boolean mask — the mask write
+    doubled the stage's memory traffic, and this stage is what saturates
+    the socket's bandwidth when many extraction actors run per node."""
+    rows_with_ink = img.min(axis=1) < BACKGROUND
     lines = []
     for r0, r1 in _runs(rows_with_ink, _LINE_MERGE_GAP):
-        band = ink[r0:r1]
-        cols_with_ink = band.any(axis=0)
+        band = img[r0:r1]
+        cols_with_ink = band.min(axis=0) < BACKGROUND
+        # fast path: a band of exactly glyph height IS the word row extent
+        # (every intact word has full-width ink bars in its top and bottom
+        # font rows); taller bands tighten rows per word
+        exact_band = (r1 - r0) == GLYPH_H
         words = []
         for c0, c1 in _runs(cols_with_ink, _WORD_SPLIT_GAP):
-            # tighten rows per word (words on a line share the band)
-            sub = ink[r0:r1, c0:c1]
-            wr = np.flatnonzero(sub.any(axis=1))
+            if exact_band:
+                wr0, wr1 = r0, r1
+            else:
+                sub = band[:, c0:c1] < BACKGROUND
+                wr = np.flatnonzero(sub.any(axis=1))
+                wr0, wr1 = r0 + int(wr[0]), r0 + int(wr[-1]) + 1
             try:
-                words.append(
-                    _read_word(img, r0 + int(wr[0]), r0 + int(wr[-1]) + 1, c0, c1)
-                )
+                words.append(_read_word(img, wr0, wr1, c0, c1))
             except ValueError:
                 # Unreadable ink span (e.g. a white_fill box that clipped a
                 # word, or off-contract pixels): degrade PER WORD like the

@@ -457,6 +457,104 @@ def search_index_docs(sf_dir: str) -> ray.data.Dataset:
     return out.map_batches(build, batch_format="pyarrow")
 
 
+# The W8 search semantics (reference: server/src/elastic_search.py:158-189):
+# multi_match over the Text and Document fields with ES "AUTO" fuzziness —
+# edit distance 0 for terms shorter than 3 chars, 1 for 3-5, 2 for 6+,
+# transposition-aware (ES fuzzy_transpositions=true → optimal string
+# alignment, DuckDB's damerau_levenshtein). Deviation from the reference,
+# documented: no BM25 score (the reference pops _score from every hit
+# anyway) and a plain lowercase [a-z0-9]+ tokenizer instead of the ES
+# analyzers' stop-word filters (query terms are never stop words).
+DEFAULT_SEARCH_QUERY = "casa porto cassa do"
+
+
+def _auto_fuzziness(term: str) -> int:
+    n = len(term)
+    return 0 if n < 3 else (1 if n <= 5 else 2)
+
+
+def _osa_within(a: str, b: str, cap: int) -> bool:
+    """Optimal-string-alignment (Damerau-Levenshtein without substring
+    re-edits) distance <= cap, with a length-difference fast reject."""
+    if abs(len(a) - len(b)) > cap:
+        return False
+    if cap == 0:
+        return a == b
+    prev2: list[int] | None = None
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i] + [0] * len(b)
+        for j, cb in enumerate(b, 1):
+            cost = 0 if ca == cb else 1
+            d = min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + cost)
+            if prev2 is not None and i > 1 and j > 1 \
+                    and ca == b[j - 2] and a[i - 2] == cb:
+                d = min(d, prev2[j - 2] + 1)
+            cur[j] = d
+        if min(cur) > cap:
+            return False
+        prev2, prev = prev, cur
+    return prev[len(b)] <= cap
+
+
+def fuzzy_search(sf_dir: str, query: str = DEFAULT_SEARCH_QUERY) -> ray.data.Dataset:
+    """Search the page index like the reference's /search endpoint: pages
+    where any query term fuzzy-matches a token of the page text or the
+    document name. Shuffle-free — the (tiny) term list is captured in the
+    task closure; per-batch a token→matched-terms memo collapses the small
+    shared vocabulary, so OSA runs per distinct token, not per occurrence.
+    Output: (document, path, page, n_terms, matched_terms)."""
+    import re as _re
+
+    terms = sorted({t for t in query.lower().split() if t})
+    budgets = [(t, _auto_fuzziness(t)) for t in terms]
+    tok_re = _re.compile(r"[a-z0-9]+")
+
+    def match(batch: pa.Table) -> pa.Table:
+        memo: dict[str, tuple[str, ...]] = {}
+
+        def matched_for(token: str) -> tuple[str, ...]:
+            hit = memo.get(token)
+            if hit is None:
+                hit = tuple(
+                    t for t, cap in budgets if _osa_within(token, t, cap)
+                )
+                memo[token] = hit
+            return hit
+
+        docs = batch.column("document").to_pylist()
+        paths = batch.column("path").to_pylist()
+        pages = batch.column("page").to_pylist()
+        texts = batch.column("text").to_pylist()
+        cols: dict[str, list] = {
+            "document": [], "path": [], "page": [], "n_terms": [],
+            "matched_terms": [],
+        }
+        for i, text in enumerate(texts):
+            tokens = set(tok_re.findall(f"{docs[i]} {text}".lower()))
+            matched: set[str] = set()
+            for token in tokens:
+                matched.update(matched_for(token))
+                if len(matched) == len(terms):
+                    break
+            if not matched:
+                continue
+            cols["document"].append(docs[i])
+            cols["path"].append(paths[i])
+            cols["page"].append(pages[i])
+            cols["n_terms"].append(len(matched))
+            cols["matched_terms"].append("|".join(sorted(matched)))
+        return pa.table(
+            {"document": pa.array(cols["document"], pa.string()),
+             "path": pa.array(cols["path"], pa.string()),
+             "page": pa.array(cols["page"], pa.int64()),
+             "n_terms": pa.array(cols["n_terms"], pa.int64()),
+             "matched_terms": pa.array(cols["matched_terms"], pa.string())}
+        )
+
+    return search_index_docs(sf_dir).map_batches(match, batch_format="pyarrow")
+
+
 def host_doc_counts(sf_dir: str) -> ray.data.Dataset:
     """Per-host rollup over the extraction output — the north-star's
     "skewed hosts" concern in operator form. Hot hosts cannot skew this

@@ -598,6 +598,36 @@ def extra_oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
           AND url NOT IN (SELECT DISTINCT url FROM read_parquet('{page_texts}'))
     """
 
+    # --------------------------------------------- artifact: fuzzy_search
+    # W8 search semantics: ES AUTO fuzziness = transposition-aware edit
+    # distance (DuckDB damerau_levenshtein == the engine's OSA kernel) with
+    # per-term budgets 0/1/2 by term length, over Text + Document tokens
+    from .extraction_queries import DEFAULT_SEARCH_QUERY, _auto_fuzziness
+
+    terms_values = ", ".join(
+        f"('{t}', {_auto_fuzziness(t)})"
+        for t in sorted(set(DEFAULT_SEARCH_QUERY.lower().split()))
+    )
+    sql["fuzzy_search"] = f"""
+        WITH docs AS ({sql["search_index_docs"]}),
+        toks AS (
+            SELECT DISTINCT path, document, page, u.tok
+            FROM docs, LATERAL unnest(
+                regexp_extract_all(lower(document || ' ' || text), '[a-z0-9]+')
+            ) AS u(tok)
+        ),
+        terms(term, maxd) AS (VALUES {terms_values}),
+        m AS (
+            SELECT DISTINCT t.path, t.document, t.page, x.term
+            FROM toks t JOIN terms x
+              ON damerau_levenshtein(t.tok, x.term) <= x.maxd
+        )
+        SELECT document, path, page, CAST(COUNT(*) AS BIGINT) AS n_terms,
+               string_agg(term, '|' ORDER BY term) AS matched_terms
+        FROM m GROUP BY document, path, page
+        ORDER BY path
+    """
+
     # ------------------------------------------ artifact: host_doc_counts
     sql["host_doc_counts"] = f"""
         SELECT split_part(url, '/', 3) AS host,
