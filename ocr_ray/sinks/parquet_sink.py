@@ -230,14 +230,16 @@ def clear_uncommitted_tmp(out_dir: str) -> None:
             shutil.rmtree(os.path.join(pdir, TMP_SHARDS), ignore_errors=True)
 
 
-def make_shard_writer(out_dir: str):
+def make_shard_writer(out_dir: str, default_codec: str = "snappy"):
     """Stateless map_batches fn (phase 1): split the batch by part, append
-    one shard file per part, return tiny ack rows."""
+    one shard file per part, return tiny ack rows. ``default_codec`` is the
+    caller's volume-aware choice (see run_sink); OCR_RAY_TMP_CODEC
+    overrides it for experiments."""
     import uuid
 
     # captured DRIVER-side at plan build (workers may not share driver env)
     tmp_format = os.environ.get("OCR_RAY_TMP_FORMAT", "parquet")
-    tmp_codec = os.environ.get("OCR_RAY_TMP_CODEC", "snappy")
+    tmp_codec = os.environ.get("OCR_RAY_TMP_CODEC", default_codec)
 
     def write_shards(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -248,13 +250,13 @@ def make_shard_writer(out_dir: str):
             sub = batch.filter(pc.equal(parts, part))
             pdir = os.path.join(partition_dir(out_dir, part), TMP_SHARDS)
             os.makedirs(pdir, exist_ok=True)
-            # tmp shards are transient but the device is shared: snappy
-            # halves the write+read+discard volume of the storage shuffle
-            # for ~nothing (measured: the consolidate phase is disk-bound,
-            # flat ~11-18 s from 4 to 16 CPUs at 400k docs uncompressed;
-            # zstd tmp was A/B'd on corpus v2 at 16 pinned CPUs and did NOT
-            # win — its CPU cost eats the device savings — so snappy stays;
-            # OCR_RAY_TMP_CODEC overrides for experiments).
+            # tmp shards are transient but the device is shared; the codec
+            # is the caller's VOLUME-scaled choice (run_sink): snappy while
+            # the run is CPU-bound (100k/32cpus: 15.4 s vs 17.1 s zstd),
+            # zstd once transient bytes drain the write-token bucket
+            # (interleaved settled A/B at 1M/32cpus: zstd 284.5/300.1 s vs
+            # snappy 340.7/354.9 s wall — zstd wins both reps by ~17%).
+            # OCR_RAY_TMP_CODEC overrides for experiments.
             # OCR_RAY_TMP_FORMAT=ipc switches the transient format to Arrow
             # IPC + lz4 — no column stats/footer/encoding work on files that
             # exist only to cross the storage shuffle (A/B knob, round 3).

@@ -149,7 +149,9 @@ def test_choose_num_parts_scales_with_input(tmp_path):
 
     os.truncate(big, 10 << 30)  # sparse 10 GB
     assert choose_num_parts(str(big)) == (10 << 30) // (32 << 20)
-    os.truncate(big, 1 << 40)  # sparse 1 TB
+    os.truncate(big, 1 << 40)  # sparse 1 TB: still below the cap
+    assert choose_num_parts(str(big)) == (1 << 40) // (32 << 20)
+    os.truncate(big, 9 << 40)  # sparse 9 TB: cap binds (8 TB = cap x 32 MB)
     assert choose_num_parts(str(big)) == MAX_NUM_PARTS
 
 
