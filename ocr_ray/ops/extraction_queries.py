@@ -497,17 +497,25 @@ def _osa_within(a: str, b: str, cap: int) -> bool:
     return prev[len(b)] <= cap
 
 
-def fuzzy_search(sf_dir: str, query: str = DEFAULT_SEARCH_QUERY) -> ray.data.Dataset:
+def fuzzy_search(
+    sf_dir: str,
+    query: str = DEFAULT_SEARCH_QUERY,
+    docs: list[str] | None = None,
+) -> ray.data.Dataset:
     """Search the page index like the reference's /search endpoint: pages
     where any query term fuzzy-matches a token of the page text or the
-    document name. Shuffle-free — the (tiny) term list is captured in the
-    task closure; per-batch a token→matched-terms memo collapses the small
-    shared vocabulary, so OSA runs per distinct token, not per occurrence.
-    Output: (document, path, page, n_terms, matched_terms)."""
+    document name. ``docs`` restricts the search to those document names —
+    the reference's terms-filter arm (elastic_search.py:171-181). Both the
+    term list and the doc filter are tiny and captured in the task closure
+    (broadcast once); per-batch a token→matched-terms memo collapses the
+    small shared vocabulary, so OSA runs per distinct token, not per
+    occurrence. Shuffle-free. Output: (document, path, page, n_terms,
+    matched_terms)."""
     import re as _re
 
     terms = sorted({t for t in query.lower().split() if t})
     budgets = [(t, _auto_fuzziness(t)) for t in terms]
+    doc_filter = frozenset(docs) if docs is not None else None
     tok_re = _re.compile(r"[a-z0-9]+")
 
     def match(batch: pa.Table) -> pa.Table:
@@ -531,6 +539,8 @@ def fuzzy_search(sf_dir: str, query: str = DEFAULT_SEARCH_QUERY) -> ray.data.Dat
             "matched_terms": [],
         }
         for i, text in enumerate(texts):
+            if doc_filter is not None and docs[i] not in doc_filter:
+                continue
             tokens = set(tok_re.findall(f"{docs[i]} {text}".lower()))
             matched: set[str] = set()
             for token in tokens:

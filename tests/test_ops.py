@@ -746,3 +746,26 @@ def test_minhash_bucket_cap_parity_with_oracle(ray_session, tmp_path):
     assert (oracle["doc_b"].to_numpy() == pairs["doc_b"].to_numpy()).all()
     assert (oracle["est_jaccard"].to_numpy()
             == pairs["est_jaccard"].to_numpy()).all()
+
+
+def test_fuzzy_search_matches_and_doc_filter(ray_session):
+    """W8 search semantics: the misspelled term must fuzzy-match (AUTO
+    distance 1), exact short terms must not fuzz, and the docs filter
+    restricts results like the reference's terms-filter arm."""
+    from ocr_ray.ops.extraction_queries import fuzzy_search
+
+    df = _df(fuzzy_search(SF))
+    assert set(df.columns) == {"document", "path", "page", "n_terms",
+                               "matched_terms"}
+    assert len(df) > 0
+    assert (df["n_terms"] >= 1).all()
+    # restricting to one document returns only that document's pages,
+    # with identical per-page rows
+    doc = df["document"].iloc[0]
+    sub = _df(fuzzy_search(SF, docs=[doc]))
+    assert set(sub["document"]) == {doc}
+    merged = sub.merge(df[df["document"] == doc],
+                       on=["document", "path", "page"], suffixes=("_f", ""))
+    assert len(merged) == len(sub)
+    assert (merged["matched_terms_f"] == merged["matched_terms"]).all()
+    assert len(_df(fuzzy_search(SF, docs=[]))) == 0
