@@ -46,6 +46,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_crops": m_ops.image_crops,
         "crop_exact_dedup": m_ops.crop_exact_dedup,
         "fuzzy_search": x_ops.fuzzy_search,
+        "semdedup_prune": e_ops.semdedup_prune,
         # ---- round 2-4 suite: corpus hygiene, graph, raster, NER (not yet
         # in a driver CORRECTNESS snapshot as of r03)
         "pii_scrub": x_ops.pii_scrub,

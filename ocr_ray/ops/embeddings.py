@@ -326,6 +326,57 @@ def _tile_column(col, times: int):
     return pa.concat_arrays([col] * times)
 
 
+def semdedup_prune(sf_dir: str, n_cells: int = 16, tau: float | None = None):
+    """SemDeDup-style semantic dedup (Abbas et al. 2023, public): coarse
+    k-means cells over the embeddings, then WITHIN each cell prune every
+    vector that has a LOWER-ID neighbor with cosine >= tau — one
+    representative survives per semantic neighborhood with no all-pairs
+    pass (pairing cost is per-cell). Cell training reuses the IVF recipe
+    exactly (same sample, same seeded k-means), so the oracle recomputes
+    assignments from the ivf.parquet artifact. Shuffle shape: ONE groupby
+    on the cell id; rows carry only (vec_id, cell, embedding). At corpus
+    scale n_cells should grow ~sqrt(N) so cells stay pairing-sized; the
+    shared bucket cap guards degenerate cells regardless (beyond-cap
+    members are dropped from the output and logged, mirrored in SQL).
+    Output: (vec_id, cell, pruned)."""
+    tau = COSINE_DUP_TAU if tau is None else tau
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    sample = np.array(
+        [list(r["embedding"]) for r in ds.limit(2048).take_all()], dtype=np.float64
+    )
+    centroids = _kmeans(sample, n_cells)
+    cref = ray.put(centroids)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        cents = ray.get(cref)
+        m = _matrix(batch)
+        d = ((m[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        return batch.append_column(
+            "cell", pa.array(d.argmin(axis=1).astype(np.int32))
+        )
+
+    def prune(group: pa.Table) -> pa.Table:
+        m = _matrix(group)
+        ids = _ids(group)
+        order = np.argsort(ids, kind="stable")
+        m, ids = m[order], ids[order]
+        cell = int(group.column("cell")[0].as_py())
+        keep = cap_bucket_members(len(ids), "semdedup", cell)
+        m, ids = m[:keep], ids[:keep]
+        mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+        sims = mn @ mn.T
+        # pruned iff ANY strictly-lower-id member of the cell is >= tau
+        pruned = (np.tril(sims >= tau, k=-1)).any(axis=1)
+        return pa.table(
+            {"vec_id": pa.array(ids.astype(np.int64), pa.int64()),
+             "cell": pa.array(np.full(len(ids), cell, dtype=np.int32), pa.int32()),
+             "pruned": pa.array(pruned, pa.bool_())}
+        )
+
+    assigned = ds.map_batches(assign, batch_format="pyarrow")
+    return assigned.groupby("cell").map_groups(prune, batch_format="pyarrow")
+
+
 def label_centroids(sf_dir: str):
     """per-label centroid + count: vectorized per-batch partial sums, tiny
     final combine — the embedding analogue of the combiner pattern."""

@@ -517,6 +517,53 @@ def extra_oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         ORDER BY query_id, rank
     """
 
+    # ------------------------------------------------ direct: semdedup_prune
+    # same cell assignment as ann_ivf (ivf.parquet artifact = the identical
+    # seeded k-means), same sorted-prefix cell cap as the engine, cosine via
+    # the shared list algebra; pruned = exists a lower-id in-cell neighbor
+    # at >= tau
+    sql["semdedup_prune"] = f"""
+        WITH ev AS (
+            SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+                   CAST(unnest(embedding) AS DOUBLE) AS val
+            FROM embeddings
+        ),
+        d2 AS (
+            SELECT ev.vec_id, c.cell, SUM((ev.val - c.w) * (ev.val - c.w)) AS d
+            FROM ev JOIN read_parquet('{a["ivf"]}') c ON c.dim = ev.dim
+            GROUP BY ev.vec_id, c.cell
+        ),
+        assign AS (
+            SELECT vec_id, cell FROM d2
+            QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) = 1
+        ),
+        capd AS (
+            SELECT vec_id, cell FROM assign
+            QUALIFY row_number() OVER (PARTITION BY cell ORDER BY vec_id)
+                    <= {_bucket_cap()}
+        ),
+        n AS (
+            SELECT vec_id, embedding,
+                   sqrt(list_sum(list_transform(embedding,
+                        x -> CAST(x AS DOUBLE) * x))) AS nrm
+            FROM embeddings
+        ),
+        hits AS (
+            SELECT p.vec_id, COUNT(*) AS nh
+            FROM capd p
+            JOIN capd q ON q.cell = p.cell AND q.vec_id < p.vec_id
+            JOIN n np ON np.vec_id = p.vec_id
+            JOIN n nq ON nq.vec_id = q.vec_id
+            WHERE list_sum(list_transform(list_zip(np.embedding, nq.embedding),
+                        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+                  / (np.nrm * nq.nrm) >= {COSINE_DUP_TAU}
+            GROUP BY p.vec_id
+        )
+        SELECT c.vec_id, c.cell, COALESCE(h.nh, 0) > 0 AS pruned
+        FROM capd c LEFT JOIN hits h ON h.vec_id = c.vec_id
+        ORDER BY c.vec_id
+    """
+
     # -------------------------------------------- artifact: extract_summary
     sql["extract_summary"] = f"""
         SELECT url, warc_ts, lang, branch, text, n_pages, n_words, error, part

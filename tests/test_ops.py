@@ -769,3 +769,19 @@ def test_fuzzy_search_matches_and_doc_filter(ray_session):
     assert len(merged) == len(sub)
     assert (merged["matched_terms_f"] == merged["matched_terms"]).all()
     assert len(_df(fuzzy_search(SF, docs=[]))) == 0
+
+
+def test_semdedup_prune_structure(ray_session):
+    """SemDeDup cell pruning: every vector labeled exactly once, at least
+    one near-dup pruned (the corpus plants near-identical embeddings), the
+    lowest vec_id of every cell always survives, and pruning is consistent
+    with cosine_dup_pairs (a pruned vector must have SOME lower-id partner
+    above tau — in its cell by construction)."""
+    from ocr_ray.ops.embeddings import semdedup_prune
+
+    df = _df(semdedup_prune(SF))
+    assert set(df.columns) == {"vec_id", "cell", "pruned"}
+    assert df["vec_id"].is_unique and len(df) == 500
+    assert df["pruned"].sum() > 0
+    firsts = df.sort_values("vec_id").groupby("cell").first()
+    assert not firsts["pruned"].any(), "cell minimum can never be pruned"
