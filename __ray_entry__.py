@@ -47,6 +47,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crop_exact_dedup": m_ops.crop_exact_dedup,
         "fuzzy_search": x_ops.fuzzy_search,
         "semdedup_prune": e_ops.semdedup_prune,
+        "perplexity_buckets": d_ops.perplexity_buckets,
         # ---- round 2-4 suite: corpus hygiene, graph, raster, NER (not yet
         # in a driver CORRECTNESS snapshot as of r03)
         "pii_scrub": x_ops.pii_scrub,
@@ -162,7 +163,7 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
 
 def _base_oracle_sql() -> dict[str, str]:
     punct_sql = """'«»“”.,;:!?()[]{}"' || chr(39)"""
-    return {
+    sql = {
         "pricing_summary": f"""
             SELECT l_returnflag, l_linestatus,
                    ROUND(SUM(l_quantity), 2) AS sum_qty,
@@ -584,3 +585,34 @@ def _base_oracle_sql() -> dict[str, str]:
             GROUP BY c.label, c.n ORDER BY c.label
         """,
     }
+    # CCNet head/middle/tail buckets compose on the unigram-score SQL above;
+    # cutoff rule mirrors the engine exactly: c_q = smallest rounded score
+    # whose per-lang cumulative count >= ceil(q * n_lang)
+    sql["perplexity_buckets"] = f"""
+        WITH scored AS ({sql["unigram_logprob"]}),
+        l AS (
+            SELECT s.doc_id, s.avg_neg_logprob, d.lang
+            FROM scored s JOIN documents d ON s.doc_id = d.doc_id
+        ),
+        h AS (
+            SELECT lang, avg_neg_logprob AS v, COUNT(*) AS c
+            FROM l GROUP BY 1, 2
+        ),
+        cum AS (
+            SELECT lang, v,
+                   SUM(c) OVER (PARTITION BY lang ORDER BY v) AS cumc,
+                   SUM(c) OVER (PARTITION BY lang) AS n
+            FROM h
+        ),
+        c1 AS (SELECT lang, MIN(v) AS v1 FROM cum
+               WHERE cumc >= ceil(n / 3.0) GROUP BY lang),
+        c2 AS (SELECT lang, MIN(v) AS v2 FROM cum
+               WHERE cumc >= ceil(2.0 * n / 3.0) GROUP BY lang)
+        SELECT l.doc_id, l.avg_neg_logprob, l.lang,
+               CASE WHEN l.avg_neg_logprob <= c1.v1 THEN 'head'
+                    WHEN l.avg_neg_logprob <= c2.v2 THEN 'middle'
+                    ELSE 'tail' END AS bucket
+        FROM l JOIN c1 USING (lang) JOIN c2 USING (lang)
+        ORDER BY l.doc_id
+    """
+    return sql

@@ -900,6 +900,76 @@ def unigram_logprob(sf_dir: str):
     return ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def perplexity_buckets(sf_dir: str):
+    """CCNet-style head/middle/tail bucketing (Wenzek et al. 2019, public):
+    rank each document within its LANGUAGE by LM score (the oracled unigram
+    avg-neg-logprob, already rounded to 4) and split at the per-language
+    exact 1/3 and 2/3 quantiles — head = best-scoring third, the slice
+    CCNet keeps for LM training data.
+
+    Scale shape: scores join langs co-partitioned on doc_id (input-scaled
+    parts); the joined (doc_id, lang, score) table is NARROW (~24 B/row)
+    and is materialized once because it is consumed twice — histogram pass
+    then bucket-assign pass (at 10^10 docs checkpoint it to parquet
+    instead). Quantiles use the length_percentiles histogram trick: scores
+    are already quantized to 4 decimals, so the exchange carries one row
+    per distinct (lang, score) per block, the cumulative scan runs on the
+    driver over a tiny table, and the cutoffs broadcast once. Cutoff rule
+    (mirrored in SQL): c_q = smallest score with cumulative count >=
+    ceil(q * n_lang); bucket = head if score <= c_1/3, middle if <= c_2/3,
+    else tail."""
+    import math
+
+    scores = unigram_logprob(sf_dir).select_columns(["doc_id", "avg_neg_logprob"])
+    langs = read_table(sf_dir, "documents", columns=["doc_id", "lang"])
+    parts = choose_join_parts(sf_dir, "documents", floor=4)
+    joined = scores.join(
+        langs, join_type="inner", num_partitions=parts, on=("doc_id",),
+    ).materialize()
+
+    def hist(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["lang", "avg_neg_logprob"]).aggregate(
+            [("doc_id", "count")]
+        )
+        return pa.table(
+            {"lang": g.column("lang"), "v": g.column("avg_neg_logprob"),
+             "c": g.column("doc_id_count").cast(pa.int64())}
+        )
+
+    merged = grouped_agg(
+        joined.map_batches(hist, batch_format="pyarrow"),
+        keys=["lang", "v"], specs=[("c", "sum", "c")],
+    )
+    rows = sorted(merged.take_all(), key=lambda r: (r["lang"], r["v"]))
+    totals: dict[str, int] = {}
+    for r in rows:
+        totals[r["lang"]] = totals.get(r["lang"], 0) + r["c"]
+    cutoffs: dict[str, tuple[float, float]] = {}
+    cum: dict[str, int] = {}
+    for r in rows:
+        lang = r["lang"]
+        cum[lang] = cum.get(lang, 0) + r["c"]
+        n = totals[lang]
+        if lang not in cutoffs and cum[lang] >= math.ceil(n / 3.0):
+            cutoffs[lang] = (r["v"], None)
+        if cutoffs.get(lang) and cutoffs[lang][1] is None \
+                and cum[lang] >= math.ceil(2.0 * n / 3.0):
+            cutoffs[lang] = (cutoffs[lang][0], r["v"])
+    cut_ref = ray.put(cutoffs)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        cuts = ray.get(cut_ref)
+        langs_l = batch.column("lang").to_pylist()
+        vs = batch.column("avg_neg_logprob").to_pylist()
+        buckets = []
+        for lang, v in zip(langs_l, vs):
+            c1, c2 = cuts[lang]
+            buckets.append("head" if v <= c1 else ("middle" if v <= c2 else "tail"))
+        return batch.append_column("bucket", pa.array(buckets, pa.string()))
+
+    return joined.map_batches(assign, batch_format="pyarrow")
+
+
 TFIDF_VOCAB = 256
 TFIDF_TOP_K = 3
 

@@ -785,3 +785,23 @@ def test_semdedup_prune_structure(ray_session):
     assert df["pruned"].sum() > 0
     firsts = df.sort_values("vec_id").groupby("cell").first()
     assert not firsts["pruned"].any(), "cell minimum can never be pruned"
+
+
+def test_perplexity_buckets_structure(ray_session):
+    """CCNet head/middle/tail: every doc bucketed once, per-lang thirds are
+    within one histogram bin of n/3, and bucket order tracks the score."""
+    from ocr_ray.ops.documents import perplexity_buckets
+
+    df = _df(perplexity_buckets(SF))
+    assert set(df.columns) == {"doc_id", "avg_neg_logprob", "lang", "bucket"}
+    assert df["doc_id"].is_unique and len(df) == 500
+    assert set(df["bucket"]) == {"head", "middle", "tail"}
+    for lang, g in df.groupby("lang"):
+        n = len(g)
+        heads = (g["bucket"] == "head").sum()
+        assert heads >= -(-n // 3)  # cutoff rule: cum >= ceil(n/3)
+        # scores are ordered head <= middle <= tail within a language
+        assert g[g["bucket"] == "head"]["avg_neg_logprob"].max() \
+            <= g[g["bucket"] == "middle"]["avg_neg_logprob"].min() + 1e-12
+        assert g[g["bucket"] == "middle"]["avg_neg_logprob"].max() \
+            <= g[g["bucket"] == "tail"]["avg_neg_logprob"].min() + 1e-12
