@@ -43,6 +43,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # end of their group.
     return {
         # ---- round-4 additions (newest first)
+        "bpe_pair_counts": d_ops.bpe_pair_counts,
+        "dsir_weights": d_ops.dsir_weights,
         "image_crops": m_ops.image_crops,
         "crop_exact_dedup": m_ops.crop_exact_dedup,
         "fuzzy_search": x_ops.fuzzy_search,
@@ -336,6 +338,58 @@ def _base_oracle_sql() -> dict[str, str]:
                    CAST(COALESCE(agg.n_oov, 0) AS BIGINT) AS n_oov,
                    round_even(COALESCE(agg.s, 0.0), 4) AS avg_neg_logprob
             FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
+            ORDER BY d.doc_id
+        """,
+        # adjacent-pair counts: toks[2:] shifts the list by one, list_zip
+        # pads the tail with NULL (dropped) — same pairs as python zip()
+        "bpe_pair_counts": f"""
+            WITH d AS (
+                SELECT doc_id, regexp_extract_all(text, '\\S+') AS toks
+                FROM documents
+            ),
+            pairs AS (
+                SELECT u.p[1] AS a, u.p[2] AS b
+                FROM d, LATERAL unnest(list_zip(toks, toks[2:])) AS u(p)
+                WHERE u.p[2] IS NOT NULL
+            )
+            SELECT a, b, CAST(COUNT(*) AS BIGINT) AS n
+            FROM pairs GROUP BY a, b
+            ORDER BY n DESC, a, b LIMIT {d_ops.BPE_TOP_PAIRS}
+        """,
+        "dsir_weights": f"""
+            WITH toks AS (
+                SELECT doc_id, lang,
+                       unnest(regexp_extract_all(text, '\\S+')) AS w
+                FROM documents
+            ),
+            counts AS (
+                SELECT w, COUNT(*) AS n_raw,
+                       SUM(CASE WHEN lang = '{d_ops.DSIR_TARGET_LANG}'
+                           THEN 1 ELSE 0 END) AS n_tgt
+                FROM toks GROUP BY w
+            ),
+            vocab AS (
+                SELECT w, n_raw, n_tgt FROM counts
+                ORDER BY n_raw DESC, w LIMIT {d_ops.DSIR_VOCAB}
+            ),
+            tot AS (
+                SELECT SUM(n_raw) AS nr, SUM(n_tgt) AS nt, COUNT(*) AS v
+                FROM vocab
+            ),
+            lw AS (
+                SELECT w, ln((n_tgt + 1.0) / (nt + v))
+                          - ln((n_raw + 1.0) / (nr + v)) AS lwt
+                FROM vocab CROSS JOIN tot
+            ),
+            scored AS (
+                SELECT t.doc_id, SUM(lw.lwt) AS s, COUNT(lw.w) AS n_hit
+                FROM toks t LEFT JOIN lw ON t.w = lw.w
+                GROUP BY t.doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(COALESCE(scored.n_hit, 0) AS BIGINT) AS n_vocab_tokens,
+                   round_even(COALESCE(scored.s, 0.0), 4) AS dsir_logw
+            FROM documents d LEFT JOIN scored ON d.doc_id = scored.doc_id
             ORDER BY d.doc_id
         """,
         "asof_last_purchase": f"""

@@ -1122,3 +1122,126 @@ def spell_flag(sf_dir: str):
 def dictionary_words() -> list[str]:
     """The spell-flag dictionary, for oracle SQL generation."""
     return sorted(frozenset().union(*textstats.STOPWORDS.values()))
+
+
+# ------------------------------------------------- tokenizer / data selection
+
+BPE_TOP_PAIRS = 200
+DSIR_VOCAB = 2000
+DSIR_TARGET_LANG = "en"
+
+
+def bpe_pair_counts(sf_dir: str, top_k: int = BPE_TOP_PAIRS):
+    """Tokenizer-prep pair statistics — the counting core of one BPE merge
+    round (Sennrich et al. 2016): global counts of ADJACENT whitespace-token
+    pairs, deterministic top-k (n desc, then pair asc).
+
+    Scale shape: the per-batch dict is the combiner — only distinct
+    (a, b, n) rows cross the exchange, never the token stream, and the
+    distinct-bigram count per block saturates near vocab² long before the
+    corpus size matters (same discipline as word_frequency). A full BPE
+    trainer repeats this round on re-segmented text; each round is this op.
+    """
+    ds = read_table(sf_dir, "documents", columns=["text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        counts: dict[tuple[str, str], int] = {}
+        for text in batch.column("text").to_pylist():
+            ws = text.split()
+            for pair in zip(ws, ws[1:]):
+                counts[pair] = counts.get(pair, 0) + 1
+        ks = list(counts.keys())
+        return pa.table(
+            {"a": pa.array([k[0] for k in ks], pa.string()),
+             "b": pa.array([k[1] for k in ks], pa.string()),
+             "n": pa.array(list(counts.values()), pa.int64())}
+        )
+
+    ds = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["n", "a", "b"], ascending=[False, True, True])
+        return df.head(top_k).reset_index(drop=True)
+
+    return grouped_agg(ds, keys=["a", "b"], specs=[("n", "sum", "n")], finalize=fin)
+
+
+def dsir_weights(sf_dir: str):
+    """DSIR-style importance-resampling weights (Xie et al. 2023, reduced to
+    the oracle-checkable hashed-unigram core, with the top-V vocabulary
+    standing in for the feature hash): log w(doc) = Σ over the doc's vocab
+    tokens of ln p_target(w) − ln p_raw(w), target = lang='en' docs, raw =
+    the whole corpus, add-one smoothing over the shared top-DSIR_VOCAB
+    vocabulary (ranked on raw counts, ties broken by word).
+
+    Two streaming passes, same discipline as unigram_logprob: (1) ONE
+    grouped sum produces both count columns (raw + target) keyed by word —
+    the conditional target count rides the same exchange, so the target
+    distribution costs no extra pass; only the top-V slice of the
+    already-aggregated table leaves the cluster, and the log-ratio dict is
+    ray.put ONCE; (2) a shuffle-free per-batch scoring map. Sums rounded
+    (4, banker's) so the SQL twin is exact despite summation order."""
+    import math
+
+    ds = read_table(sf_dir, "documents", columns=["lang", "text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        counts: dict[str, list[int]] = {}
+        texts = batch.column("text").to_pylist()
+        for lang, text in zip(batch.column("lang").to_pylist(), texts):
+            tgt = 1 if lang == DSIR_TARGET_LANG else 0
+            for w in text.split():
+                c = counts.get(w)
+                if c is None:
+                    counts[w] = [1, tgt]
+                else:
+                    c[0] += 1
+                    c[1] += tgt
+        ks = list(counts.keys())
+        return pa.table(
+            {"w": pa.array(ks, pa.string()),
+             "n_raw": pa.array([counts[k][0] for k in ks], pa.int64()),
+             "n_tgt": pa.array([counts[k][1] for k in ks], pa.int64())}
+        )
+
+    counts = grouped_agg(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        keys=["w"],
+        specs=[("n_raw", "sum", "n_raw"), ("n_tgt", "sum", "n_tgt")],
+    )
+    vocab_rows = (
+        counts.sort(["n_raw", "w"], descending=[True, False])
+        .limit(DSIR_VOCAB).take_all()
+    )
+    v = len(vocab_rows)
+    nr = sum(r["n_raw"] for r in vocab_rows)
+    nt = sum(r["n_tgt"] for r in vocab_rows)
+    lw = {
+        r["w"]: math.log((r["n_tgt"] + 1.0) / (nt + v))
+        - math.log((r["n_raw"] + 1.0) / (nr + v))
+        for r in vocab_rows
+    }
+    lw_ref = ray.put(lw)
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def score(batch: pa.Table) -> pa.Table:
+        table = ray.get(lw_ref)
+        hits: list[int] = []
+        sums: list[float] = []
+        for t in batch.column("text").to_pylist():
+            s, h = 0.0, 0
+            for w in t.split():
+                x = table.get(w)
+                if x is not None:
+                    s += x
+                    h += 1
+            hits.append(h)
+            sums.append(round(s, 4))
+        return pa.table(
+            {"doc_id": batch.column("doc_id"),
+             "n_vocab_tokens": pa.array(hits, pa.int64()),
+             "dsir_logw": pa.array(sums, pa.float64())}
+        )
+
+    return docs.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)

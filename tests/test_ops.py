@@ -805,3 +805,45 @@ def test_perplexity_buckets_structure(ray_session):
             <= g[g["bucket"] == "middle"]["avg_neg_logprob"].min() + 1e-12
         assert g[g["bucket"] == "middle"]["avg_neg_logprob"].max() \
             <= g[g["bucket"] == "tail"]["avg_neg_logprob"].min() + 1e-12
+
+
+def test_bpe_pair_counts_matches_local_counter(ray_session):
+    """The distributed pair count equals a single-process Counter over the
+    same table, including the (n desc, pair asc) top-k tiebreak."""
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+
+    from ocr_ray.ops.documents import BPE_TOP_PAIRS, bpe_pair_counts
+
+    got = _df(bpe_pair_counts(SF))
+    cnt: Counter = Counter()
+    for t in pq.read_table(f"{SF}/documents.parquet", columns=["text"]) \
+            .column("text").to_pylist():
+        ws = t.split()
+        cnt.update(zip(ws, ws[1:]))
+    want = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:BPE_TOP_PAIRS]
+    assert len(got) == len(want)
+    for row, ((a, b), n) in zip(got.itertuples(index=False), want):
+        assert (row.a, row.b, row.n) == (a, b, n)
+
+
+def test_dsir_weights_separates_target_language(ray_session):
+    """DSIR log-weights: deterministic, one row per doc, and the target
+    language (en) scores higher on average than the rest — the whole point
+    of importance resampling toward a target distribution."""
+    import pyarrow.parquet as pq
+
+    from ocr_ray.ops.documents import DSIR_TARGET_LANG, dsir_weights
+
+    a = _df(dsir_weights(SF)).sort_values("doc_id").reset_index(drop=True)
+    b = _df(dsir_weights(SF)).sort_values("doc_id").reset_index(drop=True)
+    assert a.equals(b)
+    langs = pq.read_table(f"{SF}/documents.parquet",
+                          columns=["doc_id", "lang"]).to_pandas()
+    m = a.merge(langs, on="doc_id")
+    assert len(m) == len(langs)
+    tgt = m.loc[m["lang"] == DSIR_TARGET_LANG, "dsir_logw"]
+    rest = m.loc[m["lang"] != DSIR_TARGET_LANG, "dsir_logw"]
+    assert tgt.mean() > rest.mean()
+    assert (m["n_vocab_tokens"] >= 0).all()
