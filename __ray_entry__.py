@@ -43,6 +43,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # end of their group.
     return {
         # ---- round-4 additions (newest first)
+        "video_frame_sample": m_ops.video_frame_sample,
         "bpe_pair_counts": d_ops.bpe_pair_counts,
         "dsir_weights": d_ops.dsir_weights,
         "image_crops": m_ops.image_crops,

@@ -366,3 +366,84 @@ def page_pixel_stats(sf_dir: str) -> ray.data.Dataset:
 
     mapped = ds.map_batches(stats, batch_format="pyarrow", zero_copy_batch=True)
     return distinct(mapped, ["url"], carry=["width", "height", "n_bytes"])
+
+
+# ---------------------------------------------------- video frame sampling
+
+FRAME_SAMPLE_STRIDE = 3
+
+
+class FrameSampleWorker:
+    """Actor-pool frame sampler: parse the VID0 container header, decode
+    every FRAME_SAMPLE_STRIDE-th frame with the from-scratch PNG codec, and
+    report per-frame geometry FROM THE DECODED PIXEL ARRAY (the oracle
+    re-reads it from the stored IHDR bytes — decode is load-bearing, not
+    decorative). mean_lum is the pixel-mean evidence the decode really ran;
+    it is covered by pytest, not SQL (no inflate in DuckDB).
+
+    Scale shape: one video's sampled frames never leave the task as pixels
+    — only the fixed-width stat row per frame. Media bytes stream through
+    the object store zero-copy; batches are small (VIDEO_BATCH) because
+    rows are fat, the same sizing rule as the extraction stage."""
+
+    def __init__(self, stride: int = FRAME_SAMPLE_STRIDE):
+        self.stride = stride
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..synth_media import parse_video
+
+        cols: dict[str, list] = {
+            "vid_id": [], "frame_idx": [], "frame_off": [],
+            "frame_bytes": [], "width": [], "height": [], "mean_lum": [],
+        }
+        ids = batch.column("vid_id").to_pylist()
+        for vid, media in zip(ids, batch.column("media").to_pylist()):
+            frames = parse_video(media)
+            for idx in range(0, len(frames), self.stride):
+                off, ln = frames[idx]
+                img = raster.png_decode(media[off:off + ln])
+                cols["vid_id"].append(vid)
+                cols["frame_idx"].append(idx)
+                cols["frame_off"].append(off)
+                cols["frame_bytes"].append(ln)
+                cols["width"].append(img.shape[1])
+                cols["height"].append(img.shape[0])
+                cols["mean_lum"].append(round(float(img.mean()), 4))
+        return pa.table(
+            {"vid_id": pa.array(cols["vid_id"], pa.int64()),
+             "frame_idx": pa.array(cols["frame_idx"], pa.int64()),
+             "frame_off": pa.array(cols["frame_off"], pa.int64()),
+             "frame_bytes": pa.array(cols["frame_bytes"], pa.int64()),
+             "width": pa.array(cols["width"], pa.int64()),
+             "height": pa.array(cols["height"], pa.int64()),
+             "mean_lum": pa.array(cols["mean_lum"], pa.float64())}
+        )
+
+
+VIDEO_BATCH = 16
+
+
+def videos_corpus(sf_dir: str) -> str:
+    """Tier-sized deterministic videos fixture dir (documents rows // 50)."""
+    from ..synth_media import VIDEOS_PER_DOC_ROWS, videos_dir_for
+    from .extraction_queries import corpus_rows_for
+
+    return videos_dir_for(max(10, corpus_rows_for(sf_dir) // VIDEOS_PER_DOC_ROWS))
+
+
+def video_frame_sample(sf_dir: str) -> ray.data.Dataset:
+    """Sampled-frame inventory over the videos table: per sampled frame its
+    container offset/length plus geometry from the DECODED pixels. The SQL
+    twin recomputes offset/length from the fixed-layout header and
+    width/height from the IHDR bytes at that offset — an independent parse
+    of the same payload. Shuffle shape: none (streaming actor-pool map);
+    mean_lum is dropped here so every emitted column is oracle-checkable."""
+    ds = ray.data.read_parquet(videos_corpus(sf_dir), columns=["vid_id", "media"])
+    out = ds.map_batches(
+        FrameSampleWorker,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=VIDEO_BATCH,
+        concurrency=small_pool(),
+    )
+    return out.drop_columns(["mean_lum"])

@@ -1073,5 +1073,50 @@ def extra_oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         ORDER BY h.url, h.entity_type
     """
 
+    # ---------------------------------------- fixture: video_frame_sample
+    # independent parse of the VID0 container: n_frames and per-frame
+    # lengths from the fixed-layout header (hex()/substr nibble
+    # arithmetic), offsets by prefix sum, frame geometry from the PNG IHDR
+    # u32s at frame_off+16/+20 — the engine reports the same numbers from
+    # the DECODED pixel array.
+    from .multimodal import FRAME_SAMPLE_STRIDE, videos_corpus
+
+    videos_glob = f"{videos_corpus(sf_dir)}/*.parquet"
+    sql["video_frame_sample"] = f"""
+        WITH v AS (
+            SELECT vid_id, media,
+                   ('0x' || substr(hex(media), 9, 8))::BIGINT AS n_frames
+            FROM read_parquet('{videos_glob}')
+        ),
+        idx AS (
+            SELECT v.*, CAST(u.i AS BIGINT) AS frame_idx
+            FROM v, LATERAL (
+                SELECT unnest(generate_series(0, v.n_frames - 1)) AS i) u
+        ),
+        lens AS (
+            SELECT vid_id, media, n_frames, frame_idx,
+                   ('0x' || substr(hex(media),
+                        CAST(17 + frame_idx * 8 AS BIGINT), 8))::BIGINT AS flen
+            FROM idx
+        ),
+        offs AS (
+            SELECT *, 8 + 4 * n_frames
+                   + COALESCE(SUM(flen) OVER (PARTITION BY vid_id
+                        ORDER BY frame_idx
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                        0) AS foff
+            FROM lens
+        )
+        SELECT vid_id, frame_idx,
+               CAST(foff AS BIGINT) AS frame_off,
+               flen AS frame_bytes,
+               ('0x' || substr(hex(media),
+                    CAST(foff * 2 + 33 AS BIGINT), 8))::BIGINT AS width,
+               ('0x' || substr(hex(media),
+                    CAST(foff * 2 + 41 AS BIGINT), 8))::BIGINT AS height
+        FROM offs WHERE frame_idx % {FRAME_SAMPLE_STRIDE} = 0
+        ORDER BY vid_id, frame_idx
+    """
+
     sql.update(golden_oracles(sf_dir))
     return sql
