@@ -43,6 +43,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # end of their group.
     return {
         # ---- round-4 additions (newest first)
+        "anchor_texts": g_ops.anchor_texts,
+        "dedup_winners": g_ops.dedup_winners,
+        "hash_classifier_scores": d_ops.hash_classifier_scores,
+        "mutual_knn_pairs": e_ops.mutual_knn_pairs,
         "video_frame_sample": m_ops.video_frame_sample,
         "bpe_pair_counts": d_ops.bpe_pair_counts,
         "dsir_weights": d_ops.dsir_weights,
@@ -573,6 +577,64 @@ def _base_oracle_sql() -> dict[str, str]:
              AND abs(epoch_us(b.ts) - epoch_us(a.ts))
                  <= {r_ops.RANGE_JOIN_WINDOW_US}
             ORDER BY event_a, event_b
+        """,
+        # integer milli-weights → order-independent SUM → the logit's float
+        # division is bit-identical to the engine; exp() rounded 4 for ulps
+        "hash_classifier_scores": f"""
+            WITH toks AS (
+                SELECT doc_id, unnest(regexp_extract_all(lower(text), '\\S+')) AS w
+                FROM documents
+            ),
+            b AS (
+                SELECT doc_id,
+                       ('0x' || substr(md5(w), 1, 16))::UBIGINT
+                           % {d_ops.HASH_CLF_BUCKETS} AS bkt
+                FROM toks
+            ),
+            s AS (
+                SELECT doc_id, COUNT(*) AS n,
+                       SUM(CAST((bkt * {d_ops.HASH_CLF_LCG_A}
+                                 + {d_ops.HASH_CLF_LCG_C}) % 2048 AS BIGINT)
+                           - 1024) AS tot
+                FROM b GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(COALESCE(s.n, 0) AS BIGINT) AS n_tokens,
+                   round_even(COALESCE(s.tot / 1024.0 / s.n, 0.0), 4) AS logit,
+                   round_even(1.0 / (1.0 + exp(-COALESCE(s.tot / 1024.0 / s.n, 0.0))), 4)
+                       AS prob,
+                   COALESCE(s.tot >= 0, TRUE) AS flagged
+            FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id
+            ORDER BY d.doc_id
+        """,
+        "mutual_knn_pairs": f"""
+            WITH n AS (
+                SELECT vec_id, embedding,
+                       sqrt(list_sum(list_transform(embedding,
+                            x -> CAST(x AS DOUBLE) * x))) AS nrm
+                FROM embeddings
+            ),
+            s AS (
+                SELECT a.vec_id AS src, b.vec_id AS dst,
+                       list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                            x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+                       / (a.nrm * b.nrm) AS cos_raw
+                FROM n a JOIN n b ON a.vec_id <> b.vec_id
+            ),
+            r AS (
+                SELECT src, dst, cos_raw,
+                       row_number() OVER (PARTITION BY src
+                                          ORDER BY cos_raw DESC, dst) AS rnk
+                FROM s
+            ),
+            topk AS (SELECT src, dst, cos_raw FROM r WHERE rnk <= {e_ops.KNN_K}),
+            folded AS (
+                SELECT least(src, dst) AS vec_a, greatest(src, dst) AS vec_b,
+                       MAX(round_even(cos_raw, 4)) AS cosine, COUNT(*) AS n_dirs
+                FROM topk GROUP BY least(src, dst), greatest(src, dst)
+            )
+            SELECT vec_a, vec_b, cosine
+            FROM folded WHERE n_dirs = 2 ORDER BY vec_a, vec_b
         """,
         "embedding_norms": """
             SELECT vec_id,

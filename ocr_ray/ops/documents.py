@@ -1245,3 +1245,77 @@ def dsir_weights(sf_dir: str):
         )
 
     return docs.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# fastText-style hashed linear classifier: feature = md5-hash bucket of the
+# token, weight = integer milli-units derived from the bucket by a fixed LCG
+# step (a deterministic stand-in for trained weights — the sandbox has no
+# labeled training set; what the op demonstrates is the INFERENCE shape).
+# Integer weights make the per-doc SUM order-independent, so the logit (one
+# float division at the end) is bit-identical between numpy and the SQL twin.
+HASH_CLF_BUCKETS = 4096
+HASH_CLF_LCG_A = 1103515245
+HASH_CLF_LCG_C = 12345
+
+
+def hash_classifier_weights() -> "np.ndarray":
+    """The bucket → integer-milli-weight table (w ∈ [-1024, 1023])."""
+    import numpy as np
+
+    b = np.arange(HASH_CLF_BUCKETS, dtype=np.int64)
+    return (b * HASH_CLF_LCG_A + HASH_CLF_LCG_C) % 2048 - 1024
+
+
+def hash_classifier_scores(sf_dir: str):
+    """Batched model inference, the fastText/quality-classifier shape: a
+    hashed bag-of-words linear model scored over every document. The weight
+    table is ``ray.put`` ONCE (the broadcast-model pattern — at real scale
+    this is the trained classifier the pipeline ships to every worker);
+    scoring is a shuffle-free map with a per-batch token→bucket memo, no
+    exchange at all. Output per doc: (doc_id, n_tokens, logit, prob,
+    flagged) with logit = Σ w[h(tok) % B] / 1024 / n_tokens.
+
+    Oracle exactness: weights are integers, so the sum is order-independent
+    and the logit differs from the SQL twin only in the final (identical)
+    float divisions; prob's exp() is rounded to 4 to absorb libm ulps."""
+    import math
+
+    import numpy as np
+
+    w = hash_classifier_weights()
+    w_ref = ray.put(w)
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def score(batch: pa.Table) -> pa.Table:
+        wt = ray.get(w_ref)
+        memo: dict[str, int] = {}
+        n_toks: list[int] = []
+        logits: list[float] = []
+        probs: list[float] = []
+        flags: list[bool] = []
+        for text in batch.column("text").to_pylist():
+            toks = text.lower().split()
+            tot = 0
+            for t in toks:
+                b = memo.get(t)
+                if b is None:
+                    b = int.from_bytes(
+                        hashlib.md5(t.encode()).digest()[:8], "big"
+                    ) % HASH_CLF_BUCKETS
+                    memo[t] = b
+                tot += int(wt[b])
+            n = len(toks)
+            logit = tot / 1024.0 / n if n else 0.0
+            n_toks.append(n)
+            logits.append(round(logit, 4))
+            probs.append(round(1.0 / (1.0 + math.exp(-logit)), 4))
+            flags.append(tot >= 0)
+        return pa.table(
+            {"doc_id": batch.column("doc_id"),
+             "n_tokens": pa.array(n_toks, pa.int64()),
+             "logit": pa.array(logits, pa.float64()),
+             "prob": pa.array(probs, pa.float64()),
+             "flagged": pa.array(flags, pa.bool_())}
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)

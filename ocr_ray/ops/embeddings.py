@@ -418,3 +418,75 @@ def label_centroids(sf_dir: str):
 
     ds = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
     return ds.groupby("label").map_groups(combine, batch_format="pyarrow")
+
+
+KNN_K = 5
+
+
+def mutual_knn_pairs(sf_dir: str, k: int = KNN_K):
+    """Mutual-kNN graph over the embeddings — the edge set where EACH
+    endpoint is in the other's cosine top-k. This is the neighborhood graph
+    embedding-cluster pipelines build before community detection; mutuality
+    filters hub vectors (a hub lands in everyone's top-k but reciprocates
+    only k edges).
+
+    Exact baseline with the same shape and guard as
+    :func:`cosine_dup_pairs`: broadcast the normalized matrix once, one
+    matmul per batch, deterministic per-row top-k (cosine desc, id asc).
+    Directed edges are folded to (min, max) and a grouped count keeps pairs
+    seen from BOTH directions — only (vec_a, vec_b, cosine) rows cross the
+    exchange, never vectors. Scale path: generate candidates per IVF cell
+    (the :func:`ann_ivf_topk` recipe) instead of the full matmul; the fold +
+    mutuality reduction is unchanged."""
+    from .common import grouped_agg
+
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    n = ds.count()
+    if n > COSINE_EXACT_MAX_ROWS:
+        raise ValueError(
+            f"mutual_knn_pairs is the exact baseline and broadcasts the "
+            f"embedding table ({n} rows > cap {COSINE_EXACT_MAX_ROWS}); "
+            f"bucket candidates with the ann_ivf_topk recipe past the cap"
+        )
+    all_rows = ds.take_all()
+    ids = np.array([r["vec_id"] for r in all_rows])
+    m = np.array([list(r["embedding"]) for r in all_rows], dtype=np.float64)
+    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+    ref = ray.put((ids, mn))
+
+    def edges(batch: pa.Table) -> pa.Table:
+        a_ids, a_mat = ray.get(ref)
+        b = _matrix(batch)
+        bn = b / np.linalg.norm(b, axis=1, keepdims=True)
+        b_ids = _ids(batch)
+        sims = bn @ a_mat.T  # (batch, all)
+        src: list[int] = []
+        dst: list[int] = []
+        cos: list[float] = []
+        for i in range(len(b_ids)):
+            mask = a_ids != b_ids[i]
+            cand_ids = a_ids[mask]
+            cand = sims[i][mask]
+            # deterministic top-k: cosine desc, then id asc (ties)
+            order = np.lexsort((cand_ids, -cand))[:k]
+            for j in order:
+                src.append(int(b_ids[i]))
+                dst.append(int(cand_ids[j]))
+                cos.append(round(float(cand[j]), 4))
+        lo = np.minimum(src, dst) if src else np.array([], dtype=np.int64)
+        hi = np.maximum(src, dst) if src else np.array([], dtype=np.int64)
+        return pa.table(
+            {"vec_a": pa.array(lo, pa.int64()),
+             "vec_b": pa.array(hi, pa.int64()),
+             "cosine": pa.array(cos, pa.float64())}
+        )
+
+    directed = ds.map_batches(edges, batch_format="pyarrow", zero_copy_batch=True)
+    agg = grouped_agg(
+        directed, keys=["vec_a", "vec_b"],
+        # cosine is direction-symmetric (dot of the same normalized rows,
+        # rounded before the exchange), so max == the value
+        specs=[("n_dirs", "count", None), ("cosine", "max", "cosine")],
+    )
+    both = agg.filter(expr="n_dirs == 2")
+    return both.select_columns(["vec_a", "vec_b", "cosine"])

@@ -99,6 +99,167 @@ def host_link_graph(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+# Cross-host anchors in the synth corpus are single-word texts:
+#   <a href="https://hostN.example/p/M">word</a>
+# The two-group form feeds the engine; the oracle (DuckDB regexp_extract_all
+# returns ONE group per call) extracts full-anchor fragments with
+# ANCHOR_FRAG_RE_S and re-parses each fragment for the two parts.
+ANCHOR_RE_S = r'<a href="https://(host[0-9]+)\.example/p/[0-9]+">([^<]*)</a>'
+ANCHOR_FRAG_RE_S = r'<a href="https://host[0-9]+\.example/p/[0-9]+">[^<]*</a>'
+
+
+def anchor_text_rows(sf_dir: str) -> ray.data.Dataset:
+    """(dst_host, anchor_text) per cross-host anchor — the raw rows of an
+    anchor-text corpus (what web-scale retrieval training mines from link
+    graphs: the text OTHER sites use to describe a target). Shuffle-free
+    scan over the html branch, same predicate discipline as
+    :func:`host_link_rows`."""
+    anchor_re = re.compile(ANCHOR_RE_S)
+    ds = _html_pages(sf_dir, ["html"])
+
+    def rows(batch: pa.Table) -> pa.Table:
+        hosts: list[str] = []
+        texts: list[str] = []
+        for data in batch.column("html").to_pylist():
+            if not data.startswith(b"<!DOCTYPE html>"):
+                continue
+            for dst, text in anchor_re.findall(data.decode("utf-8")):
+                hosts.append(dst)
+                texts.append(text)
+        return pa.table(
+            {"dst_host": pa.array(hosts, pa.string()),
+             "anchor_text": pa.array(texts, pa.string())}
+        )
+
+    return ds.map_batches(rows, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def anchor_texts(sf_dir: str) -> ray.data.Dataset:
+    """Anchor-text corpus rollup: how many cross-host anchors point at each
+    (dst_host, anchor_text). The combiner collapses repeats per block before
+    the (tiny) grouped exchange — at crawl scale the distinct pair universe
+    is vocabulary-sized, not corpus-sized. Output:
+    (dst_host, anchor_text, n_anchors)."""
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(["dst_host", "anchor_text"]).reset_index(drop=True)
+
+    return grouped_agg(
+        anchor_text_rows(sf_dir),
+        keys=["dst_host", "anchor_text"],
+        specs=[("n_anchors", "count", None)],
+        finalize=fin,
+    )
+
+
+# dedup_winners packs (quality, doc_id) into ONE int64 so the per-cluster
+# argmax is a single grouped Max instead of a max-then-filter join chain:
+# composite = q4 << 49 | (2^49 - 1 - doc_id). q4 = quality·10⁴ ∈ [0, 10000]
+# (14 bits); doc_id must fit 49 bits (5.6·10^14 — far above sequential ids
+# for a 10^12-doc crawl; hash-shaped 63-bit ids need a remap first, and the
+# encoder raises loudly rather than silently wrapping).
+_WINNER_ID_BITS = 49
+_WINNER_ID_MASK = (1 << _WINNER_ID_BITS) - 1
+
+
+def dedup_winners(sf_dir: str) -> ray.data.Dataset:
+    """Cluster-representative selection — the decision step AFTER
+    :func:`dup_clusters`: keep, per near-duplicate cluster, the member with
+    the best quality score (ties → min doc_id). This is what an actual
+    training-data pipeline does with a dup graph (SemDeDup / Gopher keep
+    rules).
+
+    Deliberately JOIN-FREE: the obvious clusters ⋈ quality → per-cluster
+    max → filter-at-max ⋈ back plan stacks three hash-shuffle join
+    operators onto one lazy DAG (dup_clusters already carries one), which
+    both over-reserves executor resources on small clusters and triples the
+    all-to-all volume. Instead:
+
+    1. column-align the two per-doc datasets (clusters, quality) and UNION
+       them; ONE grouped max per doc_id merges the halves (nulls ignored) —
+       rows are 4 int64s, the exchange is as skinny as a join's build side;
+    2. pack (q4, ~doc_id) into one int64 (see above) so the per-cluster
+       argmax-with-tiebreak is ONE grouped Max, decoded vectorized.
+
+    Output: (cluster_id, keep_id, cluster_size, keep_quality), one row per
+    cluster. Quality is rounded to 4 on BOTH sides before packing, so the
+    argmax agrees exactly with the SQL twin's window rank."""
+    import numpy as np
+
+    from ray.data.aggregate import Max
+
+    from .documents import quality_scores
+
+    clusters = dup_clusters(sf_dir)
+    quality = quality_scores(sf_dir).select_columns(["doc_id", "quality_score"])
+
+    def c_half(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table(
+            {"doc_id": pa.compute.cast(batch.column("doc_id"), pa.int64()),
+             "cluster_id": pa.compute.cast(batch.column("cluster_id"), pa.int64()),
+             "cluster_size": pa.compute.cast(batch.column("cluster_size"), pa.int64()),
+             "q4": pa.nulls(n, pa.int64())}
+        )
+
+    def q_half(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        q = batch.column("quality_score").to_numpy(zero_copy_only=False)
+        q4 = np.rint(q * 10000.0).astype(np.int64)
+        return pa.table(
+            {"doc_id": pa.compute.cast(batch.column("doc_id"), pa.int64()),
+             "cluster_id": pa.nulls(n, pa.int64()),
+             "cluster_size": pa.nulls(n, pa.int64()),
+             "q4": pa.array(q4, pa.int64())}
+        )
+
+    both = clusters.map_batches(c_half, batch_format="pyarrow").union(
+        quality.map_batches(q_half, batch_format="pyarrow")
+    )
+    merged = both.groupby("doc_id").aggregate(
+        Max(on="cluster_id", alias_name="cluster_id"),
+        Max(on="cluster_size", alias_name="cluster_size"),
+        Max(on="q4", alias_name="q4"),
+    )
+
+    def enc(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        if len(ids) and int(ids.max()) >= (1 << _WINNER_ID_BITS):
+            raise ValueError(
+                f"dedup_winners packs doc_id into {_WINNER_ID_BITS} bits; "
+                f"id {int(ids.max())} exceeds the range — remap hash-shaped "
+                f"ids to a dense range first"
+            )
+        q4 = batch.column("q4").to_numpy(zero_copy_only=False)
+        comp = (q4.astype(np.int64) << _WINNER_ID_BITS) | (_WINNER_ID_MASK - ids)
+        return pa.table(
+            {"cluster_id": batch.column("cluster_id"),
+             "cluster_size": batch.column("cluster_size"),
+             "composite": pa.array(comp, pa.int64())}
+        )
+
+    agg = merged.map_batches(enc, batch_format="pyarrow").groupby(
+        "cluster_id"
+    ).aggregate(
+        Max(on="composite", alias_name="composite"),
+        # functionally dependent on cluster_id: max == the value
+        Max(on="cluster_size", alias_name="cluster_size"),
+    )
+
+    def decode(batch: pa.Table) -> pa.Table:
+        comp = batch.column("composite").to_numpy(zero_copy_only=False)
+        keep_id = _WINNER_ID_MASK - (comp & _WINNER_ID_MASK)
+        q4 = comp >> _WINNER_ID_BITS
+        return pa.table(
+            {"cluster_id": batch.column("cluster_id"),
+             "keep_id": pa.array(keep_id, pa.int64()),
+             "cluster_size": pa.compute.cast(batch.column("cluster_size"), pa.int64()),
+             "keep_quality": pa.array(q4 / 10000.0, pa.float64())}
+        )
+
+    return agg.map_batches(decode, batch_format="pyarrow")
+
+
 def pagerank_hosts(sf_dir: str) -> ray.data.Dataset:
     """Weighted PageRank over the host link graph, PAGERANK_ITERS fixed
     iterations (damping 0.85, uniform teleport, no dangling-mass

@@ -904,6 +904,35 @@ def extra_oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         SELECT * FROM edges ORDER BY src_host, dst_host
     """
 
+    # ------------------------------------------------ corpus: anchor_texts
+    # DuckDB's regexp_extract_all returns ONE group per call, so the oracle
+    # extracts full-anchor fragments first and re-parses each fragment for
+    # the (dst_host, anchor_text) parts — same pairs as the engine's
+    # two-group findall (graph.ANCHOR_RE_S).
+    from .graph import ANCHOR_FRAG_RE_S
+
+    sql["anchor_texts"] = f"""
+        WITH h AS (
+            SELECT decode(html) AS markup
+            FROM read_parquet('{corpus_glob}')
+            WHERE CAST(html AS VARCHAR) LIKE '<!DOCTYPE html>%'
+        ),
+        frags AS (
+            SELECT u.a AS frag
+            FROM h, LATERAL unnest(
+                regexp_extract_all(markup, '{ANCHOR_FRAG_RE_S}')) AS u(a)
+        ),
+        pairs AS (
+            SELECT regexp_extract(frag, 'https://(host[0-9]+)\\.example', 1)
+                       AS dst_host,
+                   regexp_extract(frag, '>([^<]*)</a>', 1) AS anchor_text
+            FROM frags
+        )
+        SELECT dst_host, anchor_text, CAST(COUNT(*) AS BIGINT) AS n_anchors
+        FROM pairs GROUP BY dst_host, anchor_text
+        ORDER BY dst_host, anchor_text
+    """
+
     # ------------------------------------------- corpus: pagerank_hosts
     # the same fixed-iteration recurrence, unrolled: r0 = 1/N,
     # r_(k+1)(v) = (1-d)/N + d * sum over in-edges of r_k(u) * w / outw(u)
@@ -958,6 +987,42 @@ def extra_oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
                CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT)
                    AS cluster_size
         FROM cc ORDER BY doc_id
+    """
+
+    # --------------------------------------------- direct: dedup_winners
+    # same recursive component walk, then per-cluster argmax quality
+    # (rounded to 4 on BOTH sides before comparison, like the engine)
+    sql["dedup_winners"] = f"""
+        WITH RECURSIVE {_sketch_ctes()},
+        {_quality_ctes(union_words)},
+        sym(a, b) AS (
+            SELECT doc_a, doc_b FROM minhash_pairs
+            UNION SELECT doc_b, doc_a FROM minhash_pairs
+        ),
+        walk(node, lab) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT sym.b, walk.lab FROM walk JOIN sym ON sym.a = walk.node
+        ),
+        cc AS (SELECT node AS doc_id, MIN(lab) AS cluster_id FROM walk GROUP BY node),
+        sized AS (
+            SELECT doc_id, cluster_id,
+                   COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
+            FROM cc
+        ),
+        q AS (
+            SELECT doc_id, round_even({QUALITY_SCORE_EXPR}, 4) AS qs FROM g
+        ),
+        ranked AS (
+            SELECT s.cluster_id, s.cluster_size, s.doc_id, q.qs,
+                   row_number() OVER (PARTITION BY s.cluster_id
+                                      ORDER BY q.qs DESC, s.doc_id) AS rnk
+            FROM sized s JOIN q ON q.doc_id = s.doc_id
+        )
+        SELECT cluster_id, doc_id AS keep_id,
+               CAST(cluster_size AS BIGINT) AS cluster_size,
+               qs AS keep_quality
+        FROM ranked WHERE rnk = 1 ORDER BY cluster_id
     """
 
     # ------------------------------------------- direct: tfidf_top_terms

@@ -847,3 +847,107 @@ def test_dsir_weights_separates_target_language(ray_session):
     rest = m.loc[m["lang"] != DSIR_TARGET_LANG, "dsir_logw"]
     assert tgt.mean() > rest.mean()
     assert (m["n_vocab_tokens"] >= 0).all()
+
+
+def test_anchor_texts_accounts_all_anchors(ray_session):
+    import re
+
+    from ocr_ray.ops.graph import ANCHOR_RE_S, anchor_texts
+    from ocr_ray.ops.extraction_queries import _pages_pruned
+
+    df = _df(anchor_texts(SF))
+    assert list(df.columns) == ["dst_host", "anchor_text", "n_anchors"]
+    assert df["dst_host"].str.fullmatch(r"host[0-9]+").all()
+    assert (df["n_anchors"] >= 1).all()
+    # rollup identity: counts sum to the raw per-page anchor total
+    anchor_re = re.compile(ANCHOR_RE_S)
+    raw = 0
+    for row in _pages_pruned(SF, ["html"]).take_all():
+        data = row["html"]
+        if data.startswith(b"<!DOCTYPE html>"):
+            raw += len(anchor_re.findall(data.decode("utf-8")))
+    assert df["n_anchors"].sum() == raw
+
+
+def test_dedup_winners_argmax_per_cluster(ray_session):
+    from ocr_ray.ops.documents import quality_scores
+    from ocr_ray.ops.graph import dedup_winners, dup_clusters
+
+    win = _df(dedup_winners(SF)).set_index("cluster_id")
+    clusters = _df(dup_clusters(SF))
+    quality = _df(quality_scores(SF))[["doc_id", "quality_score"]]
+    joined = clusters.merge(quality, on="doc_id")
+    # one winner per cluster, and it IS the (max quality, min doc_id) member
+    assert len(win) == clusters["cluster_id"].nunique()
+    for cid, grp in joined.groupby("cluster_id"):
+        best_q = grp["quality_score"].max()
+        expect = grp[grp["quality_score"] == best_q]["doc_id"].min()
+        assert win.loc[cid, "keep_id"] == expect
+        assert win.loc[cid, "keep_quality"] == best_q
+        assert win.loc[cid, "cluster_size"] == len(grp)
+
+
+def test_hash_classifier_scores_recompute(ray_session):
+    import hashlib
+    import math
+
+    import duckdb
+
+    from ocr_ray.ops.documents import (
+        HASH_CLF_BUCKETS, hash_classifier_scores, hash_classifier_weights,
+    )
+
+    df = _df(hash_classifier_scores(SF)).set_index("doc_id")
+    assert len(df) == 500
+    w = hash_classifier_weights()
+    texts = duckdb.sql(
+        f"SELECT doc_id, text FROM read_parquet('{SF}/documents.parquet') "
+        "ORDER BY doc_id LIMIT 5"
+    ).fetchall()
+    for doc_id, text in texts:
+        toks = text.lower().split()
+        tot = sum(
+            int(w[int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "big")
+                  % HASH_CLF_BUCKETS])
+            for t in toks
+        )
+        logit = tot / 1024.0 / len(toks) if toks else 0.0
+        row = df.loc[doc_id]
+        assert row["n_tokens"] == len(toks)
+        assert row["logit"] == round(logit, 4)
+        assert row["prob"] == round(1.0 / (1.0 + math.exp(-logit)), 4)
+        assert row["flagged"] == (tot >= 0)
+
+
+def test_mutual_knn_pairs_are_mutual(ray_session):
+    import numpy as np
+
+    from ocr_ray.ops.common import read_table
+    from ocr_ray.ops.embeddings import KNN_K, mutual_knn_pairs
+
+    pairs = _df(mutual_knn_pairs(SF))
+    rows = read_table(SF, "embeddings", columns=["vec_id", "embedding"]).take_all()
+    ids = np.array([r["vec_id"] for r in rows])
+    m = np.array([list(r["embedding"]) for r in rows], dtype=np.float64)
+    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+    sims = mn @ mn.T
+    pos = {int(v): i for i, v in enumerate(ids)}
+
+    def topk(vid: int) -> set[int]:
+        i = pos[vid]
+        mask = ids != vid
+        cand_ids, cand = ids[mask], sims[i][mask]
+        order = np.lexsort((cand_ids, -cand))[:KNN_K]
+        return {int(cand_ids[j]) for j in order}
+
+    assert len(pairs) > 0
+    assert (pairs["vec_a"] < pairs["vec_b"]).all()
+    assert not pairs.duplicated(["vec_a", "vec_b"]).any()
+    for a, b in zip(pairs["vec_a"], pairs["vec_b"]):
+        assert b in topk(int(a)) and a in topk(int(b))
+    # completeness: every mutual pair in the brute-force graph is present
+    n_mutual = sum(
+        1 for i, a in enumerate(ids) for b in topk(int(a))
+        if int(a) < b and int(a) in topk(b)
+    )
+    assert n_mutual == len(pairs)
