@@ -43,6 +43,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # end of their group.
     return {
         # ---- round-4 additions (newest first)
+        "repetition_signals": d_ops.repetition_signals,
+        "bm25_scores": d_ops.bm25_scores,
         "anchor_texts": g_ops.anchor_texts,
         "dedup_winners": g_ops.dedup_winners,
         "hash_classifier_scores": d_ops.hash_classifier_scores,
@@ -170,6 +172,37 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
 
 def _base_oracle_sql() -> dict[str, str]:
     punct_sql = """'«»“”.,;:!?()[]{}"' || chr(39)"""
+    _ws = "regexp_extract_all(lower(text), '\\S+')"
+    _bm25_tf = ", ".join(
+        f"len(list_filter({_ws}, w -> w = '{t}')) AS tf{i}"
+        for i, t in enumerate(d_ops.BM25_QUERY_TERMS)
+    )
+    _bm25_df = ", ".join(
+        f"SUM(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS df{i}"
+        for i in range(len(d_ops.BM25_QUERY_TERMS))
+    )
+    def _r4(x: str) -> str:
+        # round-half-even(x/total, 4) in EXACT integer arithmetic — mirrors
+        # ocr_ray.ops.documents._round4_ratio (Python round and DuckDB
+        # round_even disagree by 1 ulp on exact .xxxx5 boundaries, which
+        # small char-count ratios hit routinely)
+        q = f"(({x} * 10000) // total)"
+        r = f"(({x} * 10000) % total)"
+        return (
+            f"CASE WHEN total = 0 THEN 0.0 ELSE "
+            f"({q} + CASE WHEN 2 * {r} > total OR "
+            f"(2 * {r} = total AND {q} % 2 = 1) THEN 1 ELSE 0 END) / 10000.0 END"
+        )
+
+    _bm25_sum = " + ".join(
+        f"CASE WHEN tf{i} > 0 THEN "
+        f"ln(1.0 + (g.n - g.df{i} + 0.5) / (g.df{i} + 0.5))"
+        f" * tf{i} * ({d_ops.BM25_K1} + 1.0)"
+        f" / (tf{i} + {d_ops.BM25_K1} * (1.0 - {d_ops.BM25_B}"
+        f" + {d_ops.BM25_B} * d.dl / (g.sdl / g.n)))"
+        f" ELSE 0.0 END"
+        for i in range(len(d_ops.BM25_QUERY_TERMS))
+    )
     sql = {
         "pricing_summary": f"""
             SELECT l_returnflag, l_linestatus,
@@ -577,6 +610,89 @@ def _base_oracle_sql() -> dict[str, str]:
              AND abs(epoch_us(b.ts) - epoch_us(a.ts))
                  <= {r_ops.RANGE_JOIN_WINDOW_US}
             ORDER BY event_a, event_b
+        """,
+        # integer numerators/denominators (token-char sums) → each fraction
+        # is ONE float division, bit-identical to the engine
+        "repetition_signals": f"""
+            WITH toks AS (
+                SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS ws
+                FROM documents
+            ),
+            base AS (
+                SELECT doc_id, ws, len(ws) AS n,
+                       COALESCE(list_sum(list_transform(ws, w -> length(w))), 0)
+                           AS total
+                FROM toks
+            ),
+            g3 AS (
+                SELECT doc_id,
+                       array_to_string(ws[CAST(i AS INT):CAST(i AS INT)+{d_ops.REP_TOP_N - 1}], ' ') AS g,
+                       length(ws[CAST(i AS INT)])
+                       + length(ws[CAST(i AS INT)+1])
+                       + length(ws[CAST(i AS INT)+2]) AS cl
+                FROM base, LATERAL unnest(range(1, n - {d_ops.REP_TOP_N - 2})) AS r(i)
+                WHERE n >= {d_ops.REP_TOP_N}
+            ),
+            t3 AS (
+                SELECT doc_id, g, COUNT(*) AS c, MAX(cl) AS cl
+                FROM g3 GROUP BY doc_id, g
+            ),
+            top3 AS (SELECT doc_id, MAX(c * cl) AS best FROM t3 GROUP BY doc_id),
+            g5 AS (
+                SELECT doc_id, CAST(i AS BIGINT) AS i,
+                       array_to_string(ws[CAST(i AS INT):CAST(i AS INT)+{d_ops.REP_DUP_N - 1}], ' ') AS g
+                FROM base, LATERAL unnest(range(1, n - {d_ops.REP_DUP_N - 2})) AS r(i)
+                WHERE n >= {d_ops.REP_DUP_N}
+            ),
+            d5 AS (
+                SELECT doc_id, g FROM g5
+                GROUP BY doc_id, g HAVING COUNT(*) >= 2
+            ),
+            cov AS (
+                SELECT DISTINCT g5.doc_id, CAST(u.p AS INT) AS p
+                FROM g5 JOIN d5 ON g5.doc_id = d5.doc_id AND g5.g = d5.g,
+                     LATERAL unnest(range(g5.i, g5.i + {d_ops.REP_DUP_N})) AS u(p)
+            ),
+            covlen AS (
+                SELECT cov.doc_id, SUM(length(base.ws[cov.p])) AS covered
+                FROM cov JOIN base ON base.doc_id = cov.doc_id
+                GROUP BY cov.doc_id
+            ),
+            fr AS (
+                SELECT b.doc_id, b.n, b.total,
+                       CASE WHEN b.n >= {d_ops.REP_TOP_N}
+                            THEN COALESCE(top3.best, 0) ELSE 0 END AS best,
+                       CASE WHEN b.n >= {d_ops.REP_DUP_N}
+                            THEN COALESCE(covlen.covered, 0) ELSE 0 END AS covered
+                FROM base b
+                LEFT JOIN top3 ON top3.doc_id = b.doc_id
+                LEFT JOIN covlen ON covlen.doc_id = b.doc_id
+            )
+            SELECT doc_id, CAST(n AS BIGINT) AS n_words,
+                   {_r4("best")} AS top3_char_frac,
+                   {_r4("covered")} AS dup5_char_frac,
+                   (CASE WHEN total > 0 THEN best / total ELSE 0.0 END)
+                       <= {d_ops.REP_TOP_MAX_FRAC}
+                   AND (CASE WHEN total > 0 THEN covered / total ELSE 0.0 END)
+                       <= {d_ops.REP_DUP_MAX_FRAC} AS ok_rep
+            FROM fr ORDER BY doc_id
+        """,
+        # per-term contributions in fixed order, left-assoc chains mirrored
+        # from the engine expression exactly; ln() ulps absorbed by round 4
+        "bm25_scores": f"""
+            WITH d AS (
+                SELECT doc_id,
+                       len(regexp_extract_all(lower(text), '\\S+')) AS dl,
+                       {_bm25_tf}
+                FROM documents
+            ),
+            g AS (
+                SELECT COUNT(*) AS n, SUM(dl) AS sdl, {_bm25_df}
+                FROM d
+            )
+            SELECT d.doc_id, CAST(d.dl AS BIGINT) AS n_tokens,
+                   round_even({_bm25_sum}, 4) AS bm25
+            FROM d CROSS JOIN g ORDER BY d.doc_id
         """,
         # integer milli-weights → order-independent SUM → the logit's float
         # division is bit-identical to the engine; exp() rounded 4 for ulps

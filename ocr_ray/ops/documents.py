@@ -1319,3 +1319,177 @@ def hash_classifier_scores(sf_dir: str):
         )
 
     return ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# Gopher repetition rules (Rae et al. 2021, Table A1): the n-gram half of
+# the family (the word/line half lives in gopher_filter — this corpus's
+# documents are single-line). Thresholds are the published ones for the
+# chosen n.
+REP_TOP_N = 3          # top 3-gram char fraction <= 0.18
+REP_TOP_MAX_FRAC = 0.18
+REP_DUP_N = 5          # dup 5-gram char fraction <= 0.15
+REP_DUP_MAX_FRAC = 0.15
+
+
+def _round4_ratio(num: int, den: int) -> float:
+    """round-half-even(num/den, 4) in EXACT integer arithmetic. Small
+    integer ratios (char counts) land on .xxxx5 boundaries often, where
+    Python's round (correctly-rounded on the true binary value) and
+    DuckDB's round_even (multiply-based) disagree by one ulp of the 4th
+    decimal; doing the halving test on integers makes engine and SQL twin
+    bit-identical by construction."""
+    if den == 0:
+        return 0.0
+    q, r = divmod(num * 10000, den)
+    if 2 * r > den or (2 * r == den and q % 2 == 1):
+        q += 1
+    return q / 10000.0
+
+
+def repetition_signals(sf_dir: str):
+    """Per-doc n-gram repetition signals, shuffle-free:
+
+    - ``top3_char_frac``: max over 3-grams of count x gram-char-length,
+      over total token chars (the deterministic, tie-free reading of
+      Gopher's "fraction of characters in the most frequent n-gram");
+    - ``dup5_char_frac``: token chars covered by the UNION of all 5-gram
+      occurrences whose gram appears >= 2 times, over total token chars
+      (overlaps counted once — a numpy cover mask per doc).
+
+    Both numerators/denominators are integer token-char sums, so each
+    fraction is one float division and matches the SQL twin bit-for-bit.
+    Output: (doc_id, n_words, top3_char_frac, dup5_char_frac, ok_rep)."""
+    import numpy as np
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def f(batch: pa.Table) -> pa.Table:
+        out_rows = []
+        for doc_id, text in zip(
+            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+        ):
+            ws = text.lower().split()
+            n = len(ws)
+            lens = np.array([len(w) for w in ws], dtype=np.int64)
+            total = int(lens.sum())
+            top_frac = 0.0
+            dup_frac = 0.0
+            best = 0
+            covered = 0
+            if total > 0 and n >= REP_TOP_N:
+                counts: dict[tuple, list[int]] = {}
+                for i in range(n - REP_TOP_N + 1):
+                    g = tuple(ws[i:i + REP_TOP_N])
+                    c = counts.get(g)
+                    if c is None:
+                        counts[g] = [1, int(lens[i:i + REP_TOP_N].sum())]
+                    else:
+                        c[0] += 1
+                best = max((c * ln for c, ln in counts.values()), default=0)
+                top_frac = best / total  # raw: threshold compare only
+            if total > 0 and n >= REP_DUP_N:
+                seen: dict[tuple, int] = {}
+                for i in range(n - REP_DUP_N + 1):
+                    g = tuple(ws[i:i + REP_DUP_N])
+                    seen[g] = seen.get(g, 0) + 1
+                cover = np.zeros(n, dtype=bool)
+                for i in range(n - REP_DUP_N + 1):
+                    if seen[tuple(ws[i:i + REP_DUP_N])] >= 2:
+                        cover[i:i + REP_DUP_N] = True
+                covered = int(lens[cover].sum())
+                dup_frac = covered / total  # raw: threshold compare only
+            out_rows.append(
+                {"doc_id": doc_id, "n_words": n,
+                 "top3_char_frac": _round4_ratio(best, total),
+                 "dup5_char_frac": _round4_ratio(covered, total),
+                 "ok_rep": top_frac <= REP_TOP_MAX_FRAC
+                           and dup_frac <= REP_DUP_MAX_FRAC}
+            )
+        return pa.Table.from_pylist(
+            out_rows,
+            schema=pa.schema(
+                [pa.field("doc_id", pa.int64()), pa.field("n_words", pa.int64()),
+                 pa.field("top3_char_frac", pa.float64()),
+                 pa.field("dup5_char_frac", pa.float64()),
+                 pa.field("ok_rep", pa.bool_())]
+            ),
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# BM25 (Robertson/Lucene form) against a fixed query term set — the
+# scoring half of the search surface next to fuzzy_search's matching half.
+BM25_QUERY_TERMS = ("table", "spark", "query")
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def bm25_scores(sf_dir: str):
+    """Per-doc BM25 over BM25_QUERY_TERMS: corpus stats (N, avgdl, per-term
+    df) reduce through ONE per-batch combiner to a few scalars, broadcast
+    once; scoring is a second shuffle-free pass. idf is the Lucene form
+    ln(1 + (N - df + 0.5)/(df + 0.5)); per-term contribution
+    idf·tf·(k1+1)/(tf + k1·(1 − b + b·dl/avgdl)), summed in fixed term
+    order so the SQL twin's explicit three-term sum matches. Output:
+    (doc_id, n_tokens, bm25) rounded 4."""
+    import math
+
+    terms = BM25_QUERY_TERMS
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def stat_partial(batch: pa.Table) -> pa.Table:
+        n_docs = 0
+        total_len = 0
+        df = [0] * len(terms)
+        for text in batch.column("text").to_pylist():
+            ws = text.lower().split()
+            n_docs += 1
+            total_len += len(ws)
+            for ti, t in enumerate(terms):
+                if t in ws:
+                    df[ti] += 1
+        cols = {"n_docs": pa.array([n_docs], pa.int64()),
+                "total_len": pa.array([total_len], pa.int64())}
+        for ti in range(len(terms)):
+            cols[f"df_{ti}"] = pa.array([df[ti]], pa.int64())
+        return pa.table(cols)
+
+    # the partials are one skinny row per batch — a driver-side sum of a
+    # block-count-sized list, not a corpus materialization
+    partials = ds.map_batches(
+        stat_partial, batch_format="pyarrow", zero_copy_batch=True
+    ).take_all()
+    n = sum(r["n_docs"] for r in partials)
+    avgdl = sum(r["total_len"] for r in partials) / n
+    idf = [
+        math.log(1.0 + (n - sum(r[f"df_{ti}"] for r in partials) + 0.5)
+                 / (sum(r[f"df_{ti}"] for r in partials) + 0.5))
+        for ti in range(len(terms))
+    ]
+    ref = ray.put((avgdl, idf))
+
+    def score(batch: pa.Table) -> pa.Table:
+        a, w = ray.get(ref)
+        ids = batch.column("doc_id").to_pylist()
+        n_toks: list[int] = []
+        scores: list[float] = []
+        for text in batch.column("text").to_pylist():
+            ws = text.lower().split()
+            dl = len(ws)
+            s = 0.0
+            for ti, t in enumerate(terms):
+                tf = ws.count(t)
+                if tf:
+                    # left-assoc chain mirrors the SQL expression exactly
+                    s += w[ti] * tf * (BM25_K1 + 1.0) / (
+                        tf + BM25_K1 * (1.0 - BM25_B + BM25_B * dl / a))
+            n_toks.append(dl)
+            scores.append(round(s, 4))
+        return pa.table(
+            {"doc_id": pa.array(ids, pa.int64()),
+             "n_tokens": pa.array(n_toks, pa.int64()),
+             "bm25": pa.array(scores, pa.float64())}
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)

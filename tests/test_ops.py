@@ -951,3 +951,87 @@ def test_mutual_knn_pairs_are_mutual(ray_session):
         if int(a) < b and int(a) in topk(b)
     )
     assert n_mutual == len(pairs)
+
+
+def test_repetition_signals_recompute(ray_session):
+    import duckdb
+    import numpy as np
+
+    from ocr_ray.ops.documents import (
+        REP_DUP_N, REP_TOP_N, _round4_ratio, repetition_signals,
+    )
+
+    df = _df(repetition_signals(SF)).set_index("doc_id")
+    assert len(df) == 500
+    rows = duckdb.sql(
+        f"SELECT doc_id, text FROM read_parquet('{SF}/documents.parquet') "
+        "ORDER BY doc_id LIMIT 8"
+    ).fetchall()
+    for doc_id, text in rows:
+        ws = text.lower().split()
+        lens = np.array([len(w) for w in ws])
+        total = int(lens.sum())
+        grams3 = [tuple(ws[i:i + REP_TOP_N]) for i in range(len(ws) - REP_TOP_N + 1)]
+        best = max(
+            (grams3.count(g) * sum(len(w) for w in g) for g in set(grams3)),
+            default=0,
+        )
+        grams5 = [tuple(ws[i:i + REP_DUP_N]) for i in range(len(ws) - REP_DUP_N + 1)]
+        cover = np.zeros(len(ws), dtype=bool)
+        for i, g in enumerate(grams5):
+            if grams5.count(g) >= 2:
+                cover[i:i + REP_DUP_N] = True
+        r = df.loc[doc_id]
+        assert r["n_words"] == len(ws)
+        assert r["top3_char_frac"] == _round4_ratio(best, total)
+        assert r["dup5_char_frac"] == _round4_ratio(int(lens[cover].sum()), total)
+
+
+def test_round4_ratio_half_even_boundaries():
+    from ocr_ray.ops.documents import _round4_ratio
+
+    # 18/320 = 0.05625 exactly: half-even rounds DOWN to the even 4th digit
+    assert _round4_ratio(18, 320) == 0.0562
+    assert _round4_ratio(19, 320) == 0.0594  # 0.059375 -> nearest, no tie
+    assert _round4_ratio(3, 1600) == 0.0019  # 0.001875 -> no tie
+    assert _round4_ratio(1, 1600) == 0.0006  # 0.000625: tie -> even (6)
+    assert _round4_ratio(0, 0) == 0.0
+    assert _round4_ratio(5, 10000 * 2) == 0.0002  # 0.00025: tie -> even
+
+
+def test_bm25_scores_recompute(ray_session):
+    import math
+
+    import duckdb
+
+    from ocr_ray.ops.documents import (
+        BM25_B, BM25_K1, BM25_QUERY_TERMS, bm25_scores,
+    )
+
+    df = _df(bm25_scores(SF)).set_index("doc_id")
+    assert len(df) == 500
+    all_rows = duckdb.sql(
+        f"SELECT doc_id, text FROM read_parquet('{SF}/documents.parquet') "
+        "ORDER BY doc_id"
+    ).fetchall()
+    toks = {d: t.lower().split() for d, t in all_rows}
+    n = len(toks)
+    avgdl = sum(len(w) for w in toks.values()) / n
+    idf = {
+        t: math.log(1.0 + (n - df_t + 0.5) / (df_t + 0.5))
+        for t, df_t in (
+            (t, sum(1 for ws in toks.values() if t in ws))
+            for t in BM25_QUERY_TERMS
+        )
+    }
+    for doc_id in list(toks)[:8]:
+        ws = toks[doc_id]
+        dl = len(ws)
+        s = 0.0
+        for t in BM25_QUERY_TERMS:
+            tf = ws.count(t)
+            if tf:
+                s += idf[t] * tf * (BM25_K1 + 1.0) / (
+                    tf + BM25_K1 * (1.0 - BM25_B + BM25_B * dl / avgdl))
+        assert df.loc[doc_id, "bm25"] == round(s, 4)
+        assert df.loc[doc_id, "n_tokens"] == dl
