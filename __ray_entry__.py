@@ -43,6 +43,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # end of their group.
     return {
         # ---- round-4 additions (newest first)
+        "hll_daily_users": r_ops.hll_daily_users,
         "repetition_signals": d_ops.repetition_signals,
         "bm25_scores": d_ops.bm25_scores,
         "anchor_texts": g_ops.anchor_texts,
@@ -193,6 +194,18 @@ def _base_oracle_sql() -> dict[str, str]:
             f"({q} + CASE WHEN 2 * {r} > total OR "
             f"(2 * {r} = total AND {q} % 2 = 1) THEN 1 ELSE 0 END) / 10000.0 END"
         )
+
+    # HLL rho = leading-zero rank of the 58-bit suffix, as a generated
+    # comparison ladder (DuckDB has no integer clz); engine twin is
+    # 58 - w.bit_length() + 1
+    _hll_rho = " ".join(
+        f"WHEN w >= {1 << (r_ops.HLL_W_BITS - 1 - k)} THEN {k + 1}"
+        for k in range(r_ops.HLL_W_BITS)
+    )
+    _hll_raw = (
+        f"{r_ops.HLL_ALPHA} * {r_ops.HLL_M} * {r_ops.HLL_M}"
+        f" * {float(1 << (r_ops.HLL_W_BITS + 1))} / s_scaled"
+    )
 
     _bm25_sum = " + ".join(
         f"CASE WHEN tf{i} > 0 THEN "
@@ -751,6 +764,41 @@ def _base_oracle_sql() -> dict[str, str]:
             )
             SELECT vec_a, vec_b, cosine
             FROM folded WHERE n_dirs = 2 ORDER BY vec_a, vec_b
+        """,
+        "hll_daily_users": f"""
+            WITH h AS (
+                SELECT strftime(ts, '%Y-%m-%d') AS day,
+                       ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 16))::UBIGINT AS hv
+                FROM events
+            ),
+            br AS (
+                SELECT day, CAST(hv >> {r_ops.HLL_W_BITS} AS INT) AS bucket,
+                       hv & {(1 << r_ops.HLL_W_BITS) - 1} AS w
+                FROM h
+            ),
+            rho_t AS (
+                SELECT day, bucket, CASE {_hll_rho} ELSE {r_ops.HLL_W_BITS + 1} END AS rho
+                FROM br
+            ),
+            regs AS (SELECT day, bucket, MAX(rho) AS rho FROM rho_t GROUP BY day, bucket),
+            agg AS (
+                SELECT day, COUNT(*) AS n_present,
+                       SUM(CAST(1 AS BIGINT) << ({r_ops.HLL_W_BITS + 1} - rho)) AS s_present
+                FROM regs GROUP BY day
+            ),
+            est AS (
+                SELECT day, {r_ops.HLL_M} - n_present AS v_zero,
+                       s_present + CAST({r_ops.HLL_M} - n_present AS HUGEINT)
+                           * (CAST(1 AS BIGINT) << {r_ops.HLL_W_BITS + 1}) AS s_scaled
+                FROM agg
+            )
+            SELECT day,
+                   round_even(CASE WHEN ({_hll_raw}) <= {2.5 * r_ops.HLL_M}
+                                    AND v_zero > 0
+                                   THEN {r_ops.HLL_M} * ln({r_ops.HLL_M}.0 / v_zero)
+                                   ELSE {_hll_raw} END, 4) AS hll_users,
+                   CAST(v_zero AS BIGINT) AS v_zero
+            FROM est ORDER BY day
         """,
         "embedding_norms": """
             SELECT vec_id,

@@ -540,3 +540,83 @@ def expensive_items(sf_dir: str, k: int = 20):
         return from_pandas_clean(df)
 
     return ds.map_batches(fin, batch_format="pyarrow")
+
+
+# HyperLogLog (Flajolet et al. 2007) — the canonical mergeable
+# distinct-count sketch: what a 100-TB pipeline uses where
+# count(DISTINCT ...) would shuffle every id. m = 64 registers (6-bit
+# bucket from the top of the md5 hash, rho = leading-zero rank of the
+# remaining 58 bits). Registers merge by MAX — per-batch partials collapse
+# to <= m rows per (day, batch) before the (tiny) exchange.
+HLL_BUCKET_BITS = 6
+HLL_M = 1 << HLL_BUCKET_BITS
+HLL_W_BITS = 58
+# alpha_m for m = 64 (the published constant-series value)
+HLL_ALPHA = 0.709
+
+
+def hll_daily_users(sf_dir: str):
+    """Approximate distinct users per day via HyperLogLog — the sketch twin
+    of :func:`daily_active_users` (exact). Shuffle shape: per-batch
+    register partials (<= m rows per day per batch) → ONE grouped max →
+    driver-side estimate over m-row groups. The estimate arithmetic is
+    integer-scaled (sum of 2^(59-rho) as exact ints) so the single float
+    division matches the SQL twin bit-for-bit; the small-range correction's
+    ln() is absorbed by round 4.
+
+    Output: (day, hll_users, v_zero) — v_zero = empty registers (drives
+    the small-range correction, kept for observability)."""
+    import hashlib
+    import math
+
+    ds = read_table(sf_dir, "events", columns=["ts", "user_id"])
+    mask_w = (1 << HLL_W_BITS) - 1
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        days = df["ts"].dt.strftime("%Y-%m-%d")
+        regs: dict[tuple[str, int], int] = {}
+        memo: dict[int, tuple[int, int]] = {}
+        for day, uid in zip(days, df["user_id"]):
+            uid = int(uid)
+            br = memo.get(uid)
+            if br is None:
+                h = int.from_bytes(
+                    hashlib.md5(str(uid).encode()).digest()[:8], "big")
+                bucket = h >> HLL_W_BITS
+                w = h & mask_w
+                rho = HLL_W_BITS - w.bit_length() + 1
+                br = memo[uid] = (bucket, rho)
+            key = (day, br[0])
+            if regs.get(key, 0) < br[1]:
+                regs[key] = br[1]
+        ks = list(regs.keys())
+        return pa.table(
+            {"day": pa.array([k[0] for k in ks], pa.string()),
+             "bucket": pa.array([k[1] for k in ks], pa.int32()),
+             "rho": pa.array([regs[k] for k in ks], pa.int32())}
+        )
+
+    ds = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    merged = grouped_agg(ds, keys=["day", "bucket"], specs=[("rho", "max", "rho")])
+
+    def estimate(df: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for day, grp in df.groupby("day"):
+            n_present = len(grp)
+            s_scaled = int(
+                sum(1 << (HLL_W_BITS + 1 - int(r)) for r in grp["rho"])
+            ) + (HLL_M - n_present) * (1 << (HLL_W_BITS + 1))
+            v_zero = HLL_M - n_present
+            e = HLL_ALPHA * HLL_M * HLL_M * float(1 << (HLL_W_BITS + 1)) / s_scaled
+            if e <= 2.5 * HLL_M and v_zero > 0:
+                e = HLL_M * math.log(HLL_M / v_zero)
+            out.append({"day": day, "hll_users": round(e, 4),
+                        "v_zero": v_zero})
+        return pd.DataFrame(out).sort_values("day").reset_index(drop=True)
+
+    # the merged register table is O(days x m) — a finalize-sized frame
+    def fin(batch: pa.Table) -> pa.Table:
+        return from_pandas_clean(estimate(batch.to_pandas()))
+
+    return merged.repartition(1).map_batches(fin, batch_format="pyarrow")

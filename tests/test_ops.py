@@ -1035,3 +1035,21 @@ def test_bm25_scores_recompute(ray_session):
                     tf + BM25_K1 * (1.0 - BM25_B + BM25_B * dl / avgdl))
         assert df.loc[doc_id, "bm25"] == round(s, 4)
         assert df.loc[doc_id, "n_tokens"] == dl
+
+
+def test_hll_daily_users_tracks_exact(ray_session):
+    from ocr_ray.ops.relational import HLL_M, daily_active_users, hll_daily_users
+
+    hll = _df(hll_daily_users(SF)).set_index("day")
+    exact = _df(daily_active_users(SF)).set_index("day")
+    assert set(hll.index) == set(exact.index)
+    # m=64 -> ~13% standard error; the small-range (linear counting) regime
+    # that these day sizes land in is tighter still. Generous bound.
+    for day in exact.index:
+        e = exact.loc[day, "active_users"]
+        a = hll.loc[day, "hll_users"]
+        assert abs(a - e) / e < 0.35, (day, a, e)
+    assert (hll["v_zero"] >= 0).all() and (hll["v_zero"] <= HLL_M).all()
+    # deterministic across runs (register merge is a max — order-free)
+    again = _df(hll_daily_users(SF)).set_index("day")
+    assert hll.sort_index().equals(again.sort_index())
