@@ -43,6 +43,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # end of their group.
     return {
         # ---- round-4 additions (newest first)
+        "user_retention": r_ops.user_retention,
+        "funnel_counts": r_ops.funnel_counts,
         "hll_daily_users": r_ops.hll_daily_users,
         "repetition_signals": d_ops.repetition_signals,
         "bm25_scores": d_ops.bm25_scores,
@@ -799,6 +801,47 @@ def _base_oracle_sql() -> dict[str, str]:
                                    ELSE {_hll_raw} END, 4) AS hll_users,
                    CAST(v_zero AS BIGINT) AS v_zero
             FROM est ORDER BY day
+        """,
+        "user_retention": """
+            WITH du AS (
+                SELECT DISTINCT strftime(ts, '%Y-%m-%d') AS day, user_id
+                FROM events
+            ),
+            ret AS (
+                SELECT a.day, COUNT(*) AS retained
+                FROM du a JOIN du b ON b.user_id = a.user_id
+                 AND strptime(b.day, '%Y-%m-%d')
+                     = strptime(a.day, '%Y-%m-%d') + INTERVAL 1 DAY
+                GROUP BY a.day
+            ),
+            act AS (SELECT day, COUNT(*) AS active_users FROM du GROUP BY day)
+            SELECT act.day, CAST(active_users AS BIGINT) AS active_users,
+                   CAST(COALESCE(retained, 0) AS BIGINT) AS retained_next_day,
+                   round_even(COALESCE(retained, 0) / CAST(active_users AS DOUBLE),
+                              4) AS retention_rate
+            FROM act LEFT JOIN ret ON ret.day = act.day ORDER BY act.day
+        """,
+        "funnel_counts": """
+            WITH v AS (
+                SELECT user_id, MIN(ts) AS t FROM events
+                WHERE event_type = 'view' GROUP BY user_id
+            ),
+            c AS (
+                SELECT e.user_id, MIN(e.ts) AS t
+                FROM events e JOIN v ON v.user_id = e.user_id AND e.ts > v.t
+                WHERE e.event_type = 'click' GROUP BY e.user_id
+            ),
+            p AS (
+                SELECT e.user_id, MIN(e.ts) AS t
+                FROM events e JOIN c ON c.user_id = e.user_id AND e.ts > c.t
+                WHERE e.event_type = 'purchase' GROUP BY e.user_id
+            )
+            SELECT * FROM (
+                SELECT CAST(1 AS BIGINT) AS stage_no, 'view' AS stage,
+                       (SELECT COUNT(*) FROM v) AS users
+                UNION ALL SELECT 2, 'click', (SELECT COUNT(*) FROM c)
+                UNION ALL SELECT 3, 'purchase', (SELECT COUNT(*) FROM p)
+            ) ORDER BY stage_no
         """,
         "embedding_norms": """
             SELECT vec_id,

@@ -620,3 +620,106 @@ def hll_daily_users(sf_dir: str):
         return from_pandas_clean(estimate(batch.to_pandas()))
 
     return merged.repartition(1).map_batches(fin, batch_format="pyarrow")
+
+
+def user_retention(sf_dir: str):
+    """Day-over-day retained users, computed WITHOUT a self-join: each
+    distinct (day, user) pair is re-keyed twice — once at its own day
+    ("active here") and once at the previous day ("active tomorrow") — and
+    one grouped max per (day, user) plus one grouped count per day recover
+    |A_d| and |A_d ∩ A_{d+1}|. Both exchanges move at most 2 rows per
+    distinct (day, user), never a row per event, and no side is ever
+    broadcast or joined — the shape a 10^9-user log needs.
+
+    Output: (day, active_users, retained_next_day, retention_rate); the
+    final day's retention is 0 by construction (no next day observed)."""
+    ds = read_table(sf_dir, "events", columns=["ts", "user_id"])
+
+    def rekey(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        day = df["ts"].dt.normalize()
+        pairs = pd.DataFrame(
+            {"day": day, "user_id": df["user_id"]}).drop_duplicates()
+        cur = pd.DataFrame({"day": pairs["day"], "user_id": pairs["user_id"],
+                            "cur": 1, "nxt": 0})
+        prv = pd.DataFrame({"day": pairs["day"] - pd.Timedelta(days=1),
+                            "user_id": pairs["user_id"], "cur": 0, "nxt": 1})
+        out = pd.concat([cur, prv], ignore_index=True)
+        out["day"] = out["day"].dt.strftime("%Y-%m-%d")
+        return from_pandas_clean(out)
+
+    ds = ds.map_batches(rekey, batch_format="pyarrow", zero_copy_batch=True)
+    # per (day,user): was the user active this day / the next day?
+    per_user = grouped_agg(
+        ds, keys=["day", "user_id"],
+        specs=[("cur", "max", "cur"), ("nxt", "max", "nxt")],
+    )
+
+    def to_day(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df = df[df["cur"] > 0]
+        out = pd.DataFrame({"day": df["day"], "active": 1, "retained": df["nxt"]})
+        return from_pandas_clean(out)
+
+    per_day = per_user.map_batches(to_day, batch_format="pyarrow")
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        df["retention_rate"] = (df["retained_next_day"] / df["active_users"]).round(4)
+        return df.sort_values("day").reset_index(drop=True)
+
+    return grouped_agg(
+        per_day, keys=["day"],
+        specs=[("active_users", "sum", "active"),
+               ("retained_next_day", "sum", "retained")],
+        finalize=fin,
+    )
+
+
+FUNNEL_STAGES = ("view", "click", "purchase")
+FUNNEL_PARTS = 64
+
+
+def funnel_counts(sf_dir: str):
+    """Ordered conversion funnel view → click → purchase: a user reaches
+    stage k+1 only with an event strictly AFTER their stage-k time (min
+    view time, then min click after it, then min purchase after that).
+
+    The sequential dependency makes the per-user state non-mergeable, so
+    events co-partition by ``user_id % FUNNEL_PARTS`` (same salted-key rule
+    as user_sessions: Python-call count bounded by FUNNEL_PARTS, not the
+    user count) and each partition resolves its users with three vectorized
+    pandas merges — no per-user Python loop. Partitions emit per-stage
+    partial counts; one tiny grouped sum finishes."""
+    ds = read_table(sf_dir, "events", columns=["user_id", "ts", "event_type"])
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        uid = batch.column("user_id").combine_chunks().to_numpy(zero_copy_only=False)
+        return batch.append_column("upart", pa.array(uid % FUNNEL_PARTS, pa.int64()))
+
+    ds = ds.map_batches(add_part, batch_format="pyarrow", zero_copy_batch=True)
+
+    def funnel_part(group: pa.Table) -> pa.Table:
+        df = group.to_pandas()
+        reached = pd.DataFrame({"user_id": df["user_id"].unique()})
+        reached["t"] = pd.Timestamp.min  # stage-0 anchor: any event qualifies
+        counts = []
+        for stage in FUNNEL_STAGES:
+            ev = df[df["event_type"] == stage][["user_id", "ts"]]
+            m = ev.merge(reached, on="user_id", how="inner")
+            m = m[m["ts"] > m["t"]]
+            reached = (m.groupby("user_id", as_index=False)["ts"].min()
+                       .rename(columns={"ts": "t"}))
+            counts.append(len(reached))
+        return pa.table(
+            {"stage_no": pa.array(range(1, len(FUNNEL_STAGES) + 1), pa.int64()),
+             "stage": pa.array(list(FUNNEL_STAGES), pa.string()),
+             "users": pa.array(counts, pa.int64())}
+        )
+
+    grouped = ds.groupby("upart").map_groups(funnel_part, batch_format="pyarrow")
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values("stage_no").reset_index(drop=True)
+
+    return grouped_agg(grouped, keys=["stage_no", "stage"],
+                       specs=[("users", "sum", "users")], finalize=fin)

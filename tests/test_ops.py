@@ -1053,3 +1053,34 @@ def test_hll_daily_users_tracks_exact(ray_session):
     # deterministic across runs (register merge is a max — order-free)
     again = _df(hll_daily_users(SF)).set_index("day")
     assert hll.sort_index().equals(again.sort_index())
+
+
+def test_user_retention_invariants(ray_session):
+    from ocr_ray.ops.relational import daily_active_users, user_retention
+
+    ret = _df(user_retention(SF)).set_index("day")
+    dau = _df(daily_active_users(SF)).set_index("day")
+    assert set(ret.index) == set(dau.index)
+    # active side must agree exactly with the exact-distinct twin
+    assert (ret["active_users"] == dau["active_users"]).all()
+    assert (ret["retained_next_day"] <= ret["active_users"]).all()
+    # last observed day has no next day -> retention 0 by construction
+    assert ret.loc[max(ret.index), "retained_next_day"] == 0
+    assert ((ret["retention_rate"] >= 0) & (ret["retention_rate"] <= 1)).all()
+
+
+def test_funnel_counts_monotone(ray_session):
+    import duckdb
+
+    from ocr_ray.ops.relational import funnel_counts
+
+    df = _df(funnel_counts(SF)).sort_values("stage_no")
+    assert list(df["stage"]) == ["view", "click", "purchase"]
+    # funnel counts can only shrink stage to stage
+    assert df["users"].is_monotonic_decreasing
+    # stage 1 is exactly the distinct users with a view event
+    n_view = duckdb.sql(
+        f"SELECT count(DISTINCT user_id) FROM read_parquet('{SF}/events.parquet') "
+        "WHERE event_type = 'view'"
+    ).fetchone()[0]
+    assert df.iloc[0]["users"] == n_view
