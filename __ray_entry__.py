@@ -43,6 +43,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # end of their group.
     return {
         # ---- round-4 additions (newest first)
+        "pmi_bigrams": d_ops.pmi_bigrams,
+        "phrase_search": d_ops.phrase_search,
+        "heavy_hitters": d_ops.heavy_hitters,
         "user_retention": r_ops.user_retention,
         "funnel_counts": r_ops.funnel_counts,
         "hll_daily_users": r_ops.hll_daily_users,
@@ -392,6 +395,70 @@ def _base_oracle_sql() -> dict[str, str]:
                    round_even(COALESCE(agg.s, 0.0), 4) AS avg_neg_logprob
             FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
             ORDER BY d.doc_id
+        """,
+        # PMI ln-chain is the identical left-assoc expression as the Ray
+        # side (no data-dependent summation order → bit-identical doubles)
+        "pmi_bigrams": f"""
+            WITH d AS (
+                SELECT regexp_extract_all(text, '\\S+') AS toks FROM documents
+            ),
+            uni AS (
+                SELECT u.w AS a, COUNT(*) AS n
+                FROM d, LATERAL unnest(toks) AS u(w) GROUP BY u.w
+            ),
+            bi AS (
+                SELECT u.p[1] AS a, u.p[2] AS b, COUNT(*) AS n
+                FROM d, LATERAL unnest(list_zip(toks, toks[2:])) AS u(p)
+                WHERE u.p[2] IS NOT NULL GROUP BY 1, 2
+            ),
+            tot AS (
+                SELECT (SELECT SUM(n) FROM uni) AS nuni,
+                       (SELECT SUM(n) FROM bi) AS nbi
+            ),
+            vocab AS (
+                SELECT a, n FROM uni ORDER BY n DESC, a LIMIT {d_ops.PMI_VOCAB}
+            )
+            SELECT bi.a, bi.b, CAST(bi.n AS BIGINT) AS n,
+                   round_even(
+                       ((((ln(CAST(bi.n AS DOUBLE))
+                           - ln(CAST(tot.nbi AS DOUBLE)))
+                          - ln(CAST(va.n AS DOUBLE)))
+                         - ln(CAST(vb.n AS DOUBLE)))
+                        + ln(CAST(tot.nuni AS DOUBLE)))
+                       + ln(CAST(tot.nuni AS DOUBLE)), 6) AS pmi
+            FROM bi
+            JOIN vocab va ON bi.a = va.a
+            JOIN vocab vb ON bi.b = vb.a
+            CROSS JOIN tot
+            WHERE bi.n >= {d_ops.PMI_MIN_COUNT}
+            ORDER BY pmi DESC, bi.a, bi.b LIMIT {d_ops.PMI_TOP_PAIRS}
+        """,
+        # 1-based positions on both sides (DuckDB lists are 1-indexed)
+        "phrase_search": f"""
+            WITH d AS (
+                SELECT doc_id, regexp_extract_all(text, '\\S+') AS toks
+                FROM documents
+            ),
+            hits AS (
+                SELECT doc_id,
+                       list_filter(
+                           range(1, len(toks) - 1),
+                           i -> toks[i] = '{d_ops.PHRASE_QUERY[0]}'
+                            AND toks[i + 1] = '{d_ops.PHRASE_QUERY[1]}'
+                            AND toks[i + 2] = '{d_ops.PHRASE_QUERY[2]}') AS pos
+                FROM d
+            )
+            SELECT doc_id, CAST(len(pos) AS BIGINT) AS n_hits,
+                   CAST(pos[1] AS BIGINT) AS first_pos
+            FROM hits WHERE len(pos) > 0 ORDER BY doc_id
+        """,
+        # exact top-k with NO sketch: green gate proves the engine's
+        # Misra-Gries candidate pass covered the true answer
+        "heavy_hitters": f"""
+            SELECT u.w AS word, CAST(COUNT(*) AS BIGINT) AS n
+            FROM documents,
+                 LATERAL unnest(regexp_extract_all(text, '\\S+')) AS u(w)
+            GROUP BY u.w ORDER BY n DESC, word LIMIT {d_ops.HH_TOP_K}
         """,
         # adjacent-pair counts: toks[2:] shifts the list by one, list_zip
         # pads the tail with NULL (dropped) — same pairs as python zip()

@@ -118,3 +118,34 @@ def simhash64(text: str) -> int:
 
 def hamming64(a: int, b: int) -> int:
     return bin(a ^ b).count("1")
+
+
+def misra_gries(tokens, capacity: int) -> dict[str, int]:
+    """Misra–Gries frequent-items summary (Misra & Gries 1982): at most
+    ``capacity`` counters; every item with true frequency > n/(capacity+1)
+    survives with a retained count that UNDER-estimates its true count by at
+    most n/(capacity+1). Deterministic: the decrement step is a pure
+    function of the stream prefix, so identical inputs give identical
+    summaries on every worker.
+
+    Used as the per-block combiner of the sketch-then-verify heavy-hitters
+    operator (ops.documents.heavy_hitters); the exactness of the final
+    answer comes from the verify pass, not from this bound."""
+    counters: dict[str, int] = {}
+    for tok in tokens:
+        c = counters.get(tok)
+        if c is not None:
+            counters[tok] = c + 1
+        elif len(counters) < capacity:
+            counters[tok] = 1
+        else:
+            # decrement-all; drop zeros (the classic O(capacity) step,
+            # amortized O(1) per stream item)
+            dead = []
+            for k in counters:
+                counters[k] -= 1
+                if counters[k] == 0:
+                    dead.append(k)
+            for k in dead:
+                del counters[k]
+    return counters

@@ -1493,3 +1493,224 @@ def bm25_scores(sf_dir: str):
         )
 
     return ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ------------------------------------- collocations / phrase / heavy hitters
+
+PMI_TOP_PAIRS = 100
+PMI_MIN_COUNT = 5
+PMI_VOCAB = 5000
+PHRASE_QUERY = ("slow", "hash", "batch")
+HH_TOP_K = 20
+HH_CAPACITY = 256
+
+
+def pmi_bigrams(sf_dir: str, top_k: int = PMI_TOP_PAIRS):
+    """PMI collocation mining (Church & Hanks 1990; the WIMBD-style corpus
+    analysis): top-k adjacent word pairs by pointwise mutual information,
+    restricted to the top-PMI_VOCAB unigram vocabulary and pairs with
+    count >= PMI_MIN_COUNT.
+
+    Scale shape: ONE tagged-union combiner pass — per-batch unigram AND
+    bigram partial counts ride the SAME exchange (unigrams tagged b='',
+    which is never a \\S+ token), so the corpus is read once and the
+    all-to-all moves one row per distinct (batch x gram). The aggregated
+    table is vocab^2-bounded, NOT corpus-bounded, so materializing it once
+    (it feeds totals, the vocab slice, and scoring) is heap-safe at any
+    corpus size. Vocab counts broadcast once via ray.put; scoring is
+    shuffle-free. PMI is a fixed left-assoc ln chain rounded to 6 so the
+    SQL twin is bit-identical (no data-dependent summation order)."""
+    import math
+
+    ds = read_table(sf_dir, "documents", columns=["text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        uni: dict[str, int] = {}
+        bi: dict[tuple[str, str], int] = {}
+        for text in batch.column("text").to_pylist():
+            ws = text.split()
+            for w in ws:
+                uni[w] = uni.get(w, 0) + 1
+            for p in zip(ws, ws[1:]):
+                bi[p] = bi.get(p, 0) + 1
+        a = list(uni.keys()) + [p[0] for p in bi]
+        b = [""] * len(uni) + [p[1] for p in bi]
+        n = list(uni.values()) + list(bi.values())
+        return pa.table(
+            {"a": pa.array(a, pa.string()), "b": pa.array(b, pa.string()),
+             "n": pa.array(n, pa.int64())}
+        )
+
+    counts = grouped_agg(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        keys=["a", "b"],
+        specs=[("n", "sum", "n")],
+    ).materialize()  # vocab^2-bounded post-aggregate table (see docstring)
+
+    def totals(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        is_uni = pc.equal(batch.column("b"), "")
+        n = batch.column("n")
+        return pa.table(
+            {"nuni": pa.array(
+                [pc.sum(pc.if_else(is_uni, n, 0)).as_py() or 0], pa.int64()),
+             "nbi": pa.array(
+                [pc.sum(pc.if_else(is_uni, 0, n)).as_py() or 0], pa.int64())}
+        )
+
+    tot = counts.map_batches(totals, batch_format="pyarrow").take_all()
+    nuni = sum(r["nuni"] for r in tot)
+    nbi = sum(r["nbi"] for r in tot)
+
+    def unigrams_only(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return batch.filter(pc.equal(batch.column("b"), ""))
+
+    vocab_rows = (
+        counts.map_batches(unigrams_only, batch_format="pyarrow")
+        .sort(["n", "a"], descending=[True, False])
+        .limit(PMI_VOCAB)
+        .take_all()
+    )
+    vocab_ref = ray.put({r["a"]: r["n"] for r in vocab_rows})
+
+    def score(batch: pa.Table) -> pa.Table:
+        look: dict[str, int] = ray.get(vocab_ref)
+        out_a, out_b, out_n, out_p = [], [], [], []
+        for a, b, n in zip(
+            batch.column("a").to_pylist(),
+            batch.column("b").to_pylist(),
+            batch.column("n").to_pylist(),
+        ):
+            if b == "" or n < PMI_MIN_COUNT:
+                continue
+            na = look.get(a)
+            nb = look.get(b)
+            if na is None or nb is None:
+                continue
+            # left-assoc chain mirrors the SQL expression exactly
+            pmi = (
+                ((((math.log(float(n)) - math.log(float(nbi)))
+                   - math.log(float(na))) - math.log(float(nb)))
+                 + math.log(float(nuni))) + math.log(float(nuni))
+            )
+            out_a.append(a)
+            out_b.append(b)
+            out_n.append(n)
+            out_p.append(round(pmi, 6))
+        return pa.table(
+            {"a": pa.array(out_a, pa.string()), "b": pa.array(out_b, pa.string()),
+             "n": pa.array(out_n, pa.int64()), "pmi": pa.array(out_p, pa.float64())}
+        )
+
+    return (
+        counts.map_batches(score, batch_format="pyarrow")
+        .sort(["pmi", "a", "b"], descending=[True, False, False])
+        .limit(top_k)
+    )
+
+
+def phrase_search(sf_dir: str, phrase: tuple[str, ...] = PHRASE_QUERY):
+    """Exact-phrase scan over the token stream (the retrieval-side 'grep
+    the corpus'): emits only matching docs with overlapping-occurrence
+    count and the first match position (1-based token index, matching the
+    SQL twin's 1-based list indexing).
+
+    Scale shape: shuffle-free single streaming pass; the phrase is a
+    constant closed over by the batch fn (no broadcast needed for a
+    few-token query). A positional-index join would pay an exchange to
+    answer ONE query; a streaming scan is the right plan unless the query
+    set is large enough to amortize the index build."""
+    k = len(phrase)
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def f(batch: pa.Table) -> pa.Table:
+        out_id, out_n, out_p = [], [], []
+        for doc_id, text in zip(
+            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+        ):
+            ws = text.split()
+            hits = [
+                i + 1
+                for i in range(len(ws) - k + 1)
+                if all(ws[i + j] == phrase[j] for j in range(k))
+            ]
+            if hits:
+                out_id.append(doc_id)
+                out_n.append(len(hits))
+                out_p.append(hits[0])
+        return pa.table(
+            {"doc_id": pa.array(out_id, pa.int64()),
+             "n_hits": pa.array(out_n, pa.int64()),
+             "first_pos": pa.array(out_p, pa.int64())}
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def heavy_hitters(sf_dir: str, k: int = HH_TOP_K):
+    """EXACT top-k words by the sketch-then-verify pattern: (1) per-block
+    Misra-Gries summaries (capacity HH_CAPACITY) whose survivors' retained
+    counts are summed in ONE small grouped exchange, top-HH_CAPACITY rows
+    by retained count forming the candidate set — recall holds whenever
+    each true top-k word exceeds block_tokens/(capacity+1) in at least one
+    block (pigeonhole over the MG bound; enormous margin for Zipfian word
+    distributions, where the rank-k share is ~share(1)/k >> 1/capacity);
+    (2) candidates broadcast via ray.put, one shuffle-free exact-count
+    pass restricted to candidates, tiny grouped sum, deterministic top-k.
+
+    The exchanges move at most capacity rows per block (pass 1) and
+    |candidates| rows per block (pass 2) — never the token stream. The
+    oracle recomputes the exact top-k with no sketch, so the gate proves
+    the candidate set covered the answer."""
+    ds = read_table(sf_dir, "documents", columns=["text"])
+
+    def mg_partial(batch: pa.Table) -> pa.Table:
+        def tokens():
+            for text in batch.column("text").to_pylist():
+                yield from text.split()
+
+        summary = sketches.misra_gries(tokens(), HH_CAPACITY)
+        return pa.table(
+            {"w": pa.array(list(summary.keys()), pa.string()),
+             "c": pa.array(list(summary.values()), pa.int64())}
+        )
+
+    candidates = (
+        grouped_agg(
+            ds.map_batches(mg_partial, batch_format="pyarrow", zero_copy_batch=True),
+            keys=["w"],
+            specs=[("c", "sum", "c")],
+        )
+        .sort(["c", "w"], descending=[True, False])
+        .limit(HH_CAPACITY)
+        .take_all()
+    )
+    cand_ref = ray.put(frozenset(r["w"] for r in candidates))
+
+    def exact_partial(batch: pa.Table) -> pa.Table:
+        cand = ray.get(cand_ref)
+        counts: dict[str, int] = {}
+        for text in batch.column("text").to_pylist():
+            for w in text.split():
+                if w in cand:
+                    counts[w] = counts.get(w, 0) + 1
+        return pa.table(
+            {"word": pa.array(list(counts.keys()), pa.string()),
+             "n": pa.array(list(counts.values()), pa.int64())}
+        )
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["n", "word"], ascending=[False, True]).head(k)
+        return df.reset_index(drop=True)
+
+    return grouped_agg(
+        read_table(sf_dir, "documents", columns=["text"]).map_batches(
+            exact_partial, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        keys=["word"],
+        specs=[("n", "sum", "n")],
+        finalize=fin,
+    )

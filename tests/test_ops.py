@@ -1084,3 +1084,114 @@ def test_funnel_counts_monotone(ray_session):
         "WHERE event_type = 'view'"
     ).fetchone()[0]
     assert df.iloc[0]["users"] == n_view
+
+
+def test_misra_gries_bound_and_superset():
+    """Kernel: MG retained counts under-estimate by at most n/(capacity+1),
+    and every item above that threshold survives — on a skewed stream whose
+    distinct count EXCEEDS the capacity (so the decrement path runs)."""
+    from collections import Counter
+
+    from ocr_ray.kernels.sketches import misra_gries
+
+    # 5 heavy items + 200 singletons, capacity 16 << 205 distinct
+    stream = []
+    for i in range(5):
+        stream += [f"hot{i}"] * (50 - 5 * i)
+    stream += [f"cold{j}" for j in range(200)]
+    # deterministic interleave so decrements hit mid-stream
+    stream = [stream[i] for i in range(0, len(stream), 2)] + [
+        stream[i] for i in range(1, len(stream), 2)
+    ]
+    cap = 16
+    mg = misra_gries(iter(stream), cap)
+    assert len(mg) <= cap
+    true = Counter(stream)
+    bound = len(stream) / (cap + 1)
+    for w, c in true.items():
+        if c > bound:
+            assert w in mg, f"heavy item {w} ({c} > {bound}) evicted"
+    for w, c in mg.items():
+        assert c <= true[w]
+        assert true[w] - c <= bound
+
+
+def test_heavy_hitters_exact_topk(ray_session):
+    """Sketch-then-verify returns the EXACT top-k (counts and cut), equal
+    to a single-process Counter over the same table."""
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+
+    from ocr_ray.ops.documents import HH_TOP_K, heavy_hitters
+
+    got = _df(heavy_hitters(SF))
+    cnt: Counter = Counter()
+    for t in pq.read_table(f"{SF}/documents.parquet", columns=["text"]) \
+            .column("text").to_pylist():
+        cnt.update(t.split())
+    want = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:HH_TOP_K]
+    assert [(r.word, r.n) for r in got.itertuples(index=False)] == want
+
+
+def test_pmi_bigrams_recompute(ray_session):
+    """PMI rows recompute exactly from local unigram/bigram counts with the
+    same ln chain, and the top-k cut is the (pmi desc, a, b) order."""
+    import math
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+
+    from ocr_ray.ops.documents import (
+        PMI_MIN_COUNT, PMI_TOP_PAIRS, PMI_VOCAB, pmi_bigrams,
+    )
+
+    got = _df(pmi_bigrams(SF))
+    uni: Counter = Counter()
+    bi: Counter = Counter()
+    for t in pq.read_table(f"{SF}/documents.parquet", columns=["text"]) \
+            .column("text").to_pylist():
+        ws = t.split()
+        uni.update(ws)
+        bi.update(zip(ws, ws[1:]))
+    nuni, nbi = sum(uni.values()), sum(bi.values())
+    vocab = dict(sorted(uni.items(), key=lambda kv: (-kv[1], kv[0]))[:PMI_VOCAB])
+    rows = []
+    for (a, b), n in bi.items():
+        if n < PMI_MIN_COUNT or a not in vocab or b not in vocab:
+            continue
+        pmi = (
+            ((((math.log(float(n)) - math.log(float(nbi)))
+               - math.log(float(vocab[a]))) - math.log(float(vocab[b])))
+             + math.log(float(nuni))) + math.log(float(nuni))
+        )
+        rows.append((a, b, n, round(pmi, 6)))
+    rows.sort(key=lambda r: (-r[3], r[0], r[1]))
+    want = rows[:PMI_TOP_PAIRS]
+    assert [(r.a, r.b, r.n, r.pmi) for r in got.itertuples(index=False)] == want
+
+
+def test_phrase_search_positions(ray_session):
+    """Phrase hits: every reported doc contains the phrase at first_pos
+    (1-based), n_hits counts overlapping starts, and no matching doc is
+    missed."""
+    import pyarrow.parquet as pq
+
+    from ocr_ray.ops.documents import PHRASE_QUERY, phrase_search
+
+    df = _df(phrase_search(SF))
+    got = (df if not df.empty else pd.DataFrame(
+        columns=["doc_id", "n_hits", "first_pos"])).set_index("doc_id")
+    k = len(PHRASE_QUERY)
+    tbl = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    for doc_id, text in zip(tbl.column("doc_id").to_pylist(),
+                            tbl.column("text").to_pylist()):
+        ws = text.split()
+        hits = [i + 1 for i in range(len(ws) - k + 1)
+                if tuple(ws[i:i + k]) == PHRASE_QUERY]
+        if hits:
+            assert doc_id in got.index
+            assert got.loc[doc_id, "n_hits"] == len(hits)
+            assert got.loc[doc_id, "first_pos"] == hits[0]
+        else:
+            assert doc_id not in got.index
