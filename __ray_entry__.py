@@ -43,6 +43,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # end of their group.
     return {
         # ---- round-4 additions (newest first)
+        "shipping_priority": r_ops.shipping_priority,
+        "jsonl_export": d_ops.jsonl_export,
         "pmi_bigrams": d_ops.pmi_bigrams,
         "phrase_search": d_ops.phrase_search,
         "heavy_hitters": d_ops.heavy_hitters,
@@ -395,6 +397,33 @@ def _base_oracle_sql() -> dict[str, str]:
                    round_even(COALESCE(agg.s, 0.0), 4) AS avg_neg_logprob
             FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
             ORDER BY d.doc_id
+        """,
+        # revenue is an exact int64 in 1e-4 currency units on both sides;
+        # the final /10000.0 maps equal ints to bit-identical doubles
+        "shipping_priority": f"""
+            WITH rev AS (
+                SELECT l_orderkey,
+                       SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+                           * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                           AS rev4
+                FROM lineitem
+                WHERE l_shipdate > TIMESTAMP '{r_ops.Q3_DATE}'
+                GROUP BY l_orderkey
+            )
+            SELECT o.o_orderkey, o.o_orderdate, o.o_orderpriority,
+                   rev.rev4 / 10000.0 AS revenue
+            FROM orders o
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN rev ON rev.l_orderkey = o.o_orderkey
+            WHERE c.c_mktsegment = '{r_ops.Q3_SEGMENT}'
+              AND o.o_orderdate < TIMESTAMP '{r_ops.Q3_DATE}'
+            ORDER BY revenue DESC, o.o_orderkey LIMIT 10
+        """,
+        # recomputed from the SOURCE table — the engine recomputes the same
+        # projection from the re-read JSONL shards (round-trip proof)
+        "jsonl_export": """
+            SELECT doc_id, lang, n_chars, md5(text) AS text_md5
+            FROM documents ORDER BY doc_id
         """,
         # PMI ln-chain is the identical left-assoc expression as the Ray
         # side (no data-dependent summation order → bit-identical doubles)

@@ -1714,3 +1714,48 @@ def heavy_hitters(sf_dir: str, k: int = HH_TOP_K):
         specs=[("n", "sum", "n")],
         finalize=fin,
     )
+
+
+def jsonl_export(sf_dir: str):
+    """Training-corpus JSONL export with a ROUND-TRIP proof: stream every
+    document row to newline-delimited JSON shards (sinks.jsonl_sink — the
+    format LLM trainers consume), read the shards BACK with
+    ray.data.read_json, and return per-doc (doc_id, lang, n_chars,
+    text_md5) recomputed FROM THE RE-READ BYTES. The oracle recomputes the
+    identical projection (DuckDB md5) from the source table, so a green
+    gate proves the export is lossless — text content included — not just
+    row-count-preserving.
+
+    Scale shape: shuffle-free streamed write (one shard per input block,
+    written by the block's own task; only tiny ack rows return), then a
+    fresh streaming scan of the shards; nothing corpus-sized touches the
+    driver."""
+    import shutil
+    import zlib
+
+    from ..sinks.jsonl_sink import write_jsonl
+
+    out_dir = f"/tmp/ocr_ray_jsonl/{zlib.crc32(sf_dir.encode()):08x}"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    ds = read_table(
+        sf_dir, "documents",
+        columns=["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    acks = write_jsonl(ds, out_dir).materialize()  # barrier: shards visible
+    assert acks.count() > 0
+
+    back = ray.data.read_json(out_dir)
+
+    def project(batch: pa.Table) -> pa.Table:
+        md5s = [
+            hashlib.md5(t.encode("utf-8")).hexdigest()
+            for t in batch.column("text").to_pylist()
+        ]
+        return pa.table(
+            {"doc_id": batch.column("doc_id").cast(pa.int64()),
+             "lang": batch.column("lang"),
+             "n_chars": batch.column("n_chars").cast(pa.int64()),
+             "text_md5": pa.array(md5s, pa.string())}
+        )
+
+    return back.map_batches(project, batch_format="pyarrow")

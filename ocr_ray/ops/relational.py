@@ -723,3 +723,108 @@ def funnel_counts(sf_dir: str):
 
     return grouped_agg(grouped, keys=["stage_no", "stage"],
                        specs=[("users", "sum", "users")], finalize=fin)
+
+
+Q3_SEGMENT = "BUILDING"
+Q3_DATE = "1998-07-01"
+
+
+def shipping_priority(sf_dir: str, k: int = 10):
+    """TPC-H Q3 shape (customer ⋈ orders ⋈ lineitem, top-k unshipped-order
+    revenue): the one multi-way join the relational suite lacked.
+
+    Scale shape — every classic join optimization in one plan:
+    - the customer dimension filters to one segment and broadcasts as a
+      key SET via ray.put (broadcast semi-join; the fact scan never
+      shuffles for the small side);
+    - both fact scans push their date predicate into the parquet read
+      (row-group pruning, no post-hoc filter stage);
+    - lineitem revenue partial-aggregates by l_orderkey BEFORE the join
+      (combiner), so the single all-to-all carries one row per qualifying
+      order on each side — never a lineitem row;
+    - revenue accumulates in EXACT integer 1e-4 currency units
+      (cents x (100 - discount_pct)), so no float summation order can
+      flip a rounded cent against the oracle.
+    Output: (o_orderkey, o_orderdate, o_orderpriority, revenue) top-k by
+    (revenue desc, o_orderkey)."""
+    import pyarrow.dataset as pads
+
+    from .common import choose_join_parts
+
+    cutoff = pd.Timestamp(Q3_DATE)
+
+    seg_keys = frozenset(
+        r["c_custkey"]
+        for r in read_table(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+        .take_all()
+        if r["c_mktsegment"] == Q3_SEGMENT
+    )
+    seg_ref = ray.put(seg_keys)
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"],
+        filter=pads.field("o_orderdate") < pads.scalar(cutoff),
+    )
+
+    def semi(batch: pa.Table) -> pa.Table:
+        keys = ray.get(seg_ref)
+        mask = pa.array(
+            [c in keys for c in batch.column("o_custkey").to_pylist()], pa.bool_()
+        )
+        # metadata-stripped: the embedded pandas schema dict defeats the
+        # shuffle's schema-dedup cache (see common.from_pandas_clean)
+        return batch.filter(mask).select(
+            ["o_orderkey", "o_orderdate", "o_orderpriority"]
+        ).replace_schema_metadata(None)
+
+    orders = orders.map_batches(semi, batch_format="pyarrow", zero_copy_batch=True)
+
+    lineitem = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+        filter=pads.field("l_shipdate") > pads.scalar(cutoff),
+    )
+
+    def rev_partial(batch: pa.Table) -> pa.Table:
+        # exact integer 1e-4 units: round(price*100) x (100 - round(disc*100))
+        cents = pc.cast(pc.round(pc.multiply(
+            batch.column("l_extendedprice"), 100.0)), pa.int64())
+        dpct = pc.cast(pc.round(pc.multiply(
+            batch.column("l_discount"), 100.0)), pa.int64())
+        rev = pc.multiply(cents, pc.subtract(pa.scalar(100, pa.int64()), dpct))
+        t = pa.table({"l_orderkey": batch.column("l_orderkey"), "rev4": rev})
+        df = t.to_pandas().groupby("l_orderkey", as_index=False)["rev4"].sum()
+        return from_pandas_clean(df)
+
+    revenue = grouped_agg(
+        lineitem.map_batches(rev_partial, batch_format="pyarrow", zero_copy_batch=True),
+        keys=["l_orderkey"],
+        specs=[("rev4", "sum", "rev4")],
+    )
+
+    joined = revenue.join(
+        orders,
+        join_type="inner",
+        num_partitions=choose_join_parts(sf_dir, "orders", floor=4),
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+
+    def shape(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {"o_orderkey": batch.column("l_orderkey"),
+             "o_orderdate": batch.column("o_orderdate"),
+             "o_orderpriority": batch.column("o_orderpriority"),
+             # no rounding: the same exact int64 / 10000.0 is the same
+             # double on both sides (a rounded value could flip half-even
+             # vs half-away at .xx5 against the SQL oracle)
+             "revenue": pc.divide(
+                 pc.cast(batch.column("rev4"), pa.float64()), 10000.0)}
+        )
+
+    return (
+        joined.map_batches(shape, batch_format="pyarrow")
+        .sort(["revenue", "o_orderkey"], descending=[True, False])
+        .limit(k)
+    )

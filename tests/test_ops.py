@@ -1195,3 +1195,60 @@ def test_phrase_search_positions(ray_session):
             assert got.loc[doc_id, "first_pos"] == hits[0]
         else:
             assert doc_id not in got.index
+
+
+def test_shipping_priority_matches_duckdb(ray_session):
+    """The 3-way join plan (broadcast semi-join + pre-aggregated fact join)
+    equals the straightforward SQL join, including the integer-exact
+    revenue and the (revenue desc, orderkey) cut."""
+    import duckdb
+
+    from ocr_ray.ops.relational import Q3_DATE, Q3_SEGMENT, shipping_priority
+
+    got = _df(shipping_priority(SF))
+    con = duckdb.connect()
+    want = con.execute(f"""
+        WITH rev AS (
+            SELECT l_orderkey,
+                   SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+                       * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS rev4
+            FROM read_parquet('{SF}/lineitem.parquet')
+            WHERE l_shipdate > TIMESTAMP '{Q3_DATE}' GROUP BY l_orderkey
+        )
+        SELECT o.o_orderkey, o.o_orderdate, o.o_orderpriority,
+               rev.rev4 / 10000.0 AS revenue
+        FROM read_parquet('{SF}/orders.parquet') o
+        JOIN read_parquet('{SF}/customer.parquet') c ON o.o_custkey = c.c_custkey
+        JOIN rev ON rev.l_orderkey = o.o_orderkey
+        WHERE c.c_mktsegment = '{Q3_SEGMENT}'
+          AND o.o_orderdate < TIMESTAMP '{Q3_DATE}'
+        ORDER BY revenue DESC, o.o_orderkey LIMIT 10
+    """).df()
+    assert len(got) == len(want)
+    got = got.sort_values(["revenue", "o_orderkey"],
+                          ascending=[False, True]).reset_index(drop=True)
+    assert list(got["o_orderkey"]) == list(want["o_orderkey"])
+    assert list(got["revenue"]) == list(want["revenue"])
+    assert list(got["o_orderpriority"]) == list(want["o_orderpriority"])
+
+
+def test_jsonl_export_roundtrip_lossless(ray_session):
+    """The JSONL sink round-trips every document losslessly: the re-read
+    projection (id, lang, n_chars, md5(text)) equals the same projection
+    of the source table, row for row."""
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    from ocr_ray.ops.documents import jsonl_export
+
+    got = _df(jsonl_export(SF)).sort_values("doc_id").reset_index(drop=True)
+    src = pq.read_table(
+        f"{SF}/documents.parquet", columns=["doc_id", "text", "lang", "n_chars"]
+    ).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert len(got) == len(src)
+    assert list(got["doc_id"]) == list(src["doc_id"])
+    assert list(got["lang"]) == list(src["lang"])
+    assert list(got["n_chars"]) == list(src["n_chars"])
+    want_md5 = [hashlib.md5(t.encode()).hexdigest() for t in src["text"]]
+    assert list(got["text_md5"]) == want_md5
