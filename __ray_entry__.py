@@ -43,6 +43,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # end of their group.
     return {
         # ---- round-4 additions (newest first)
+        "audio_window_energy": m_ops.audio_window_energy,
+        "containment_pairs": d_ops.containment_pairs,
         "shipping_priority": r_ops.shipping_priority,
         "jsonl_export": d_ops.jsonl_export,
         "pmi_bigrams": d_ops.pmi_bigrams,

@@ -430,6 +430,30 @@ def _h64(s: str) -> int:
     return int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "big", signed=True)
 
 
+def _window_hash_rows(sf_dir: str):
+    """(doc_id, h) rows — one per DISTINCT SUBSTR_NGRAM-token window per
+    doc, h = signed-int64 md5 prefix (same bits as the oracle's H64S).
+    Shared base of substring_dedup and containment_pairs."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def gram_rows(batch: pa.Table) -> pa.Table:
+        ids: list[int] = []
+        hs: list[int] = []
+        for r in batch.to_pylist():
+            ws = r["text"].lower().split()
+            win = {
+                _h64(" ".join(ws[i:i + SUBSTR_NGRAM]))
+                for i in range(len(ws) - SUBSTR_NGRAM + 1)
+            }
+            ids.extend([r["doc_id"]] * len(win))
+            hs.extend(win)
+        return pa.table(
+            {"doc_id": pa.array(ids, pa.int64()), "h": pa.array(hs, pa.int64())}
+        )
+
+    return ds.map_batches(gram_rows, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def substring_dedup(sf_dir: str):
     """Per-document exact-substring duplication profile — the dataflow form
     of ExactSubstr dedup: every SUBSTR_NGRAM-token window hashed to 64 bits,
@@ -448,26 +472,7 @@ def substring_dedup(sf_dir: str):
     never broadcast."""
     import pyarrow.compute as pc
 
-    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
-
-    def gram_rows(batch: pa.Table) -> pa.Table:
-        ids: list[int] = []
-        hs: list[int] = []
-        for r in batch.to_pylist():
-            ws = r["text"].lower().split()
-            win = {
-                _h64(" ".join(ws[i:i + SUBSTR_NGRAM]))
-                for i in range(len(ws) - SUBSTR_NGRAM + 1)
-            }
-            ids.extend([r["doc_id"]] * len(win))
-            hs.extend(win)
-        return pa.table(
-            {"doc_id": pa.array(ids, pa.int64()), "h": pa.array(hs, pa.int64())}
-        )
-
-    pairs = ds.map_batches(
-        gram_rows, batch_format="pyarrow", zero_copy_batch=True
-    ).materialize()
+    pairs = _window_hash_rows(sf_dir).materialize()
 
     totals = grouped_agg(pairs, keys=["doc_id"], specs=[("n_grams", "count", None)])
     dup = grouped_agg(
@@ -1759,3 +1764,78 @@ def jsonl_export(sf_dir: str):
         )
 
     return back.map_batches(project, batch_format="pyarrow")
+
+
+CONTAIN_TAU_BP = 5000  # containment threshold in basis points (0.5)
+
+
+def containment_pairs(sf_dir: str):
+    """Directed containment (quote / superset) detection: for doc pair
+    (A, B), C(A→B) = |W_A ∩ W_B| / |W_A| over distinct SUBSTR_NGRAM-token
+    windows — the asymmetric relation Jaccard-LSH structurally misses (a
+    short doc quoted verbatim inside a long one has low Jaccard but
+    containment ≈ 1, so MinHash candidates never surface it). Output:
+    unordered pair + shared-window count + BOTH directed fractions, kept
+    when either direction ≥ CONTAIN_TAU_BP/10000.
+
+    Scale shape: pairs generate per WINDOW bucket (groupby h → cross
+    pairs, deterministic sorted-prefix cap, logged, cap mirrored in the
+    oracle), so only int64 id pairs cross any exchange; shared counts
+    reduce by grouped sum; per-doc totals join back on doc_id. The
+    threshold test runs in EXACT integer basis points and the reported
+    fractions use integer half-even rounding, so no float divides the
+    engine from the SQL twin."""
+    grams = _window_hash_rows(sf_dir).materialize()  # feeds pairs + totals
+
+    def bucket_pairs(group: pa.Table) -> pa.Table:
+        ids = sorted(set(group.column("doc_id").to_pylist()))
+        keep = cap_bucket_members(
+            len(ids), "containment",
+            group.column("h")[0].as_py() if group.num_rows else None)
+        ids = ids[:keep]
+        out_a: list[int] = []
+        out_b: list[int] = []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                out_a.append(ids[i])
+                out_b.append(ids[j])
+        return pa.table(
+            {"doc_a": pa.array(out_a, pa.int64()),
+             "doc_b": pa.array(out_b, pa.int64())}
+        )
+
+    shared = grouped_agg(
+        grams.groupby("h").map_groups(bucket_pairs, batch_format="pyarrow"),
+        keys=["doc_a", "doc_b"],
+        specs=[("n_shared", "count", None)],
+    )
+    totals = grouped_agg(grams, keys=["doc_id"], specs=[("n_grams", "count", None)])
+
+    parts = choose_join_parts(sf_dir, "documents")
+    joined = shared.join(
+        totals, join_type="inner", num_partitions=parts,
+        on=("doc_a",), right_on=("doc_id",),
+    ).rename_columns({"n_grams": "n_a"}).join(
+        totals, join_type="inner", num_partitions=parts,
+        on=("doc_b",), right_on=("doc_id",),
+    ).rename_columns({"n_grams": "n_b"})
+
+    def shape(batch: pa.Table) -> pa.Table:
+        out = []
+        for r in batch.to_pylist():
+            s, na, nb = r["n_shared"], r["n_a"], r["n_b"]
+            if s * 10000 >= CONTAIN_TAU_BP * na or s * 10000 >= CONTAIN_TAU_BP * nb:
+                out.append(
+                    {"doc_a": r["doc_a"], "doc_b": r["doc_b"], "n_shared": s,
+                     "c_a": _round4_ratio(s, na), "c_b": _round4_ratio(s, nb)}
+                )
+        return pa.Table.from_pylist(
+            out,
+            schema=pa.schema(
+                [pa.field("doc_a", pa.int64()), pa.field("doc_b", pa.int64()),
+                 pa.field("n_shared", pa.int64()), pa.field("c_a", pa.float64()),
+                 pa.field("c_b", pa.float64())]
+            ),
+        )
+
+    return joined.map_batches(shape, batch_format="pyarrow")

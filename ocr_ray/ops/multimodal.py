@@ -447,3 +447,69 @@ def video_frame_sample(sf_dir: str) -> ray.data.Dataset:
         concurrency=small_pool(),
     )
     return out.drop_columns(["mean_lum"])
+
+
+# ------------------------------------------------------------ audio windows
+
+AUDIO_WIN = 256
+
+
+class AudioEnergyWorker:
+    """Actor-pool audio feature extractor: parse the AUD0 container, decode
+    the big-endian PCM16 payload, and emit per-window energy statistics —
+    the windowed-RMS/VAD primitive of a speech-data pipeline. The SQL twin
+    replays the fixture's closed-form sample formula in integer arithmetic,
+    so the gate proves the engine really decoded the stored BYTES (a wrong
+    endianness, offset, or length diverges immediately).
+
+    Scale shape: audio bytes stream zero-copy through the object store and
+    never leave the task — only fixed-width stat rows per window do. Small
+    batches because rows are fat (same sizing rule as the video stage)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        from ..synth_media import parse_audio
+
+        cols: dict[str, list] = {
+            "aud_id": [], "win_idx": [], "n": [], "energy": [], "peak": [],
+        }
+        ids = batch.column("aud_id").to_pylist()
+        for aud, media in zip(ids, batch.column("media").to_pylist()):
+            s = parse_audio(media)
+            for w in range(0, len(s), AUDIO_WIN):
+                win = s[w:w + AUDIO_WIN]
+                cols["aud_id"].append(aud)
+                cols["win_idx"].append(w // AUDIO_WIN)
+                cols["n"].append(len(win))
+                cols["energy"].append(int(np.sum(win.astype(np.int64) ** 2)))
+                cols["peak"].append(int(np.max(np.abs(win))))
+        return pa.table(
+            {"aud_id": pa.array(cols["aud_id"], pa.int64()),
+             "win_idx": pa.array(cols["win_idx"], pa.int64()),
+             "n": pa.array(cols["n"], pa.int64()),
+             "energy": pa.array(cols["energy"], pa.int64()),
+             "peak": pa.array(cols["peak"], pa.int64())}
+        )
+
+
+def audios_corpus(sf_dir: str) -> str:
+    """Tier-sized deterministic audio fixture dir (documents rows // 50)."""
+    from ..synth_media import AUDIOS_PER_DOC_ROWS, audios_dir_for
+    from .extraction_queries import corpus_rows_for
+
+    return audios_dir_for(max(10, corpus_rows_for(sf_dir) // AUDIOS_PER_DOC_ROWS))
+
+
+def audio_window_energy(sf_dir: str) -> ray.data.Dataset:
+    """Per-window PCM energy/peak inventory over the audios table (all
+    integer columns — every emitted value is oracle-exact). Shuffle shape:
+    none (streaming actor-pool map)."""
+    ds = ray.data.read_parquet(audios_corpus(sf_dir), columns=["aud_id", "media"])
+    return ds.map_batches(
+        AudioEnergyWorker,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=VIDEO_BATCH,
+        concurrency=small_pool(),
+    )

@@ -1094,6 +1094,52 @@ def extra_oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         ORDER BY d.doc_id
     """
 
+    # ------------------------------------------- direct: containment_pairs
+    from .documents import CONTAIN_TAU_BP
+
+    def _r4sql(num: str, den: str) -> str:
+        # integer half-even round of num/den to 4 decimals — mirrors
+        # documents._round4_ratio bit for bit
+        q = f"(({num} * 10000) // {den})"
+        r = f"(({num} * 10000) % {den})"
+        return (
+            f"({q} + CASE WHEN 2 * {r} > {den} OR "
+            f"(2 * {r} = {den} AND {q} % 2 = 1) THEN 1 ELSE 0 END) / 10000.0"
+        )
+
+    sql["containment_pairs"] = f"""
+        WITH toks AS (
+            SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS ws
+            FROM documents
+        ),
+        grams AS (
+            SELECT DISTINCT doc_id, {gh} AS h
+            FROM toks,
+                 UNNEST(range(1, greatest(len(ws) - {SUBSTR_NGRAM - 2}, 1))) AS t(i)
+        ),
+        ranked AS (
+            SELECT doc_id, h,
+                   row_number() OVER (PARTITION BY h ORDER BY doc_id) AS rk
+            FROM grams
+        ),
+        kept AS (SELECT doc_id, h FROM ranked WHERE rk <= {_bucket_cap()}),
+        pairs AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+            FROM kept a JOIN kept b ON a.h = b.h AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        ),
+        tot AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id)
+        SELECT p.doc_a, p.doc_b, CAST(p.n_shared AS BIGINT) AS n_shared,
+               {_r4sql('p.n_shared', 'ta.n')} AS c_a,
+               {_r4sql('p.n_shared', 'tb.n')} AS c_b
+        FROM pairs p
+        JOIN tot ta ON ta.doc_id = p.doc_a
+        JOIN tot tb ON tb.doc_id = p.doc_b
+        WHERE p.n_shared * 10000 >= {CONTAIN_TAU_BP} * ta.n
+           OR p.n_shared * 10000 >= {CONTAIN_TAU_BP} * tb.n
+        ORDER BY p.doc_a, p.doc_b
+    """
+
     # --------------------------------------- corpus: url_canonicalize
     sql["url_canonicalize"] = url_canonicalize_sql(f"read_parquet('{corpus_glob}')")
 
@@ -1181,6 +1227,41 @@ def extra_oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
                     CAST(foff * 2 + 41 AS BIGINT), 8))::BIGINT AS height
         FROM offs WHERE frame_idx % {FRAME_SAMPLE_STRIDE} = 0
         ORDER BY vid_id, frame_idx
+    """
+
+    # ---------------------------------------- fixture: audio_window_energy
+    # replay of the fixture's closed-form PCM formula in integer arithmetic
+    # (synth_media.sample_value); the ENGINE computes the same stats from
+    # the decoded AUD0 bytes, so the gate tests the decode, not the formula
+    from .multimodal import AUDIO_WIN, audios_corpus
+
+    audios_glob = f"{audios_corpus(sf_dir)}/*.parquet"
+    sql["audio_window_energy"] = f"""
+        WITH a AS (
+            SELECT aud_id, CAST(n_samples AS BIGINT) AS ns
+            FROM read_parquet('{audios_glob}')
+        ),
+        wins AS (
+            SELECT aud_id, ns, CAST(u.w AS BIGINT) AS win_idx
+            FROM a, LATERAL (
+                SELECT unnest(generate_series(
+                    0, CAST((ns - 1) // {AUDIO_WIN} AS BIGINT))) AS w) u
+        ),
+        vals AS (
+            SELECT aud_id, win_idx,
+                   list_transform(
+                       range(win_idx * {AUDIO_WIN},
+                             least(ns, (win_idx + 1) * {AUDIO_WIN})),
+                       i -> (aud_id * 37 + i * 31 + 17) % 4001 - 2000) AS s
+            FROM wins
+        )
+        SELECT aud_id, win_idx,
+               CAST(len(s) AS BIGINT) AS n,
+               CAST(list_sum(list_transform(s, x -> x * x)) AS BIGINT)
+                   AS energy,
+               CAST(list_max(list_transform(s, x -> abs(x))) AS BIGINT)
+                   AS peak
+        FROM vals ORDER BY aud_id, win_idx
     """
 
     sql.update(golden_oracles(sf_dir))

@@ -100,3 +100,73 @@ def videos_dir_for(n_videos: int, base: str = "/tmp/ocr_ray_videos") -> str:
 
         shutil.rmtree(tmp, ignore_errors=True)  # concurrent builder won
     return out
+
+
+# ------------------------------------------------------------------- audio
+
+AUD_MAGIC = b"AUD0"
+AUDIOS_PER_DOC_ROWS = 50
+AUDIO_RATE = 8000
+
+
+def n_samples_for(aud: int) -> int:
+    """800..1599 samples, deterministic per clip id (forces a partial tail
+    window in the energy op for most clips)."""
+    return 800 + (aud * 7919) % 800
+
+
+def sample_value(aud: int, i: int) -> int:
+    """Closed-form PCM sample in [-2000, 2000] — the formula the SQL oracle
+    replays with integer arithmetic, so the engine's DECODE of the stored
+    bytes is what the correctness gate actually tests."""
+    return (aud * 37 + i * 31 + 17) % 4001 - 2000
+
+
+def encode_audio(aud: int) -> bytes:
+    """b"AUD0" | u32be n_samples | u32be sample_rate | n x s16be PCM."""
+    n = n_samples_for(aud)
+    head = AUD_MAGIC + struct.pack(">II", n, AUDIO_RATE)
+    body = struct.pack(f">{n}h", *(sample_value(aud, i) for i in range(n)))
+    return head + body
+
+
+def parse_audio(data: bytes) -> np.ndarray:
+    """-> int32 sample array; raises on a non-AUD0 payload."""
+    if data[:4] != AUD_MAGIC:
+        raise ValueError("not an AUD0 payload")
+    n, _rate = struct.unpack(">II", data[4:12])
+    if len(data) != 12 + 2 * n:
+        raise ValueError("sample count does not cover the payload")
+    return np.frombuffer(data, dtype=">i2", offset=12).astype(np.int32)
+
+
+def audios_table(n_audios: int) -> pa.Table:
+    return pa.table(
+        {"aud_id": pa.array(range(n_audios), pa.int64()),
+         "media": pa.array([encode_audio(a) for a in range(n_audios)],
+                           pa.binary()),
+         "n_samples": pa.array([n_samples_for(a) for a in range(n_audios)],
+                               pa.int32())}
+    )
+
+
+def audios_dir_for(n_audios: int, base: str = "/tmp/ocr_ray_audios") -> str:
+    """Cached deterministic fixture dir (same atomic-rename idiom as
+    videos_dir_for)."""
+    out = os.path.join(base, str(n_audios))
+    marker = os.path.join(out, "_COMPLETE")
+    if os.path.exists(marker):
+        return out
+    tmp = out + ".tmp"
+    os.makedirs(tmp, exist_ok=True)
+    pq.write_table(audios_table(n_audios), os.path.join(tmp, "audios.parquet"))
+    with open(os.path.join(tmp, "_COMPLETE"), "w") as f:
+        f.write("ok")
+    os.makedirs(os.path.dirname(out), exist_ok=True)
+    try:
+        os.rename(tmp, out)
+    except OSError:
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)  # concurrent builder won
+    return out

@@ -1252,3 +1252,66 @@ def test_jsonl_export_roundtrip_lossless(ray_session):
     assert list(got["n_chars"]) == list(src["n_chars"])
     want_md5 = [hashlib.md5(t.encode()).hexdigest() for t in src["text"]]
     assert list(got["text_md5"]) == want_md5
+
+
+def test_containment_pairs_detects_quotes(ray_session):
+    """A short doc quoted inside a long one must surface with containment
+    ~1 in the SHORT doc's direction, even though pair Jaccard is low —
+    verified on a planted pair recomputed locally."""
+    from collections import defaultdict
+
+    import pyarrow.parquet as pq
+
+    from ocr_ray.ops.documents import (
+        CONTAIN_TAU_BP, SUBSTR_NGRAM, _h64, containment_pairs,
+    )
+
+    got = _df(containment_pairs(SF))
+    # local recompute over the full table
+    grams: dict[int, set] = {}
+    for r in pq.read_table(f"{SF}/documents.parquet",
+                           columns=["doc_id", "text"]).to_pylist():
+        ws = r["text"].lower().split()
+        grams[r["doc_id"]] = {
+            _h64(" ".join(ws[i:i + SUBSTR_NGRAM]))
+            for i in range(len(ws) - SUBSTR_NGRAM + 1)
+        }
+    want = set()
+    ids = sorted(grams)
+    by_h = defaultdict(list)
+    for d in ids:
+        for h in grams[d]:
+            by_h[h].append(d)
+    cand = {(a, b) for ds_ in by_h.values()
+            for i, a in enumerate(ds_) for b in ds_[i + 1:]}
+    for a, b in cand:
+        s = len(grams[a] & grams[b])
+        if (s * 10000 >= CONTAIN_TAU_BP * len(grams[a])
+                or s * 10000 >= CONTAIN_TAU_BP * len(grams[b])):
+            want.add((a, b, s))
+    assert {(r.doc_a, r.doc_b, r.n_shared)
+            for r in got.itertuples(index=False)} == want
+    if len(got):
+        assert ((got["c_a"] >= 0.5) | (got["c_b"] >= 0.5)).all()
+
+
+def test_audio_energy_from_decoded_bytes(ray_session):
+    """Audio stats must come from the DECODED payload: recompute one clip's
+    windows straight from its stored bytes and compare."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from ocr_ray.ops.multimodal import AUDIO_WIN, audio_window_energy, audios_corpus
+    from ocr_ray.synth_media import parse_audio
+
+    got = _df(audio_window_energy(SF))
+    tbl = pq.read_table(f"{audios_corpus(SF)}/audios.parquet").to_pylist()
+    assert len(got) == sum(-(-r["n_samples"] // AUDIO_WIN) for r in tbl)
+    r = tbl[3]
+    s = parse_audio(r["media"])
+    mine = got[got["aud_id"] == r["aud_id"]].sort_values("win_idx")
+    for w, row in enumerate(mine.itertuples(index=False)):
+        win = s[w * AUDIO_WIN:(w + 1) * AUDIO_WIN].astype(np.int64)
+        assert row.n == len(win)
+        assert row.energy == int(np.sum(win ** 2))
+        assert row.peak == int(np.max(np.abs(win)))
