@@ -43,6 +43,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # end of their group.
     return {
         # ---- round-4 additions (newest first)
+        "length_percentiles_by_lang": d_ops.length_percentiles_by_lang,
+        "normalized_dedup": d_ops.normalized_dedup,
         "audio_window_energy": m_ops.audio_window_energy,
         "containment_pairs": d_ops.containment_pairs,
         "shipping_priority": r_ops.shipping_priority,

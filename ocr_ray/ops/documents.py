@@ -1839,3 +1839,110 @@ def containment_pairs(sf_dir: str):
         )
 
     return joined.map_batches(shape, batch_format="pyarrow")
+
+
+def length_percentiles_by_lang(sf_dir: str):
+    """Per-language EXACT percentiles — the grouped form of
+    length_percentiles: the combiner histogram is keyed (lang, n_chars),
+    ONE small grouped sum merges it, and the driver walks each language's
+    tiny histogram. The shuffle moves one row per distinct (lang, length)
+    per block — grouped distributed quantiles with no global sort and no
+    sampling. Same p(q) definition as the global op (smallest v with
+    cumulative count ≥ ceil(q·n_lang), recomputed identically in SQL)."""
+    import math
+
+    import pyarrow.compute as pc
+
+    ds = read_table(sf_dir, "documents", columns=["lang", "n_chars"])
+
+    def hist(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas().groupby(
+            ["lang", "n_chars"], as_index=False).size()
+        return pa.table(
+            {"lang": pa.array(df["lang"], pa.string()),
+             "v": pa.array(df["n_chars"], pa.int64()),
+             "c": pa.array(df["size"], pa.int64())}
+        )
+
+    merged = grouped_agg(
+        ds.map_batches(hist, batch_format="pyarrow", zero_copy_batch=True),
+        keys=["lang", "v"],
+        specs=[("c", "sum", "c")],
+    )
+    by_lang: dict[str, list] = {}
+    for r in merged.take_all():
+        by_lang.setdefault(r["lang"], []).append((r["v"], r["c"]))
+    out_l: list[str] = []
+    out_q: list[float] = []
+    out_v: list[int] = []
+    for lang in sorted(by_lang):
+        rows = sorted(by_lang[lang])
+        n = sum(c for _, c in rows)
+        for q in PERCENTILE_QS:
+            target = math.ceil(q * n)
+            cum = 0
+            for v, c in rows:
+                cum += c
+                if cum >= target:
+                    out_l.append(lang)
+                    out_q.append(q)
+                    out_v.append(int(v))
+                    break
+    return pa.table(
+        {"lang": pa.array(out_l, pa.string()),
+         "q": pa.array(out_q, pa.float64()),
+         "n_chars": pa.array(out_v, pa.int64())}
+    )
+
+
+# whitespace class shared with the SQL twin: RE2's \s is ASCII-only while
+# Python's is unicode-wide, so BOTH sides use this explicit ASCII class
+_NORM_WS_RE = re.compile(r"[ \t\r\n\f\v]+")
+
+
+def normalized_dedup(sf_dir: str):
+    """Dedup robust to case/whitespace jitter — the canonical-form exact
+    dedup CCNet-style pipelines run before near-dedup: canonical text =
+    NFC-normalize → lower → collapse ASCII whitespace runs to one space →
+    trim; groups keyed by md5(canonical). n_variants counts the DISTINCT
+    raw forms folded into each group (n_variants > 1 is precisely what
+    plain exact_dedup misses).
+
+    Scale shape: two tiny hash-row exchanges — (norm_hash, raw_hash)
+    partial-distinct first, then the per-group rollup; text never crosses
+    an exchange."""
+    import unicodedata
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def hash_batch(batch: pa.Table) -> pa.Table:
+        nh: list[str] = []
+        rh: list[str] = []
+        for t in batch.column("text").to_pylist():
+            canon = _NORM_WS_RE.sub(
+                " ", unicodedata.normalize("NFC", t).lower()).strip(" ")
+            nh.append(hashlib.md5(canon.encode("utf-8")).hexdigest())
+            rh.append(hashlib.md5(t.encode("utf-8")).hexdigest())
+        return pa.table(
+            {"norm_hash": pa.array(nh, pa.string()),
+             "raw_hash": pa.array(rh, pa.string()),
+             "doc_id": batch.column("doc_id")}
+        )
+
+    ds = ds.map_batches(hash_batch, batch_format="pyarrow", zero_copy_batch=True)
+    variants = grouped_agg(
+        ds,
+        keys=["norm_hash", "raw_hash"],
+        specs=[("n", "count", None), ("keep", "min", "doc_id")],
+    )
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values("norm_hash").reset_index(drop=True)
+
+    return grouped_agg(
+        variants,
+        keys=["norm_hash"],
+        specs=[("n_copies", "sum", "n"), ("n_variants", "count", None),
+               ("keep_id", "min", "keep")],
+        finalize=fin,
+    )

@@ -701,6 +701,44 @@ def extra_oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         GROUP BY q ORDER BY q
     """
 
+    # ------------------------------- direct: length_percentiles_by_lang
+    sql["length_percentiles_by_lang"] = f"""
+        WITH h AS (
+            SELECT lang, n_chars AS v, CAST(COUNT(*) AS BIGINT) AS c
+            FROM documents GROUP BY 1, 2
+        ),
+        t AS (
+            SELECT lang, v,
+                   SUM(c) OVER (PARTITION BY lang ORDER BY v) AS cum
+            FROM h
+        ),
+        n AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+        qs(q) AS (VALUES {qs_values})
+        SELECT n.lang, q, CAST(MIN(v) AS BIGINT) AS n_chars
+        FROM qs, n JOIN t ON t.lang = n.lang
+        WHERE t.cum >= ceil(q * n.n)
+        GROUP BY n.lang, q ORDER BY n.lang, q
+    """
+
+    # ------------------------------------------ direct: normalized_dedup
+    sql["normalized_dedup"] = """
+        WITH c AS (
+            SELECT doc_id, md5(text) AS raw_hash,
+                   md5(trim(regexp_replace(lower(nfc_normalize(text)),
+                                           '[ \\t\\r\\n\\f\\v]+', ' ', 'g'),
+                            ' ')) AS norm_hash
+            FROM documents
+        ),
+        v AS (
+            SELECT norm_hash, raw_hash, COUNT(*) AS n, MIN(doc_id) AS keep
+            FROM c GROUP BY 1, 2
+        )
+        SELECT norm_hash, CAST(SUM(n) AS BIGINT) AS n_copies,
+               CAST(COUNT(*) AS BIGINT) AS n_variants,
+               MIN(keep) AS keep_id
+        FROM v GROUP BY norm_hash ORDER BY norm_hash
+    """
+
     # --------------------------------------------- artifact: branch_stats
     sql["branch_stats"] = f"""
         SELECT branch, CAST(COUNT(*) AS BIGINT) AS n_docs,

@@ -1315,3 +1315,55 @@ def test_audio_energy_from_decoded_bytes(ray_session):
         assert row.n == len(win)
         assert row.energy == int(np.sum(win ** 2))
         assert row.peak == int(np.max(np.abs(win)))
+
+
+def test_length_percentiles_by_lang_exact(ray_session):
+    """Grouped percentiles equal a per-language numpy recompute of the same
+    smallest-v-with-cum>=ceil(q*n) definition."""
+    import math
+
+    import pyarrow.parquet as pq
+
+    from ocr_ray.ops.documents import PERCENTILE_QS, length_percentiles_by_lang
+
+    got = length_percentiles_by_lang(SF).to_pandas()
+    tbl = pq.read_table(f"{SF}/documents.parquet",
+                        columns=["lang", "n_chars"]).to_pandas()
+    want = []
+    for lang, g in sorted(tbl.groupby("lang")):
+        vals = sorted(g["n_chars"])
+        for q in PERCENTILE_QS:
+            want.append((lang, q, vals[math.ceil(q * len(vals)) - 1]))
+    assert [(r.lang, r.q, r.n_chars) for r in got.itertuples(index=False)] == want
+
+
+def test_normalized_dedup_folds_variants(ray_session):
+    """Groups equal a local recompute of the canonical form; total copies
+    account every doc; n_variants counts distinct raw forms."""
+    import hashlib
+    import unicodedata
+    from collections import defaultdict
+
+    import pyarrow.parquet as pq
+
+    from ocr_ray.ops.documents import _NORM_WS_RE, normalized_dedup
+
+    got = _df(normalized_dedup(SF))
+    groups: dict[str, list] = defaultdict(list)
+    for r in pq.read_table(f"{SF}/documents.parquet",
+                           columns=["doc_id", "text"]).to_pylist():
+        canon = _NORM_WS_RE.sub(
+            " ", unicodedata.normalize("NFC", r["text"]).lower()).strip(" ")
+        groups[hashlib.md5(canon.encode()).hexdigest()].append(r)
+    assert len(got) == len(groups)
+    assert got["n_copies"].sum() == sum(len(v) for v in groups.values())
+    by_hash = got.set_index("norm_hash")
+    for h, rows in groups.items():
+        assert by_hash.loc[h, "n_copies"] == len(rows)
+        assert by_hash.loc[h, "keep_id"] == min(r["doc_id"] for r in rows)
+        raws = {hashlib.md5(r["text"].encode()).hexdigest() for r in rows}
+        assert by_hash.loc[h, "n_variants"] == len(raws)
+    # the canonical fold is strictly coarser than raw md5 grouping
+    from ocr_ray.ops.documents import exact_dedup
+
+    assert len(got) <= len(_df(exact_dedup(SF)))
