@@ -43,6 +43,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # end of their group.
     return {
         # ---- round-4 additions (newest first)
+        "rolling_active_users": r_ops.rolling_active_users,
         "length_percentiles_by_lang": d_ops.length_percentiles_by_lang,
         "normalized_dedup": d_ops.normalized_dedup,
         "audio_window_energy": m_ops.audio_window_energy,
@@ -901,6 +902,29 @@ def _base_oracle_sql() -> dict[str, str]:
                                    ELSE {_hll_raw} END, 4) AS hll_users,
                    CAST(v_zero AS BIGINT) AS v_zero
             FROM est ORDER BY day
+        """,
+        # rolling distinct via the same rekey expansion the engine runs —
+        # window-tail days (no events of their own) are filtered by the
+        # base-day flag on both sides
+        "rolling_active_users": f"""
+            WITH du AS (
+                SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+            ),
+            rk AS (
+                SELECT day + CAST(u.k AS BIGINT) * INTERVAL 1 DAY AS wday,
+                       user_id,
+                       CASE WHEN u.k = 0 THEN 1 ELSE 0 END AS base
+                FROM du, LATERAL unnest(
+                    range(0, {r_ops.ROLLING_WINDOW_DAYS})) AS u(k)
+            ),
+            per_user AS (
+                SELECT wday, user_id, MAX(base) AS base
+                FROM rk GROUP BY wday, user_id
+            )
+            SELECT strftime(wday, '%Y-%m-%d') AS day,
+                   CAST(COUNT(*) AS BIGINT) AS users_7d
+            FROM per_user GROUP BY wday HAVING MAX(base) > 0
+            ORDER BY day
         """,
         "user_retention": """
             WITH du AS (

@@ -828,3 +828,57 @@ def shipping_priority(sf_dir: str, k: int = 10):
         .sort(["revenue", "o_orderkey"], descending=[True, False])
         .limit(k)
     )
+
+
+ROLLING_WINDOW_DAYS = 7
+
+
+def rolling_active_users(sf_dir: str):
+    """Rolling 7-day distinct active users per day, WITHOUT a window
+    function or self-join: every distinct (day, user) pair re-keys to the
+    ROLLING_WINDOW_DAYS window-end days it contributes to (bounded 7x
+    fan-out of the already-distinct pair stream), one grouped max per
+    (window_day, user) dedups a user seen on several days of the same
+    window, one grouped count per day finishes. Exchanges move at most
+    7 rows per distinct (day, user) — never a row per event. Days with no
+    events of their own only exist as window tails, so a base-day flag
+    rides the same exchanges and filters them out at the end (mirrored in
+    the SQL twin)."""
+    ds = read_table(sf_dir, "events", columns=["ts", "user_id"])
+
+    def rekey(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        pairs = pd.DataFrame(
+            {"day": df["ts"].dt.normalize(), "user_id": df["user_id"]}
+        ).drop_duplicates()
+        parts = []
+        for k in range(ROLLING_WINDOW_DAYS):
+            parts.append(pd.DataFrame(
+                {"day": pairs["day"] + pd.Timedelta(days=k),
+                 "user_id": pairs["user_id"],
+                 "base": 1 if k == 0 else 0}))
+        out = pd.concat(parts, ignore_index=True)
+        out["day"] = out["day"].dt.strftime("%Y-%m-%d")
+        return from_pandas_clean(out)
+
+    per_user = grouped_agg(
+        ds.map_batches(rekey, batch_format="pyarrow", zero_copy_batch=True),
+        keys=["day", "user_id"],
+        specs=[("base", "max", "base")],
+    )
+
+    def to_day(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        return from_pandas_clean(
+            pd.DataFrame({"day": df["day"], "u": 1, "base": df["base"]}))
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["day_observed"] > 0].drop(columns=["day_observed"])
+        return df.sort_values("day").reset_index(drop=True)
+
+    return grouped_agg(
+        per_user.map_batches(to_day, batch_format="pyarrow"),
+        keys=["day"],
+        specs=[("users_7d", "sum", "u"), ("day_observed", "max", "base")],
+        finalize=fin,
+    )

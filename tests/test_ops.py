@@ -1367,3 +1367,28 @@ def test_normalized_dedup_folds_variants(ray_session):
     from ocr_ray.ops.documents import exact_dedup
 
     assert len(got) <= len(_df(exact_dedup(SF)))
+
+
+def test_rolling_active_users_window(ray_session):
+    """7-day rolling distinct users equals a pandas recompute, and only
+    observed days appear (no window-tail days)."""
+    import pyarrow.parquet as pq
+
+    from ocr_ray.ops.relational import ROLLING_WINDOW_DAYS, rolling_active_users
+
+    got = _df(rolling_active_users(SF))
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["ts", "user_id"]).to_pandas()
+    ev["day"] = ev["ts"].dt.normalize()
+    pairs = ev[["day", "user_id"]].drop_duplicates()
+    days = sorted(pairs["day"].unique())
+    want = {}
+    for d in days:
+        lo = d - pd.Timedelta(days=ROLLING_WINDOW_DAYS - 1)
+        want[d.strftime("%Y-%m-%d")] = pairs[
+            (pairs["day"] >= lo) & (pairs["day"] <= d)]["user_id"].nunique()
+    assert dict(zip(got["day"], got["users_7d"])) == want
+    # rolling count dominates the daily count everywhere
+    daily = pairs.groupby("day")["user_id"].nunique()
+    for d in days:
+        assert want[d.strftime("%Y-%m-%d")] >= daily[d]
