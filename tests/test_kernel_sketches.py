@@ -74,3 +74,29 @@ def test_winnow_fingerprint_deterministic_and_robust():
     fa = set(textstats.winnow_fingerprint(DOC_A))
     fb = set(textstats.winnow_fingerprint(DOC_B))
     assert len(fa & fb) / len(fa | fb) > 0.5
+
+
+def test_minhash_vectorized_matches_bigint_reference():
+    """The uint64-folded numpy inner product must equal the plain Python
+    big-int formula bit for bit (the SQL oracle replays the same params in
+    HUGEINT, so any divergence here fails the correctness gate too)."""
+    import random
+
+    M = (1 << 61) - 1
+    MAXH = (1 << 32) - 1
+
+    def ref_sig(shingles, num_perm=64, seed=1):
+        params = sketches._minhash_params(num_perm, seed)
+        if not shingles:
+            return [MAXH] * num_perm
+        hashes = [sketches._stable_hash64(s) % M for s in shingles]
+        return [min(((a * h + b) % M) & MAXH for h in hashes)
+                for a, b in params]
+
+    rng = random.Random(7)
+    for _ in range(25):
+        sh = {bytes(rng.randrange(256) for _ in range(rng.randrange(1, 24)))
+              for _ in range(rng.randrange(1, 400))}
+        assert sketches.minhash_signature(sh) == ref_sig(sh)
+    assert sketches.minhash_signature(set()) == [MAXH] * 64
+    assert sketches.minhash_signature({b"x"}) == ref_sig({b"x"})
