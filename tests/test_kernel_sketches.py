@@ -100,3 +100,24 @@ def test_minhash_vectorized_matches_bigint_reference():
         assert sketches.minhash_signature(sh) == ref_sig(sh)
     assert sketches.minhash_signature(set()) == [MAXH] * 64
     assert sketches.minhash_signature({b"x"}) == ref_sig({b"x"})
+
+
+def test_simhash_vectorized_matches_per_bit_reference():
+    """The unpackbits accumulation must equal the per-bit ±1 loop exactly
+    (weights[b] > 0 ⟺ 2·ones[b] > n)."""
+    def ref(text):
+        weights = [0] * 64
+        for token in text.lower().split():
+            h = sketches._stable_hash64(token.encode())
+            for bit in range(64):
+                weights[bit] += 1 if (h >> bit) & 1 else -1
+        out = 0
+        for bit in range(64):
+            if weights[bit] > 0:
+                out |= 1 << bit
+        return out
+
+    cases = ["", "one", "a b a", "The quick brown fox", "x " * 100,
+             "mixed CASE Tokens repeat repeat repeat"]
+    for t in cases:
+        assert sketches.simhash64(t) == ref(t)
