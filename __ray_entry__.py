@@ -43,6 +43,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # end of their group.
     return {
         # ---- round-4 additions (newest first)
+        "novel_near_docs": d_ops.novel_near_docs,
         "rolling_active_users": r_ops.rolling_active_users,
         "length_percentiles_by_lang": d_ops.length_percentiles_by_lang,
         "normalized_dedup": d_ops.normalized_dedup,

@@ -1946,3 +1946,58 @@ def normalized_dedup(sf_dir: str):
                ("keep_id", "min", "keep")],
         finalize=fin,
     )
+
+
+def novel_near_docs(sf_dir: str):
+    """Incremental NEAR-dup novelty — the MinHash extension of novel_docs:
+    the already-ingested half (even doc_ids) streams its 16 LSH band keys
+    into the sharded actor-held index (state.HashIndexShards, the
+    documented raw-actor exception); every doc then probes ALL its band
+    keys. n_known_bands counts collisions with the seen corpus;
+    is_novel ⟺ no band collides, which by the LSH guarantee means no seen
+    doc is near-identical (a true near-dup of anything indexed shares a
+    band with overwhelming probability at 16 bands × 4 rows).
+
+    Shuffle shape: none — both passes are streaming maps; index RPCs batch
+    one call per (batch × shard). Docs with no shingles (< 3 tokens after
+    fold) index nothing and probe nothing: n_known_bands 0, mirrored by
+    the oracle's shingle CTE dropping them. Band-key equality in the
+    engine (blake2b over band idx + chunk) ⟺ the oracle's (band, sig
+    chunk) tuple equality — same identification the LSH pair oracle
+    relies on."""
+    from ..state import HashIndexShards
+
+    index = HashIndexShards(NOVELTY_SHARDS)
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def band_hexes(text: str) -> list[str]:
+        shingles = sketches.word_shingles(text)
+        if not shingles:
+            return []
+        sig = sketches.minhash_signature(shingles, MINHASH_PERMS)
+        return [f"{k:016x}" for k in sketches.minhash_bands(sig, MINHASH_BANDS)]
+
+    def ingest(batch: pa.Table) -> pa.Table:
+        keys: list[str] = []
+        for i, t in zip(batch.column("doc_id").to_pylist(),
+                        batch.column("text").to_pylist()):
+            if i % 2 == 0:
+                keys.extend(band_hexes(t))
+        index.add_batch(keys)
+        return pa.table({"n": pa.array([len(keys)], pa.int64())})
+
+    ds.map_batches(ingest, batch_format="pyarrow", zero_copy_batch=True).materialize()
+
+    def probe(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        per_doc = [band_hexes(t) for t in batch.column("text").to_pylist()]
+        flat = [k for keys in per_doc for k in keys]
+        known_flat = iter(index.contains_batch(flat))
+        n_known = [sum(next(known_flat) for _ in keys) for keys in per_doc]
+        return pa.table(
+            {"doc_id": pa.array(ids, pa.int64()),
+             "n_known_bands": pa.array(n_known, pa.int64()),
+             "is_novel": pa.array([n == 0 for n in n_known], pa.bool_())}
+        )
+
+    return ds.map_batches(probe, batch_format="pyarrow", zero_copy_batch=True)

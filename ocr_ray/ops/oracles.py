@@ -344,6 +344,26 @@ def extra_oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         ORDER BY doc_a, doc_b
     """
 
+    # near-dup novelty vs the even-doc_id seen half: band identity in SQL
+    # is the (band, sig-chunk) tuple — the same identification the LSH
+    # pair oracle uses for the engine's blake2b band keys
+    sql["novel_near_docs"] = f"""
+        WITH {_sketch_ctes()},
+        seen AS (
+            SELECT DISTINCT band, bs FROM bandsig WHERE doc_id % 2 = 0
+        ),
+        hits AS (
+            SELECT b.doc_id, COUNT(*) AS n_known
+            FROM bandsig b JOIN seen s ON s.band = b.band AND s.bs = b.bs
+            GROUP BY b.doc_id
+        )
+        SELECT d.doc_id,
+               CAST(COALESCE(h.n_known, 0) AS BIGINT) AS n_known_bands,
+               COALESCE(h.n_known, 0) = 0 AS is_novel
+        FROM documents d LEFT JOIN hits h USING (doc_id)
+        ORDER BY d.doc_id
+    """
+
     # ------------------------------------------- direct: ngram_verified_pairs
     sql["ngram_verified_pairs"] = f"""
         WITH {_sketch_ctes()},

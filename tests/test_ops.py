@@ -1392,3 +1392,33 @@ def test_rolling_active_users_window(ray_session):
     daily = pairs.groupby("day")["user_id"].nunique()
     for d in days:
         assert want[d.strftime("%Y-%m-%d")] >= daily[d]
+
+
+def test_novel_near_docs_lsh_semantics(ray_session):
+    """Band-novelty invariants: every even (seen-half) doc with shingles is
+    non-novel (it indexed itself); a doc is novel iff NONE of its band keys
+    match any seen doc's — recomputed locally from the same sketches."""
+    import pyarrow.parquet as pq
+
+    from ocr_ray.kernels import sketches
+    from ocr_ray.ops.documents import (
+        MINHASH_BANDS, MINHASH_PERMS, novel_near_docs,
+    )
+
+    got = _df(novel_near_docs(SF)).set_index("doc_id")
+    rows = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["doc_id", "text"]).to_pylist()
+    bands = {}
+    for r in rows:
+        sh = sketches.word_shingles(r["text"])
+        bands[r["doc_id"]] = (
+            set(sketches.minhash_bands(
+                sketches.minhash_signature(sh, MINHASH_PERMS), MINHASH_BANDS))
+            if sh else set()
+        )
+    seen = set().union(*(bands[i] for i in bands if i % 2 == 0))
+    for i, b in bands.items():
+        assert got.loc[i, "n_known_bands"] == len(b & seen)
+        assert bool(got.loc[i, "is_novel"]) == (len(b & seen) == 0)
+        if i % 2 == 0 and b:
+            assert not got.loc[i, "is_novel"]
