@@ -43,6 +43,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # end of their group.
     return {
         # ---- round-4 additions (newest first)
+        "per_lang_sample": d_ops.per_lang_sample,
         "novel_near_docs": d_ops.novel_near_docs,
         "rolling_active_users": r_ops.rolling_active_users,
         "length_percentiles_by_lang": d_ops.length_percentiles_by_lang,
@@ -903,6 +904,21 @@ def _base_oracle_sql() -> dict[str, str]:
                                    ELSE {_hll_raw} END, 4) AS hll_users,
                    CAST(v_zero AS BIGINT) AS v_zero
             FROM est ORDER BY day
+        """,
+        # rank key md5(doc_id-as-string) is seedless and engine-agnostic;
+        # ties impossible (rank includes doc_id)
+        "per_lang_sample": f"""
+            WITH ranked AS (
+                SELECT lang, doc_id,
+                       row_number() OVER (
+                           PARTITION BY lang
+                           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                       ) AS rank
+                FROM documents
+            )
+            SELECT lang, CAST(rank AS BIGINT) AS rank, doc_id
+            FROM ranked WHERE rank <= {d_ops.SAMPLE_PER_LANG}
+            ORDER BY lang, rank
         """,
         # rolling distinct via the same rekey expansion the engine runs —
         # window-tail days (no events of their own) are filtered by the

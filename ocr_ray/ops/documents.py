@@ -2001,3 +2001,44 @@ def novel_near_docs(sf_dir: str):
         )
 
     return ds.map_batches(probe, batch_format="pyarrow", zero_copy_batch=True)
+
+
+SAMPLE_PER_LANG = 50
+
+
+def per_lang_sample(sf_dir: str, k: int = SAMPLE_PER_LANG):
+    """Deterministic per-language k-sample — the balanced eval-set draw:
+    rank = md5(doc_id) as a hex string (uniform, seedless, recomputable in
+    SQL), keep each language's k smallest. Unlike fraction-based
+    stratified_sample this guarantees EXACTLY k per group (or the whole
+    group when smaller).
+
+    Scale shape: the rank key computes shuffle-free; each batch keeps only
+    its per-language top-k candidates (partial top-k combiner), so at most
+    k rows per (lang × block) cross the one exchange; the final per-group
+    cut is a map_groups over l languages — group count is the documented
+    partitioning assumption (languages, not docs)."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "lang"])
+
+    def rank_partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["rk"] = [
+            hashlib.md5(str(i).encode()).hexdigest() for i in df["doc_id"]
+        ]
+        df = df.sort_values(["lang", "rk", "doc_id"]).groupby(
+            "lang", as_index=False).head(k)
+        return pa.Table.from_pandas(
+            df[["lang", "doc_id", "rk"]], preserve_index=False
+        ).replace_schema_metadata(None)
+
+    partials = ds.map_batches(
+        rank_partial, batch_format="pyarrow", zero_copy_batch=True)
+
+    def take_k(group: pa.Table) -> pa.Table:
+        df = group.to_pandas().sort_values(["rk", "doc_id"]).head(k)
+        df["rank"] = range(1, len(df) + 1)
+        return pa.Table.from_pandas(
+            df[["lang", "rank", "doc_id"]], preserve_index=False
+        ).replace_schema_metadata(None)
+
+    return partials.groupby("lang").map_groups(take_k, batch_format="pyarrow")

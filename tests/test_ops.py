@@ -1422,3 +1422,25 @@ def test_novel_near_docs_lsh_semantics(ray_session):
         assert bool(got.loc[i, "is_novel"]) == (len(b & seen) == 0)
         if i % 2 == 0 and b:
             assert not got.loc[i, "is_novel"]
+
+
+def test_per_lang_sample_exact_k(ray_session):
+    """Exactly k per language (or the whole group), ranks contiguous from
+    1, and the cut equals the local md5-order recompute."""
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    from ocr_ray.ops.documents import SAMPLE_PER_LANG, per_lang_sample
+
+    got = _df(per_lang_sample(SF))
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["doc_id", "lang"]).to_pandas()
+    for lang, g in docs.groupby("lang"):
+        mine = got[got["lang"] == lang].sort_values("rank")
+        want = sorted(
+            g["doc_id"],
+            key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i),
+        )[:SAMPLE_PER_LANG]
+        assert list(mine["rank"]) == list(range(1, len(want) + 1))
+        assert list(mine["doc_id"]) == want

@@ -84,3 +84,46 @@ def test_fast_and_dom_parser_agree(tree, segment_box):
 
     hocr = tree_to_hocr(tree)
     assert _fast_parse(hocr, segment_box) == _dom_parse_hocr(hocr, segment_box)
+
+
+# ------------------------------------------------ sketch kernel properties
+
+
+@given(
+    st.lists(st.sampled_from([f"w{i}" for i in range(40)]), max_size=600),
+    st.integers(4, 32),
+)
+@settings(max_examples=60, deadline=None)
+def test_misra_gries_properties(stream, cap):
+    """For ANY stream and capacity: ≤ cap counters, retained ≤ true count,
+    under-estimate ≤ n/(cap+1), and every item above that bound survives."""
+    from collections import Counter
+
+    from ocr_ray.kernels.sketches import misra_gries
+
+    mg = misra_gries(iter(stream), cap)
+    true = Counter(stream)
+    bound = len(stream) / (cap + 1)
+    assert len(mg) <= cap
+    for w, c in mg.items():
+        assert 0 < c <= true[w]
+        assert true[w] - c <= bound
+    for w, c in true.items():
+        if c > bound:
+            assert w in mg
+
+
+@given(st.lists(st.binary(min_size=1, max_size=16), min_size=1,
+                max_size=200, unique=True))
+@settings(max_examples=30, deadline=None)
+def test_minhash_vectorized_property(shingles):
+    """Vectorized signature == big-int reference on arbitrary byte shingles
+    (the hypothesis twin of the fixed-seed agreement test)."""
+    from ocr_ray.kernels import sketches
+
+    M = (1 << 61) - 1
+    maxh = (1 << 32) - 1
+    params = sketches._minhash_params(64, 1)
+    hashes = [sketches._stable_hash64(s) % M for s in shingles]
+    want = [min(((a * h + b) % M) & maxh for h in hashes) for a, b in params]
+    assert sketches.minhash_signature(set(shingles)) == want
