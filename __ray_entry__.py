@@ -43,6 +43,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # end of their group.
     return {
         # ---- round-4 additions (newest first)
+        "domain_blocklist_filter": x_ops.domain_blocklist_filter,
         "per_lang_sample": d_ops.per_lang_sample,
         "novel_near_docs": d_ops.novel_near_docs,
         "rolling_active_users": r_ops.rolling_active_users,

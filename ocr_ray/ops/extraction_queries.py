@@ -1042,3 +1042,51 @@ def url_canonicalize(sf_dir: str) -> ray.data.Dataset:
         )
 
     return ds.map_batches(canon, batch_format="pyarrow", zero_copy_batch=True)
+
+
+BLOCK_TOP_HOSTS = 3
+
+
+def domain_blocklist_filter(sf_dir: str) -> ray.data.Dataset:
+    """Crawl-hygiene domain filter (the UT1-blocklist / over-crawled-domain
+    cap pattern): derive the blocklist IN-QUERY as the BLOCK_TOP_HOSTS most
+    over-represented hosts (count desc, host asc — deterministic), then
+    drop every doc on a blocked host. Output: the retained (url, host)
+    inventory.
+
+    Scale shape: the host census is the skew-proof combiner rollup
+    (one partial row per host per block); only the tiny top-k leaves the
+    cluster and broadcasts back via ray.put — the blocklist itself never
+    shuffles the doc stream, whose second pass is a streaming vectorized
+    filter. With a real curated blocklist the census stage disappears and
+    only the broadcast-filter pass remains."""
+    import pyarrow.compute as pc
+
+    from .common import grouped_agg
+
+    out = extraction_output(sf_dir, columns=["url"])
+
+    def host_rows(batch: pa.Table) -> pa.Table:
+        parts = pc.split_pattern(batch.column("url"), pattern="/")
+        return pa.table({"host": pc.list_element(parts, 2)})
+
+    census = grouped_agg(
+        out.map_batches(host_rows, batch_format="pyarrow", zero_copy_batch=True),
+        keys=["host"], specs=[("n_docs", "count", None)],
+    )
+    top = (
+        census.sort(["n_docs", "host"], descending=[True, False])
+        .limit(BLOCK_TOP_HOSTS).take_all()
+    )
+    blocked_ref = ray.put(frozenset(r["host"] for r in top))
+
+    def keep(batch: pa.Table) -> pa.Table:
+        blocked = ray.get(blocked_ref)
+        parts = pc.split_pattern(batch.column("url"), pattern="/")
+        host = pc.list_element(parts, 2)
+        mask = pa.array([h not in blocked for h in host.to_pylist()], pa.bool_())
+        return pa.table(
+            {"url": batch.column("url"), "host": host}
+        ).filter(mask)
+
+    return out.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)

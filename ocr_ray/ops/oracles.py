@@ -704,6 +704,24 @@ def extra_oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         GROUP BY 1 ORDER BY 1
     """
 
+    # ------------------------------- artifact: domain_blocklist_filter
+    from .extraction_queries import BLOCK_TOP_HOSTS
+
+    sql["domain_blocklist_filter"] = f"""
+        WITH census AS (
+            SELECT split_part(url, '/', 3) AS host, COUNT(*) AS n_docs
+            FROM read_parquet('{summary}') GROUP BY 1
+        ),
+        blocked AS (
+            SELECT host FROM census
+            ORDER BY n_docs DESC, host LIMIT {BLOCK_TOP_HOSTS}
+        )
+        SELECT url, split_part(url, '/', 3) AS host
+        FROM read_parquet('{summary}')
+        WHERE split_part(url, '/', 3) NOT IN (SELECT host FROM blocked)
+        ORDER BY url
+    """
+
     # -------------------------------------- direct: length_percentiles
     from .documents import PERCENTILE_QS
 

@@ -1444,3 +1444,23 @@ def test_per_lang_sample_exact_k(ray_session):
         )[:SAMPLE_PER_LANG]
         assert list(mine["rank"]) == list(range(1, len(want) + 1))
         assert list(mine["doc_id"]) == want
+
+
+def test_domain_blocklist_filter_drops_top_hosts(ray_session):
+    """The retained inventory contains NO doc from the top-k hosts, every
+    doc from every other host, and nothing else."""
+    from collections import Counter
+
+    from ocr_ray.ops.extraction_queries import (
+        BLOCK_TOP_HOSTS, domain_blocklist_filter, extraction_output,
+    )
+
+    got = _df(domain_blocklist_filter(SF))
+    urls = [r["url"] for r in
+            extraction_output(SF, columns=["url"]).take_all()]
+    census = Counter(u.split("/")[2] for u in urls)
+    blocked = {h for h, _ in sorted(
+        census.items(), key=lambda kv: (-kv[1], kv[0]))[:BLOCK_TOP_HOSTS]}
+    assert set(got["host"]).isdisjoint(blocked)
+    want = {u for u in urls if u.split("/")[2] not in blocked}
+    assert set(got["url"]) == want
