@@ -43,6 +43,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # end of their group.
     return {
         # ---- round-4 additions (newest first)
+        "bpe_apply_merges": d_ops.bpe_apply_merges,
         "domain_blocklist_filter": x_ops.domain_blocklist_filter,
         "per_lang_sample": d_ops.per_lang_sample,
         "novel_near_docs": d_ops.novel_near_docs,
@@ -184,6 +185,20 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
     # md5-sketch recomputations, constant-shipped LSH/IVF, golden snapshots
     sql.update(extra_oracle_sql(sf_dir))
     return sql
+
+
+def _bpe_replace_chain() -> str:
+    """The bpe_apply_merges encode expression: tokens wrapped as '(tok)',
+    one replace() per merge in rank order — the literal SQL rendering of
+    the engine's Python replace chain (identical semantics, see op)."""
+    expr = (
+        "CASE WHEN len(regexp_extract_all(text, '\\S+')) = 0 THEN '' "
+        "ELSE '(' || array_to_string(regexp_extract_all(text, '\\S+'), ')(') "
+        "|| ')' END"
+    )
+    for x, y in d_ops.BPE_MERGES:
+        expr = f"replace({expr}, '({x})({y})', '({x}+{y})')"
+    return expr
 
 
 def _base_oracle_sql() -> dict[str, str]:
@@ -496,6 +511,25 @@ def _base_oracle_sql() -> dict[str, str]:
             FROM documents,
                  LATERAL unnest(regexp_extract_all(text, '\\S+')) AS u(w)
             GROUP BY u.w ORDER BY n DESC, word LIMIT {d_ops.HH_TOP_K}
+        """,
+        # the SAME delimiter-wrapped replace chain as the engine (Python
+        # str.replace and DuckDB replace share leftmost non-overlapping
+        # exhaustive semantics) — built programmatically from BPE_MERGES
+        "bpe_apply_merges": f"""
+            WITH enc AS (
+                SELECT doc_id,
+                       CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT)
+                           AS n_before,
+                       {_bpe_replace_chain()} AS s
+                FROM documents
+            )
+            SELECT doc_id, n_before,
+                   CAST(len(s) - len(replace(s, '(', '')) AS BIGINT)
+                       AS n_after,
+                   n_before
+                   - CAST(len(s) - len(replace(s, '(', '')) AS BIGINT)
+                       AS n_merges
+            FROM enc ORDER BY doc_id
         """,
         # adjacent-pair counts: toks[2:] shifts the list by one, list_zip
         # pads the tail with NULL (dropped) — same pairs as python zip()

@@ -2042,3 +2042,51 @@ def per_lang_sample(sf_dir: str, k: int = SAMPLE_PER_LANG):
         ).replace_schema_metadata(None)
 
     return partials.groupby("lang").map_groups(take_k, batch_format="pyarrow")
+
+
+# fixed merge table (order matters — BPE applies merges in rank order);
+# drawn from the corpus's stable top adjacent pairs, constants like
+# BM25_QUERY_TERMS so the SQL twin can inline them
+BPE_MERGES = (
+    ("table", "hash"), ("merge", "group"), ("slow", "key"),
+    ("customer", "join"), ("vector", "small"), ("table+hash", "batch"),
+)
+
+
+def bpe_apply_merges(sf_dir: str):
+    """Tokenizer ENCODE step — apply a fixed ordered merge table to every
+    doc (the consumer of bpe_pair_counts' training statistics). Semantics
+    are delimiter-wrapped string replacement: tokens render as '(tok)' so
+    adjacent pair occurrences share no characters, and one exhaustive
+    leftmost non-overlapping replace per merge == one greedy BPE merge
+    pass; merged symbols join with '+', letting later merges reference
+    earlier outputs (see table+hash,batch). Python str.replace and DuckDB
+    replace() share these semantics exactly, so the SQL twin is the same
+    algorithm, not a re-derivation. (Corpus tokens are \\S+ and never
+    contain '(', ')' or '+' — the wrap characters are safe delimiters.)
+
+    Scale shape: shuffle-free streaming map; the merge table is a tiny
+    constant closed over by the batch fn. Output per doc: token counts
+    before/after and the number of merge events."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def encode(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        before: list[int] = []
+        after: list[int] = []
+        for text in batch.column("text").to_pylist():
+            toks = text.split()
+            s = "".join(f"({t})" for t in toks)
+            for x, y in BPE_MERGES:
+                s = s.replace(f"({x})({y})", f"({x}+{y})")
+            before.append(len(toks))
+            after.append(s.count("("))
+        return pa.table(
+            {"doc_id": pa.array(ids, pa.int64()),
+             "n_before": pa.array(before, pa.int64()),
+             "n_after": pa.array(after, pa.int64()),
+             "n_merges": pa.array(
+                 [b - a for b, a in zip(before, after)], pa.int64())}
+        )
+
+    return ds.map_batches(encode, batch_format="pyarrow", zero_copy_batch=True)

@@ -1464,3 +1464,38 @@ def test_domain_blocklist_filter_drops_top_hosts(ray_session):
     assert set(got["host"]).isdisjoint(blocked)
     want = {u for u in urls if u.split("/")[2] not in blocked}
     assert set(got["url"]) == want
+
+
+def test_bpe_apply_merges_greedy_semantics(ray_session):
+    """The replace-chain encode equals a literal greedy BPE merge pass per
+    merge rank, including cascaded merges (table+hash then +batch), on a
+    local recompute; counts reconcile."""
+    import pyarrow.parquet as pq
+
+    from ocr_ray.ops.documents import BPE_MERGES, bpe_apply_merges
+
+    got = _df(bpe_apply_merges(SF)).set_index("doc_id")
+
+    def encode(text):
+        toks = text.split()
+        s = "".join(f"({t})" for t in toks)
+        for x, y in BPE_MERGES:
+            s = s.replace(f"({x})({y})", f"({x}+{y})")
+        # decode back to symbols for an independent count
+        syms = s[1:-1].split(")(") if s else []
+        return len(toks), len(syms)
+
+    total_merges = 0
+    for r in pq.read_table(f"{SF}/documents.parquet",
+                           columns=["doc_id", "text"]).to_pylist():
+        nb, na = encode(r["text"])
+        assert got.loc[r["doc_id"], "n_before"] == nb
+        assert got.loc[r["doc_id"], "n_after"] == na
+        total_merges += nb - na
+    assert got["n_merges"].sum() == total_merges
+    # cascade check on a synthetic doc: the rank-6 merge consumes rank-1's
+    # output symbol
+    s = "(table)(hash)(batch)"
+    for x, y in BPE_MERGES:
+        s = s.replace(f"({x})({y})", f"({x}+{y})")
+    assert s == "(table+hash+batch)"
