@@ -75,44 +75,58 @@ class EntityTagWorker:
         )
 
 
-def _merge_partials(group: pa.Table) -> pa.Table:
-    """Merge one record's partials: sum mentions, union entity sets.
-    Entities can't contain '|' (the rule regexes exclude it), so the pipe
-    join round-trips exactly."""
-    ents: set[str] = set()
-    for s in group.column("entities").to_pylist():
-        ents.update(s.split("|"))
-    distinct = sorted(ents)
-    return pa.Table.from_pylist(
-        [{"url": group.column("url")[0].as_py(),
-          "entity_type": group.column("entity_type")[0].as_py(),
-          "n_mentions": int(pa.compute.sum(group.column("n_mentions")).as_py()),
-          "n_distinct": len(distinct),
-          "entities": "|".join(distinct)}],
-        schema=ENTITY_SCHEMA,
+NER_SALT_BUCKETS = 256
+
+
+def _rollup_bucket(df):
+    """Vectorized per-salt-bucket finish: merge a record's partials (sum
+    mentions, sorted-distinct entity union — entities can't contain '|',
+    the rule regexes exclude it, so the pipe join round-trips exactly) AND
+    dedup re-crawled urls by (url, entity_type) in the same pass. One
+    pandas groupby over the whole bucket — NOT one Python call per record
+    group, which at crawl scale is one call per hit record (measured
+    10.8 s for 255k groups at sf0.1 vs ~1 s bucketed; the same
+    per-group-call cliff ops.common.distinct documents)."""
+    import pandas as pd
+
+    g = df.groupby(["url", "warc_ts", "entity_type"], as_index=False).agg(
+        n_mentions=("n_mentions", "sum"), entities=("entities", "|".join)
     )
+    uniq = [sorted(set(s.split("|"))) for s in g["entities"]]
+    g["entities"] = ["|".join(u) for u in uniq]
+    g["n_distinct"] = [len(u) for u in uniq]
+    # re-crawls tag identically (payload-deterministic): keep the earliest
+    # warc_ts deterministically, then drop the ts column
+    g = g.sort_values(["url", "entity_type", "warc_ts"]).drop_duplicates(
+        ["url", "entity_type"], keep="first")
+    return g[["url", "entity_type", "n_mentions", "n_distinct", "entities"]]
 
 
 def doc_entities(sf_dir: str) -> ray.data.Dataset:
     """Entities per url: (url, entity_type, n_mentions, n_distinct,
     entities). Reads the shared naive-lines artifact (no second corpus
-    parse); one actor-pool tagging pass emits per-record PARTIALS, then a
-    small groupby over (url, warc_ts, entity_type) merges them — the
-    exchange carries only hit records, never lines or mentions. Re-crawled
-    urls tag identically (payload-deterministic) and are deduped by
-    (url, entity_type). Oracle: SQL regexp_extract_all over the same
-    naive_lines artifact."""
-    from .common import distinct
+    parse); one actor-pool tagging pass emits per-record PARTIALS, then ONE
+    salt-bucketed exchange (crc32(url) % NER_SALT_BUCKETS) finishes with a
+    vectorized pandas rollup per bucket — partial merge AND re-crawl dedup
+    in the same pass. The exchange carries only hit records, never lines or
+    mentions; same-url rows co-locate by construction of the salt. Oracle:
+    SQL regexp_extract_all over the same naive_lines artifact."""
+    import zlib
 
     lines = naive_lines_output(sf_dir, columns=["url", "warc_ts", "line"])
     partials = lines.map_batches(
         EntityTagWorker, batch_format="pyarrow", batch_size=4096,
         concurrency=small_pool(), num_cpus=1,
     )
-    merged = partials.groupby(["url", "warc_ts", "entity_type"]).map_groups(
-        _merge_partials, batch_format="pyarrow"
-    )
-    return distinct(
-        merged, ["url", "entity_type"],
-        carry=["n_mentions", "n_distinct", "entities"],
-    )
+
+    def add_salt(batch: pa.Table) -> pa.Table:
+        salt = [zlib.crc32(u.encode()) % NER_SALT_BUCKETS
+                for u in batch.column("url").to_pylist()]
+        return batch.append_column("salt", pa.array(salt, pa.int64()))
+
+    salted = partials.map_batches(add_salt, batch_format="pyarrow")
+
+    def rollup(df):
+        return _rollup_bucket(df.drop(columns=["salt"]))
+
+    return salted.groupby("salt").map_groups(rollup, batch_format="pandas")
