@@ -43,6 +43,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # end of their group.
     return {
         # ---- round-4 additions (newest first)
+        "language_confusion": d_ops.language_confusion,
         "bpe_apply_merges": d_ops.bpe_apply_merges,
         "domain_blocklist_filter": x_ops.domain_blocklist_filter,
         "per_lang_sample": d_ops.per_lang_sample,

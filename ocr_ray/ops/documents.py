@@ -2103,3 +2103,26 @@ def bpe_apply_merges(sf_dir: str):
         )
 
     return ds.map_batches(encode, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def language_confusion(sf_dir: str):
+    """Declared-vs-detected language confusion matrix — the corpus-level QA
+    rollup of language_id (mislabeled-language volume is a routine crawl
+    pathology). Pure composition: the per-doc detector output feeds the
+    standard combiner rollup; the exchange carries one row per
+    (declared, detected) pair per block."""
+    ds = language_id(sf_dir)
+
+    def project(batch: pa.Table) -> pa.Table:
+        return batch.select(["declared_lang", "detected_lang"])
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(
+            ["declared_lang", "detected_lang"]).reset_index(drop=True)
+
+    return grouped_agg(
+        ds.map_batches(project, batch_format="pyarrow"),
+        keys=["declared_lang", "detected_lang"],
+        specs=[("n_docs", "count", None)],
+        finalize=fin,
+    )

@@ -298,6 +298,16 @@ def extra_oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         FROM best_t ORDER BY doc_id
     """
 
+    # ------------------------------------------- direct: language_confusion
+    # pure rollup of the language_id oracle (same detector SQL verbatim)
+    sql["language_confusion"] = f"""
+        SELECT declared_lang, detected_lang,
+               CAST(COUNT(*) AS BIGINT) AS n_docs
+        FROM ({sql["language_id"]})
+        GROUP BY declared_lang, detected_lang
+        ORDER BY declared_lang, detected_lang
+    """
+
     # ------------------------------------------------- direct: quality_scores
     union_words = _values_list(dictionary_words())
     sql["quality_scores"] = f"""

@@ -1499,3 +1499,21 @@ def test_bpe_apply_merges_greedy_semantics(ray_session):
     for x, y in BPE_MERGES:
         s = s.replace(f"({x})({y})", f"({x}+{y})")
     assert s == "(table+hash+batch)"
+
+
+def test_language_confusion_accounts_all_docs(ray_session):
+    """The confusion matrix sums to the doc count and equals a local rollup
+    of the per-doc detector output."""
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+
+    from ocr_ray.ops.documents import language_confusion, language_id
+
+    got = _df(language_confusion(SF))
+    n_docs = pq.read_metadata(f"{SF}/documents.parquet").num_rows
+    assert got["n_docs"].sum() == n_docs
+    per_doc = _df(language_id(SF))
+    want = Counter(zip(per_doc["declared_lang"], per_doc["detected_lang"]))
+    assert {(r.declared_lang, r.detected_lang): r.n_docs
+            for r in got.itertuples(index=False)} == dict(want)
