@@ -43,6 +43,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # end of their group.
     return {
         # ---- round-4 additions (newest first)
+        "sentence_stats": x_ops.sentence_stats,
+        "data_splits": d_ops.data_splits,
+        "skipgram_pairs": d_ops.skipgram_pairs,
+        "source_lang_rollup": d_ops.source_lang_rollup,
         "language_confusion": d_ops.language_confusion,
         "bpe_apply_merges": d_ops.bpe_apply_merges,
         "domain_blocklist_filter": x_ops.domain_blocklist_filter,
@@ -248,6 +252,46 @@ def _base_oracle_sql() -> dict[str, str]:
         for i in range(len(d_ops.BM25_QUERY_TERMS))
     )
     sql = {
+        # bucket/split thresholds are module constants on the engine side;
+        # md5-prefix bucketing is the engine expression verbatim
+        "data_splits": f"""
+            WITH b AS (
+                SELECT doc_id, lang,
+                       CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 16))::UBIGINT
+                            % {d_ops.SPLIT_BUCKETS} AS BIGINT) AS split_bucket
+                FROM documents
+            )
+            SELECT doc_id, lang, split_bucket,
+                   CASE WHEN split_bucket < {d_ops.SPLIT_TEST_LT} THEN 'test'
+                        WHEN split_bucket < {d_ops.SPLIT_VALID_LT} THEN 'valid'
+                        ELSE 'train' END AS split
+            FROM b ORDER BY doc_id
+        """,
+        # one list_zip per window offset; list_zip pads the shorter shifted
+        # list with NULL (filtered), exactly python's zip truncation
+        "skipgram_pairs": f"""
+            WITH d AS (
+                SELECT regexp_extract_all(text, '\\S+') AS ws FROM documents
+            ),
+            pairs AS (
+                SELECT u.p[1] AS a, u.p[2] AS b
+                FROM d, LATERAL unnest(
+                    {" || ".join(f"list_zip(ws, ws[{k + 2}:])" for k in range(d_ops.SKIP_WINDOW))}
+                ) AS u(p)
+                WHERE u.p[2] IS NOT NULL
+            )
+            SELECT a, b, CAST(COUNT(*) AS BIGINT) AS n
+            FROM pairs GROUP BY a, b
+            ORDER BY n DESC, a, b LIMIT {d_ops.SKIP_TOP_PAIRS}
+        """,
+        "source_lang_rollup": """
+            SELECT COALESCE(source, 'ALL') AS source,
+                   COALESCE(lang, 'ALL') AS lang,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+            FROM documents GROUP BY ROLLUP(source, lang)
+            ORDER BY source, lang
+        """,
         "pricing_summary": f"""
             SELECT l_returnflag, l_linestatus,
                    ROUND(SUM(l_quantity), 2) AS sum_qty,

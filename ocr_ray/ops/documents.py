@@ -2126,3 +2126,121 @@ def language_confusion(sf_dir: str):
         specs=[("n_docs", "count", None)],
         finalize=fin,
     )
+
+
+# ------------------------------------------------- splits / windows / rollups
+
+SPLIT_BUCKETS = 1000
+SPLIT_TEST_LT = 10     # bucket < 10            -> test  (1%)
+SPLIT_VALID_LT = 30    # 10 <= bucket < 30      -> valid (2%)
+
+
+def data_splits(sf_dir: str):
+    """Deterministic train/valid/test assignment — the split every training
+    pipeline needs, done the only way that survives 10^12 docs: a pure
+    content-free hash of the primary key (md5(str(doc_id)) mod 1000), so any
+    worker, any re-run, and the SQL twin assign identically with no shuffle,
+    no RNG state, and no coordination. Changing corpus membership never
+    reshuffles surviving docs between splits (the property that keeps eval
+    sets stable across crawl refreshes)."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "lang"])
+
+    def f(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        buckets = [
+            int(hashlib.md5(str(i).encode()).hexdigest()[:16], 16)
+            % SPLIT_BUCKETS
+            for i in ids
+        ]
+        split = [
+            "test" if b < SPLIT_TEST_LT
+            else ("valid" if b < SPLIT_VALID_LT else "train")
+            for b in buckets
+        ]
+        return pa.table(
+            {"doc_id": pa.array(ids, pa.int64()),
+             "lang": batch.column("lang"),
+             "split_bucket": pa.array(buckets, pa.int64()),
+             "split": pa.array(split, pa.string())}
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+SKIP_WINDOW = 3
+SKIP_TOP_PAIRS = 150
+
+
+def skipgram_pairs(sf_dir: str, top_k: int = SKIP_TOP_PAIRS):
+    """Skip-gram co-occurrence counts (word2vec/GloVe training prep): for
+    every token, count the ordered pair (token, context) for contexts 1..W
+    positions to the RIGHT (directed, so each unordered co-occurrence is
+    counted once per side like word2vec's center/context pairs). Top-k by
+    count with full deterministic tie order.
+
+    Scale shape: identical to bpe_pair_counts — the per-batch dict is the
+    combiner, the exchange carries distinct (a, b, n) rows whose cardinality
+    saturates near vocab² · W long before corpus size matters. W rides in
+    the closure; the token stream never crosses the wire."""
+    ds = read_table(sf_dir, "documents", columns=["text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        counts: dict[tuple[str, str], int] = {}
+        for text in batch.column("text").to_pylist():
+            ws = text.split()
+            n = len(ws)
+            for off in range(1, SKIP_WINDOW + 1):
+                for i in range(n - off):
+                    pair = (ws[i], ws[i + off])
+                    counts[pair] = counts.get(pair, 0) + 1
+        ks = list(counts.keys())
+        return pa.table(
+            {"a": pa.array([k[0] for k in ks], pa.string()),
+             "b": pa.array([k[1] for k in ks], pa.string()),
+             "n": pa.array(list(counts.values()), pa.int64())}
+        )
+
+    ds = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["n", "a", "b"], ascending=[False, True, True])
+        return df.head(top_k).reset_index(drop=True)
+
+    return grouped_agg(ds, keys=["a", "b"], specs=[("n", "sum", "n")], finalize=fin)
+
+
+def source_lang_rollup(sf_dir: str):
+    """GROUP BY ROLLUP(source, lang) — doc counts and char volume at three
+    granularities (source×lang, source, grand total) with 'ALL' labels.
+
+    Scale shape: ONE fine-grained combiner aggregation runs distributed;
+    the two coarser rollup levels are derived from the already-aggregated
+    (≤ |sources|·|langs| row) frame inside the finalize task — the rollup
+    costs nothing beyond the finest groupby, which is how a warehouse
+    engine executes ROLLUP too (aggregate once, re-aggregate the tiny
+    result)."""
+    ds = read_table(sf_dir, "documents", columns=["source", "lang", "n_chars"])
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        per_source = (
+            df.groupby("source", as_index=False)[["n_docs", "sum_chars"]]
+            .sum().assign(lang="ALL")
+        )
+        total = pd.DataFrame(
+            [{"source": "ALL", "lang": "ALL",
+              "n_docs": df["n_docs"].sum(), "sum_chars": df["sum_chars"].sum()}]
+        )
+        out = pd.concat([df, per_source, total], ignore_index=True)
+        out["n_docs"] = out["n_docs"].astype("int64")
+        out["sum_chars"] = out["sum_chars"].astype("int64")
+        return (
+            out[["source", "lang", "n_docs", "sum_chars"]]
+            .sort_values(["source", "lang"]).reset_index(drop=True)
+        )
+
+    return grouped_agg(
+        ds,
+        keys=["source", "lang"],
+        specs=[("n_docs", "count", None), ("sum_chars", "sum", "n_chars")],
+        finalize=fin,
+    )

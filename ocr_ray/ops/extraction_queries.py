@@ -1090,3 +1090,50 @@ def domain_blocklist_filter(sf_dir: str) -> ray.data.Dataset:
         ).filter(mask)
 
     return out.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+
+
+SENT_SPLIT_RE = None  # compiled lazily inside the batch fn (picklable module)
+SENT_WS = " \t\n\r"
+
+
+def sentence_stats(sf_dir: str) -> ray.data.Dataset:
+    """Per-document sentence segmentation signals over the extracted text —
+    the sentence-level complement of gopher_filter (Gopher/C4 both gate on
+    sentence counts and terminal punctuation, which the word-level signals
+    can't see): sentences = non-empty '[.!?]+'-delimited pieces, mean words
+    per sentence as an exact banker's-rounded integer ratio, and whether the
+    document ends in terminal punctuation (C4's "ends in a sentence" rule).
+
+    Shuffle-free per-batch scan of the committed extraction shards (text
+    column only + error for the ok-filter); the oracle recomputes the same
+    regex algebra from the summary artifact so the gate checks the
+    distributed projection, not a reimplementation drift."""
+    import re as _re
+
+    from .documents import _round4_ratio
+
+    out = extraction_output(sf_dir, columns=["url", "text", "error"])
+    split_re = _re.compile(r"[.!?]+")
+
+    def stats(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        batch = batch.filter(pc.is_null(batch.column("error")))
+        urls = batch.column("url").to_pylist()
+        texts = batch.column("text").to_pylist()
+        n_sent, mean_w, ends = [], [], []
+        for t in texts:
+            pieces = [p.strip(SENT_WS) for p in split_re.split(t)]
+            sents = [p for p in pieces if p]
+            total_words = sum(len(s.split()) for s in sents)
+            n_sent.append(len(sents))
+            mean_w.append(_round4_ratio(total_words, len(sents)))
+            ends.append(t.rstrip(SENT_WS)[-1:] in (".", "!", "?"))
+        return pa.table(
+            {"url": pa.array(urls, pa.string()),
+             "n_sentences": pa.array(n_sent, pa.int64()),
+             "mean_sentence_words": pa.array(mean_w, pa.float64()),
+             "ends_terminal": pa.array(ends, pa.bool_())}
+        )
+
+    return out.map_batches(stats, batch_format="pyarrow", zero_copy_batch=True)

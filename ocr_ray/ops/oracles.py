@@ -787,6 +787,39 @@ def extra_oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         FROM v GROUP BY norm_hash ORDER BY norm_hash
     """
 
+    # -------------------------------------------- artifact: sentence_stats
+    # mean = round-half-even(total_words/n_sentences, 4) in exact integer
+    # arithmetic, mirroring documents._round4_ratio bit for bit
+    _sws = "' ' || chr(9) || chr(10) || chr(13)"
+    sql["sentence_stats"] = f"""
+        WITH p AS (
+            SELECT url, text,
+                   list_filter(list_transform(
+                       regexp_split_to_array(text, '[.!?]+'),
+                       x -> trim(x, {_sws})), x -> x <> '') AS sents
+            FROM read_parquet('{summary}') WHERE error IS NULL
+        ),
+        agg AS (
+            SELECT url, len(sents) AS ns,
+                   COALESCE(list_sum(list_transform(sents,
+                       x -> len(regexp_extract_all(x, '\\S+')))), 0) AS tw,
+                   regexp_matches(text,
+                       '[.!?][ ' || chr(9) || chr(10) || chr(13) || ']*$')
+                       AS ends_terminal
+            FROM p
+        )
+        SELECT url, CAST(ns AS BIGINT) AS n_sentences,
+               CASE WHEN ns = 0 THEN 0.0 ELSE
+                   (((tw * 10000) // ns)
+                    + CASE WHEN 2 * ((tw * 10000) % ns) > ns
+                            OR (2 * ((tw * 10000) % ns) = ns
+                                AND ((tw * 10000) // ns) % 2 = 1)
+                           THEN 1 ELSE 0 END) / 10000.0 END
+                   AS mean_sentence_words,
+               ends_terminal
+        FROM agg ORDER BY url
+    """
+
     # --------------------------------------------- artifact: branch_stats
     sql["branch_stats"] = f"""
         SELECT branch, CAST(COUNT(*) AS BIGINT) AS n_docs,

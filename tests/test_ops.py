@@ -1517,3 +1517,81 @@ def test_language_confusion_accounts_all_docs(ray_session):
     want = Counter(zip(per_doc["declared_lang"], per_doc["detected_lang"]))
     assert {(r.declared_lang, r.detected_lang): r.n_docs
             for r in got.itertuples(index=False)} == dict(want)
+
+
+def test_data_splits_deterministic_hash(ray_session):
+    import hashlib
+
+    from ocr_ray.ops.documents import (
+        SPLIT_BUCKETS, SPLIT_TEST_LT, SPLIT_VALID_LT, data_splits,
+    )
+
+    df = _df(data_splits(SF)).sort_values("doc_id").reset_index(drop=True)
+    assert len(df) == 500
+    # recompute the hash assignment independently for every row
+    for _, r in df.head(50).iterrows():
+        b = int(hashlib.md5(str(r["doc_id"]).encode()).hexdigest()[:16], 16) % SPLIT_BUCKETS
+        assert r["split_bucket"] == b
+        want = "test" if b < SPLIT_TEST_LT else ("valid" if b < SPLIT_VALID_LT else "train")
+        assert r["split"] == want
+    # all three splits non-empty and partition the corpus
+    counts = df["split"].value_counts()
+    assert set(counts.index) == {"train", "valid", "test"}
+    assert counts.sum() == 500
+    assert counts["train"] > counts["valid"] > 0
+
+
+def test_skipgram_pairs_matches_local_counter(ray_session):
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+
+    from ocr_ray.ops.documents import SKIP_TOP_PAIRS, SKIP_WINDOW, skipgram_pairs
+
+    texts = pq.read_table(f"{SF}/documents.parquet", columns=["text"]).column("text").to_pylist()
+    c: Counter = Counter()
+    for t in texts:
+        ws = t.split()
+        for off in range(1, SKIP_WINDOW + 1):
+            c.update(zip(ws, ws[off:]))
+    want = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:SKIP_TOP_PAIRS]
+
+    df = _df(skipgram_pairs(SF))
+    got = list(zip(zip(df["a"], df["b"]), df["n"]))
+    assert got == want
+
+
+def test_source_lang_rollup_levels_consistent(ray_session):
+    from ocr_ray.ops.documents import source_lang_rollup
+
+    df = _df(source_lang_rollup(SF))
+    fine = df[(df["source"] != "ALL") & (df["lang"] != "ALL")]
+    per_source = df[(df["source"] != "ALL") & (df["lang"] == "ALL")]
+    total = df[(df["source"] == "ALL") & (df["lang"] == "ALL")]
+    assert len(total) == 1
+    assert total["n_docs"].iloc[0] == fine["n_docs"].sum() == 500
+    assert total["sum_chars"].iloc[0] == fine["sum_chars"].sum()
+    merged = fine.groupby("source")[["n_docs", "sum_chars"]].sum()
+    for src, row in per_source.set_index("source").iterrows():
+        assert row["n_docs"] == merged.loc[src, "n_docs"]
+        assert row["sum_chars"] == merged.loc[src, "sum_chars"]
+
+
+def test_sentence_stats_recompute_sample(ray_session):
+    import re
+
+    from ocr_ray.ops.documents import _round4_ratio
+    from ocr_ray.ops.extraction_queries import extract_summary, sentence_stats
+
+    stats = _df(sentence_stats(SF)).set_index("url")
+    docs = _df(extract_summary(SF))
+    docs = docs[docs["error"].isnull()].head(25)
+    assert len(stats) > 0
+    for _, r in docs.iterrows():
+        sents = [p.strip(" \t\n\r") for p in re.split(r"[.!?]+", r["text"])]
+        sents = [s for s in sents if s]
+        row = stats.loc[r["url"]]
+        assert row["n_sentences"] == len(sents)
+        tw = sum(len(s.split()) for s in sents)
+        assert row["mean_sentence_words"] == _round4_ratio(tw, len(sents))
+        assert row["ends_terminal"] == (r["text"].rstrip(" \t\n\r")[-1:] in ".!?")
