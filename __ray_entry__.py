@@ -43,6 +43,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # end of their group.
     return {
         # ---- round-4 additions (newest first)
+        "lapsed_customers": r_ops.lapsed_customers,
+        "url_features": x_ops.url_features,
+        "sq8_quantize": e_ops.sq8_quantize,
         "sentence_stats": x_ops.sentence_stats,
         "data_splits": d_ops.data_splits,
         "skipgram_pairs": d_ops.skipgram_pairs,
@@ -252,6 +255,49 @@ def _base_oracle_sql() -> dict[str, str]:
         for i in range(len(d_ops.BM25_QUERY_TERMS))
     )
     sql = {
+        # window anti-join: NOT EXISTS mirrors Dataset.join('left_anti')
+        "lapsed_customers": f"""
+            SELECT n_name, CAST(COUNT(*) AS BIGINT) AS n_lapsed,
+                   ROUND(SUM(c_acctbal), 2) AS sum_acctbal
+            FROM customer JOIN nation ON c_nationkey = n_nationkey
+            WHERE NOT EXISTS (
+                SELECT 1 FROM orders o
+                WHERE o.o_custkey = c_custkey
+                  AND o.o_orderdate >= TIMESTAMP '{r_ops.LAPSED_LO}'
+                  AND o.o_orderdate < TIMESTAMP '{r_ops.LAPSED_HI}'
+            )
+            GROUP BY n_name ORDER BY n_name
+        """,
+        # integer codes are bit-identical (same float chain before floor);
+        # the MSE list-fold is guarded by round_even at 8
+        "sq8_quantize": f"""
+            WITH v AS (
+                SELECT vec_id,
+                       list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+                FROM embeddings
+            ),
+            s AS (
+                SELECT vec_id, e, list_min(e) AS vmin, list_max(e) AS vmax,
+                       (list_max(e) - list_min(e)) / {float(e_ops.SQ8_LEVELS)} AS scale
+                FROM v
+            ),
+            c AS (
+                SELECT vec_id, e, vmin, vmax, scale,
+                       list_transform(e, x -> CASE WHEN scale = 0 THEN 0
+                           ELSE least({e_ops.SQ8_LEVELS}, greatest(0,
+                               CAST(floor((x - vmin) / scale + 0.5) AS BIGINT)))
+                           END) AS codes
+                FROM s
+            )
+            SELECT vec_id, round_even(vmin, 4) AS vmin,
+                   round_even(vmax, 4) AS vmax,
+                   CAST(list_sum(codes) AS BIGINT) AS code_sum,
+                   round_even(list_sum(list_transform(list_zip(e, codes),
+                       p -> (p[1] - (vmin + p[2] * scale))
+                            * (p[1] - (vmin + p[2] * scale)))) / len(e), 8)
+                       AS mse
+            FROM c ORDER BY vec_id
+        """,
         # bucket/split thresholds are module constants on the engine side;
         # md5-prefix bucketing is the engine expression verbatim
         "data_splits": f"""

@@ -490,3 +490,40 @@ def mutual_knn_pairs(sf_dir: str, k: int = KNN_K):
     )
     both = agg.filter(expr="n_dirs == 2")
     return both.select_columns(["vec_a", "vec_b", "cosine"])
+
+
+SQ8_LEVELS = 255
+
+
+def sq8_quantize(sf_dir: str):
+    """Per-vector scalar quantization to uint8 (the SQ8 codec every
+    billion-vector ANN store runs — 4x smaller than float32, distance error
+    ~1e-4): code_i = floor((x_i - min)/scale + 0.5) with scale =
+    (max - min)/255, plus the reconstruction MSE as the quality audit.
+    One vectorized numpy pass per batch, shuffle-free; the float chain
+    ((x-min)/scale + 0.5 then floor) is elementwise-identical to the SQL
+    twin, so the integer codes match bit-for-bit and only the MSE needs a
+    rounding guard. Constant-width vectors: all-equal vectors get scale 0 →
+    code 0 by convention on both sides."""
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def f(batch: pa.Table) -> pa.Table:
+        m = _matrix(batch)
+        vmin = m.min(axis=1)
+        vmax = m.max(axis=1)
+        scale = (vmax - vmin) / float(SQ8_LEVELS)
+        safe = np.where(scale == 0.0, 1.0, scale)
+        codes = np.floor((m - vmin[:, None]) / safe[:, None] + 0.5)
+        codes = np.clip(codes, 0, SQ8_LEVELS).astype(np.int64)
+        codes[scale == 0.0, :] = 0
+        recon = vmin[:, None] + codes * scale[:, None]
+        mse = ((m - recon) ** 2).sum(axis=1) / m.shape[1]
+        return pa.table(
+            {"vec_id": batch.column("vec_id"),
+             "vmin": pa.array(np.round(vmin, 4), pa.float64()),
+             "vmax": pa.array(np.round(vmax, 4), pa.float64()),
+             "code_sum": pa.array(codes.sum(axis=1), pa.int64()),
+             "mse": pa.array(np.round(mse, 8), pa.float64())}
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)

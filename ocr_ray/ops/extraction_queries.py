@@ -1137,3 +1137,42 @@ def sentence_stats(sf_dir: str) -> ray.data.Dataset:
         )
 
     return out.map_batches(stats, batch_format="pyarrow", zero_copy_batch=True)
+
+
+URL_PARSE_RE = r"^[a-z]+://([^/?]*)([^?]*)\??(.*)$"
+
+
+def url_features(sf_dir: str) -> ray.data.Dataset:
+    """URL-shape features for crawl filtering (the C4/RefinedWeb URL-level
+    gate runs BEFORE fetch, so it must be computable from the url string
+    alone): host, path depth, digit fraction of the path (spam paths are
+    digit-heavy), and query-parameter count. One regex — shared verbatim
+    with the SQL twin — splits scheme://host/path?query; fractions use the
+    exact integer half-even rounding shared across the suite. Shuffle-free
+    scan of the url column only."""
+    import re as _re
+
+    from .documents import _round4_ratio
+
+    out = extraction_output(sf_dir, columns=["url"])
+    parse = _re.compile(URL_PARSE_RE)
+
+    def feats(batch: pa.Table) -> pa.Table:
+        urls = batch.column("url").to_pylist()
+        hosts, depths, dfracs, nparams = [], [], [], []
+        for u in urls:
+            m = parse.match(u)
+            host, path, query = m.group(1), m.group(2), m.group(3)
+            hosts.append(host)
+            depths.append(len([s for s in path.split("/") if s]))
+            dfracs.append(_round4_ratio(sum(c.isdigit() for c in path), len(path)))
+            nparams.append(0 if query == "" else len(query.split("&")))
+        return pa.table(
+            {"url": pa.array(urls, pa.string()),
+             "host": pa.array(hosts, pa.string()),
+             "path_depth": pa.array(depths, pa.int64()),
+             "path_digit_frac": pa.array(dfracs, pa.float64()),
+             "n_query_params": pa.array(nparams, pa.int64())}
+        )
+
+    return out.map_batches(feats, batch_format="pyarrow", zero_copy_batch=True)

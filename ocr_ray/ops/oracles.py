@@ -787,6 +787,40 @@ def extra_oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         FROM v GROUP BY norm_hash ORDER BY norm_hash
     """
 
+    # ---------------------------------------------- artifact: url_features
+    # one regex (shared verbatim with the engine) splits host/path/query;
+    # digit fraction in exact integer half-even arithmetic
+    from .extraction_queries import URL_PARSE_RE
+
+    sql["url_features"] = f"""
+        WITH u AS (
+            SELECT url,
+                   regexp_extract(url, '{URL_PARSE_RE}', 1) AS host,
+                   regexp_extract(url, '{URL_PARSE_RE}', 2) AS path,
+                   regexp_extract(url, '{URL_PARSE_RE}', 3) AS query
+            FROM read_parquet('{summary}')
+        ),
+        n AS (
+            SELECT url, host, path, query,
+                   len(regexp_extract_all(path, '[0-9]')) AS nd,
+                   length(path) AS L
+            FROM u
+        )
+        SELECT url, host,
+               CAST(len(list_filter(string_split(path, '/'), s -> s <> ''))
+                    AS BIGINT) AS path_depth,
+               CASE WHEN L = 0 THEN 0.0 ELSE
+                   (((nd * 10000) // L)
+                    + CASE WHEN 2 * ((nd * 10000) % L) > L
+                            OR (2 * ((nd * 10000) % L) = L
+                                AND ((nd * 10000) // L) % 2 = 1)
+                           THEN 1 ELSE 0 END) / 10000.0 END AS path_digit_frac,
+               CAST(CASE WHEN query = '' THEN 0
+                    ELSE len(string_split(query, '&')) END AS BIGINT)
+                   AS n_query_params
+        FROM n ORDER BY url
+    """
+
     # -------------------------------------------- artifact: sentence_stats
     # mean = round-half-even(total_words/n_sentences, 4) in exact integer
     # arithmetic, mirroring documents._round4_ratio bit for bit

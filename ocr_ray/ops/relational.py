@@ -882,3 +882,71 @@ def rolling_active_users(sf_dir: str):
         specs=[("users_7d", "sum", "u"), ("day_observed", "max", "base")],
         finalize=fin,
     )
+
+
+LAPSED_LO = "1997-01-01"
+LAPSED_HI = "1998-01-01"
+
+
+def lapsed_customers(sf_dir: str):
+    """Customers with NO orders inside a date window (churn cohort), rolled
+    up per nation — the native ANTI-JOIN idiom the rest of the suite lacks
+    (semi-joins broadcast; this one exercises ``Dataset.join('left_anti')``,
+    the right tool when BOTH sides are fact-sized and the probe side can't
+    be broadcast at 100 TB).
+
+    Scale shape: the window predicate is pushed into the orders scan
+    (column-pruned to one key + one date), the probe side is
+    distinct-reduced BEFORE the join (per-batch combiner → one exchange of
+    distinct custkeys, ~|customers| rows max, never |orders|), the anti
+    join co-partitions on the key with input-scaled partitions, and the
+    nation dimension rides in as a broadcast lookup after the join."""
+    from .common import choose_join_parts
+
+    lo, hi = pd.Timestamp(LAPSED_LO), pd.Timestamp(LAPSED_HI)
+    orders = read_table(sf_dir, "orders", columns=["o_custkey", "o_orderdate"])
+
+    def window_keys(batch: pa.Table) -> pa.Table:
+        m = pc.and_(
+            pc.greater_equal(batch.column("o_orderdate"), pa.scalar(lo)),
+            pc.less(batch.column("o_orderdate"), pa.scalar(hi)),
+        )
+        keys = batch.filter(m).column("o_custkey").unique()
+        return pa.table({"o_custkey": keys})
+
+    active = distinct(
+        orders.map_batches(window_keys, batch_format="pyarrow", zero_copy_batch=True),
+        ["o_custkey"],
+    )
+
+    customer = read_table(
+        sf_dir, "customer", columns=["c_custkey", "c_nationkey", "c_acctbal"]
+    )
+    lapsed = customer.join(
+        active, "left_anti",
+        num_partitions=choose_join_parts(sf_dir, "customer", "orders"),
+        on=("c_custkey",), right_on=("o_custkey",),
+    )
+
+    nation = _collect(read_table(sf_dir, "nation"))
+    n2name = {n["n_nationkey"]: n["n_name"] for n in nation.to_pylist()}
+    dims_ref = ray.put(n2name)
+
+    def attach_nation(batch: pa.Table) -> pa.Table:
+        lookup = ray.get(dims_ref)
+        df = batch.to_pandas()
+        df["n_name"] = [lookup[k] for k in df["c_nationkey"]]
+        return from_pandas_clean(df[["n_name", "c_acctbal"]])
+
+    ds = lapsed.map_batches(attach_nation, batch_format="pyarrow", zero_copy_batch=True)
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        df["sum_acctbal"] = df["sum_acctbal"].round(2)
+        return df.sort_values("n_name").reset_index(drop=True)
+
+    return grouped_agg(
+        ds,
+        keys=["n_name"],
+        specs=[("n_lapsed", "count", None), ("sum_acctbal", "sum", "c_acctbal")],
+        finalize=fin,
+    )

@@ -1595,3 +1595,62 @@ def test_sentence_stats_recompute_sample(ray_session):
         tw = sum(len(s.split()) for s in sents)
         assert row["mean_sentence_words"] == _round4_ratio(tw, len(sents))
         assert row["ends_terminal"] == (r["text"].rstrip(" \t\n\r")[-1:] in ".!?")
+
+
+def test_lapsed_customers_matches_not_exists(ray_session):
+    import duckdb
+
+    from ocr_ray.ops.relational import LAPSED_HI, LAPSED_LO, lapsed_customers
+
+    df = _df(lapsed_customers(SF))
+    n = duckdb.sql(f"""
+        SELECT count(*) FROM read_parquet('{SF}/customer.parquet') c
+        WHERE NOT EXISTS (
+            SELECT 1 FROM read_parquet('{SF}/orders.parquet') o
+            WHERE o.o_custkey = c.c_custkey
+              AND o.o_orderdate >= TIMESTAMP '{LAPSED_LO}'
+              AND o.o_orderdate < TIMESTAMP '{LAPSED_HI}')
+    """).fetchone()[0]
+    assert n > 0  # the window must make the anti join non-trivial
+    assert df["n_lapsed"].sum() == n
+
+
+def test_url_features_recompute_sample(ray_session):
+    from ocr_ray.ops.extraction_queries import url_features
+
+    df = _df(url_features(SF))
+    assert len(df) > 0
+    for _, r in df.head(40).iterrows():
+        u = r["url"]
+        rest = u.split("://", 1)[1]
+        hostpath, _, query = rest.partition("?")
+        slash = hostpath.find("/")
+        host = hostpath if slash < 0 else hostpath[:slash]
+        path = "" if slash < 0 else hostpath[slash:]
+        assert r["host"] == host
+        assert r["path_depth"] == len([s for s in path.split("/") if s])
+        assert r["n_query_params"] == (len(query.split("&")) if query else 0)
+        assert 0.0 <= r["path_digit_frac"] <= 1.0
+
+
+def test_sq8_quantize_reconstruction(ray_session):
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from ocr_ray.ops.embeddings import SQ8_LEVELS, sq8_quantize
+
+    df = _df(sq8_quantize(SF)).sort_values("vec_id").reset_index(drop=True)
+    t = pq.read_table(f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"])
+    embs = {i: np.asarray(e, dtype=np.float64)
+            for i, e in zip(t.column("vec_id").to_pylist(),
+                            t.column("embedding").to_pylist())}
+    assert len(df) == len(embs)
+    for _, r in df.head(20).iterrows():
+        v = embs[r["vec_id"]]
+        scale = (v.max() - v.min()) / SQ8_LEVELS
+        codes = np.clip(np.floor((v - v.min()) / (scale or 1.0) + 0.5), 0, SQ8_LEVELS)
+        assert r["code_sum"] == codes.sum()
+        recon = v.min() + codes * scale
+        assert abs(r["mse"] - ((v - recon) ** 2).mean()) < 1e-6
+        # SQ8 quality bound: max per-dim error is scale/2 -> mse <= scale^2/4
+        assert r["mse"] <= scale * scale / 4 + 1e-12
