@@ -43,6 +43,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # end of their group.
     return {
         # ---- round-4 additions (newest first)
+        "event_value_percentiles": r_ops.event_value_percentiles,
         "lapsed_customers": r_ops.lapsed_customers,
         "url_features": x_ops.url_features,
         "sq8_quantize": e_ops.sq8_quantize,
@@ -255,6 +256,26 @@ def _base_oracle_sql() -> dict[str, str]:
         for i in range(len(d_ops.BM25_QUERY_TERMS))
     )
     sql = {
+        # floor-quantized cent buckets: floor is boundary-unambiguous across
+        # engines; p(q) = smallest bucket with cum >= ceil(q*n)
+        "event_value_percentiles": f"""
+            WITH b AS (
+                SELECT event_type,
+                       CAST(floor(value * {r_ops.EVENT_PCTL_SCALE}) AS BIGINT) AS v
+                FROM events
+            ),
+            h AS (SELECT event_type, v, COUNT(*) AS c FROM b GROUP BY 1, 2),
+            cum AS (
+                SELECT event_type, v,
+                       SUM(c) OVER (PARTITION BY event_type ORDER BY v) AS cumc,
+                       SUM(c) OVER (PARTITION BY event_type) AS n
+                FROM h
+            )
+            SELECT event_type, q, MIN(v) / {float(r_ops.EVENT_PCTL_SCALE)} AS p_value
+            FROM cum, (VALUES {", ".join(f"({q})" for q in r_ops.EVENT_PCTL_QS)}) AS qs(q)
+            WHERE cumc >= ceil(q * n)
+            GROUP BY event_type, q ORDER BY event_type, q
+        """,
         # window anti-join: NOT EXISTS mirrors Dataset.join('left_anti')
         "lapsed_customers": f"""
             SELECT n_name, CAST(COUNT(*) AS BIGINT) AS n_lapsed,

@@ -950,3 +950,58 @@ def lapsed_customers(sf_dir: str):
         specs=[("n_lapsed", "count", None), ("sum_acctbal", "sum", "c_acctbal")],
         finalize=fin,
     )
+
+
+EVENT_PCTL_QS = (0.5, 0.95, 0.99)
+EVENT_PCTL_SCALE = 100  # cent resolution: floor(value * 100) buckets
+
+
+def event_value_percentiles(sf_dir: str):
+    """Exact p50/p95/p99 of a CONTINUOUS metric per event_type, scale-safe:
+    values are floor-quantized to cent buckets (floor is boundary-unambiguous
+    across engines, unlike round), per-batch bucket histograms combine before
+    ONE small grouped sum, and the cumulative scan runs over the tiny
+    histogram. The bucket count is bounded by the value RANGE (≤ ~49k here)
+    — not the row count — so the driver-side scan stays O(range) at any
+    corpus size; a raw-double histogram would degenerate to one row per
+    event. Rule: p(q) = smallest bucket with cum ≥ ceil(q·n), reported at
+    bucket resolution (v/100)."""
+    import math
+
+    ds = read_table(sf_dir, "events", columns=["event_type", "value"])
+
+    def hist(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["v"] = np.floor(df["value"].to_numpy() * EVENT_PCTL_SCALE).astype("int64")
+        out = df.groupby(["event_type", "v"], as_index=False).size()
+        out = out.rename(columns={"size": "c"})
+        return from_pandas_clean(out)
+
+    merged = grouped_agg(
+        ds.map_batches(hist, batch_format="pyarrow", zero_copy_batch=True),
+        keys=["event_type", "v"],
+        specs=[("c", "sum", "c")],
+    )
+    rows = sorted(merged.take_all(), key=lambda r: (r["event_type"], r["v"]))
+    by_type: dict[str, list] = {}
+    for r in rows:
+        by_type.setdefault(r["event_type"], []).append(r)
+    et_out, q_out, v_out = [], [], []
+    for et in sorted(by_type):
+        hist_rows = by_type[et]
+        n = sum(r["c"] for r in hist_rows)
+        for q in EVENT_PCTL_QS:
+            target = math.ceil(q * n)
+            cum = 0
+            for r in hist_rows:
+                cum += r["c"]
+                if cum >= target:
+                    et_out.append(et)
+                    q_out.append(q)
+                    v_out.append(r["v"] / float(EVENT_PCTL_SCALE))
+                    break
+    return pa.table(
+        {"event_type": pa.array(et_out, pa.string()),
+         "q": pa.array(q_out, pa.float64()),
+         "p_value": pa.array(v_out, pa.float64())}
+    )

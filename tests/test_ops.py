@@ -1654,3 +1654,25 @@ def test_sq8_quantize_reconstruction(ray_session):
         assert abs(r["mse"] - ((v - recon) ** 2).mean()) < 1e-6
         # SQ8 quality bound: max per-dim error is scale/2 -> mse <= scale^2/4
         assert r["mse"] <= scale * scale / 4 + 1e-12
+
+
+def test_event_value_percentiles_vs_exact(ray_session):
+    import duckdb
+
+    from ocr_ray.ops.relational import EVENT_PCTL_SCALE, event_value_percentiles
+
+    df = event_value_percentiles(SF).to_pandas()
+    # every (type, q) present, monotone in q within a type
+    for et, g in df.groupby("event_type"):
+        g = g.sort_values("q")
+        assert list(g["q"]) == [0.5, 0.95, 0.99]
+        assert g["p_value"].is_monotonic_increasing
+    # the bucketed percentile brackets the true quantile within 1 cent
+    truth = duckdb.sql(f"""
+        SELECT event_type,
+               quantile_disc(value, 0.5) AS p50
+        FROM read_parquet('{SF}/events.parquet') GROUP BY event_type
+    """).df().set_index("event_type")
+    for et, g in df.groupby("event_type"):
+        p50 = g[g["q"] == 0.5]["p_value"].iloc[0]
+        assert abs(p50 - truth.loc[et, "p50"]) <= 1.0 / EVENT_PCTL_SCALE + 1e-9
