@@ -43,6 +43,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # end of their group.
     return {
         # ---- round-4 additions (newest first)
+        "daily_event_anomalies": r_ops.daily_event_anomalies,
         "event_value_percentiles": r_ops.event_value_percentiles,
         "lapsed_customers": r_ops.lapsed_customers,
         "url_features": x_ops.url_features,
@@ -256,6 +257,33 @@ def _base_oracle_sql() -> dict[str, str]:
         for i in range(len(d_ops.BM25_QUERY_TERMS))
     )
     sql = {
+        # exact-integer moments (n, Σx, Σx²); the z chain is the identical
+        # fixed-order float expression; flag compares the ROUNDED z
+        "daily_event_anomalies": f"""
+            WITH c AS (
+                SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+                       COUNT(*) AS n
+                FROM events GROUP BY 1, 2
+            ),
+            s AS (
+                SELECT event_type, SUM(n) AS sn, SUM(n * n) AS sn2,
+                       COUNT(*) AS d
+                FROM c GROUP BY 1
+            ),
+            z AS (
+                SELECT c.event_type, c.day, c.n,
+                       CASE WHEN (s.d * s.sn2 - s.sn * s.sn) = 0 THEN 0.0
+                            ELSE round_even(
+                                (c.n - s.sn / CAST(s.d AS DOUBLE))
+                                / sqrt((s.d * s.sn2 - s.sn * s.sn)
+                                       / CAST(s.d * s.d AS DOUBLE)), 4)
+                       END AS z
+                FROM c JOIN s USING (event_type)
+            )
+            SELECT event_type, day, CAST(n AS BIGINT) AS n_events, z,
+                   abs(z) >= {r_ops.ANOMALY_Z} AS is_anomaly
+            FROM z ORDER BY event_type, day
+        """,
         # floor-quantized cent buckets: floor is boundary-unambiguous across
         # engines; p(q) = smallest bucket with cum >= ceil(q*n)
         "event_value_percentiles": f"""

@@ -1005,3 +1005,56 @@ def event_value_percentiles(sf_dir: str):
          "q": pa.array(q_out, pa.float64()),
          "p_value": pa.array(v_out, pa.float64())}
     )
+
+
+ANOMALY_Z = 2.0
+
+
+def daily_event_anomalies(sf_dir: str):
+    """Daily event-count anomaly detection per event type: z-score of each
+    day's count against that type's mean/std over all days, flagging
+    |z| ≥ 2 (the ops-dashboard staple for traffic spikes/drops). The
+    statistical core stays EXACT integers through the combiner — counts,
+    Σx and Σx² — so the only float arithmetic is a fixed 5-op chain
+    (two divides, sqrt, subtract, divide) identical to the SQL twin; z is
+    rounded half-even(4) and the flag compares the ROUNDED value so no
+    unrounded float ever crosses the gate. Exchange: one row per
+    (type, day) per block; the per-type moment table is derived inside the
+    finalize task from the already-tiny aggregate."""
+    import math
+
+    ds = read_table(sf_dir, "events", columns=["event_type", "ts"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["day"] = df["ts"].dt.strftime("%Y-%m-%d")
+        return from_pandas_clean(df[["event_type", "day"]])
+
+    ds = ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for et, g in df.groupby("event_type"):
+            d = len(g)
+            sn = int(g["n_events"].sum())
+            sn2 = int((g["n_events"].astype("int64") ** 2).sum())
+            var_num = d * sn2 - sn * sn
+            mean = sn / float(d)
+            std = math.sqrt(var_num / float(d * d)) if var_num else 0.0
+            for _, r in g.iterrows():
+                z = 0.0 if var_num == 0 else round(
+                    (r["n_events"] - mean) / std, 4)
+                # Python round is half-even on floats, matching round_even;
+                # the chain is fixed-order so both engines see the same bits
+                out.append({"event_type": et, "day": r["day"],
+                            "n_events": int(r["n_events"]), "z": z,
+                            "is_anomaly": abs(z) >= ANOMALY_Z})
+        res = pd.DataFrame(out).sort_values(["event_type", "day"])
+        return res.reset_index(drop=True)
+
+    return grouped_agg(
+        ds,
+        keys=["event_type", "day"],
+        specs=[("n_events", "count", None)],
+        finalize=fin,
+    )

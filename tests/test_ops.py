@@ -1676,3 +1676,20 @@ def test_event_value_percentiles_vs_exact(ray_session):
     for et, g in df.groupby("event_type"):
         p50 = g[g["q"] == 0.5]["p_value"].iloc[0]
         assert abs(p50 - truth.loc[et, "p50"]) <= 1.0 / EVENT_PCTL_SCALE + 1e-9
+
+
+def test_daily_event_anomalies_moments(ray_session):
+    import numpy as np
+
+    from ocr_ray.ops.relational import daily_event_anomalies
+
+    df = _df(daily_event_anomalies(SF))
+    for et, g in df.groupby("event_type"):
+        # z-scores of a full population: mean ~0, |z| bounded by sqrt(d)
+        x = g["n_events"].to_numpy(dtype="float64")
+        if x.std() == 0:
+            assert (g["z"] == 0).all()
+            continue
+        want = (x - x.mean()) / x.std()
+        assert np.allclose(g["z"].to_numpy(), want, atol=1e-3)
+        assert ((g["z"].abs() >= 2.0) == g["is_anomaly"]).all()
