@@ -43,6 +43,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # end of their group.
     return {
         # ---- round-4 additions (newest first)
+        "event_type_affinity": r_ops.event_type_affinity,
+        "readability_scores": x_ops.readability_scores,
         "daily_event_anomalies": r_ops.daily_event_anomalies,
         "event_value_percentiles": r_ops.event_value_percentiles,
         "lapsed_customers": r_ops.lapsed_customers,
@@ -257,6 +259,37 @@ def _base_oracle_sql() -> dict[str, str]:
         for i in range(len(d_ops.BM25_QUERY_TERMS))
     )
     sql = {
+        # exact integer counts from the distinct self-join; each statistic
+        # is ONE division of two exact ints (bit-identical across engines)
+        "event_type_affinity": """
+            WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+            singles AS (SELECT event_type, COUNT(*) AS n FROM ut GROUP BY 1),
+            tot AS (SELECT COUNT(DISTINCT user_id) AS n FROM ut),
+            p AS (
+                SELECT a.event_type AS type_a, b.event_type AS type_b,
+                       COUNT(*) AS n_both
+                FROM ut a JOIN ut b
+                  ON a.user_id = b.user_id AND a.event_type < b.event_type
+                GROUP BY 1, 2
+            ),
+            allp AS (
+                SELECT sa.event_type AS type_a, sb.event_type AS type_b,
+                       sa.n AS n_a, sb.n AS n_b,
+                       COALESCE(p.n_both, 0) AS n_both
+                FROM singles sa JOIN singles sb ON sa.event_type < sb.event_type
+                LEFT JOIN p ON p.type_a = sa.event_type
+                           AND p.type_b = sb.event_type
+            )
+            SELECT type_a, type_b,
+                   CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+                   CAST(n_both AS BIGINT) AS n_both,
+                   round_even(n_both / CAST(tot.n AS DOUBLE), 4) AS support,
+                   round_even(n_both / CAST(n_a AS DOUBLE), 4) AS confidence,
+                   round_even((n_both * tot.n) / CAST(n_a * n_b AS DOUBLE), 4)
+                       AS lift
+            FROM allp CROSS JOIN tot
+            ORDER BY type_a, type_b
+        """,
         # exact-integer moments (n, Σx, Σx²); the z chain is the identical
         # fixed-order float expression; flag compares the ROUNDED z
         "daily_event_anomalies": f"""

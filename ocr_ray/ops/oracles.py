@@ -821,6 +821,32 @@ def extra_oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         FROM n ORDER BY url
     """
 
+    # ---------------------------------------- artifact: readability_scores
+    # syllables = vowel groups over the whole lowercased text (== per-word
+    # sum, words never span whitespace); Flesch chain in the engine's exact
+    # operator order on integer counts
+    from .extraction_queries import VOWEL_GROUP_RE
+
+    sql["readability_scores"] = f"""
+        WITH c AS (
+            SELECT url,
+                   len(regexp_extract_all(text, '\\S+')) AS w,
+                   len(regexp_extract_all(lower(text), '{VOWEL_GROUP_RE}')) AS sy,
+                   len(list_filter(list_transform(
+                       regexp_split_to_array(text, '[.!?]+'),
+                       x -> trim(x, ' ' || chr(9) || chr(10) || chr(13))),
+                       x -> x <> '')) AS se
+            FROM read_parquet('{summary}') WHERE error IS NULL
+        )
+        SELECT url, CAST(w AS BIGINT) AS n_words,
+               CAST(sy AS BIGINT) AS n_syllables,
+               CAST(se AS BIGINT) AS n_sentences,
+               CASE WHEN w = 0 OR se = 0 THEN 0.0 ELSE
+                   (206835 * se * w - 1015 * w * w - 84600 * sy * se)
+                   / CAST(1000 * se * w AS DOUBLE) END AS flesch
+        FROM c ORDER BY url
+    """
+
     # -------------------------------------------- artifact: sentence_stats
     # mean = round-half-even(total_words/n_sentences, 4) in exact integer
     # arithmetic, mirroring documents._round4_ratio bit for bit

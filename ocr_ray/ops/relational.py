@@ -1058,3 +1058,80 @@ def daily_event_anomalies(sf_dir: str):
         specs=[("n_events", "count", None)],
         finalize=fin,
     )
+
+
+def event_type_affinity(sf_dir: str):
+    """Market-basket affinity between event types (support / confidence /
+    lift over distinct users) — the association-rule staple. Scale shape:
+    (1) per-batch distinct (user, type) combiner → one exchange of narrow
+    pairs; (2) ONE grouped sum keyed by user folds each user's types into a
+    BITMASK (types are an enum, so the mask is exact — the (user,type)
+    distinct guarantees each bit sums in once); (3) mask histogram → at most
+    2^|types| rows reach the driver, where every pair statistic is derived
+    from EXACT integer counts with one float division each (bit-identical
+    to the SQL twin's self-join form)."""
+    ds = read_table(sf_dir, "events", columns=["user_id", "event_type"])
+
+    types = sorted(
+        r["event_type"]
+        for r in distinct(ds, ["event_type"]).take_all()
+    )
+    bit = {t: 1 << i for i, t in enumerate(types)}
+
+    def pairs_partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas().drop_duplicates()
+        df["b"] = df["event_type"].map(bit).astype("int64")
+        # per-batch pre-distinct; the (user, type) pair may still recur
+        # across batches, so fold with MAX of the bit later, then sum bits
+        return from_pandas_clean(df[["user_id", "event_type", "b"]])
+
+    per_pair = grouped_agg(
+        ds.map_batches(pairs_partial, batch_format="pyarrow", zero_copy_batch=True),
+        keys=["user_id", "event_type"],
+        specs=[("b", "max", "b")],
+    )
+    masks = grouped_agg(per_pair, keys=["user_id"], specs=[("mask", "sum", "b")])
+
+    def mask_hist(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas().groupby("mask", as_index=False).size()
+        return from_pandas_clean(df.rename(columns={"size": "c"}))
+
+    hist = grouped_agg(
+        masks.map_batches(mask_hist, batch_format="pyarrow", zero_copy_batch=True),
+        keys=["mask"],
+        specs=[("c", "sum", "c")],
+    )
+    rows = hist.take_all()
+    n_users = sum(r["c"] for r in rows)
+    n_single = {
+        t: sum(r["c"] for r in rows if r["mask"] & bit[t]) for t in types
+    }
+    out = {"type_a": [], "type_b": [], "n_a": [], "n_b": [], "n_both": [],
+           "support": [], "confidence": [], "lift": []}
+    for i, a in enumerate(types):
+        for b in types[i + 1:]:
+            both = sum(
+                r["c"] for r in rows
+                if (r["mask"] & bit[a]) and (r["mask"] & bit[b])
+            )
+            na, nb = n_single[a], n_single[b]
+            out["type_a"].append(a)
+            out["type_b"].append(b)
+            out["n_a"].append(na)
+            out["n_b"].append(nb)
+            out["n_both"].append(both)
+            out["support"].append(round(both / n_users, 4))
+            out["confidence"].append(round(both / na, 4) if na else 0.0)
+            out["lift"].append(
+                round((both * n_users) / (na * nb), 4) if na and nb else 0.0
+            )
+    return pa.table(
+        {"type_a": pa.array(out["type_a"], pa.string()),
+         "type_b": pa.array(out["type_b"], pa.string()),
+         "n_a": pa.array(out["n_a"], pa.int64()),
+         "n_b": pa.array(out["n_b"], pa.int64()),
+         "n_both": pa.array(out["n_both"], pa.int64()),
+         "support": pa.array(out["support"], pa.float64()),
+         "confidence": pa.array(out["confidence"], pa.float64()),
+         "lift": pa.array(out["lift"], pa.float64())}
+    )

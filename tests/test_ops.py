@@ -1693,3 +1693,46 @@ def test_daily_event_anomalies_moments(ray_session):
         want = (x - x.mean()) / x.std()
         assert np.allclose(g["z"].to_numpy(), want, atol=1e-3)
         assert ((g["z"].abs() >= 2.0) == g["is_anomaly"]).all()
+
+
+def test_event_type_affinity_counts(ray_session):
+    import duckdb
+
+    from ocr_ray.ops.relational import event_type_affinity
+
+    df = event_type_affinity(SF).to_pandas()
+    assert (df["type_a"] < df["type_b"]).all()
+    # exact-count cross-check against a direct distinct self-join
+    truth = duckdb.sql(f"""
+        WITH ut AS (SELECT DISTINCT user_id, event_type
+                    FROM read_parquet('{SF}/events.parquet'))
+        SELECT a.event_type ta, b.event_type tb, COUNT(*) n
+        FROM ut a JOIN ut b ON a.user_id = b.user_id
+         AND a.event_type < b.event_type
+        GROUP BY 1, 2
+    """).df().set_index(["ta", "tb"])["n"]
+    for _, r in df.iterrows():
+        want = truth.get((r["type_a"], r["type_b"]), 0)
+        assert r["n_both"] == want
+        assert 0.0 <= r["support"] <= 1.0
+        assert 0.0 <= r["confidence"] <= 1.0
+
+
+def test_readability_scores_recompute_sample(ray_session):
+    import re
+
+    from ocr_ray.ops.extraction_queries import extract_summary, readability_scores
+
+    df = _df(readability_scores(SF)).set_index("url")
+    docs = _df(extract_summary(SF))
+    docs = docs[docs["error"].isnull()].head(25)
+    for _, r in docs.iterrows():
+        row = df.loc[r["url"]]
+        w = len(r["text"].split())
+        sy = len(re.findall("[aeiouy]+", r["text"].lower()))
+        assert row["n_words"] == w
+        assert row["n_syllables"] == sy
+        if w and row["n_sentences"]:
+            se = int(row["n_sentences"])
+            num = 206835 * se * w - 1015 * w * w - 84600 * sy * se
+            assert row["flesch"] == num / (1000 * se * w)
