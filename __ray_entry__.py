@@ -43,6 +43,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # end of their group.
     return {
         # ---- round-4 additions (newest first)
+        "html_titles": x_ops.html_titles,
         "event_type_affinity": r_ops.event_type_affinity,
         "readability_scores": x_ops.readability_scores,
         "daily_event_anomalies": r_ops.daily_event_anomalies,

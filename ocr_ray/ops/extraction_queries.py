@@ -1229,3 +1229,43 @@ def readability_scores(sf_dir: str) -> ray.data.Dataset:
         )
 
     return out.map_batches(scores, batch_format="pyarrow", zero_copy_batch=True)
+
+
+TITLE_RE = "<title>([^<]*)</title>"
+
+
+def html_titles(sf_dir: str) -> ray.data.Dataset:
+    """Per-record <title> extraction from the RAW crawl bytes — the metadata
+    field search indexes and dedup heuristics key on. The HTML gate is the
+    literal 9-byte prefix '<!DOCTYPE' (shared with the SQL twin, which
+    can't run the full magic-byte router over blobs — and a first-byte gate
+    alone admits a corpus junk blob that happens to start 0x3C but is not
+    UTF-8) and the title is the FIRST
+    '<title>([^<]*)</title>' match of the utf-8 payload — one regex shared
+    verbatim with the oracle, which re-parses the same corpus parquet via
+    blob decode. Shuffle-free scan; binary-branch records report
+    has_title=false with an empty title."""
+    import re as _re
+
+    title_re = _re.compile(TITLE_RE)
+    ds = _pages_pruned(sf_dir, ["url", "warc_ts", "html"])
+
+    def titles(batch: pa.Table) -> pa.Table:
+        payloads = batch.column("html").to_pylist()
+        has, title = [], []
+        for data in payloads:
+            if data[:9] == b"<!DOCTYPE":
+                m = title_re.search(data.decode("utf-8", errors="replace"))
+                has.append(m is not None)
+                title.append(m.group(1) if m else "")
+            else:
+                has.append(False)
+                title.append("")
+        return pa.table(
+            {"url": batch.column("url"),
+             "warc_ts": batch.column("warc_ts"),
+             "has_title": pa.array(has, pa.bool_()),
+             "title": pa.array(title, pa.string())}
+        )
+
+    return ds.map_batches(titles, batch_format="pyarrow", zero_copy_batch=True)

@@ -821,6 +821,28 @@ def extra_oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         FROM n ORDER BY url
     """
 
+    # ------------------------------------------- direct: html_titles
+    # re-parses the RAW corpus bytes: the 9-byte '<!DOCTYPE' prefix gates
+    # the blob decode (the engine uses the same literal gate; a bare '<'
+    # admits a non-UTF-8 junk blob), one shared title regex
+    from .extraction_queries import TITLE_RE, pages_corpus
+
+    corpus_glob = f"{pages_corpus(sf_dir)}/*.parquet"
+    sql["html_titles"] = f"""
+        WITH h AS (
+            SELECT url, warc_ts,
+                   CASE WHEN substr(html::VARCHAR, 1, 9) = '<!DOCTYPE'
+                        THEN decode(html) ELSE NULL END AS doc
+            FROM read_parquet('{corpus_glob}')
+        )
+        SELECT url, warc_ts,
+               doc IS NOT NULL AND regexp_matches(doc, '{TITLE_RE}')
+                   AS has_title,
+               CASE WHEN doc IS NULL THEN ''
+                    ELSE regexp_extract(doc, '{TITLE_RE}', 1) END AS title
+        FROM h ORDER BY url, warc_ts
+    """
+
     # ---------------------------------------- artifact: readability_scores
     # syllables = vowel groups over the whole lowercased text (== per-word
     # sum, words never span whitespace); Flesch chain in the engine's exact

@@ -1736,3 +1736,16 @@ def test_readability_scores_recompute_sample(ray_session):
             se = int(row["n_sentences"])
             num = 206835 * se * w - 1015 * w * w - 84600 * sy * se
             assert row["flesch"] == num / (1000 * se * w)
+
+
+def test_html_titles_gate_and_extract(ray_session):
+    from ocr_ray.ops.extraction_queries import html_titles
+
+    df = _df(html_titles(SF))
+    assert len(df) == 1000  # one row per corpus record, binary branch kept
+    html = df[df["has_title"]]
+    assert len(html) > 0
+    assert (html["title"].str.len() > 0).all()
+    assert (df.loc[~df["has_title"], "title"] == "").all()
+    # title text never contains a tag bracket (regex [^<]* guarantees it)
+    assert not html["title"].str.contains("<").any()
