@@ -43,6 +43,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # end of their group.
     return {
         # ---- round-4 additions (newest first)
+        "outlink_stats": x_ops.outlink_stats,
         "html_titles": x_ops.html_titles,
         "event_type_affinity": r_ops.event_type_affinity,
         "readability_scores": x_ops.readability_scores,

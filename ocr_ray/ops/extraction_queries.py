@@ -1269,3 +1269,47 @@ def html_titles(sf_dir: str) -> ray.data.Dataset:
         )
 
     return ds.map_batches(titles, batch_format="pyarrow", zero_copy_batch=True)
+
+
+OUTLINK_RE = r'<a href="(https://(host[0-9]+)\.example/p/[0-9]+)">'
+
+
+def outlink_stats(sf_dir: str) -> ray.data.Dataset:
+    """Per-record outlink-density statistics from the raw crawl bytes —
+    link counts, internal/external split against the record's own host, and
+    distinct-target count (the page-level spam gate link-farm filters key
+    on; host_link_graph aggregates the same anchors per HOST, this op keeps
+    the per-record resolution). Same '<!DOCTYPE' decode gate and one anchor
+    regex shared verbatim with the SQL twin; shuffle-free scan."""
+    import re as _re
+
+    link_re = _re.compile(OUTLINK_RE)
+    host_re = _re.compile(URL_PARSE_RE)
+    ds = _pages_pruned(sf_dir, ["url", "warc_ts", "html"])
+
+    def stats(batch: pa.Table) -> pa.Table:
+        urls = batch.column("url").to_pylist()
+        payloads = batch.column("html").to_pylist()
+        n_links, n_int, n_ext, n_uniq = [], [], [], []
+        for u, data in zip(urls, payloads):
+            if data[:9] != b"<!DOCTYPE":
+                n_links.append(0); n_int.append(0)
+                n_ext.append(0); n_uniq.append(0)
+                continue
+            own = host_re.match(u).group(1)
+            hits = link_re.findall(data.decode("utf-8", errors="replace"))
+            internal = sum(1 for _t, h in hits if h == own)
+            n_links.append(len(hits))
+            n_int.append(internal)
+            n_ext.append(len(hits) - internal)
+            n_uniq.append(len({t for t, _h in hits}))
+        return pa.table(
+            {"url": batch.column("url"),
+             "warc_ts": batch.column("warc_ts"),
+             "n_links": pa.array(n_links, pa.int64()),
+             "n_internal": pa.array(n_int, pa.int64()),
+             "n_external": pa.array(n_ext, pa.int64()),
+             "n_unique_targets": pa.array(n_uniq, pa.int64())}
+        )
+
+    return ds.map_batches(stats, batch_format="pyarrow", zero_copy_batch=True)

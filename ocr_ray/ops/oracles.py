@@ -843,6 +843,37 @@ def extra_oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         FROM h ORDER BY url, warc_ts
     """
 
+    # ------------------------------------------- direct: outlink_stats
+    from .extraction_queries import OUTLINK_RE, URL_PARSE_RE
+
+    sql["outlink_stats"] = f"""
+        WITH h AS (
+            SELECT url, warc_ts,
+                   CASE WHEN substr(html::VARCHAR, 1, 9) = '<!DOCTYPE'
+                        THEN decode(html) ELSE NULL END AS doc
+            FROM read_parquet('{corpus_glob}')
+        ),
+        x AS (
+            SELECT url, warc_ts,
+                   regexp_extract(url, '{URL_PARSE_RE}', 1) AS own,
+                   COALESCE(regexp_extract_all(doc, '{OUTLINK_RE}', 1), [])
+                       AS targets,
+                   COALESCE(regexp_extract_all(doc, '{OUTLINK_RE}', 2), [])
+                       AS hosts
+            FROM h
+        )
+        SELECT url, warc_ts,
+               CAST(len(targets) AS BIGINT) AS n_links,
+               CAST(len(list_filter(hosts, t -> t = own)) AS BIGINT)
+                   AS n_internal,
+               CAST(len(targets)
+                    - len(list_filter(hosts, t -> t = own)) AS BIGINT)
+                   AS n_external,
+               CAST(len(list_distinct(targets)) AS BIGINT)
+                   AS n_unique_targets
+        FROM x ORDER BY url, warc_ts
+    """
+
     # ---------------------------------------- artifact: readability_scores
     # syllables = vowel groups over the whole lowercased text (== per-word
     # sum, words never span whitespace); Flesch chain in the engine's exact

@@ -1749,3 +1749,16 @@ def test_html_titles_gate_and_extract(ray_session):
     assert (df.loc[~df["has_title"], "title"] == "").all()
     # title text never contains a tag bracket (regex [^<]* guarantees it)
     assert not html["title"].str.contains("<").any()
+
+
+def test_outlink_stats_consistency(ray_session):
+    from ocr_ray.ops.extraction_queries import outlink_stats
+    from ocr_ray.ops.graph import host_link_graph
+
+    df = _df(outlink_stats(SF))
+    assert (df["n_internal"] + df["n_external"] == df["n_links"]).all()
+    assert (df["n_unique_targets"] <= df["n_links"]).all()
+    # cross-op invariant: total anchors seen here == total edge weight in
+    # the host link graph (both parse the same corpus with the same anchors)
+    edges = _df(host_link_graph(SF))
+    assert df["n_links"].sum() == edges["n_links"].sum()
