@@ -43,6 +43,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # end of their group.
     return {
         # ---- round-4 additions (newest first)
+        "bloom_novelty": d_ops.bloom_novelty,
         "outlink_stats": x_ops.outlink_stats,
         "html_titles": x_ops.html_titles,
         "event_type_affinity": r_ops.event_type_affinity,
@@ -261,6 +262,37 @@ def _base_oracle_sql() -> dict[str, str]:
         for i in range(len(d_ops.BM25_QUERY_TERMS))
     )
     sql = {
+        # the filter is a deterministic bit SET, so the oracle reproduces it
+        # as lane-IN-set semi-joins; nh = 4 <=> all four lane positions hit
+        "bloom_novelty": f"""
+            WITH d AS (
+                SELECT doc_id,
+                       ('0x' || substr(md5(text), 1, 16))::UBIGINT AS h
+                FROM documents
+            ),
+            lanes AS (
+                SELECT doc_id, h, unnest([
+                    {", ".join(f"CAST((h >> {s}) & {d_ops.BLOOM_BITS - 1} AS BIGINT)" for s in d_ops.BLOOM_LANE_SHIFTS)}
+                ]) AS lane
+                FROM d
+            ),
+            ins AS (
+                SELECT DISTINCT lane AS bit FROM lanes WHERE doc_id % 2 = 0
+            ),
+            seen AS (SELECT DISTINCT h FROM d WHERE doc_id % 2 = 0),
+            hits AS (
+                SELECT doc_id,
+                       SUM(CASE WHEN lane IN (SELECT bit FROM ins)
+                           THEN 1 ELSE 0 END) AS nh
+                FROM lanes GROUP BY doc_id
+            )
+            SELECT d.doc_id, hits.nh = 4 AS maybe_seen,
+                   d.h IN (SELECT h FROM seen) AS truly_seen,
+                   hits.nh = 4 AND d.h NOT IN (SELECT h FROM seen)
+                       AS false_positive
+            FROM d JOIN hits ON d.doc_id = hits.doc_id
+            ORDER BY d.doc_id
+        """,
         # exact integer counts from the distinct self-join; each statistic
         # is ONE division of two exact ints (bit-identical across engines)
         "event_type_affinity": """

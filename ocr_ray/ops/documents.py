@@ -2244,3 +2244,71 @@ def source_lang_rollup(sf_dir: str):
         specs=[("n_docs", "count", None), ("sum_chars", "sum", "n_chars")],
         finalize=fin,
     )
+
+
+BLOOM_BITS = 1 << 16
+BLOOM_LANE_SHIFTS = (0, 16, 32, 48)
+
+
+def bloom_novelty(sf_dir: str):
+    """Bloom-filter novelty against the even-doc_id snapshot — the
+    probabilistic twin of novel_docs for the regime where the exact hash
+    index no longer fits (a 2^16-bit filter summarizes ANY snapshot size
+    at a fixed fp rate; production incremental ingest keeps one per shard).
+    k=4 hash lanes are the four 16-bit slices of the md5-prefix hash, so
+    the filter is fully deterministic and the SQL twin reproduces it as a
+    bit-set semi-join (a lane row `IN` the distinct inserted-bit set).
+    Output per doc: maybe_seen (the filter's answer), truly_seen (the
+    exact audit — at production scale you would NOT materialize this
+    side; it exists to expose the false positives), false_positive.
+
+    Scale shape: one distinct-hash exchange over the snapshot (signed
+    int64 hashes — same discipline as novel_docs), ONE driver fold into a
+    65,536-bit bitmap, bitmap + audit set ray.put once, then a
+    shuffle-free scoring pass."""
+    import numpy as np
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def snapshot_hashes(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        out = {
+            _h64(t)
+            for i, t in zip(ids, batch.column("text").to_pylist())
+            if i % 2 == 0
+        }
+        return pa.table({"h": pa.array(list(out), pa.int64())})
+
+    snap = distinct(
+        ds.map_batches(snapshot_hashes, batch_format="pyarrow", zero_copy_batch=True),
+        ["h"],
+    )
+    hashes = [r["h"] for r in snap.take_all()]
+    bitmap = np.zeros(BLOOM_BITS, dtype=bool)
+    mask64 = (1 << 64) - 1
+    for h in hashes:
+        hu = h & mask64
+        for s in BLOOM_LANE_SHIFTS:
+            bitmap[(hu >> s) & (BLOOM_BITS - 1)] = True
+    state_ref = ray.put((bitmap, frozenset(hashes)))
+
+    def score(batch: pa.Table) -> pa.Table:
+        bm, exact = ray.get(state_ref)
+        ids = batch.column("doc_id").to_pylist()
+        maybe, truly, fp = [], [], []
+        for t in batch.column("text").to_pylist():
+            h = _h64(t)
+            hu = h & mask64
+            m = all(bm[(hu >> s) & (BLOOM_BITS - 1)] for s in BLOOM_LANE_SHIFTS)
+            tr = h in exact
+            maybe.append(m)
+            truly.append(tr)
+            fp.append(m and not tr)
+        return pa.table(
+            {"doc_id": pa.array(ids, pa.int64()),
+             "maybe_seen": pa.array(maybe, pa.bool_()),
+             "truly_seen": pa.array(truly, pa.bool_()),
+             "false_positive": pa.array(fp, pa.bool_())}
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)

@@ -1762,3 +1762,16 @@ def test_outlink_stats_consistency(ray_session):
     # the host link graph (both parse the same corpus with the same anchors)
     edges = _df(host_link_graph(SF))
     assert df["n_links"].sum() == edges["n_links"].sum()
+
+
+def test_bloom_novelty_no_false_negatives(ray_session):
+    from ocr_ray.ops.documents import bloom_novelty
+
+    df = _df(bloom_novelty(SF))
+    assert len(df) == 500
+    # the Bloom guarantee: every truly-seen doc is maybe-seen (no FNs)
+    assert df.loc[df["truly_seen"], "maybe_seen"].all()
+    # false_positive is exactly the audit difference
+    assert (df["false_positive"] == (df["maybe_seen"] & ~df["truly_seen"])).all()
+    # all even docs are in the snapshot, hence truly seen
+    assert df.loc[df["doc_id"] % 2 == 0, "truly_seen"].all()
