@@ -298,8 +298,22 @@ def source_stats(sf_dir: str):
 
 def longest_docs_per_lang(sf_dir: str, k: int = 2):
     """Windowed top-k per group (row_number() shape): longest k docs per
-    lang, deterministic tiebreak on doc_id."""
+    lang, deterministic tiebreak on doc_id.
+
+    Scale shape: a per-batch COMBINER keeps only the k best rows per group
+    before the exchange — top-k is re-aggregable (the global top-k is a
+    subset of the union of per-block top-ks), so the groupby ships
+    ≤ k·|langs| rows per block instead of every row of every group (the
+    naive map_groups form moves the full table through the exchange)."""
     ds = read_table(sf_dir, "documents", columns=["lang", "doc_id", "n_chars"])
+
+    def block_topk(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas().sort_values(
+            ["n_chars", "doc_id"], ascending=[False, True]
+        )
+        return from_pandas_clean(df.groupby("lang", sort=False).head(k))
+
+    pruned = ds.map_batches(block_topk, batch_format="pyarrow", zero_copy_batch=True)
 
     def topk(group: pa.Table) -> pa.Table:
         df = group.to_pandas().sort_values(
@@ -308,7 +322,7 @@ def longest_docs_per_lang(sf_dir: str, k: int = 2):
         df["rank"] = range(1, len(df) + 1)
         return from_pandas_clean(df)
 
-    out = ds.groupby("lang").map_groups(topk, batch_format="pyarrow")
+    out = pruned.groupby("lang").map_groups(topk, batch_format="pyarrow")
     return out.sort(["lang", "rank"])
 
 
