@@ -43,6 +43,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # end of their group.
     return {
         # ---- round-4 additions (newest first)
+        "order_size_distribution": r_ops.order_size_distribution,
+        "host_freshness": x_ops.host_freshness,
         "bloom_novelty": d_ops.bloom_novelty,
         "outlink_stats": x_ops.outlink_stats,
         "html_titles": x_ops.html_titles,
@@ -262,6 +264,15 @@ def _base_oracle_sql() -> dict[str, str]:
         for i in range(len(d_ops.BM25_QUERY_TERMS))
     )
     sql = {
+        "order_size_distribution": """
+            WITH per_order AS (
+                SELECT l_orderkey, COUNT(*) AS n_items
+                FROM lineitem GROUP BY 1
+            )
+            SELECT CAST(n_items AS BIGINT) AS n_items,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders
+            FROM per_order GROUP BY n_items ORDER BY n_items
+        """,
         # the filter is a deterministic bit SET, so the oracle reproduces it
         # as lane-IN-set semi-joins; nh = 4 <=> all four lane positions hit
         "bloom_novelty": f"""

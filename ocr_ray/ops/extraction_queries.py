@@ -1313,3 +1313,44 @@ def outlink_stats(sf_dir: str) -> ray.data.Dataset:
         )
 
     return ds.map_batches(stats, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def host_freshness(sf_dir: str) -> ray.data.Dataset:
+    """Per-host crawl freshness: first/last warc_ts and the span in whole
+    days — the recrawl-scheduling signal (a host not seen for months is
+    stale; one crawled hourly is a hot feed). Grouped min/max over the
+    extraction output with the usual per-batch combiner; span_days is an
+    exact integer division of the microsecond delta. Hosts come from the
+    shared URL regex."""
+    import re as _re
+
+    from .common import grouped_agg
+
+    host_re = _re.compile(URL_PARSE_RE)
+    out = extraction_output(sf_dir, columns=["url", "warc_ts"])
+
+    def hosts(batch: pa.Table) -> pa.Table:
+        urls = batch.column("url").to_pylist()
+        return pa.table(
+            {"host": pa.array([host_re.match(u).group(1) for u in urls],
+                              pa.string()),
+             "warc_ts": batch.column("warc_ts")}
+        )
+
+    ds = out.map_batches(hosts, batch_format="pyarrow", zero_copy_batch=True)
+
+    def fin(df):
+        us = (df["last_seen"] - df["first_seen"]).astype("timedelta64[us]")
+        df["span_days"] = (us // pd.Timedelta(days=1)).astype("int64")
+        return df.sort_values("host").reset_index(drop=True)
+
+    import pandas as pd
+
+    return grouped_agg(
+        ds,
+        keys=["host"],
+        specs=[("n_records", "count", None),
+               ("first_seen", "min", "warc_ts"),
+               ("last_seen", "max", "warc_ts")],
+        finalize=fin,
+    )

@@ -843,6 +843,22 @@ def extra_oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         FROM h ORDER BY url, warc_ts
     """
 
+    # ------------------------------------------ artifact: host_freshness
+    # span_days = floor((last - first) / 1 day) in exact microsecond ints
+    from .extraction_queries import URL_PARSE_RE as _URL_RE
+
+    sql["host_freshness"] = f"""
+        WITH h AS (
+            SELECT regexp_extract(url, '{_URL_RE}', 1) AS host, warc_ts
+            FROM read_parquet('{summary}')
+        )
+        SELECT host, CAST(COUNT(*) AS BIGINT) AS n_records,
+               MIN(warc_ts) AS first_seen, MAX(warc_ts) AS last_seen,
+               CAST((epoch_us(MAX(warc_ts)) - epoch_us(MIN(warc_ts)))
+                    // 86400000000 AS BIGINT) AS span_days
+        FROM h GROUP BY host ORDER BY host
+    """
+
     # ------------------------------------------- direct: outlink_stats
     from .extraction_queries import OUTLINK_RE, URL_PARSE_RE
 

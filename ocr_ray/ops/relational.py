@@ -1149,3 +1149,25 @@ def event_type_affinity(sf_dir: str):
          "confidence": pa.array(out["confidence"], pa.float64()),
          "lift": pa.array(out["lift"], pa.float64())}
     )
+
+
+def order_size_distribution(sf_dir: str):
+    """Distribution of group SIZES (lineitems per order) — the two-level
+    aggregation diagnostic every skew investigation starts with: grouped
+    count per order, then a histogram over the counts. Both levels are
+    combiner-shaped: level 1 ships one row per (block × order), level 2 one
+    row per distinct size — the histogram is bounded by the max group size,
+    not the row count."""
+    ds = read_table(sf_dir, "lineitem", columns=["l_orderkey"])
+
+    per_order = grouped_agg(
+        ds, keys=["l_orderkey"], specs=[("n_items", "count", None)]
+    )
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values("n_items").reset_index(drop=True)
+
+    return grouped_agg(
+        per_order, keys=["n_items"], specs=[("n_orders", "count", None)],
+        finalize=fin,
+    )

@@ -1775,3 +1775,30 @@ def test_bloom_novelty_no_false_negatives(ray_session):
     assert (df["false_positive"] == (df["maybe_seen"] & ~df["truly_seen"])).all()
     # all even docs are in the snapshot, hence truly seen
     assert df.loc[df["doc_id"] % 2 == 0, "truly_seen"].all()
+
+
+def test_order_size_distribution_accounts_all(ray_session):
+    import duckdb
+
+    from ocr_ray.ops.relational import order_size_distribution
+
+    df = _df(order_size_distribution(SF))
+    n_orders, n_items = duckdb.sql(
+        f"SELECT count(DISTINCT l_orderkey), count(*) "
+        f"FROM read_parquet('{SF}/lineitem.parquet')"
+    ).fetchone()
+    assert df["n_orders"].sum() == n_orders
+    assert (df["n_items"] * df["n_orders"]).sum() == n_items
+    assert df["n_items"].is_monotonic_increasing
+
+
+def test_host_freshness_span(ray_session):
+    from ocr_ray.ops.extraction_queries import host_freshness
+
+    df = _df(host_freshness(SF))
+    assert (df["last_seen"] >= df["first_seen"]).all()
+    assert (df["span_days"] >= 0).all()
+    want = ((df["last_seen"] - df["first_seen"]).dt.total_seconds()
+            // 86400).astype("int64")
+    assert (df["span_days"] == want).all()
+    assert df["host"].is_unique
