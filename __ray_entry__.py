@@ -43,6 +43,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # end of their group.
     return {
         # ---- round-4 additions (newest first)
+        "char_trigram_profile": d_ops.char_trigram_profile,
         "order_size_distribution": r_ops.order_size_distribution,
         "host_freshness": x_ops.host_freshness,
         "bloom_novelty": d_ops.bloom_novelty,
@@ -264,6 +265,28 @@ def _base_oracle_sql() -> dict[str, str]:
         for i in range(len(d_ops.BM25_QUERY_TERMS))
     )
     sql = {
+        # char-based substr/length on both sides (DuckDB substr/length are
+        # character-semantics like Python slicing — zh multibyte included)
+        "char_trigram_profile": f"""
+            WITH t AS (
+                SELECT lang, substr(text, CAST(r.i AS INT), 3) AS tri
+                FROM documents,
+                     LATERAL unnest(range(1, length(text) - 1)) AS r(i)
+            ),
+            c AS (
+                SELECT lang, tri, CAST(COUNT(*) AS BIGINT) AS n
+                FROM t GROUP BY lang, tri
+            ),
+            ranked AS (
+                SELECT lang, tri, n,
+                       row_number() OVER (PARTITION BY lang
+                                          ORDER BY n DESC, tri) AS rank
+                FROM c
+            )
+            SELECT lang, tri, n, CAST(rank AS BIGINT) AS rank
+            FROM ranked WHERE rank <= {d_ops.TRIGRAM_TOP_K}
+            ORDER BY lang, rank
+        """,
         "order_size_distribution": """
             WITH per_order AS (
                 SELECT l_orderkey, COUNT(*) AS n_items

@@ -2312,3 +2312,46 @@ def bloom_novelty(sf_dir: str):
         )
 
     return ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+
+
+TRIGRAM_TOP_K = 20
+
+
+def char_trigram_profile(sf_dir: str, top_k: int = TRIGRAM_TOP_K):
+    """Per-language character-trigram profiles (Cavnar–Trenkle n-gram
+    language identification rests on exactly these ranked profiles): counts
+    of every 3-char window of the raw text, top-k per language with full
+    deterministic tie order and a rank column.
+
+    Scale shape: the per-batch dict is the combiner; the exchange carries
+    distinct (lang, trigram, n) rows whose cardinality is bounded by
+    |langs| x charset^3, not the corpus; the per-lang top-k cut runs in the
+    finalize task over the already-aggregated frame."""
+    ds = read_table(sf_dir, "documents", columns=["lang", "text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        counts: dict[tuple[str, str], int] = {}
+        langs = batch.column("lang").to_pylist()
+        for lang, text in zip(langs, batch.column("text").to_pylist()):
+            for tri in map("".join, zip(text, text[1:], text[2:])):
+                k = (lang, tri)
+                counts[k] = counts.get(k, 0) + 1
+        ks = list(counts.keys())
+        return pa.table(
+            {"lang": pa.array([k[0] for k in ks], pa.string()),
+             "tri": pa.array([k[1] for k in ks], pa.string()),
+             "n": pa.array(list(counts.values()), pa.int64())}
+        )
+
+    ds = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["lang", "n", "tri"],
+                            ascending=[True, False, True])
+        df = df.groupby("lang", sort=False).head(top_k).reset_index(drop=True)
+        df["rank"] = df.groupby("lang").cumcount() + 1
+        return df
+
+    return grouped_agg(
+        ds, keys=["lang", "tri"], specs=[("n", "sum", "n")], finalize=fin
+    )

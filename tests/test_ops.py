@@ -1802,3 +1802,24 @@ def test_host_freshness_span(ray_session):
             // 86400).astype("int64")
     assert (df["span_days"] == want).all()
     assert df["host"].is_unique
+
+
+def test_char_trigram_profile_recompute(ray_session):
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+
+    from ocr_ray.ops.documents import TRIGRAM_TOP_K, char_trigram_profile
+
+    df = _df(char_trigram_profile(SF))
+    t = pq.read_table(f"{SF}/documents.parquet", columns=["lang", "text"])
+    by_lang: dict = {}
+    for lang, text in zip(t.column("lang").to_pylist(), t.column("text").to_pylist()):
+        c = by_lang.setdefault(lang, Counter())
+        c.update(map("".join, zip(text, text[1:], text[2:])))
+    for lang, g in df.groupby("lang"):
+        g = g.sort_values("rank")
+        assert len(g) == min(TRIGRAM_TOP_K, len(by_lang[lang]))
+        want = sorted(by_lang[lang].items(), key=lambda kv: (-kv[1], kv[0]))
+        for (tri, n), (_, row) in zip(want[:len(g)], g.iterrows()):
+            assert (row["tri"], row["n"]) == (tri, n)
