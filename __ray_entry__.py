@@ -43,6 +43,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # end of their group.
     return {
         # ---- round-4 additions (newest first)
+        "clickstream_paths": r_ops.clickstream_paths,
         "char_trigram_profile": d_ops.char_trigram_profile,
         "order_size_distribution": r_ops.order_size_distribution,
         "host_freshness": x_ops.host_freshness,
@@ -265,6 +266,23 @@ def _base_oracle_sql() -> dict[str, str]:
         for i in range(len(d_ops.BM25_QUERY_TERMS))
     )
     sql = {
+        # first-k per user via row_number over (ts, event_id); ordered
+        # string_agg folds the path identically to the engine's '>'.join
+        "clickstream_paths": f"""
+            WITH r AS (
+                SELECT user_id, event_type,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) AS rn
+                FROM events
+            ),
+            p AS (
+                SELECT user_id,
+                       string_agg(event_type, '>' ORDER BY rn) AS path
+                FROM r WHERE rn <= {r_ops.PATH_LEN} GROUP BY user_id
+            )
+            SELECT path, CAST(COUNT(*) AS BIGINT) AS n_users
+            FROM p GROUP BY path ORDER BY n_users DESC, path
+        """,
         # char-based substr/length on both sides (DuckDB substr/length are
         # character-semantics like Python slicing — zh multibyte included)
         "char_trigram_profile": f"""

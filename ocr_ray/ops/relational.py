@@ -1171,3 +1171,46 @@ def order_size_distribution(sf_dir: str):
         per_order, keys=["n_items"], specs=[("n_orders", "count", None)],
         finalize=fin,
     )
+
+
+PATH_LEN = 3
+
+
+def clickstream_paths(sf_dir: str):
+    """Sequence mining: each user's first PATH_LEN event types in time
+    order folded to a path string ('view>click>purchase'), then a grouped
+    count per path — the entry-path analysis every product funnel review
+    starts from. Same salted-partition rule as user_sessions (users
+    co-locate via user_id % SESSION_PARTS so the Python-call count is
+    bounded by the part count, and the within-part pass is one vectorized
+    sort + cumcount, never a per-user loop); ties on ts break by event_id
+    on both sides."""
+    ds = read_table(sf_dir, "events", columns=["user_id", "ts", "event_id", "event_type"])
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        uid = batch.column("user_id").combine_chunks().to_numpy(zero_copy_only=False)
+        return batch.append_column("upart", pa.array(uid % SESSION_PARTS, pa.int64()))
+
+    ds = ds.map_batches(add_part, batch_format="pyarrow", zero_copy_batch=True)
+
+    def paths_part(group: pa.Table) -> pa.Table:
+        df = group.to_pandas().sort_values(
+            ["user_id", "ts", "event_id"], kind="mergesort")
+        if not len(df):
+            return pa.Table.from_pylist([], schema=pa.schema(
+                [pa.field("path", pa.string()), pa.field("n_users", pa.int64())]))
+        df["rn"] = df.groupby("user_id").cumcount()
+        head = df[df["rn"] < PATH_LEN]
+        paths = head.groupby("user_id", sort=False)["event_type"].agg(">".join)
+        out = paths.to_frame("path").groupby("path", as_index=False).size()
+        return from_pandas_clean(out.rename(columns={"size": "n_users"}))
+
+    grouped = ds.groupby("upart").map_groups(paths_part, batch_format="pyarrow")
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(["n_users", "path"],
+                              ascending=[False, True]).reset_index(drop=True)
+
+    return grouped_agg(
+        grouped, keys=["path"], specs=[("n_users", "sum", "n_users")], finalize=fin
+    )

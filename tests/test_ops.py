@@ -1823,3 +1823,17 @@ def test_char_trigram_profile_recompute(ray_session):
         want = sorted(by_lang[lang].items(), key=lambda kv: (-kv[1], kv[0]))
         for (tri, n), (_, row) in zip(want[:len(g)], g.iterrows()):
             assert (row["tri"], row["n"]) == (tri, n)
+
+
+def test_clickstream_paths_account_all_users(ray_session):
+    import duckdb
+
+    from ocr_ray.ops.relational import clickstream_paths
+
+    df = _df(clickstream_paths(SF))
+    n_users = duckdb.sql(
+        f"SELECT count(DISTINCT user_id) FROM read_parquet('{SF}/events.parquet')"
+    ).fetchone()[0]
+    assert df["n_users"].sum() == n_users
+    # every path is 1..3 event types joined by '>'
+    assert df["path"].str.split(">").str.len().between(1, 3).all()
