@@ -43,6 +43,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # end of their group.
     return {
         # ---- round-4 additions (newest first)
+        "kmeans_clusters": e_ops.kmeans_clusters,
         "clickstream_paths": r_ops.clickstream_paths,
         "char_trigram_profile": d_ops.char_trigram_profile,
         "order_size_distribution": r_ops.order_size_distribution,
@@ -218,6 +219,63 @@ def _bpe_replace_chain() -> str:
     for x, y in d_ops.BPE_MERGES:
         expr = f"replace({expr}, '({x})({y})', '({x}+{y})')"
     return expr
+
+
+def _kmeans_oracle_sql() -> str:
+    """Lloyd's k-means with the iterations UNROLLED as CTE pairs — the SQL
+    replay of ops.embeddings.kmeans_clusters's determinism contract: init =
+    k lowest vec_ids, assignment = argmin squared distance w/ lowest-cid
+    tiebreak, update = member mean rounded half-even to KMEANS_ROUND (the
+    per-iteration re-quantization is what makes both sides enter each pass
+    with identical centroids). Empty clusters keep the previous centroid."""
+    k = e_ops.KMEANS_K
+    r = e_ops.KMEANS_ROUND
+    dist = "list_sum(list_transform(list_zip(e, ce), p -> (p[1]-p[2])*(p[1]-p[2])))"
+    parts = [
+        f"""WITH v AS (
+            SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+            FROM embeddings
+        ),
+        ex AS (
+            SELECT vec_id, generate_subscripts(e, 1) AS dim, unnest(e) AS val
+            FROM v
+        ),
+        c0 AS (
+            SELECT (row_number() OVER (ORDER BY vec_id)) - 1 AS cid,
+                   list_transform(e, x -> round_even(x, {r})) AS ce
+            FROM v ORDER BY vec_id LIMIT {k}
+        )"""
+    ]
+    prev = "c0"
+    for i in range(1, e_ops.KMEANS_ITERS + 1):
+        parts.append(f""",
+        a{i} AS (
+            SELECT vec_id, cid, row_number() OVER (
+                PARTITION BY vec_id ORDER BY {dist} ASC, cid ASC) AS rn
+            FROM v CROSS JOIN {prev}
+        ),
+        b{i} AS (SELECT vec_id, cid FROM a{i} WHERE rn = 1),
+        m{i} AS (
+            SELECT b.cid, ex.dim,
+                   round_even(SUM(ex.val) / COUNT(*), {r}) AS cv
+            FROM b{i} b JOIN ex USING (vec_id) GROUP BY b.cid, ex.dim
+        ),
+        c{i} AS (
+            SELECT cid, list(cv ORDER BY dim) AS ce FROM m{i} GROUP BY cid
+            UNION ALL
+            SELECT cid, ce FROM {prev}
+            WHERE cid NOT IN (SELECT DISTINCT cid FROM m{i})
+        )""")
+        prev = f"c{i}"
+    parts.append(f""",
+        af AS (
+            SELECT vec_id, cid, row_number() OVER (
+                PARTITION BY vec_id ORDER BY {dist} ASC, cid ASC) AS rn
+            FROM v CROSS JOIN {prev}
+        )
+        SELECT vec_id, CAST(cid AS BIGINT) AS cluster
+        FROM af WHERE rn = 1 ORDER BY vec_id""")
+    return "".join(parts)
 
 
 def _base_oracle_sql() -> dict[str, str]:
@@ -1327,6 +1385,7 @@ def _base_oracle_sql() -> dict[str, str]:
                   / (a.nrm * b.nrm) >= {e_ops.COSINE_DUP_TAU}
             ORDER BY vec_a, vec_b
         """,
+        "kmeans_clusters": _kmeans_oracle_sql(),
         "label_centroids": """
             WITH ex AS (
                 SELECT label, generate_subscripts(embedding, 1) AS dim,

@@ -527,3 +527,86 @@ def sq8_quantize(sf_dir: str):
         )
 
     return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+KMEANS_K = 4
+KMEANS_ITERS = 2
+KMEANS_ROUND = 6
+
+
+def kmeans_clusters(sf_dir: str, k: int = KMEANS_K, iters: int = KMEANS_ITERS):
+    """Distributed Lloyd's k-means over the FULL embeddings table — the
+    iterative-refinement pattern (each iteration is ONE streaming pass; the
+    k×d model is broadcast, only k partial-sum rows per batch cross back).
+    Unlike the sample-trained :func:`_kmeans` (IVF cell codebook), every
+    vector votes in every update, so the oracle can replay the algorithm
+    exactly.
+
+    Determinism contract shared with the SQL twin (iterations unrolled as
+    CTEs): init = the k lowest-vec_id embeddings in vec_id order; assignment
+    = argmin squared-euclidean with lowest-cluster-id tiebreak; update =
+    member mean rounded half-even to KMEANS_ROUND decimals (the rounding
+    re-quantizes the model each iteration so both sides enter the next pass
+    with bit-identical centroids — float sum-order noise ~1e-12 cannot
+    accumulate). An emptied cluster keeps its previous centroid on both
+    sides.
+
+    At 100-TB scale: per-iteration cost is one map pass + a k-row reduce —
+    no shuffle at all; the model (k×d doubles) broadcasts via ray.put.
+    Output: (vec_id, cluster)."""
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    init = (
+        ds.sort("vec_id").limit(k).take_all()
+    )
+    centroids = np.array([list(r["embedding"]) for r in init], dtype=np.float64)
+    centroids = np.round(centroids, KMEANS_ROUND)
+
+    def _assign(m: np.ndarray, cents: np.ndarray) -> np.ndarray:
+        # (n, k) squared distances; argmin breaks ties on lowest cluster id
+        d = ((m[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        return d.argmin(axis=1)
+
+    for _ in range(iters):
+        cref = ray.put(centroids)
+
+        def partial(batch: pa.Table, _cref=cref) -> pa.Table:
+            cents = ray.get(_cref)
+            m = _matrix(batch)
+            lab = _assign(m, cents)
+            rows = []
+            for c in np.unique(lab):
+                sel = m[lab == c]
+                rows.append({"cluster": int(c), "n": int(len(sel)),
+                             "vec_sum": sel.sum(axis=0).tolist()})
+            return pa.Table.from_pylist(
+                rows,
+                schema=pa.schema(
+                    [pa.field("cluster", pa.int64()), pa.field("n", pa.int64()),
+                     pa.field("vec_sum", pa.list_(pa.float64()))]
+                ),
+            )
+
+        parts = ds.map_batches(
+            partial, batch_format="pyarrow", zero_copy_batch=True
+        ).take_all()  # k rows per batch — model-sized, never data-sized
+        nxt = centroids.copy()
+        for c in range(k):
+            rows = [r for r in parts if r["cluster"] == c]
+            n = sum(r["n"] for r in rows)
+            if n:
+                s = np.sum([np.asarray(r["vec_sum"]) for r in rows], axis=0)
+                nxt[c] = np.round(s / n, KMEANS_ROUND)
+        centroids = nxt
+
+    cref = ray.put(centroids)
+
+    def final(batch: pa.Table) -> pa.Table:
+        cents = ray.get(cref)
+        lab = _assign(_matrix(batch), cents)
+        return pa.table(
+            {"vec_id": batch.column("vec_id"),
+             "cluster": pa.array(lab.astype(np.int64), pa.int64())}
+        )
+
+    return ds.map_batches(final, batch_format="pyarrow", zero_copy_batch=True)

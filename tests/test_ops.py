@@ -1837,3 +1837,37 @@ def test_clickstream_paths_account_all_users(ray_session):
     assert df["n_users"].sum() == n_users
     # every path is 1..3 event types joined by '>'
     assert df["path"].str.split(">").str.len().between(1, 3).all()
+
+
+def test_kmeans_clusters_contract(ray_session):
+    """Lloyd's determinism contract: every vector assigned, cluster ids in
+    [0, k), two runs identical, and the refined model beats the raw init on
+    inertia (the update step actually moved the centroids)."""
+    import numpy as np
+
+    from ocr_ray.ops.embeddings import (
+        KMEANS_K, _matrix, kmeans_clusters, read_table,
+    )
+
+    a = _df(kmeans_clusters(SF))
+    b = _df(kmeans_clusters(SF))
+    a = a.sort_values("vec_id").reset_index(drop=True)
+    b = b.sort_values("vec_id").reset_index(drop=True)
+    assert a.equals(b)
+    assert a["cluster"].between(0, KMEANS_K - 1).all()
+
+    tbl = read_table(SF, "embeddings", columns=["vec_id", "embedding"]).take_all()
+    ids = np.array([r["vec_id"] for r in tbl])
+    m = np.array([list(r["embedding"]) for r in tbl], dtype=np.float64)
+    order = np.argsort(ids)
+    ids, m = ids[order], m[order]
+    init = np.round(m[:KMEANS_K], 6)
+
+    lab = a.set_index("vec_id").loc[ids, "cluster"].to_numpy()
+    refined = np.stack([m[lab == c].mean(axis=0) for c in range(KMEANS_K)])
+
+    def inertia(cents):
+        d = ((m[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        return d.min(axis=1).sum()
+
+    assert inertia(refined) < inertia(init)
