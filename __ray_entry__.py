@@ -43,6 +43,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # end of their group.
     return {
         # ---- round-4 additions (newest first)
+        "local_supplier_volume": r_ops.local_supplier_volume,
+        "markov_transitions": r_ops.markov_transitions,
         "kmeans_clusters": e_ops.kmeans_clusters,
         "clickstream_paths": r_ops.clickstream_paths,
         "char_trigram_profile": d_ops.char_trigram_profile,
@@ -326,6 +328,49 @@ def _base_oracle_sql() -> dict[str, str]:
     sql = {
         # first-k per user via row_number over (ts, event_id); ordered
         # string_agg folds the path identically to the engine's '>'.join
+        # Q5: same exact 1e-4-unit integer revenue as the engine
+        # (round(price*100) x (100 - round(disc*100)) summed as BIGINT,
+        # one division at the end) so no float-order noise exists
+        "local_supplier_volume": f"""
+            WITH rn AS (
+                SELECT n_nationkey, n_name
+                FROM nation JOIN region ON n_regionkey = r_regionkey
+                WHERE r_name = '{r_ops.Q5_REGION}'
+            )
+            SELECT rn.n_name AS n_name,
+                   CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+                        * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                        AS DOUBLE) / 10000.0 AS revenue
+            FROM lineitem
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN rn ON s_nationkey = rn.n_nationkey
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            WHERE c_nationkey = s_nationkey
+              AND o_orderdate >= TIMESTAMP '{r_ops.Q5_DATE_LO}'
+              AND o_orderdate <  TIMESTAMP '{r_ops.Q5_DATE_HI}'
+            GROUP BY rn.n_name
+            ORDER BY revenue DESC, n_name
+        """,
+        # consecutive pairs via lead() over the same (ts, event_id) order;
+        # p is the identical single IEEE division n/total on both sides
+        "markov_transitions": """
+            WITH seq AS (
+                SELECT user_id, event_type,
+                       lead(event_type) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+                FROM events
+            ),
+            cnt AS (
+                SELECT event_type AS from_type, nxt AS to_type,
+                       CAST(COUNT(*) AS BIGINT) AS n
+                FROM seq WHERE nxt IS NOT NULL GROUP BY 1, 2
+            )
+            SELECT from_type, to_type, n,
+                   CAST(n AS DOUBLE) / CAST(SUM(n) OVER (
+                       PARTITION BY from_type) AS DOUBLE) AS p
+            FROM cnt ORDER BY from_type, to_type
+        """,
         "clickstream_paths": f"""
             WITH r AS (
                 SELECT user_id, event_type,

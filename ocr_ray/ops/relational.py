@@ -1214,3 +1214,197 @@ def clickstream_paths(sf_dir: str):
     return grouped_agg(
         grouped, keys=["path"], specs=[("n_users", "sum", "n_users")], finalize=fin
     )
+
+
+Q5_REGION = "ASIA"
+Q5_DATE_LO = "1996-01-01"
+Q5_DATE_HI = "1997-01-01"
+
+
+def local_supplier_volume(sf_dir: str, region: str = Q5_REGION):
+    """TPC-H Q5 shape: revenue by nation where the customer's and the
+    supplier's nation coincide inside one region — the deepest join tree in
+    the relational suite (region ⋈ nation ⋈ customer ⋈ orders ⋈ lineitem ⋈
+    supplier).
+
+    Scale shape: the four dimension arms (region→nation, supplier→nation,
+    customer→nation) collapse into TWO broadcast int→int maps built once on
+    the driver and ray.put — the fact scans never shuffle for them. orders
+    prunes its year window at the parquet read and maps to the 2-column
+    (orderkey, cust_nation) stream; lineitem maps each row to its supplier
+    nation via the broadcast and partial-aggregates exact 1e-4-unit revenue
+    per (orderkey, supp_nation) BEFORE the single co-partitioned hash join
+    on orderkey. The customer-nation == supplier-nation predicate filters
+    join output rows, and one tiny grouped sum per nation finishes. The only
+    all-to-all carries one row per (qualifying order x supplier nation) —
+    never a lineitem row.
+
+    Output: (n_name, revenue) sorted by revenue desc, n_name asc."""
+    import pyarrow.dataset as pads
+
+    from .common import choose_join_parts
+
+    lo, hi = pd.Timestamp(Q5_DATE_LO), pd.Timestamp(Q5_DATE_HI)
+
+    region_keys = {
+        r["r_regionkey"]
+        for r in read_table(sf_dir, "region", columns=["r_regionkey", "r_name"]).take_all()
+        if r["r_name"] == region
+    }
+    nations = {
+        r["n_nationkey"]: r["n_name"]
+        for r in read_table(
+            sf_dir, "nation", columns=["n_nationkey", "n_name", "n_regionkey"]
+        ).take_all()
+        if r["n_regionkey"] in region_keys
+    }
+    cust_nation = {
+        r["c_custkey"]: r["c_nationkey"]
+        for r in read_table(sf_dir, "customer", columns=["c_custkey", "c_nationkey"]).take_all()
+        if r["c_nationkey"] in nations
+    }
+    supp_nation = {
+        r["s_suppkey"]: r["s_nationkey"]
+        for r in read_table(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"]).take_all()
+        if r["s_nationkey"] in nations
+    }
+    cust_ref, supp_ref = ray.put(cust_nation), ray.put(supp_nation)
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+        filter=(pads.field("o_orderdate") >= pads.scalar(lo))
+        & (pads.field("o_orderdate") < pads.scalar(hi)),
+    )
+
+    def order_nation(batch: pa.Table) -> pa.Table:
+        cmap = ray.get(cust_ref)
+        cust = batch.column("o_custkey").to_numpy(zero_copy_only=False)
+        cn = np.array([cmap.get(int(c), -1) for c in cust], dtype=np.int64)
+        keep = cn >= 0
+        return pa.table(
+            {"o_orderkey": pa.array(
+                batch.column("o_orderkey").to_numpy(zero_copy_only=False)[keep],
+                pa.int64()),
+             "cust_nation": pa.array(cn[keep], pa.int64())}
+        )
+
+    orders = orders.map_batches(order_nation, batch_format="pyarrow", zero_copy_batch=True)
+
+    lineitem = read_table(
+        sf_dir, "lineitem",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    )
+
+    def rev_partial(batch: pa.Table) -> pa.Table:
+        smap = ray.get(supp_ref)
+        supp = batch.column("l_suppkey").to_numpy(zero_copy_only=False)
+        sn = np.array([smap.get(int(s), -1) for s in supp], dtype=np.int64)
+        keep = sn >= 0
+        if not keep.any():
+            return pa.Table.from_pylist([], schema=pa.schema(
+                [pa.field("l_orderkey", pa.int64()),
+                 pa.field("supp_nation", pa.int64()),
+                 pa.field("rev4", pa.int64())]))
+        t = batch.filter(pa.array(keep))
+        # exact integer 1e-4 currency units (same contract as Q3)
+        cents = pc.cast(pc.round(pc.multiply(
+            t.column("l_extendedprice"), 100.0)), pa.int64())
+        dpct = pc.cast(pc.round(pc.multiply(
+            t.column("l_discount"), 100.0)), pa.int64())
+        rev = pc.multiply(cents, pc.subtract(pa.scalar(100, pa.int64()), dpct))
+        part = pa.table(
+            {"l_orderkey": t.column("l_orderkey"),
+             "supp_nation": pa.array(sn[keep], pa.int64()),
+             "rev4": rev}
+        )
+        df = part.to_pandas().groupby(
+            ["l_orderkey", "supp_nation"], as_index=False)["rev4"].sum()
+        return from_pandas_clean(df)
+
+    revenue = grouped_agg(
+        lineitem.map_batches(rev_partial, batch_format="pyarrow", zero_copy_batch=True),
+        keys=["l_orderkey", "supp_nation"],
+        specs=[("rev4", "sum", "rev4")],
+    )
+
+    joined = revenue.join(
+        orders,
+        join_type="inner",
+        num_partitions=choose_join_parts(sf_dir, "orders", "lineitem", floor=4),
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+
+    def per_nation(batch: pa.Table) -> pa.Table:
+        keep = pc.equal(batch.column("supp_nation"), batch.column("cust_nation"))
+        t = batch.filter(keep)
+        df = t.to_pandas().groupby("supp_nation", as_index=False)["rev4"].sum()
+        return from_pandas_clean(df)
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        df["n_name"] = df["supp_nation"].map(nations)
+        # exact int / 10000.0 is the same double on both sides
+        df["revenue"] = df["rev4"].astype("float64") / 10000.0
+        return df.sort_values(
+            ["revenue", "n_name"], ascending=[False, True]
+        ).reset_index(drop=True)[["n_name", "revenue"]]
+
+    return grouped_agg(
+        joined.map_batches(per_nation, batch_format="pyarrow"),
+        keys=["supp_nation"],
+        specs=[("rev4", "sum", "rev4")],
+        finalize=fin,
+    )
+
+
+def markov_transitions(sf_dir: str):
+    """First-order Markov transition counts + probabilities between
+    consecutive event types per user — the behavioral-model fit every
+    clickstream analysis runs after :func:`clickstream_paths`.
+
+    Scale shape: same salted-partition rule as user_sessions (all events of
+    a user co-locate via ``user_id % SESSION_PARTS``); inside each part ONE
+    vectorized sort + shift produces the consecutive pairs (never a per-user
+    Python loop), pairs pre-count per part (combiner), and the exchange
+    carries at most |types|² rows per part. Counts stay exact ints end to
+    end; the probability is a single IEEE division n/total computed
+    identically in the SQL twin, so no rounding boundary exists.
+
+    Output: (from_type, to_type, n, p) ordered by (from_type, to_type)."""
+    ds = read_table(sf_dir, "events", columns=["user_id", "ts", "event_id", "event_type"])
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        uid = batch.column("user_id").combine_chunks().to_numpy(zero_copy_only=False)
+        return batch.append_column("upart", pa.array(uid % SESSION_PARTS, pa.int64()))
+
+    ds = ds.map_batches(add_part, batch_format="pyarrow", zero_copy_batch=True)
+
+    def pairs_part(group: pa.Table) -> pa.Table:
+        df = group.to_pandas().sort_values(
+            ["user_id", "ts", "event_id"], kind="mergesort")
+        if len(df) < 2:
+            return pa.Table.from_pylist([], schema=pa.schema(
+                [pa.field("from_type", pa.string()),
+                 pa.field("to_type", pa.string()),
+                 pa.field("n", pa.int64())]))
+        same = df["user_id"].to_numpy()[1:] == df["user_id"].to_numpy()[:-1]
+        et = df["event_type"].to_numpy()
+        out = pd.DataFrame(
+            {"from_type": et[:-1][same], "to_type": et[1:][same]}
+        ).groupby(["from_type", "to_type"], as_index=False).size()
+        return from_pandas_clean(out.rename(columns={"size": "n"}))
+
+    grouped = ds.groupby("upart").map_groups(pairs_part, batch_format="pyarrow")
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        totals = df.groupby("from_type")["n"].transform("sum")
+        df["p"] = df["n"].astype("float64") / totals.astype("float64")
+        return df.sort_values(["from_type", "to_type"]).reset_index(drop=True)
+
+    return grouped_agg(
+        grouped,
+        keys=["from_type", "to_type"],
+        specs=[("n", "sum", "n")],
+        finalize=fin,
+    )

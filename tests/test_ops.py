@@ -1871,3 +1871,67 @@ def test_kmeans_clusters_contract(ray_session):
         return d.min(axis=1).sum()
 
     assert inertia(refined) < inertia(init)
+
+
+def test_local_supplier_volume_matches_pandas(ray_session):
+    """Q5 revenue recomputed by a straight pandas 6-table join — same exact
+    1e-4-unit integer contract as the engine."""
+    import pandas as pd
+
+    from ocr_ray.ops.relational import (
+        Q5_DATE_HI, Q5_DATE_LO, Q5_REGION, local_supplier_volume,
+    )
+
+    got = _df(local_supplier_volume(SF))
+
+    t = {n: pd.read_parquet(f"{SF}/{n}.parquet")
+         for n in ["region", "nation", "customer", "supplier", "orders", "lineitem"]}
+    nat = t["nation"].merge(
+        t["region"][t["region"]["r_name"] == Q5_REGION],
+        left_on="n_regionkey", right_on="r_regionkey")
+    df = (
+        t["lineitem"]
+        .merge(t["supplier"], left_on="l_suppkey", right_on="s_suppkey")
+        .merge(nat, left_on="s_nationkey", right_on="n_nationkey")
+        .merge(t["orders"], left_on="l_orderkey", right_on="o_orderkey")
+        .merge(t["customer"], left_on="o_custkey", right_on="c_custkey")
+    )
+    df = df[
+        (df["c_nationkey"] == df["s_nationkey"])
+        & (df["o_orderdate"] >= pd.Timestamp(Q5_DATE_LO))
+        & (df["o_orderdate"] < pd.Timestamp(Q5_DATE_HI))
+    ]
+    rev4 = (df["l_extendedprice"] * 100).round().astype("int64") * (
+        100 - (df["l_discount"] * 100).round().astype("int64"))
+    want = (
+        rev4.groupby(df["n_name"]).sum().astype("float64") / 10000.0
+    ).rename("revenue").reset_index()
+    want = want.sort_values(["revenue", "n_name"],
+                            ascending=[False, True]).reset_index(drop=True)
+    assert got[["n_name", "revenue"]].equals(want[["n_name", "revenue"]])
+
+
+def test_markov_transitions_probabilities(ray_session):
+    """Row-level invariants: per-from_type probabilities sum to 1, counts
+    equal total consecutive same-user pairs, and a brute-force per-user
+    recount agrees."""
+    import pandas as pd
+
+    from ocr_ray.ops.relational import markov_transitions
+
+    got = _df(markov_transitions(SF))
+    sums = got.groupby("from_type")["p"].sum()
+    assert ((sums - 1.0).abs() < 1e-12).all()
+
+    ev = pd.read_parquet(f"{SF}/events.parquet").sort_values(
+        ["user_id", "ts", "event_id"], kind="mergesort")
+    same = ev["user_id"].to_numpy()[1:] == ev["user_id"].to_numpy()[:-1]
+    et = ev["event_type"].to_numpy()
+    want = (
+        pd.DataFrame({"from_type": et[:-1][same], "to_type": et[1:][same]})
+        .groupby(["from_type", "to_type"], as_index=False).size()
+        .rename(columns={"size": "n"})
+        .sort_values(["from_type", "to_type"]).reset_index(drop=True)
+    )
+    assert got[["from_type", "to_type", "n"]].equals(want)
+    assert got["n"].sum() == int(same.sum())
