@@ -43,6 +43,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # end of their group.
     return {
         # ---- round-4 additions (newest first)
+        "chunk_documents": d_ops.chunk_documents,
+        "c4_clean": x_ops.c4_clean,
         "local_supplier_volume": r_ops.local_supplier_volume,
         "markov_transitions": r_ops.markov_transitions,
         "kmeans_clusters": e_ops.kmeans_clusters,
@@ -328,6 +330,26 @@ def _base_oracle_sql() -> dict[str, str]:
     sql = {
         # first-k per user via row_number over (ts, event_id); ordered
         # string_agg folds the path identically to the engine's '>'.join
+        # sliding windows replayed with range()/list_slice over the same
+        # \S+ tokens; chunk_no = start/stride (exact integer division)
+        "chunk_documents": f"""
+            WITH t AS (
+                SELECT doc_id, regexp_extract_all(text, '\\S+') AS toks
+                FROM documents
+            ),
+            s AS (
+                SELECT doc_id, toks, len(toks) AS n,
+                       unnest(range(0, len(toks), {d_ops.CHUNK_STRIDE})) AS start
+                FROM t
+            )
+            SELECT doc_id,
+                   CAST(start / {d_ops.CHUNK_STRIDE} AS BIGINT) AS chunk_no,
+                   CAST(least({d_ops.CHUNK_TOKENS}, n - start) AS BIGINT)
+                       AS n_tokens,
+                   array_to_string(list_slice(toks, start + 1,
+                       least(start + {d_ops.CHUNK_TOKENS}, n)), ' ') AS chunk
+            FROM s ORDER BY doc_id, chunk_no
+        """,
         # Q5: same exact 1e-4-unit integer revenue as the engine
         # (round(price*100) x (100 - round(disc*100)) summed as BIGINT,
         # one division at the end) so no float-order noise exists

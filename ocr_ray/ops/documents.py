@@ -2355,3 +2355,46 @@ def char_trigram_profile(sf_dir: str, top_k: int = TRIGRAM_TOP_K):
     return grouped_agg(
         ds, keys=["lang", "tri"], specs=[("n", "sum", "n")], finalize=fin
     )
+
+
+CHUNK_TOKENS = 32
+CHUNK_STRIDE = 24  # overlap = CHUNK_TOKENS - CHUNK_STRIDE = 8
+
+
+def chunk_documents(sf_dir: str):
+    """Context-window chunking with overlap — the pretokenization step that
+    turns variable-length documents into model-window slices (the
+    counterpart of :func:`sequence_pack`, which PACKS short docs; this
+    SPLITS long ones). Windows of CHUNK_TOKENS whitespace tokens start
+    every CHUNK_STRIDE tokens while the start is inside the document, so
+    consecutive chunks share an 8-token overlap and the trailing window may
+    be a suffix of its predecessor (the standard sliding-window contract).
+    Empty docs emit no chunks.
+
+    Scale shape: pure per-batch flat map — no shuffle, no state; output
+    rows bounded by ceil(n_tokens / stride) per doc.
+
+    Output: (doc_id, chunk_no, n_tokens, chunk). Oracle: SQL
+    range/list_slice replay over the same '\\S+' tokens."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def f(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        out_id, out_no, out_n, out_chunk = [], [], [], []
+        for did, text in zip(ids, texts):
+            toks = text.split()
+            for no, start in enumerate(range(0, len(toks), CHUNK_STRIDE)):
+                window = toks[start : start + CHUNK_TOKENS]
+                out_id.append(did)
+                out_no.append(no)
+                out_n.append(len(window))
+                out_chunk.append(" ".join(window))
+        return pa.table(
+            {"doc_id": pa.array(out_id, pa.int64()),
+             "chunk_no": pa.array(out_no, pa.int64()),
+             "n_tokens": pa.array(out_n, pa.int64()),
+             "chunk": pa.array(out_chunk, pa.string())}
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)

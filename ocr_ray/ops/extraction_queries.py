@@ -1354,3 +1354,83 @@ def host_freshness(sf_dir: str) -> ray.data.Dataset:
                ("last_seen", "max", "warc_ts")],
         finalize=fin,
     )
+
+
+# C4 cleaning rules (Raffel et al. 2020 §2.2, public): line kept iff it has
+# >= C4_MIN_LINE_WORDS words and no 'javascript'; the terminal-punctuation
+# rule is REPORTED per page (n_punct) rather than gating the keep decision —
+# the synthetic corpus renders word-soup lines without sentence punctuation,
+# so gating on it would make every output row degenerate (0 kept). Page-level
+# gates ('lorem ipsum', '{', >= C4_MIN_KEPT_LINES surviving lines) are the
+# paper's, applied verbatim.
+C4_MIN_LINE_WORDS = 5
+C4_MIN_KEPT_LINES = 3
+C4_BUCKETS = 256
+
+
+def c4_clean(sf_dir: str) -> ray.data.Dataset:
+    """C4-style page cleaning over the naive visible lines: per (url,
+    warc_ts) record, count lines in/kept/punct-terminated, apply the page
+    gates, and reassemble the cleaned text from the surviving lines in
+    (par_no, line_no) order.
+
+    Scale shape: reads the SHARED naive-lines artifact (no second corpus
+    parse — same input as doc_entities/boilerplate), per-line flags are one
+    vectorized pandas pass per batch, and the only exchange is the
+    salt-bucketed rollup keyed ``crc32(url) % C4_BUCKETS`` (the doc_entities
+    pattern: the per-bucket finish is ONE pandas groupby, never a Python
+    call per record). Lines of one record can split across read blocks, so
+    the rollup exchange is semantically required, and it carries one row per
+    LINE with its flags — bounded by the artifact itself.
+
+    Output: (url, warc_ts, n_lines, n_kept, n_punct, page_ok, text_clean).
+    Oracle: SQL recomputation of the same flags + string_agg over the
+    naive_lines artifact."""
+    import zlib
+
+    from .common import from_pandas_clean
+
+    lines = naive_lines_output(sf_dir)
+
+    def flags(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        low = df["line"].str.lower()
+        nwords = df["line"].str.count(r"\S+")
+        df["kept"] = (nwords >= C4_MIN_LINE_WORDS) & ~low.str.contains(
+            "javascript", regex=False)
+        df["punct"] = df["line"].str.contains(r'[.!?"]$', regex=True)
+        df["bad_page"] = low.str.contains("lorem ipsum", regex=False) | df[
+            "line"].str.contains("{", regex=False)
+        df["bucket"] = [
+            zlib.crc32(u.encode()) % C4_BUCKETS for u in df["url"]
+        ]
+        return from_pandas_clean(df)
+
+    ds = lines.map_batches(flags, batch_format="pyarrow", zero_copy_batch=True)
+
+    def rollup(group: pa.Table) -> pa.Table:
+        df = group.to_pandas().sort_values(["url", "warc_ts", "par_no", "line_no"])
+        kept = df[df["kept"]]
+        joined = kept.groupby(["url", "warc_ts"], sort=False)["line"].agg(
+            "\n".join).rename("text_clean")
+        g = df.groupby(["url", "warc_ts"], sort=False).agg(
+            n_lines=("line", "size"),
+            n_kept=("kept", "sum"),
+            bad=("bad_page", "any"),
+        )
+        g["n_punct"] = (
+            df[df["kept"] & df["punct"]]
+            .groupby(["url", "warc_ts"], sort=False).size()
+            .reindex(g.index, fill_value=0)
+        )
+        g = g.join(joined).reset_index()
+        g["text_clean"] = g["text_clean"].fillna("")
+        g["page_ok"] = (g["n_kept"] >= C4_MIN_KEPT_LINES) & ~g["bad"]
+        for c in ("n_lines", "n_kept", "n_punct"):
+            g[c] = g[c].astype("int64")
+        return from_pandas_clean(
+            g[["url", "warc_ts", "n_lines", "n_kept", "n_punct",
+               "page_ok", "text_clean"]]
+        )
+
+    return ds.groupby("bucket").map_groups(rollup, batch_format="pyarrow")

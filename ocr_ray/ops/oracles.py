@@ -1512,5 +1512,34 @@ def extra_oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         FROM vals ORDER BY aud_id, win_idx
     """
 
+    # ---------------------------------------- c4_clean
+    # same per-line flags over the naive_lines artifact; text_clean is the
+    # ordered string_agg of kept lines (the engine joins the same lines in
+    # (par_no, line_no) order); page gates verbatim from the op docstring
+    from .extraction_queries import C4_MIN_KEPT_LINES, C4_MIN_LINE_WORDS
+
+    sql["c4_clean"] = f"""
+        WITH l AS (
+            SELECT url, warc_ts, par_no, line_no, line,
+                   (len(regexp_extract_all(line, '\\S+')) >= {C4_MIN_LINE_WORDS}
+                    AND NOT contains(lower(line), 'javascript')) AS kept,
+                   regexp_matches(line, '[.!?"]$') AS punct,
+                   (contains(lower(line), 'lorem ipsum')
+                    OR contains(line, '{{')) AS bad
+            FROM read_parquet('{naive_lines}')
+        )
+        SELECT url, warc_ts,
+               CAST(COUNT(*) AS BIGINT) AS n_lines,
+               CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+               CAST(SUM(CASE WHEN kept AND punct THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_punct,
+               (SUM(CASE WHEN kept THEN 1 ELSE 0 END) >= {C4_MIN_KEPT_LINES}
+                AND SUM(CASE WHEN bad THEN 1 ELSE 0 END) = 0) AS page_ok,
+               COALESCE(string_agg(CASE WHEN kept THEN line END, chr(10)
+                   ORDER BY par_no, line_no), '') AS text_clean
+        FROM l GROUP BY url, warc_ts
+        ORDER BY url, warc_ts
+    """
+
     sql.update(golden_oracles(sf_dir))
     return sql

@@ -1935,3 +1935,52 @@ def test_markov_transitions_probabilities(ray_session):
     )
     assert got[["from_type", "to_type", "n"]].equals(want)
     assert got["n"].sum() == int(same.sum())
+
+
+def test_chunk_documents_coverage(ray_session):
+    """Every token of every doc appears in some chunk; overlap tokens are
+    shared verbatim; reassembling stride-prefixes reproduces the doc."""
+    import pandas as pd
+
+    from ocr_ray.ops.documents import CHUNK_STRIDE, CHUNK_TOKENS, chunk_documents
+
+    got = _df(chunk_documents(SF)).sort_values(
+        ["doc_id", "chunk_no"]).reset_index(drop=True)
+    docs = pd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    for _, r in docs.head(50).iterrows():
+        toks = r["text"].split()
+        g = got[got["doc_id"] == r["doc_id"]]
+        assert len(g) == max(1, -(-len(toks) // CHUNK_STRIDE)) if toks else len(g) == 0
+        rebuilt = []
+        for _, c in g.iterrows():
+            rebuilt.extend(c["chunk"].split()[:CHUNK_STRIDE])
+        # stride-prefixes concatenated = the document (last window may be
+        # shorter than the stride; extend() just takes what's there)
+        assert rebuilt == toks[: len(rebuilt)]
+        assert (g["n_tokens"] <= CHUNK_TOKENS).all()
+
+
+def test_c4_clean_page_gates(ray_session):
+    """Line-keep rule (>=5 words, no javascript) and page gate recomputed
+    from the shared naive-lines artifact."""
+    from ocr_ray.ops.extraction_queries import (
+        C4_MIN_KEPT_LINES, C4_MIN_LINE_WORDS, c4_clean, naive_lines_output,
+    )
+
+    got = _df(c4_clean(SF))
+    lines = _df(naive_lines_output(SF))
+    assert got["n_lines"].sum() == len(lines)
+    keep = (lines["line"].str.count(r"\S+") >= C4_MIN_LINE_WORDS) & ~lines[
+        "line"].str.lower().str.contains("javascript", regex=False)
+    assert got["n_kept"].sum() == int(keep.sum())
+    # per-record text_clean is exactly the kept lines joined in order
+    key = ["url", "warc_ts"]
+    kept_join = (
+        lines[keep].sort_values(key + ["par_no", "line_no"])
+        .groupby(key)["line"].agg("\n".join)
+    )
+    sample = got.set_index(key).head(100)
+    for idx, row in sample.iterrows():
+        want = kept_join.get(idx, "")
+        assert row["text_clean"] == want
+        assert row["page_ok"] == (row["n_kept"] >= C4_MIN_KEPT_LINES)
