@@ -43,6 +43,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # end of their group.
     return {
         # ---- round-4 additions (newest first)
+        "host_triangles": g_ops.host_triangles,
+        "mirror_hosts": g_ops.mirror_hosts,
         "chunk_documents": d_ops.chunk_documents,
         "c4_clean": x_ops.c4_clean,
         "local_supplier_volume": r_ops.local_supplier_volume,

@@ -553,3 +553,180 @@ def dup_clusters(sf_dir: str) -> ray.data.Dataset:
         )
 
     return out.map_batches(shape, batch_format="pyarrow")
+
+
+def _canonical_edges(sf_dir: str) -> ray.data.Dataset:
+    """Distinct undirected host edges as (a, b) with a < b, self-loops
+    dropped — one combiner-collapsed distinct over the link rows."""
+    from .common import distinct, from_pandas_clean
+
+    rows = host_link_rows(sf_dir)
+
+    def canon(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df = df[df["src_host"] != df["dst_host"]]
+        a = df[["src_host", "dst_host"]].min(axis=1)
+        b = df[["src_host", "dst_host"]].max(axis=1)
+        return from_pandas_clean(
+            pd.DataFrame({"a": a, "b": b}).drop_duplicates()
+        )
+
+    return distinct(
+        rows.map_batches(canon, batch_format="pyarrow", zero_copy_batch=True),
+        ["a", "b"],
+    )
+
+
+def host_triangles(sf_dir: str) -> ray.data.Dataset:
+    """Per-host triangle participation over the undirected distinct host
+    link graph — the local-clustering signal used to separate organic link
+    neighborhoods from link farms (a farm's hub closes few triangles
+    relative to its degree).
+
+    Scale shape — the classic two-join MR triangle enumeration, fully
+    streamed: (1) canonical distinct edges (a<b) via one combiner distinct;
+    (2) wedges by a co-partitioned self-join on the lower endpoint,
+    keeping b<c so each wedge is built exactly once; (3) close each wedge
+    with a second co-partitioned join against the edge list on (b, c).
+    Every triangle a<b<c is found exactly once. Both joins are hash joins
+    on Dataset.join — no driver materialization of the graph; the wedge
+    stream (sum of deg² over lower endpoints) is the natural cost of the
+    algorithm and the reason real deployments orient edges by degree —
+    documented assumption: host-graph degree is bounded by template
+    structure, and the b<c orientation already halves the wedge count.
+
+    Output: (host, n_triangles) for hosts in >= 1 triangle. Oracle: the
+    same three-way self-join in SQL over the raw corpus anchors."""
+    edges = _canonical_edges(sf_dir)
+    parts = max(4, choose_join_parts(sf_dir, floor=4))
+
+    right = edges.rename_columns({"a": "a2", "b": "c"})
+    wedges = edges.join(
+        right, join_type="inner", num_partitions=parts,
+        on=("a",), right_on=("a2",),
+    )
+
+    def keep_ordered(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return batch.filter(pc.less(batch.column("b"), batch.column("c")))
+
+    wedges = wedges.map_batches(keep_ordered, batch_format="pyarrow",
+                                zero_copy_batch=True)
+
+    closer = edges.rename_columns({"a": "b2", "b": "c2"})
+    tris = wedges.join(
+        closer, join_type="inner", num_partitions=parts,
+        on=("b", "c"), right_on=("b2", "c2"),
+    )
+
+    def explode_hosts(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        from .common import from_pandas_clean
+
+        out = pd.DataFrame(
+            {"host": pd.concat([df["a"], df["b"], df["c"]], ignore_index=True)}
+        )
+        out = out.groupby("host", as_index=False).size().rename(
+            columns={"size": "n_triangles"})
+        return from_pandas_clean(out)
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values("host").reset_index(drop=True)
+
+    return grouped_agg(
+        tris.map_batches(explode_hosts, batch_format="pyarrow"),
+        keys=["host"],
+        specs=[("n_triangles", "sum", "n_triangles")],
+        finalize=fin,
+    )
+
+
+# Mirror detection: hosts sharing >= MIRROR_MIN_SHARED distinct syndicated
+# paragraphs (>= MIRROR_MIN_PAR_CHARS chars so navigation crumbs don't
+# count). Hosts per paragraph hash are capped like every all-pairs bucket
+# (cap mirrored in the SQL oracle so the gate can't diverge one-sided).
+MIRROR_MIN_PAR_CHARS = 50
+MIRROR_MIN_SHARED = 2
+MIRROR_HOST_CAP = 256
+
+
+def mirror_hosts(sf_dir: str) -> ray.data.Dataset:
+    """Host pairs that share duplicated long paragraphs — the mirror/
+    syndication detector that runs before host-level dedup decisions (a
+    pair sharing many paragraphs is one site crawled under two names, or a
+    wire service and its subscribers).
+
+    Scale shape: only (hash, host) rows cross the exchanges — never
+    paragraph text; distinct is one combiner pass; the all-pairs step runs
+    per paragraph-hash group with the standard deterministic member cap
+    (boilerplate shared by every host would otherwise square); the final
+    count per host pair is a grouped sum. Output: (host_a, host_b,
+    n_shared) with n_shared >= MIRROR_MIN_SHARED."""
+    from .common import cap_bucket_members, distinct
+    from .extraction_queries import extraction_output, line_hash64
+
+    src_re = re.compile(SRC_HOST_RE_S)
+    out = extraction_output(sf_dir, columns=["url", "text", "error"])
+
+    def par_rows(batch: pa.Table) -> pa.Table:
+        urls = batch.column("url").to_pylist()
+        texts = batch.column("text").to_pylist()
+        ok = pa.compute.is_null(batch.column("error")).to_pylist()
+        hs: list[int] = []
+        hosts: list[str] = []
+        for i, text in enumerate(texts):
+            if not ok[i] or not text:
+                continue
+            m = src_re.search(urls[i].lower())
+            if m is None:
+                continue
+            host = m.group(1)
+            for p in text.split("\n\n"):
+                if len(p) >= MIRROR_MIN_PAR_CHARS:
+                    hs.append(line_hash64(p))
+                    hosts.append(host)
+        t = pa.table(
+            {"h": pa.array(hs, pa.int64()), "host": pa.array(hosts, pa.string())}
+        )
+        # per-batch pre-dedup shrinks the distinct exchange
+        return t.group_by(["h", "host"]).aggregate([])
+
+    ph = distinct(
+        out.map_batches(par_rows, batch_format="pyarrow", zero_copy_batch=True),
+        ["h", "host"],
+    )
+
+    def bucket_pairs(group: pa.Table) -> pa.Table:
+        hosts = sorted(group.column("host").to_pylist())
+        keep = cap_bucket_members(
+            len(hosts), "mirror_hosts",
+            group.column("h")[0].as_py() if group.num_rows else None,
+            cap=MIRROR_HOST_CAP,
+        )
+        hosts = hosts[:keep]
+        out_rows = [
+            {"host_a": hosts[i], "host_b": hosts[j], "n_shared": 1}
+            for i in range(len(hosts))
+            for j in range(i + 1, len(hosts))
+        ]
+        return pa.Table.from_pylist(
+            out_rows,
+            schema=pa.schema(
+                [pa.field("host_a", pa.string()), pa.field("host_b", pa.string()),
+                 pa.field("n_shared", pa.int64())]
+            ),
+        )
+
+    pairs = ph.groupby("h").map_groups(bucket_pairs, batch_format="pyarrow")
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["n_shared"] >= MIRROR_MIN_SHARED]
+        return df.sort_values(["host_a", "host_b"]).reset_index(drop=True)
+
+    return grouped_agg(
+        pairs,
+        keys=["host_a", "host_b"],
+        specs=[("n_shared", "sum", "n_shared")],
+        finalize=fin,
+    )

@@ -1512,6 +1512,63 @@ def extra_oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         FROM vals ORDER BY aud_id, win_idx
     """
 
+    # ---------------------------------------- corpus: host_triangles
+    # same canonical undirected edge set, triangles by the textbook 3-way
+    # self-join with a<b<c ordering (each triangle once), per-host counts
+    # from the unioned corners
+    sql["host_triangles"] = f"""
+        WITH {link_ctes},
+        und AS (
+            SELECT DISTINCT least(src_host, dst_host) AS a,
+                            greatest(src_host, dst_host) AS b
+            FROM links WHERE src_host <> dst_host
+        ),
+        tri AS (
+            SELECT e1.a AS x, e1.b AS y, e2.b AS z
+            FROM und e1
+            JOIN und e2 ON e1.a = e2.a AND e1.b < e2.b
+            JOIN und e3 ON e3.a = e1.b AND e3.b = e2.b
+        ),
+        corners AS (
+            SELECT x AS host FROM tri
+            UNION ALL SELECT y FROM tri
+            UNION ALL SELECT z FROM tri
+        )
+        SELECT host, CAST(COUNT(*) AS BIGINT) AS n_triangles
+        FROM corners GROUP BY host ORDER BY host
+    """
+
+    # ---------------------------------------- artifact: mirror_hosts
+    # same >= MIRROR_MIN_PAR_CHARS paragraphs, same signed-md5 hash, and
+    # the SAME deterministic per-hash host cap (QUALIFY) as the engine —
+    # a one-sided cap would fail the gate by construction on any corpus
+    # with a >cap paragraph (the round-3 ADVICE lesson)
+    from .graph import MIRROR_HOST_CAP, MIRROR_MIN_PAR_CHARS, MIRROR_MIN_SHARED
+
+    sql["mirror_hosts"] = f"""
+        WITH pars AS (
+            SELECT regexp_extract(lower(url), '{SRC_HOST_RE_S}', 1) AS host,
+                   u.par AS par
+            FROM read_parquet('{summary}'),
+                 UNNEST(string_split(text, chr(10) || chr(10))) AS u(par)
+            WHERE error IS NULL AND length(u.par) >= {MIRROR_MIN_PAR_CHARS}
+        ),
+        ph0 AS (SELECT DISTINCT host, {h64s_par} AS h FROM pars),
+        ph AS (
+            SELECT host, h FROM ph0
+            QUALIFY row_number() OVER (PARTITION BY h ORDER BY host)
+                <= {MIRROR_HOST_CAP}
+        ),
+        pairs AS (
+            SELECT a.host AS host_a, b.host AS host_b,
+                   CAST(COUNT(*) AS BIGINT) AS n_shared
+            FROM ph a JOIN ph b ON a.h = b.h AND a.host < b.host
+            GROUP BY 1, 2
+        )
+        SELECT * FROM pairs WHERE n_shared >= {MIRROR_MIN_SHARED}
+        ORDER BY host_a, host_b
+    """
+
     # ---------------------------------------- c4_clean
     # same per-line flags over the naive_lines artifact; text_clean is the
     # ordered string_agg of kept lines (the engine joins the same lines in

@@ -1984,3 +1984,59 @@ def test_c4_clean_page_gates(ray_session):
         want = kept_join.get(idx, "")
         assert row["text_clean"] == want
         assert row["page_ok"] == (row["n_kept"] >= C4_MIN_KEPT_LINES)
+
+
+def test_host_triangles_matches_networkx_free_count(ray_session):
+    """Triangle counts cross-checked against a brute-force numpy adjacency
+    cube over the same canonical undirected edge set."""
+    import numpy as np
+
+    from ocr_ray.ops.graph import _canonical_edges, host_triangles
+
+    got = _df(host_triangles(SF)).sort_values("host").reset_index(drop=True)
+    assert list(got.columns) == ["host", "n_triangles"]
+    edges = _df(_canonical_edges(SF))
+    hosts = sorted(set(edges["a"]) | set(edges["b"]))
+    idx = {h: i for i, h in enumerate(hosts)}
+    n = len(hosts)
+    A = np.zeros((n, n), dtype=np.int64)
+    for a, b in zip(edges["a"], edges["b"]):
+        A[idx[a], idx[b]] = 1
+        A[idx[b], idx[a]] = 1
+    # per-node triangle count = diag(A^3) / 2
+    per_node = np.diag(A @ A @ A) // 2
+    want = {h: int(per_node[i]) for h, i in idx.items() if per_node[i] > 0}
+    assert dict(zip(got["host"], got["n_triangles"])) == want
+    assert (got["n_triangles"] >= 1).all()
+
+
+def test_mirror_hosts_pairs_verified_from_text(ray_session):
+    """Each reported pair really shares >= MIRROR_MIN_SHARED distinct long
+    paragraphs, recomputed from the extraction output; ordering canonical."""
+    from ocr_ray.ops.extraction_queries import extraction_output
+    from ocr_ray.ops.graph import (
+        MIRROR_MIN_PAR_CHARS, MIRROR_MIN_SHARED, SRC_HOST_RE_S, mirror_hosts,
+    )
+    import re
+
+    got = _df(mirror_hosts(SF))
+    assert list(got.columns) == ["host_a", "host_b", "n_shared"]
+    assert len(got) > 0
+    assert (got["host_a"] < got["host_b"]).all()
+    assert (got["n_shared"] >= MIRROR_MIN_SHARED).all()
+
+    out = _df(extraction_output(SF, columns=["url", "text", "error"]))
+    src_re = re.compile(SRC_HOST_RE_S)
+    by_host: dict[str, set[str]] = {}
+    for _, r in out.iterrows():
+        if r["error"] is not None or not r["text"]:
+            continue
+        m = src_re.search(r["url"].lower())
+        if m is None:
+            continue
+        pars = {p for p in r["text"].split("\n\n")
+                if len(p) >= MIRROR_MIN_PAR_CHARS}
+        by_host.setdefault(m.group(1), set()).update(pars)
+    for _, r in got.iterrows():
+        shared = by_host[r["host_a"]] & by_host[r["host_b"]]
+        assert len(shared) == r["n_shared"]
