@@ -45,6 +45,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ---- round-4 additions (newest first)
         "host_triangles": g_ops.host_triangles,
         "mirror_hosts": g_ops.mirror_hosts,
+        "returned_items": r_ops.returned_items,
+        "revenue_rollup": r_ops.revenue_rollup,
+        "event_type_pivot": r_ops.event_type_pivot,
+        "monthly_revenue_growth": r_ops.monthly_revenue_growth,
+        "supplier_part_variety": r_ops.supplier_part_variety,
         "chunk_documents": d_ops.chunk_documents,
         "c4_clean": x_ops.c4_clean,
         "local_supplier_volume": r_ops.local_supplier_volume,
@@ -351,6 +356,89 @@ def _base_oracle_sql() -> dict[str, str]:
                    array_to_string(list_slice(toks, start + 1,
                        least(start + {d_ops.CHUNK_TOKENS}, n)), ' ') AS chunk
             FROM s ORDER BY doc_id, chunk_no
+        """,
+        # Q10: same exact 1e-4-unit integer revenue contract as Q5/Q3;
+        # ORDER BY the exact integer (not the derived double) then custkey,
+        # mirroring the engine's sort keys
+        "returned_items": f"""
+            WITH rev AS (
+                SELECT l_orderkey,
+                       SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+                           * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                           AS rev4
+                FROM lineitem WHERE l_returnflag = 'R' GROUP BY l_orderkey
+            ),
+            per_cust AS (
+                SELECT o_custkey, SUM(rev4) AS rev4
+                FROM rev JOIN orders ON l_orderkey = o_orderkey
+                WHERE o_orderdate >= TIMESTAMP '{r_ops.Q10_DATE_LO}'
+                  AND o_orderdate <  TIMESTAMP '{r_ops.Q10_DATE_HI}'
+                GROUP BY o_custkey
+            )
+            SELECT c_custkey, c_name, n_name,
+                   CAST(rev4 AS DOUBLE) / 10000.0 AS revenue
+            FROM per_cust
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            ORDER BY rev4 DESC, c_custkey
+            LIMIT {r_ops.Q10_TOP_K}
+        """,
+        # ROLLUP with the engine's sentinels (-1 year / 'ALL' priority);
+        # integer-cent sums, single end division
+        "revenue_rollup": """
+            WITH base AS (
+                SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+                       o_orderpriority AS prio,
+                       CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+                FROM orders
+            )
+            SELECT COALESCE(yr, -1) AS order_year,
+                   COALESCE(prio, 'ALL') AS o_orderpriority,
+                   CAST(SUM(cents) AS DOUBLE) / 100.0 AS revenue,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders
+            FROM base GROUP BY ROLLUP(yr, prio)
+            ORDER BY order_year, o_orderpriority
+        """,
+        # conditional aggregation = the engine's per-batch crosstab partials
+        "event_type_pivot": """
+            SELECT user_id,
+                   """ + ", ".join(
+                       f"CAST(COUNT(*) FILTER (event_type = '{t}') AS BIGINT)"
+                       f" AS n_{t}"
+                       for t in r_ops.EVENT_TYPES
+                   ) + """,
+                   COALESCE(SUM(CAST(round(value * 100) AS BIGINT))
+                            FILTER (event_type = 'purchase'), 0)
+                       AS purchase_cents
+            FROM events GROUP BY user_id ORDER BY user_id
+        """,
+        # LAG window; growth is ONE double division of exact cent sums on
+        # both sides; first month coalesces to 0.0 (engine fillna)
+        "monthly_revenue_growth": """
+            WITH m AS (
+                SELECT year(o_orderdate) * 100 + month(o_orderdate) AS ym,
+                       SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+                FROM orders GROUP BY 1
+            )
+            SELECT printf('%04d-%02d', ym // 100, ym % 100) AS order_month,
+                   CAST(cents AS DOUBLE) / 100.0 AS revenue,
+                   COALESCE(CAST(cents AS DOUBLE)
+                            / CAST(lag(cents) OVER (ORDER BY ym) AS DOUBLE),
+                            0.0) AS growth
+            FROM m ORDER BY ym
+        """,
+        # Q16 shape: distinct pairs first (the engine's combiner distinct),
+        # then the dimension filter + count distinct
+        "supplier_part_variety": f"""
+            WITH pairs AS (
+                SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+            )
+            SELECT p_brand, p_size,
+                   CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+            FROM pairs JOIN part ON l_partkey = p_partkey
+            WHERE p_brand <> '{r_ops.SUPPLIER_VARIETY_EXCLUDE_BRAND}'
+            GROUP BY 1, 2
+            ORDER BY supplier_cnt DESC, p_brand, p_size
         """,
         # Q5: same exact 1e-4-unit integer revenue as the engine
         # (round(price*100) x (100 - round(disc*100)) summed as BIGINT,

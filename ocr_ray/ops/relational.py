@@ -1408,3 +1408,325 @@ def markov_transitions(sf_dir: str):
         specs=[("n", "sum", "n")],
         finalize=fin,
     )
+
+
+# TPC-H Q10 shape (returned-item reporting): reference has no analogue —
+# this exercises the fact⋈fact co-partitioned join + broadcast-dimension
+# finalize pattern at one more fan-in.
+Q10_DATE_LO = "1996-10-01"
+Q10_DATE_HI = "1997-01-01"
+Q10_TOP_K = 20
+
+
+def returned_items(sf_dir: str, k: int = Q10_TOP_K):
+    """TPC-H Q10 shape: revenue lost to returned items per customer in one
+    order-date quarter — top-k customers by lost revenue.
+
+    Scale shape: lineitem keeps only l_returnflag='R' rows (parquet row
+    filter, never leaves storage otherwise) and partial-aggregates exact
+    1e-4-unit revenue per orderkey BEFORE the single co-partitioned hash
+    join against the date-pruned (o_orderkey, o_custkey) order stream; the
+    join output (one row per qualifying order) grouped-sums per custkey to
+    an O(customers-in-window) frame, and only THEN do the customer/nation
+    dimensions attach — on the driver, to k rows, via the broadcast maps.
+    Neither fact table is ever shuffled whole.
+
+    Output: (c_custkey, c_name, n_name, revenue) sorted by revenue desc,
+    c_custkey asc, limit k."""
+    import pyarrow.dataset as pads
+
+    from .common import choose_join_parts
+
+    lo, hi = pd.Timestamp(Q10_DATE_LO), pd.Timestamp(Q10_DATE_HI)
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+        filter=(pads.field("o_orderdate") >= pads.scalar(lo))
+        & (pads.field("o_orderdate") < pads.scalar(hi)),
+    ).select_columns(["o_orderkey", "o_custkey"])
+
+    lineitem = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_returnflag"],
+        filter=pads.field("l_returnflag") == "R",
+    )
+
+    def rev_partial(batch: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(
+            batch.column("l_extendedprice"), 100.0)), pa.int64())
+        dpct = pc.cast(pc.round(pc.multiply(
+            batch.column("l_discount"), 100.0)), pa.int64())
+        rev = pc.multiply(cents, pc.subtract(pa.scalar(100, pa.int64()), dpct))
+        part = pa.table(
+            {"l_orderkey": batch.column("l_orderkey"), "rev4": rev}
+        )
+        df = part.to_pandas().groupby("l_orderkey", as_index=False)["rev4"].sum()
+        return from_pandas_clean(df)
+
+    revenue = grouped_agg(
+        lineitem.map_batches(rev_partial, batch_format="pyarrow", zero_copy_batch=True),
+        keys=["l_orderkey"],
+        specs=[("rev4", "sum", "rev4")],
+    )
+
+    joined = revenue.join(
+        orders,
+        join_type="inner",
+        num_partitions=choose_join_parts(sf_dir, "orders", "lineitem", floor=4),
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+
+    def per_cust(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas().groupby("o_custkey", as_index=False)["rev4"].sum()
+        return from_pandas_clean(df)
+
+    cust = {
+        r["c_custkey"]: (r["c_name"], r["c_nationkey"])
+        for r in read_table(
+            sf_dir, "customer", columns=["c_custkey", "c_name", "c_nationkey"]
+        ).take_all()
+    }
+    nations = {
+        r["n_nationkey"]: r["n_name"]
+        for r in read_table(sf_dir, "nation", columns=["n_nationkey", "n_name"]).take_all()
+    }
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(
+            ["rev4", "o_custkey"], ascending=[False, True]
+        ).head(k).reset_index(drop=True)
+        df["c_name"] = [cust[c][0] for c in df["o_custkey"]]
+        df["n_name"] = [nations[cust[c][1]] for c in df["o_custkey"]]
+        df["revenue"] = df["rev4"].astype("float64") / 10000.0
+        return df.rename(columns={"o_custkey": "c_custkey"})[
+            ["c_custkey", "c_name", "n_name", "revenue"]
+        ]
+
+    return grouped_agg(
+        joined.map_batches(per_cust, batch_format="pyarrow"),
+        keys=["o_custkey"],
+        specs=[("rev4", "sum", "rev4")],
+        finalize=fin,
+    )
+
+
+def revenue_rollup(sf_dir: str):
+    """GROUP BY ROLLUP(order_year, o_orderpriority) over order revenue —
+    the multi-level OLAP aggregate (grouping sets) the engine previously
+    lacked: (year, priority) cells, per-year subtotals, and a grand total
+    in ONE scan.
+
+    Scale shape: the fact table is aggregated ONCE at the finest grain
+    (years × priorities — a few dozen cells) with per-batch integer-cent
+    partials; the coarser rollup levels re-aggregate the tiny finest frame
+    in finalize, never re-scanning the input. Sentinels (-1 year / 'ALL'
+    priority) stand in for the rollup NULLs so column types stay simple.
+
+    Output: (order_year, o_orderpriority, revenue, n_orders) ordered by
+    (order_year, o_orderpriority) with sentinels sorting first."""
+    ds = read_table(
+        sf_dir, "orders", columns=["o_orderdate", "o_orderpriority", "o_totalprice"]
+    )
+
+    def prep(batch: pa.Table) -> pa.Table:
+        yr = pc.cast(pc.year(batch.column("o_orderdate")), pa.int64())
+        cents = pc.cast(pc.round(pc.multiply(
+            batch.column("o_totalprice"), 100.0)), pa.int64())
+        part = pa.table(
+            {"order_year": yr,
+             "o_orderpriority": batch.column("o_orderpriority"),
+             "cents": cents}
+        )
+        df = part.to_pandas().groupby(
+            ["order_year", "o_orderpriority"], as_index=False
+        ).agg(cents=("cents", "sum"), n_orders=("cents", "size"))
+        return from_pandas_clean(df)
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        fine = df.copy()
+        per_year = fine.groupby("order_year", as_index=False)[
+            ["cents", "n_orders"]].sum()
+        per_year["o_orderpriority"] = "ALL"
+        total = pd.DataFrame(
+            {"order_year": [-1], "o_orderpriority": ["ALL"],
+             "cents": [fine["cents"].sum()], "n_orders": [fine["n_orders"].sum()]}
+        )
+        out = pd.concat([total, per_year, fine], ignore_index=True)
+        out["revenue"] = out["cents"].astype("float64") / 100.0
+        out["n_orders"] = out["n_orders"].astype("int64")
+        return out.sort_values(
+            ["order_year", "o_orderpriority"]
+        ).reset_index(drop=True)[
+            ["order_year", "o_orderpriority", "revenue", "n_orders"]
+        ]
+
+    return grouped_agg(
+        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True),
+        keys=["order_year", "o_orderpriority"],
+        specs=[("cents", "sum", "cents"), ("n_orders", "sum", "n_orders")],
+        finalize=fin,
+    )
+
+
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def event_type_pivot(sf_dir: str):
+    """Long→wide pivot: one row per user with a count column per event type
+    plus exact integer-cent purchase value — the feature-matrix layout every
+    per-user model consumes.
+
+    Scale shape: the pivot IS the combiner — each batch crosstabs locally
+    (vectorized pandas crosstab, one row per user seen in the batch), and
+    the exchange then carries only the wide partial rows; the grouped sum
+    merges them. No per-user Python loop, no |types| separate passes.
+
+    Output: (user_id, n_click, n_error, n_purchase, n_signup, n_view,
+    purchase_cents) ordered by user_id."""
+    ds = read_table(sf_dir, "events", columns=["user_id", "event_type", "value"])
+
+    cols = [f"n_{t}" for t in EVENT_TYPES]
+
+    def pivot_partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        wide = pd.crosstab(df["user_id"], df["event_type"])
+        for t in EVENT_TYPES:
+            if t not in wide.columns:
+                wide[t] = 0
+        wide = wide[list(EVENT_TYPES)].rename(
+            columns={t: f"n_{t}" for t in EVENT_TYPES}
+        ).astype("int64")
+        purch = df[df["event_type"] == "purchase"]
+        pv = (purch["value"] * 100.0).round().astype("int64")
+        wide["purchase_cents"] = (
+            pv.groupby(purch["user_id"]).sum().reindex(wide.index).fillna(0).astype("int64")
+        )
+        return from_pandas_clean(wide.reset_index())
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values("user_id").reset_index(drop=True)
+
+    return grouped_agg(
+        ds.map_batches(pivot_partial, batch_format="pyarrow", zero_copy_batch=True),
+        keys=["user_id"],
+        specs=[(c, "sum", c) for c in cols] + [("purchase_cents", "sum", "purchase_cents")],
+        finalize=fin,
+    )
+
+
+def monthly_revenue_growth(sf_dir: str):
+    """Per-month order revenue with month-over-month growth — the LAG
+    window representative (every prior window op here used rekey joins;
+    this one is the classic ordered-frame shift).
+
+    Scale shape: integer-cent partials collapse per (year, month) inside
+    each batch; the exchange carries at most years×12 rows; the shift runs
+    in finalize over that tiny ordered frame. growth is the single IEEE
+    division cur/prev computed identically in the SQL twin (no rounding
+    boundary); the first month's growth is NULL.
+
+    Output: (order_month 'YYYY-MM', revenue, growth) ordered by month."""
+    ds = read_table(sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        y = pc.cast(pc.year(batch.column("o_orderdate")), pa.int64())
+        m = pc.cast(pc.month(batch.column("o_orderdate")), pa.int64())
+        ym = pc.add(pc.multiply(y, pa.scalar(100, pa.int64())), m)
+        cents = pc.cast(pc.round(pc.multiply(
+            batch.column("o_totalprice"), 100.0)), pa.int64())
+        part = pa.table({"ym": ym, "cents": cents})
+        df = part.to_pandas().groupby("ym", as_index=False)["cents"].sum()
+        return from_pandas_clean(df)
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("ym").reset_index(drop=True)
+        df["order_month"] = [f"{v // 100:04d}-{v % 100:02d}" for v in df["ym"]]
+        # exact-int ratio computed as ONE double division, like the oracle
+        prev = df["cents"].shift(1)
+        df["revenue"] = df["cents"].astype("float64") / 100.0
+        df["growth"] = (
+            df["cents"].astype("float64") / prev.astype("float64")
+        ).fillna(0.0)
+        return df[["order_month", "revenue", "growth"]]
+
+    return grouped_agg(
+        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True),
+        keys=["ym"],
+        specs=[("cents", "sum", "cents")],
+        finalize=fin,
+    )
+
+
+SUPPLIER_VARIETY_EXCLUDE_BRAND = "Brand#1"
+
+
+def supplier_part_variety(sf_dir: str):
+    """TPC-H Q16 shape: how many DISTINCT suppliers ship each
+    (p_brand, p_size) combination, excluding one brand — the
+    count-distinct-after-join representative.
+
+    Scale shape: the fact table collapses to distinct (l_partkey,
+    l_suppkey) pairs first (per-batch pre-dedup + one combiner distinct —
+    the pair set is orders of magnitude smaller than lineitem); the part
+    dimension attaches via one broadcast int→(brand,size) map inside
+    map_batches (no shuffle); a second distinct on (brand, size, suppkey)
+    absorbs pair collisions across parts, and a grouped count finishes.
+
+    Output: (p_brand, p_size, supplier_cnt) ordered by supplier_cnt desc,
+    p_brand, p_size."""
+    from .common import distinct
+
+    pairs = read_table(sf_dir, "lineitem", columns=["l_partkey", "l_suppkey"])
+
+    def pre_dedup(batch: pa.Table) -> pa.Table:
+        return batch.group_by(["l_partkey", "l_suppkey"]).aggregate([])
+
+    pairs = distinct(
+        pairs.map_batches(pre_dedup, batch_format="pyarrow", zero_copy_batch=True),
+        ["l_partkey", "l_suppkey"],
+    )
+
+    part_map = {
+        r["p_partkey"]: (r["p_brand"], r["p_size"])
+        for r in read_table(
+            sf_dir, "part", columns=["p_partkey", "p_brand", "p_size"]
+        ).take_all()
+        if r["p_brand"] != SUPPLIER_VARIETY_EXCLUDE_BRAND
+    }
+    part_ref = ray.put(part_map)
+
+    def attach(batch: pa.Table) -> pa.Table:
+        pmap = ray.get(part_ref)
+        pk = batch.column("l_partkey").to_numpy(zero_copy_only=False)
+        sk = batch.column("l_suppkey").to_numpy(zero_copy_only=False)
+        brands, sizes, supps = [], [], []
+        for p, s in zip(pk, sk):
+            bs = pmap.get(int(p))
+            if bs is not None:
+                brands.append(bs[0])
+                sizes.append(bs[1])
+                supps.append(int(s))
+        return pa.table(
+            {"p_brand": pa.array(brands, pa.string()),
+             "p_size": pa.array(sizes, pa.int64()),
+             "suppkey": pa.array(supps, pa.int64())}
+        )
+
+    tagged = distinct(
+        pairs.map_batches(attach, batch_format="pyarrow", zero_copy_batch=True),
+        ["p_brand", "p_size", "suppkey"],
+    )
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(
+            ["supplier_cnt", "p_brand", "p_size"], ascending=[False, True, True]
+        ).reset_index(drop=True)
+
+    return grouped_agg(
+        tagged,
+        keys=["p_brand", "p_size"],
+        specs=[("supplier_cnt", "count", None)],
+        finalize=fin,
+    )

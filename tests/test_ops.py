@@ -2040,3 +2040,104 @@ def test_mirror_hosts_pairs_verified_from_text(ray_session):
     for _, r in got.iterrows():
         shared = by_host[r["host_a"]] & by_host[r["host_b"]]
         assert len(shared) == r["n_shared"]
+
+
+def test_returned_items_matches_pandas(ray_session):
+    """Q10 shape recomputed with pandas over the raw tables (exact integer
+    revenue contract), including the top-k tiebreak."""
+    import pandas as pd
+
+    from ocr_ray.ops.relational import Q10_DATE_HI, Q10_DATE_LO, Q10_TOP_K, returned_items
+
+    got = _df(returned_items(SF))
+    assert list(got.columns) == ["c_custkey", "c_name", "n_name", "revenue"]
+    assert len(got) <= Q10_TOP_K
+
+    li = pd.read_parquet(f"{SF}/lineitem.parquet")
+    od = pd.read_parquet(f"{SF}/orders.parquet")
+    cu = pd.read_parquet(f"{SF}/customer.parquet")
+    na = pd.read_parquet(f"{SF}/nation.parquet")
+    li = li[li["l_returnflag"] == "R"].copy()
+    li["rev4"] = ((li["l_extendedprice"] * 100).round().astype("int64")
+                  * (100 - (li["l_discount"] * 100).round().astype("int64")))
+    od = od[(od["o_orderdate"] >= pd.Timestamp(Q10_DATE_LO))
+            & (od["o_orderdate"] < pd.Timestamp(Q10_DATE_HI))]
+    j = li.merge(od, left_on="l_orderkey", right_on="o_orderkey")
+    per = j.groupby("o_custkey", as_index=False)["rev4"].sum()
+    per = per.sort_values(["rev4", "o_custkey"], ascending=[False, True]).head(Q10_TOP_K)
+    per = per.merge(cu, left_on="o_custkey", right_on="c_custkey").merge(
+        na, left_on="c_nationkey", right_on="n_nationkey")
+    want = per[["c_custkey", "c_name", "n_name"]].reset_index(drop=True)
+    want["revenue"] = (per["rev4"].astype("float64") / 10000.0).values
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_revenue_rollup_levels_consistent(ray_session):
+    """Grand total == sum of per-year subtotals == sum of fine cells; the
+    sentinel rows carry the right aggregates."""
+    from ocr_ray.ops.relational import revenue_rollup
+
+    got = _df(revenue_rollup(SF))
+    fine = got[(got["order_year"] >= 0) & (got["o_orderpriority"] != "ALL")]
+    years = got[(got["order_year"] >= 0) & (got["o_orderpriority"] == "ALL")]
+    total = got[got["order_year"] == -1]
+    assert len(total) == 1
+    assert total["n_orders"].iloc[0] == fine["n_orders"].sum() == years["n_orders"].sum()
+    assert abs(total["revenue"].iloc[0] - fine["revenue"].sum()) < 1e-6
+    for y, grp in fine.groupby("order_year"):
+        row = years[years["order_year"] == y]
+        assert row["n_orders"].iloc[0] == grp["n_orders"].sum()
+        assert abs(row["revenue"].iloc[0] - grp["revenue"].sum()) < 1e-6
+
+
+def test_event_type_pivot_matches_long_counts(ray_session):
+    import pandas as pd
+
+    from ocr_ray.ops.relational import EVENT_TYPES, event_type_pivot
+
+    got = _df(event_type_pivot(SF)).set_index("user_id")
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    counts = ev.groupby(["user_id", "event_type"]).size()
+    for t in EVENT_TYPES:
+        want = counts.xs(t, level="event_type").reindex(got.index).fillna(0)
+        assert (got[f"n_{t}"] == want).all(), t
+    purch = ev[ev["event_type"] == "purchase"]
+    cents = ((purch["value"] * 100).round().astype("int64")
+             .groupby(purch["user_id"]).sum().reindex(got.index).fillna(0))
+    assert (got["purchase_cents"] == cents).all()
+    # row total equals events rows
+    assert got[[f"n_{t}" for t in EVENT_TYPES]].sum().sum() == len(ev)
+
+
+def test_monthly_revenue_growth_shift(ray_session):
+    import pandas as pd
+
+    from ocr_ray.ops.relational import monthly_revenue_growth
+
+    got = _df(monthly_revenue_growth(SF))
+    assert list(got.columns) == ["order_month", "revenue", "growth"]
+    assert got["order_month"].is_monotonic_increasing
+    assert got["growth"].iloc[0] == 0.0
+    ratios = (got["revenue"] / got["revenue"].shift(1)).iloc[1:]
+    assert (abs(got["growth"].iloc[1:] - ratios) < 1e-9).all()
+    od = pd.read_parquet(f"{SF}/orders.parquet")
+    assert len(got) == od["o_orderdate"].dt.to_period("M").nunique()
+
+
+def test_supplier_part_variety_counts(ray_session):
+    import pandas as pd
+
+    from ocr_ray.ops.relational import (
+        SUPPLIER_VARIETY_EXCLUDE_BRAND, supplier_part_variety,
+    )
+
+    got = _df(supplier_part_variety(SF))
+    assert (got["p_brand"] != SUPPLIER_VARIETY_EXCLUDE_BRAND).all()
+    li = pd.read_parquet(f"{SF}/lineitem.parquet")[["l_partkey", "l_suppkey"]].drop_duplicates()
+    pt = pd.read_parquet(f"{SF}/part.parquet")
+    j = li.merge(pt, left_on="l_partkey", right_on="p_partkey")
+    j = j[j["p_brand"] != SUPPLIER_VARIETY_EXCLUDE_BRAND]
+    want = j.groupby(["p_brand", "p_size"])["l_suppkey"].nunique()
+    assert len(got) == len(want)
+    for _, r in got.head(50).iterrows():
+        assert want.loc[(r["p_brand"], r["p_size"])] == r["supplier_cnt"]
