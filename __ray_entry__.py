@@ -45,6 +45,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ---- round-4 additions (newest first)
         "host_triangles": g_ops.host_triangles,
         "mirror_hosts": g_ops.mirror_hosts,
+        "vocab_growth": d_ops.vocab_growth,
+        "length_percent_rank": d_ops.length_percent_rank,
+        "type_token_ratio": d_ops.type_token_ratio,
         "returned_items": r_ops.returned_items,
         "revenue_rollup": r_ops.revenue_rollup,
         "event_type_pivot": r_ops.event_type_pivot,
@@ -356,6 +359,55 @@ def _base_oracle_sql() -> dict[str, str]:
                    array_to_string(list_slice(toks, start + 1,
                        least(start + {d_ops.CHUNK_TOKENS}, n)), ' ') AS chunk
             FROM s ORDER BY doc_id, chunk_no
+        """,
+        # Heaps' law: first occurrence = MIN(doc_id) per normalized word
+        # (word_frequency's tokenization), bucket rollup + window cumsum
+        "vocab_growth": f"""
+            WITH toks AS (
+                SELECT doc_id, lower(translate(tok, {punct_sql}, '')) AS word
+                FROM (SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS tok
+                      FROM documents)
+            ),
+            firsts AS (
+                SELECT word, MIN(doc_id) AS fd FROM toks
+                WHERE word <> '' GROUP BY word
+            ),
+            b AS (
+                SELECT fd // {d_ops.VOCAB_BUCKET_DOCS} AS bucket,
+                       CAST(COUNT(*) AS BIGINT) AS new_words
+                FROM firsts GROUP BY 1
+            )
+            SELECT bucket, new_words,
+                   CAST(SUM(new_words) OVER (ORDER BY bucket) AS BIGINT)
+                       AS cum_vocab
+            FROM b ORDER BY bucket
+        """,
+        # RANK() tie semantics; pct_rank = (rank-1)/(n-1), the same single
+        # division the engine's histogram-broadcast map performs
+        "length_percent_rank": """
+            SELECT doc_id, n_chars,
+                   CAST(RANK() OVER (ORDER BY n_chars) AS BIGINT) AS rnk,
+                   CAST(RANK() OVER (ORDER BY n_chars) - 1 AS DOUBLE)
+                       / (COUNT(*) OVER () - 1) AS pct_rank
+            FROM documents
+        """,
+        # same tokenization; ttr is the single division n_types/n_tokens
+        "type_token_ratio": f"""
+            WITH toks AS (
+                SELECT doc_id, lower(translate(tok, {punct_sql}, '')) AS word
+                FROM (SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS tok
+                      FROM documents)
+            ),
+            per AS (
+                SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                       CAST(COUNT(DISTINCT word) AS BIGINT) AS n_types
+                FROM toks WHERE word <> '' GROUP BY doc_id
+            )
+            SELECT d.doc_id, COALESCE(p.n_tokens, 0) AS n_tokens,
+                   COALESCE(p.n_types, 0) AS n_types,
+                   CASE WHEN COALESCE(p.n_tokens, 0) = 0 THEN 0.0
+                        ELSE CAST(p.n_types AS DOUBLE) / p.n_tokens END AS ttr
+            FROM documents d LEFT JOIN per p ON d.doc_id = p.doc_id
         """,
         # Q10: same exact 1e-4-unit integer revenue contract as Q5/Q3;
         # ORDER BY the exact integer (not the derived double) then custkey,

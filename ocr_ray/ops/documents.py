@@ -2398,3 +2398,156 @@ def chunk_documents(sf_dir: str):
         )
 
     return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+VOCAB_BUCKET_DOCS = 10
+
+
+def vocab_growth(sf_dir: str):
+    """Heaps'-law vocabulary growth curve: how many NEW word types each
+    block of ``VOCAB_BUCKET_DOCS`` documents contributes, plus the running
+    vocabulary size — the sizing curve every tokenizer-training run reads
+    before fixing a vocab budget.
+
+    Scale shape: "first occurrence" is a grouped MIN over (word →
+    min(doc_id)) with per-batch pre-minimization (the combiner), so the
+    exchange carries one row per distinct word per block — never a token
+    stream; the bucket rollup and the cumulative scan run over the tiny
+    (words → buckets) frame. Same index normalization as word_frequency
+    (reference export.py:494).
+
+    Output: (bucket, new_words, cum_vocab) ordered by bucket, where bucket
+    = first_doc_id // VOCAB_BUCKET_DOCS."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        from ..kernels.textfn import _INDEX_DEL_TABLE
+
+        firsts: dict[str, int] = {}
+        ids = batch.column("doc_id").to_pylist()
+        for i, text in enumerate(batch.column("text").to_pylist()):
+            d = int(ids[i])
+            for tok in text.split():
+                tok = tok.translate(_INDEX_DEL_TABLE).lower()
+                if tok and (tok not in firsts or d < firsts[tok]):
+                    firsts[tok] = d
+        return pa.table(
+            {"word": pa.array(list(firsts.keys()), pa.string()),
+             "first_doc": pa.array(list(firsts.values()), pa.int64())}
+        )
+
+    ds = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    firsts = grouped_agg(
+        ds, keys=["word"], specs=[("first_doc", "min", "first_doc")]
+    )
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        b = pc.divide(batch.column("first_doc"),
+                      pa.scalar(VOCAB_BUCKET_DOCS, pa.int64()))
+        t = pa.table({"bucket": b})
+        return t.group_by(["bucket"]).aggregate([([], "count_all")]).rename_columns(
+            ["bucket", "new_words"]
+        )
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("bucket").reset_index(drop=True)
+        df["new_words"] = df["new_words"].astype("int64")
+        df["cum_vocab"] = df["new_words"].cumsum().astype("int64")
+        return df
+
+    return grouped_agg(
+        firsts.map_batches(bucketize, batch_format="pyarrow"),
+        keys=["bucket"],
+        specs=[("new_words", "sum", "new_words")],
+        finalize=fin,
+    )
+
+
+def length_percent_rank(sf_dir: str):
+    """Per-document percentile rank of character length — the distributed
+    RANK() representative, computed WITHOUT a global sort: build the exact
+    length histogram once (combiner + tiny grouped sum), broadcast its
+    cumulative form, and map each doc to rank = #\\{docs with smaller
+    n_chars\\} + 1 (SQL RANK() tie semantics). percent_rank is the single
+    IEEE division (rank-1)/(n-1) computed identically in the twin.
+
+    The histogram-broadcast rank is the scale story: a 10^12-row global
+    sort is an all-to-all; the histogram is one small exchange (bounded by
+    distinct lengths) plus a shuffle-free map.
+
+    Output: (doc_id, n_chars, rnk, pct_rank), one row per doc (unordered;
+    the gate sorts)."""
+    hist = grouped_agg(
+        read_table(sf_dir, "documents", columns=["n_chars"]),
+        keys=["n_chars"],
+        specs=[("cnt", "count", None)],
+    )
+    h = (
+        pd.DataFrame(hist.take_all())
+        .sort_values("n_chars")
+        .reset_index(drop=True)
+    )
+    total = int(h["cnt"].sum())
+    # rank for length L = 1 + count of docs strictly shorter
+    h["smaller"] = h["cnt"].cumsum().shift(1, fill_value=0).astype("int64")
+    rank_map = dict(zip(h["n_chars"].astype(int), h["smaller"] + 1))
+    rank_ref = ray.put(rank_map)
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "n_chars"])
+
+    def attach(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        rmap = ray.get(rank_ref)
+        nc = batch.column("n_chars").to_numpy(zero_copy_only=False)
+        rnk = np.array([rmap[int(v)] for v in nc], dtype=np.int64)
+        pct = (rnk - 1).astype("float64") / float(total - 1)
+        return pa.table(
+            {"doc_id": batch.column("doc_id"),
+             "n_chars": batch.column("n_chars"),
+             "rnk": pa.array(rnk, pa.int64()),
+             "pct_rank": pa.array(pct, pa.float64())}
+        )
+
+    return ds.map_batches(attach, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def type_token_ratio(sf_dir: str):
+    """Per-document lexical diversity: token count, distinct-type count and
+    their ratio (TTR) — the cheap TEMPLATE-vs-PROSE separator (boilerplate
+    repeats a small vocabulary; organic text doesn't).
+
+    Scale shape: entirely shuffle-free — each doc's types are counted
+    inside the batch (a per-doc set over the already-normalized tokens);
+    nothing crosses the exchange but the output rows themselves. ttr is one
+    IEEE division n_types/n_tokens shared with the twin; empty docs get 0.
+
+    Output: (doc_id, n_tokens, n_types, ttr), one row per doc (unordered;
+    the gate sorts)."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def per_doc(batch: pa.Table) -> pa.Table:
+        from ..kernels.textfn import _INDEX_DEL_TABLE
+
+        ids = batch.column("doc_id").to_pylist()
+        ntok, ntyp, ttr = [], [], []
+        for text in batch.column("text").to_pylist():
+            toks = [
+                t for t in
+                (w.translate(_INDEX_DEL_TABLE).lower() for w in text.split())
+                if t
+            ]
+            n, k = len(toks), len(set(toks))
+            ntok.append(n)
+            ntyp.append(k)
+            ttr.append(float(k) / float(n) if n else 0.0)
+        return pa.table(
+            {"doc_id": pa.array(ids, pa.int64()),
+             "n_tokens": pa.array(ntok, pa.int64()),
+             "n_types": pa.array(ntyp, pa.int64()),
+             "ttr": pa.array(ttr, pa.float64())}
+        )
+
+    return ds.map_batches(per_doc, batch_format="pyarrow", zero_copy_batch=True)

@@ -2141,3 +2141,68 @@ def test_supplier_part_variety_counts(ray_session):
     assert len(got) == len(want)
     for _, r in got.head(50).iterrows():
         assert want.loc[(r["p_brand"], r["p_size"])] == r["supplier_cnt"]
+
+
+def test_vocab_growth_curve(ray_session):
+    """Monotone cumulative vocabulary; final cum_vocab equals the global
+    distinct normalized-token count; bucket totals partition the vocab."""
+    import pandas as pd
+
+    from ocr_ray.kernels.textfn import _INDEX_DEL_TABLE
+    from ocr_ray.ops.documents import VOCAB_BUCKET_DOCS, vocab_growth
+
+    got = _df(vocab_growth(SF))
+    assert list(got.columns) == ["bucket", "new_words", "cum_vocab"]
+    assert got["bucket"].is_monotonic_increasing
+    assert (got["new_words"] >= 1).all()
+    assert (got["cum_vocab"] == got["new_words"].cumsum()).all()
+
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    firsts: dict[str, int] = {}
+    for _, r in docs.iterrows():
+        for w in r["text"].split():
+            w = w.translate(_INDEX_DEL_TABLE).lower()
+            if w and (w not in firsts or r["doc_id"] < firsts[w]):
+                firsts[w] = int(r["doc_id"])
+    assert got["cum_vocab"].iloc[-1] == len(firsts)
+    want = pd.Series(
+        [fd // VOCAB_BUCKET_DOCS for fd in firsts.values()]
+    ).value_counts().sort_index()
+    assert dict(zip(got["bucket"], got["new_words"])) == want.to_dict()
+
+
+def test_length_percent_rank_semantics(ray_session):
+    """RANK() tie semantics without a global sort: rank equals the count of
+    strictly shorter docs + 1; pct_rank in [0, 1]."""
+    import pandas as pd
+
+    from ocr_ray.ops.documents import length_percent_rank
+
+    got = _df(length_percent_rank(SF)).sort_values("doc_id").reset_index(drop=True)
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    n = len(docs)
+    assert len(got) == n
+    want_rank = docs["n_chars"].rank(method="min").astype("int64")
+    merged = got.merge(docs[["doc_id", "n_chars"]], on="doc_id", suffixes=("", "_raw"))
+    assert (merged["n_chars"] == merged["n_chars_raw"]).all()
+    by_doc = dict(zip(docs["doc_id"], want_rank))
+    assert all(by_doc[d] == r for d, r in zip(got["doc_id"], got["rnk"]))
+    assert got["pct_rank"].between(0.0, 1.0).all()
+    assert (got["pct_rank"] == (got["rnk"] - 1) / (n - 1)).all()
+
+
+def test_type_token_ratio_bounds(ray_session):
+    from ocr_ray.kernels.textfn import _INDEX_DEL_TABLE
+    from ocr_ray.ops.documents import type_token_ratio
+
+    got = _df(type_token_ratio(SF)).sort_values("doc_id").reset_index(drop=True)
+    assert (got["n_types"] <= got["n_tokens"]).all()
+    assert got["ttr"].between(0.0, 1.0).all()
+    import pandas as pd
+
+    docs = pd.read_parquet(f"{SF}/documents.parquet").sort_values("doc_id")
+    for (_, d), (_, g) in zip(docs.head(50).iterrows(), got.head(50).iterrows()):
+        toks = [t for t in (w.translate(_INDEX_DEL_TABLE).lower()
+                            for w in d["text"].split()) if t]
+        assert g["n_tokens"] == len(toks)
+        assert g["n_types"] == len(set(toks))
