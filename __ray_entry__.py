@@ -45,6 +45,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ---- round-4 additions (newest first)
         "host_triangles": g_ops.host_triangles,
         "mirror_hosts": g_ops.mirror_hosts,
+        "token_entropy": d_ops.token_entropy,
+        "global_doc_ids": d_ops.global_doc_ids,
         "vocab_growth": d_ops.vocab_growth,
         "length_percent_rank": d_ops.length_percent_rank,
         "type_token_ratio": d_ops.type_token_ratio,
@@ -359,6 +361,42 @@ def _base_oracle_sql() -> dict[str, str]:
                    array_to_string(list_slice(toks, start + 1,
                        least(start + {d_ops.CHUNK_TOKENS}, n)), ' ') AS chunk
             FROM s ORDER BY doc_id, chunk_no
+        """,
+        # entropy: c·log2(c) contributions quantized to exact ints (same
+        # round(log2(c)·2^20) on both sides — log2 of an integer is never
+        # half-way, so Python round-half-even vs DuckDB round-half-away
+        # cannot diverge), summed exactly; log2(n) and ONE division are the
+        # only float ops, in the identical expression shape
+        "token_entropy": f"""
+            WITH toks AS (
+                SELECT doc_id, lower(translate(tok, {punct_sql}, '')) AS word
+                FROM (SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS tok
+                      FROM documents)
+            ),
+            cnt AS (
+                SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS c
+                FROM toks WHERE word <> '' GROUP BY doc_id, word
+            ),
+            per AS (
+                SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n,
+                       CAST(SUM(CASE WHEN c > 1 THEN c * CAST(round(
+                           log2(c) * {d_ops.ENTROPY_QLOG_SCALE}) AS BIGINT)
+                           ELSE 0 END) AS BIGINT) AS s
+                FROM cnt GROUP BY doc_id
+            )
+            SELECT d.doc_id, COALESCE(p.n, 0) AS n_tokens,
+                   CASE WHEN COALESCE(p.n, 0) = 0 THEN 0.0
+                        ELSE log2(p.n) - CAST(p.s AS DOUBLE)
+                             / (p.n * {float(d_ops.ENTROPY_QLOG_SCALE)}) END
+                       AS entropy
+            FROM documents d LEFT JOIN per p ON d.doc_id = p.doc_id
+        """,
+        # distributed zipWithIndex vs the window-function ground truth
+        "global_doc_ids": """
+            SELECT doc_id, lang,
+                   CAST(row_number() OVER (ORDER BY lang, doc_id) - 1
+                        AS BIGINT) AS global_id
+            FROM documents
         """,
         # Heaps' law: first occurrence = MIN(doc_id) per normalized word
         # (word_frequency's tokenization), bucket rollup + window cumsum

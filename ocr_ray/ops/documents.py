@@ -2551,3 +2551,123 @@ def type_token_ratio(sf_dir: str):
         )
 
     return ds.map_batches(per_doc, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# log2 quantization scale for the exact-integer entropy sum
+ENTROPY_QLOG_SCALE = 1 << 20
+
+
+def token_entropy(sf_dir: str):
+    """Per-document Shannon entropy of the token distribution — the
+    randomness/repetitiveness quality signal (template spam has low
+    entropy, keyboard-mash has high) that complements type_token_ratio.
+
+    Determinism contract: the per-token contributions c·log2(c) are
+    QUANTIZED to exact integers (round(log2(c) · 2^20)) and summed as
+    int64 — so the sum is order-independent and bit-identical between the
+    engine and the SQL twin; the only float ops are log2(n) and one final
+    division, both computed in the identical expression shape on both
+    sides. H = log2(n) − Σ c·qlog2(c) / (n · 2^20).
+
+    Scale shape: shuffle-free per-batch map (the per-doc Counter is the
+    compute); nothing crosses the exchange but output rows.
+
+    Output: (doc_id, n_tokens, entropy), one row per doc."""
+    import math
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def per_doc(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        from ..kernels.textfn import _INDEX_DEL_TABLE
+
+        ids = batch.column("doc_id").to_pylist()
+        ntok, ent = [], []
+        for text in batch.column("text").to_pylist():
+            counts = Counter(
+                t for t in
+                (w.translate(_INDEX_DEL_TABLE).lower() for w in text.split())
+                if t
+            )
+            n = sum(counts.values())
+            if n == 0:
+                ntok.append(0)
+                ent.append(0.0)
+                continue
+            s = sum(
+                c * round(math.log2(c) * ENTROPY_QLOG_SCALE)
+                for c in counts.values()
+                if c > 1
+            )
+            ntok.append(n)
+            ent.append(math.log2(n) - s / (n * float(ENTROPY_QLOG_SCALE)))
+        return pa.table(
+            {"doc_id": pa.array(ids, pa.int64()),
+             "n_tokens": pa.array(ntok, pa.int64()),
+             "entropy": pa.array(ent, pa.float64())}
+        )
+
+    return ds.map_batches(per_doc, batch_format="pyarrow", zero_copy_batch=True)
+
+
+GLOBAL_ID_BUCKET_DOCS = 100
+
+
+def global_doc_ids(sf_dir: str):
+    """Distributed zipWithIndex: assign each document a contiguous global
+    id in (lang, doc_id) order WITHOUT a global sort — the id-assignment
+    primitive every sharded-training manifest needs.
+
+    Scale shape (two-pass block-offset scan): pass 1 grouped-counts the
+    tiny (lang, bucket) histogram (bucket = doc_id // GLOBAL_ID_BUCKET_DOCS
+    bounds every group); the driver prefix-sums it in key order and
+    broadcasts the offset map; pass 2 ranks each (lang, bucket) group
+    locally (one vectorized argsort over ≤ bucket-size rows) and adds the
+    offset. The exchange carries |langs × buckets| count rows plus the
+    group shuffle — never a totally-ordered sort of all rows.
+
+    Output: (doc_id, lang, global_id) with global_id = 0-based rank in
+    (lang, doc_id) order."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "lang"])
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        b = pc.divide(batch.column("doc_id"),
+                      pa.scalar(GLOBAL_ID_BUCKET_DOCS, pa.int64()))
+        return batch.append_column("bucket", b)
+
+    keyed = ds.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+
+    counts = grouped_agg(
+        keyed, keys=["lang", "bucket"], specs=[("cnt", "count", None)]
+    )
+    h = pd.DataFrame(counts.take_all()).sort_values(
+        ["lang", "bucket"]).reset_index(drop=True)
+    h["offset"] = h["cnt"].cumsum().shift(1, fill_value=0).astype("int64")
+    offsets = {
+        (lang, int(b)): int(o)
+        for lang, b, o in zip(h["lang"], h["bucket"], h["offset"])
+    }
+    off_ref = ray.put(offsets)
+
+    def rank_group(group: pa.Table) -> pa.Table:
+        import numpy as np
+
+        omap = ray.get(off_ref)
+        ids = group.column("doc_id").to_numpy(zero_copy_only=False)
+        lang = group.column("lang")[0].as_py()
+        bucket = int(group.column("bucket")[0].as_py())
+        order = np.argsort(ids, kind="stable")
+        gid = np.empty(len(ids), dtype=np.int64)
+        gid[order] = omap[(lang, bucket)] + np.arange(len(ids), dtype=np.int64)
+        return pa.table(
+            {"doc_id": group.column("doc_id"),
+             "lang": group.column("lang"),
+             "global_id": pa.array(gid, pa.int64())}
+        )
+
+    return keyed.groupby(["lang", "bucket"]).map_groups(
+        rank_group, batch_format="pyarrow"
+    )

@@ -2206,3 +2206,51 @@ def test_type_token_ratio_bounds(ray_session):
                             for w in d["text"].split()) if t]
         assert g["n_tokens"] == len(toks)
         assert g["n_types"] == len(set(toks))
+
+
+def test_token_entropy_properties(ray_session):
+    """Entropy bounds: 0 <= H <= log2(n_types); uniform-distribution docs
+    hit the upper bound; recomputation matches for a sample."""
+    import math
+    from collections import Counter
+
+    import pandas as pd
+
+    from ocr_ray.kernels.textfn import _INDEX_DEL_TABLE
+    from ocr_ray.ops.documents import ENTROPY_QLOG_SCALE, token_entropy, type_token_ratio
+
+    got = _df(token_entropy(SF)).sort_values("doc_id").reset_index(drop=True)
+    ttr = _df(type_token_ratio(SF)).sort_values("doc_id").reset_index(drop=True)
+    assert (got["entropy"] >= -1e-9).all()
+    # H <= log2(n_types) + quantization slack
+    cap = ttr["n_types"].map(lambda k: math.log2(k) if k else 0.0)
+    assert (got["entropy"] <= cap + 1e-5).all()
+
+    docs = pd.read_parquet(f"{SF}/documents.parquet").sort_values("doc_id")
+    for (_, d), (_, g) in zip(docs.head(30).iterrows(), got.head(30).iterrows()):
+        counts = Counter(
+            t for t in (w.translate(_INDEX_DEL_TABLE).lower()
+                        for w in d["text"].split()) if t)
+        n = sum(counts.values())
+        if n == 0:
+            assert g["entropy"] == 0.0
+            continue
+        s = sum(c * round(math.log2(c) * ENTROPY_QLOG_SCALE)
+                for c in counts.values() if c > 1)
+        assert g["entropy"] == math.log2(n) - s / (n * float(ENTROPY_QLOG_SCALE))
+
+
+def test_global_doc_ids_is_permutation_rank(ray_session):
+    import pandas as pd
+
+    from ocr_ray.ops.documents import global_doc_ids
+
+    got = _df(global_doc_ids(SF))
+    n = len(got)
+    assert sorted(got["global_id"]) == list(range(n))
+    ordered = got.sort_values("global_id").reset_index(drop=True)
+    # global order == (lang, doc_id) lexicographic order
+    key = list(zip(ordered["lang"], ordered["doc_id"]))
+    assert key == sorted(key)
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    assert set(got["doc_id"]) == set(docs["doc_id"])
