@@ -45,6 +45,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ---- round-4 additions (newest first)
         "host_triangles": g_ops.host_triangles,
         "mirror_hosts": g_ops.mirror_hosts,
+        "knn_classify": e_ops.knn_classify,
         "token_entropy": d_ops.token_entropy,
         "global_doc_ids": d_ops.global_doc_ids,
         "vocab_growth": d_ops.vocab_growth,
@@ -361,6 +362,40 @@ def _base_oracle_sql() -> dict[str, str]:
                    array_to_string(list_slice(toks, start + 1,
                        least(start + {d_ops.CHUNK_TOKENS}, n)), ' ') AS chunk
             FROM s ORDER BY doc_id, chunk_no
+        """,
+        # 1-NN vs the same raw-cosine ranking (dot products are the exact
+        # same doubles on both sides — the ann_brute precedent); seed set
+        # is the deterministic vec_id % mod == 0 holdout
+        "knn_classify": f"""
+            WITH s AS (
+                SELECT vec_id AS sid, label AS slabel, embedding AS se,
+                       sqrt(list_sum(list_transform(embedding,
+                            x -> CAST(x AS DOUBLE) * x))) AS snrm
+                FROM embeddings WHERE vec_id % {e_ops.KNN_SEED_MOD} = 0
+            ),
+            e AS (
+                SELECT vec_id, label, embedding,
+                       sqrt(list_sum(list_transform(embedding,
+                            x -> CAST(x AS DOUBLE) * x))) AS enrm
+                FROM embeddings WHERE vec_id % {e_ops.KNN_SEED_MOD} <> 0
+            ),
+            scored AS (
+                SELECT e.vec_id, e.label, s.sid, s.slabel,
+                       list_sum(list_transform(list_zip(e.embedding, s.se),
+                            x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+                       / (e.enrm * s.snrm) AS c
+                FROM e CROSS JOIN s
+            ),
+            ranked AS (
+                SELECT vec_id, label, slabel,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY c DESC, sid) AS rnk
+                FROM scored
+            )
+            SELECT vec_id, CAST(label AS BIGINT) AS true_label,
+                   CAST(slabel AS BIGINT) AS pred_label,
+                   (label = slabel) AS correct
+            FROM ranked WHERE rnk = 1
         """,
         # entropy: c·log2(c) contributions quantized to exact ints (same
         # round(log2(c)·2^20) on both sides — log2 of an integer is never

@@ -610,3 +610,66 @@ def kmeans_clusters(sf_dir: str, k: int = KMEANS_K, iters: int = KMEANS_ITERS):
         )
 
     return ds.map_batches(final, batch_format="pyarrow", zero_copy_batch=True)
+
+
+KNN_SEED_MOD = 5
+
+
+def knn_classify(sf_dir: str):
+    """1-NN classification of unlabeled vectors against a labeled seed set
+    — the embedding-quality eval every corpus-curation run performs before
+    trusting cosine-based dedup/filtering. Seeds = vec_id % KNN_SEED_MOD
+    == 0 (a deterministic 20% holdout); every other vector is classified
+    by its single nearest seed (raw cosine desc, seed vec_id asc
+    tiebreak).
+
+    Scale shape: the seed matrix broadcasts once (`ray.put`; at 10^9+
+    seeds switch to the IVF route) and each batch classifies itself with
+    ONE normalized matmul — shuffle-free, embarrassingly parallel, the
+    same broadcast-matmul law as ann_brute_topk.
+
+    Output: (vec_id, true_label, pred_label, correct), one row per
+    non-seed vector."""
+    def only_seeds(batch: pa.Table) -> pa.Table:
+        ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(ids % KNN_SEED_MOD == 0))
+
+    seeds = (
+        read_table(sf_dir, "embeddings", columns=["vec_id", "embedding", "label"])
+        .map_batches(only_seeds, batch_format="pyarrow", zero_copy_batch=True)
+        .take_all()
+    )
+    seeds.sort(key=lambda r: r["vec_id"])  # argmax first-hit = min vec_id
+    s_ids = np.array([r["vec_id"] for r in seeds], dtype=np.int64)
+    s_labels = np.array([r["label"] for r in seeds], dtype=np.int64)
+    smat = np.array([r["embedding"] for r in seeds], dtype=np.float64)
+    smat = smat / np.linalg.norm(smat, axis=1, keepdims=True)
+    seed_ref = ray.put((s_ids, s_labels, smat))
+
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding", "label"])
+
+    def classify(batch: pa.Table) -> pa.Table:
+        _, labels, s = ray.get(seed_ref)
+        vec_ids = _ids(batch)
+        keep = (vec_ids % KNN_SEED_MOD) != 0
+        if not keep.any():
+            return pa.table(
+                {"vec_id": pa.array([], pa.int64()),
+                 "true_label": pa.array([], pa.int64()),
+                 "pred_label": pa.array([], pa.int64()),
+                 "correct": pa.array([], pa.bool_())}
+            )
+        m = _matrix(batch)[keep]
+        m = m / np.linalg.norm(m, axis=1, keepdims=True)
+        sims = m @ s.T  # (n_eval, n_seeds)
+        best = sims.argmax(axis=1)  # first max = lowest seed vec_id
+        true = batch.column("label").to_numpy(zero_copy_only=False)[keep]
+        pred = labels[best]
+        return pa.table(
+            {"vec_id": pa.array(vec_ids[keep], pa.int64()),
+             "true_label": pa.array(true.astype(np.int64), pa.int64()),
+             "pred_label": pa.array(pred, pa.int64()),
+             "correct": pa.array(true == pred)}
+        )
+
+    return ds.map_batches(classify, batch_format="pyarrow", zero_copy_batch=True)

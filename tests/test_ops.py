@@ -2254,3 +2254,31 @@ def test_global_doc_ids_is_permutation_rank(ray_session):
     assert key == sorted(key)
     docs = pd.read_parquet(f"{SF}/documents.parquet")
     assert set(got["doc_id"]) == set(docs["doc_id"])
+
+
+def test_knn_classify_semantics(ray_session):
+    """Seeds excluded from output; predictions match a brute numpy 1-NN
+    recomputation including the min-seed-id tiebreak."""
+    import numpy as np
+    import pandas as pd
+
+    from ocr_ray.ops.embeddings import KNN_SEED_MOD, knn_classify
+
+    got = _df(knn_classify(SF)).sort_values("vec_id").reset_index(drop=True)
+    emb = pd.read_parquet(f"{SF}/embeddings.parquet").sort_values("vec_id")
+    assert (got["vec_id"] % KNN_SEED_MOD != 0).all()
+    assert len(got) == (emb["vec_id"] % KNN_SEED_MOD != 0).sum()
+    assert (got["correct"] == (got["true_label"] == got["pred_label"])).all()
+
+    seeds = emb[emb["vec_id"] % KNN_SEED_MOD == 0]
+    s = np.stack(seeds["embedding"].to_numpy()).astype(np.float64)
+    s = s / np.linalg.norm(s, axis=1, keepdims=True)
+    ev = emb[emb["vec_id"] % KNN_SEED_MOD != 0]
+    m = np.stack(ev["embedding"].to_numpy()).astype(np.float64)
+    m = m / np.linalg.norm(m, axis=1, keepdims=True)
+    best = (m @ s.T).argmax(axis=1)
+    want = seeds["label"].to_numpy()[best]
+    assert (got.set_index("vec_id").loc[ev["vec_id"], "pred_label"].to_numpy()
+            == want).all()
+    # synthetic labels are independent of geometry: accuracy ~ chance
+    assert 0.0 < got["correct"].mean() < 0.5
