@@ -45,6 +45,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ---- round-4 additions (newest first)
         "host_triangles": g_ops.host_triangles,
         "mirror_hosts": g_ops.mirror_hosts,
+        "source_vocab_overlap": d_ops.source_vocab_overlap,
         "knn_classify": e_ops.knn_classify,
         "token_entropy": d_ops.token_entropy,
         "global_doc_ids": d_ops.global_doc_ids,
@@ -362,6 +363,35 @@ def _base_oracle_sql() -> dict[str, str]:
                    array_to_string(list_slice(toks, start + 1,
                        least(start + {d_ops.CHUNK_TOKENS}, n)), ' ') AS chunk
             FROM s ORDER BY doc_id, chunk_no
+        """,
+        # pairwise distinct-vocab overlap; engine's bitmask rollup is
+        # recomputed here as the straightforward self-join ground truth
+        "source_vocab_overlap": f"""
+            WITH ws AS (
+                SELECT DISTINCT source,
+                       lower(translate(tok, {punct_sql}, '')) AS word
+                FROM (SELECT source, unnest(regexp_extract_all(text, '\\S+')) AS tok
+                      FROM documents)
+            ),
+            ws2 AS (SELECT source, word FROM ws WHERE word <> ''),
+            vocab AS (
+                SELECT source, CAST(COUNT(*) AS BIGINT) AS v
+                FROM ws2 GROUP BY source
+            ),
+            shared AS (
+                SELECT a.source AS source_a, b.source AS source_b,
+                       CAST(COUNT(*) AS BIGINT) AS n_shared
+                FROM ws2 a JOIN ws2 b
+                  ON a.word = b.word AND a.source < b.source
+                GROUP BY 1, 2
+            )
+            SELECT source_a, source_b, n_shared,
+                   CAST(n_shared AS DOUBLE) / (va.v + vb.v - n_shared)
+                       AS jaccard
+            FROM shared
+            JOIN vocab va ON source_a = va.source
+            JOIN vocab vb ON source_b = vb.source
+            ORDER BY source_a, source_b
         """,
         # 1-NN vs the same raw-cosine ranking (dot products are the exact
         # same doubles on both sides — the ann_brute precedent); seed set

@@ -2671,3 +2671,105 @@ def global_doc_ids(sf_dir: str):
     return keyed.groupby(["lang", "bucket"]).map_groups(
         rank_group, batch_format="pyarrow"
     )
+
+
+def source_vocab_overlap(sf_dir: str):
+    """Pairwise vocabulary overlap between sources: shared distinct-word
+    count and Jaccard similarity for every source pair — the corpus-mix
+    diagnostic that tells you which feeds are near-copies before you
+    weight them.
+
+    Scale shape (bitmask rollup): sources map to bit positions (the source
+    list is a tiny grouped distinct, broadcast once); distinct (word,
+    source) pairs collapse per batch, then ONE word-keyed exchange sums
+    the bit values — for distinct pairs the sum IS the bitwise OR — giving
+    each word its source-membership mask; a second combiner-grouped count
+    by mask yields a frame bounded by distinct masks (≤ 2^|sources|,
+    in practice a few hundred), and the driver expands masks into pair /
+    vocab counts. No all-pairs join ever touches the word stream.
+
+    Output: (source_a, source_b, n_shared, jaccard) for pairs with
+    n_shared >= 1, ordered by (source_a, source_b); jaccard is the single
+    division shared/(va+vb-shared)."""
+    from .common import distinct
+
+    srcs = sorted(
+        r["source"]
+        for r in grouped_agg(
+            read_table(sf_dir, "documents", columns=["source"]),
+            keys=["source"], specs=[("n", "count", None)],
+        ).take_all()
+    )
+    bit = {s: 1 << i for i, s in enumerate(srcs)}
+
+    ds = read_table(sf_dir, "documents", columns=["source", "text"])
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        from ..kernels.textfn import _INDEX_DEL_TABLE
+
+        seen: set[tuple[str, str]] = set()
+        sl = batch.column("source").to_pylist()
+        for i, text in enumerate(batch.column("text").to_pylist()):
+            s = sl[i]
+            for tok in text.split():
+                tok = tok.translate(_INDEX_DEL_TABLE).lower()
+                if tok:
+                    seen.add((tok, s))
+        words = [w for w, _ in seen]
+        ss = [s for _, s in seen]
+        return pa.table(
+            {"word": pa.array(words, pa.string()),
+             "source": pa.array(ss, pa.string())}
+        )
+
+    wp = distinct(
+        ds.map_batches(pairs, batch_format="pyarrow", zero_copy_batch=True),
+        ["word", "source"],
+    )
+
+    def to_bits(batch: pa.Table) -> pa.Table:
+        vals = [bit[s] for s in batch.column("source").to_pylist()]
+        return pa.table(
+            {"word": batch.column("word"),
+             "mask": pa.array(vals, pa.int64())}
+        )
+
+    masks = grouped_agg(
+        wp.map_batches(to_bits, batch_format="pyarrow", zero_copy_batch=True),
+        keys=["word"], specs=[("mask", "sum", "mask")],
+    )
+
+    def mask_hist(batch: pa.Table) -> pa.Table:
+        t = pa.table({"mask": batch.column("mask")})
+        return t.group_by(["mask"]).aggregate([([], "count_all")]).rename_columns(
+            ["mask", "n_words"]
+        )
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        n = len(srcs)
+        shared = {}
+        vocab = [0] * n
+        for m, c in zip(df["mask"].astype(int), df["n_words"].astype(int)):
+            members = [i for i in range(n) if m >> i & 1]
+            for i in members:
+                vocab[i] += c
+            for ai in range(len(members)):
+                for bi in range(ai + 1, len(members)):
+                    k = (members[ai], members[bi])
+                    shared[k] = shared.get(k, 0) + c
+        rows = [
+            {"source_a": srcs[i], "source_b": srcs[j], "n_shared": c,
+             "jaccard": float(c) / float(vocab[i] + vocab[j] - c)}
+            for (i, j), c in shared.items()
+        ]
+        out = pd.DataFrame(
+            rows, columns=["source_a", "source_b", "n_shared", "jaccard"]
+        )
+        out["n_shared"] = out["n_shared"].astype("int64")
+        return out.sort_values(["source_a", "source_b"]).reset_index(drop=True)
+
+    return grouped_agg(
+        masks.map_batches(mask_hist, batch_format="pyarrow"),
+        keys=["mask"], specs=[("n_words", "sum", "n_words")],
+        finalize=fin,
+    )

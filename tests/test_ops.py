@@ -2282,3 +2282,36 @@ def test_knn_classify_semantics(ray_session):
             == want).all()
     # synthetic labels are independent of geometry: accuracy ~ chance
     assert 0.0 < got["correct"].mean() < 0.5
+
+
+def test_source_vocab_overlap_bitmask_equals_brute(ray_session):
+    """The bitmask rollup equals a brute per-source set recomputation,
+    including vocab sizes implied by the jaccard denominator."""
+    import pandas as pd
+
+    from ocr_ray.kernels.textfn import _INDEX_DEL_TABLE
+    from ocr_ray.ops.documents import source_vocab_overlap
+
+    got = _df(source_vocab_overlap(SF))
+    assert (got["source_a"] < got["source_b"]).all()
+
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    vocab: dict[str, set] = {}
+    for _, r in docs.iterrows():
+        s = vocab.setdefault(r["source"], set())
+        for w in r["text"].split():
+            w = w.translate(_INDEX_DEL_TABLE).lower()
+            if w:
+                s.add(w)
+    for _, r in got.iterrows():
+        a, b = vocab[r["source_a"]], vocab[r["source_b"]]
+        inter = len(a & b)
+        assert r["n_shared"] == inter
+        assert r["jaccard"] == inter / (len(a) + len(b) - inter)
+    # completeness: every pair with any overlap is present
+    names = sorted(vocab)
+    expect = sum(
+        1 for i in range(len(names)) for j in range(i + 1, len(names))
+        if vocab[names[i]] & vocab[names[j]]
+    )
+    assert len(got) == expect
