@@ -45,6 +45,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ---- round-4 additions (newest first)
         "host_triangles": g_ops.host_triangles,
         "mirror_hosts": g_ops.mirror_hosts,
+        "token_budget_select": d_ops.token_budget_select,
         "source_vocab_overlap": d_ops.source_vocab_overlap,
         "knn_classify": e_ops.knn_classify,
         "token_entropy": d_ops.token_entropy,
@@ -298,6 +299,32 @@ def _kmeans_oracle_sql() -> str:
 
 def _base_oracle_sql() -> dict[str, str]:
     punct_sql = """'«»“”.,;:!?()[]{}"' || chr(39)"""
+    # shared per-doc token-entropy CTE chain (token_entropy +
+    # token_budget_select): exact-integer quantized c·log2(c) sums
+    _entropy_ctes = f"""toks AS (
+                SELECT doc_id, lower(translate(tok, {punct_sql}, '')) AS word
+                FROM (SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS tok
+                      FROM documents)
+            ),
+            cnt AS (
+                SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS c
+                FROM toks WHERE word <> '' GROUP BY doc_id, word
+            ),
+            eper0 AS (
+                SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n,
+                       CAST(SUM(CASE WHEN c > 1 THEN c * CAST(round(
+                           log2(c) * {d_ops.ENTROPY_QLOG_SCALE}) AS BIGINT)
+                           ELSE 0 END) AS BIGINT) AS s
+                FROM cnt GROUP BY doc_id
+            ),
+            eper AS (
+                SELECT d.doc_id, COALESCE(p.n, 0) AS n_tokens,
+                       CASE WHEN COALESCE(p.n, 0) = 0 THEN 0.0
+                            ELSE log2(p.n) - CAST(p.s AS DOUBLE)
+                                 / (p.n * {float(d_ops.ENTROPY_QLOG_SCALE)}) END
+                           AS entropy
+                FROM documents d LEFT JOIN eper0 p ON d.doc_id = p.doc_id
+            )"""
     _ws = "regexp_extract_all(lower(text), '\\S+')"
     _bm25_tf = ", ".join(
         f"len(list_filter({_ws}, w -> w = '{t}')) AS tf{i}"
@@ -433,28 +460,24 @@ def _base_oracle_sql() -> dict[str, str]:
         # cannot diverge), summed exactly; log2(n) and ONE division are the
         # only float ops, in the identical expression shape
         "token_entropy": f"""
-            WITH toks AS (
-                SELECT doc_id, lower(translate(tok, {punct_sql}, '')) AS word
-                FROM (SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS tok
-                      FROM documents)
-            ),
-            cnt AS (
-                SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS c
-                FROM toks WHERE word <> '' GROUP BY doc_id, word
-            ),
-            per AS (
-                SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n,
-                       CAST(SUM(CASE WHEN c > 1 THEN c * CAST(round(
-                           log2(c) * {d_ops.ENTROPY_QLOG_SCALE}) AS BIGINT)
-                           ELSE 0 END) AS BIGINT) AS s
-                FROM cnt GROUP BY doc_id
+            WITH {_entropy_ctes}
+            SELECT doc_id, n_tokens, entropy FROM eper
+        """,
+        # same per-doc entropy CTE; greedy budget rule = keep iff the
+        # cumulative token count BEFORE the doc (entropy DESC, doc_id
+        # order) is still under the budget
+        "token_budget_select": f"""
+            WITH {_entropy_ctes},
+            c AS (
+                SELECT doc_id, n_tokens,
+                       CAST(SUM(n_tokens) OVER (
+                           ORDER BY entropy DESC, doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                           AS BIGINT) AS cum_tokens
+                FROM eper
             )
-            SELECT d.doc_id, COALESCE(p.n, 0) AS n_tokens,
-                   CASE WHEN COALESCE(p.n, 0) = 0 THEN 0.0
-                        ELSE log2(p.n) - CAST(p.s AS DOUBLE)
-                             / (p.n * {float(d_ops.ENTROPY_QLOG_SCALE)}) END
-                       AS entropy
-            FROM documents d LEFT JOIN per p ON d.doc_id = p.doc_id
+            SELECT doc_id, n_tokens, cum_tokens
+            FROM c WHERE cum_tokens - n_tokens < {d_ops.TOKEN_BUDGET}
         """,
         # distributed zipWithIndex vs the window-function ground truth
         "global_doc_ids": """

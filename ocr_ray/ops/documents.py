@@ -2773,3 +2773,78 @@ def source_vocab_overlap(sf_dir: str):
         keys=["mask"], specs=[("n_words", "sum", "n_words")],
         finalize=fin,
     )
+
+
+TOKEN_BUDGET = 1500
+
+
+def token_budget_select(sf_dir: str, budget: int = TOKEN_BUDGET):
+    """Greedy corpus curation under a token budget: walk documents in
+    (entropy DESC, doc_id ASC) order and keep each doc while the tokens
+    already committed are still below the budget — the data-budgeting
+    step every compute-bound training run performs after quality scoring.
+
+    Scale shape (histogram-offset scan, no global sort): per-doc
+    (n_tokens, entropy) comes from the shuffle-free token_entropy map;
+    docs bucket by floor(entropy·100) (engine-internal quantization — the
+    SELECTION rule is exact-entropy order); one tiny grouped sum gives
+    per-bucket token totals; the driver prefix-sums them in descending
+    bucket order and broadcasts offsets. Buckets strictly above the
+    crossing point emit whole; the single crossing bucket resolves its
+    exact within-bucket prefix locally (one lexsort over ≤ bucket-size
+    rows); buckets below emit nothing. Selection rule (shared with the
+    twin): keep iff cumulative tokens BEFORE the doc < budget.
+
+    Output: (doc_id, n_tokens, cum_tokens) for selected docs, where
+    cum_tokens includes the doc itself."""
+    per = token_entropy(sf_dir)
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        e = batch.column("entropy").to_numpy(zero_copy_only=False)
+        qb = np.floor(e * 100.0).astype(np.int64)
+        return batch.append_column("qbucket", pa.array(qb, pa.int64()))
+
+    keyed = per.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+
+    bsum = pd.DataFrame(
+        grouped_agg(
+            keyed, keys=["qbucket"], specs=[("tok", "sum", "n_tokens")]
+        ).take_all()
+    ).sort_values("qbucket", ascending=False).reset_index(drop=True)
+    bsum["offset"] = bsum["tok"].cumsum().shift(1, fill_value=0).astype("int64")
+    # offset = tokens in all strictly-higher buckets (cum before the bucket)
+    offsets = dict(zip(bsum["qbucket"].astype(int), bsum["offset"].astype(int)))
+    off_ref = ray.put((offsets, int(budget)))
+
+    def emit(group: pa.Table) -> pa.Table:
+        import numpy as np
+
+        omap, b = ray.get(off_ref)
+        qb = int(group.column("qbucket")[0].as_py())
+        off = omap[qb]
+        empty = pa.table(
+            {"doc_id": pa.array([], pa.int64()),
+             "n_tokens": pa.array([], pa.int64()),
+             "cum_tokens": pa.array([], pa.int64())}
+        )
+        if off >= b:
+            return empty  # bucket entirely past the budget
+        ids = group.column("doc_id").to_numpy(zero_copy_only=False)
+        toks = group.column("n_tokens").to_numpy(zero_copy_only=False)
+        ent = group.column("entropy").to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, -ent))  # entropy desc, doc_id asc
+        cum = off + np.cumsum(toks[order])
+        before = cum - toks[order]
+        keep = before < b
+        if not keep.any():
+            return empty
+        sel = order[keep]
+        return pa.table(
+            {"doc_id": pa.array(ids[sel], pa.int64()),
+             "n_tokens": pa.array(toks[sel], pa.int64()),
+             "cum_tokens": pa.array(cum[keep], pa.int64())}
+        )
+
+    return keyed.groupby("qbucket").map_groups(emit, batch_format="pyarrow")

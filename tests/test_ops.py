@@ -2315,3 +2315,27 @@ def test_source_vocab_overlap_bitmask_equals_brute(ray_session):
         if vocab[names[i]] & vocab[names[j]]
     )
     assert len(got) == expect
+
+
+def test_token_budget_select_greedy_invariants(ray_session):
+    """Selected set = greedy prefix of the (entropy desc, doc_id) order:
+    budget respected by every cum-before, the crossing doc included, and
+    nothing selectable was skipped."""
+    from ocr_ray.ops.documents import TOKEN_BUDGET, token_budget_select, token_entropy
+
+    got = _df(token_budget_select(SF))
+    per = _df(token_entropy(SF)).sort_values(
+        ["entropy", "doc_id"], ascending=[False, True]
+    ).reset_index(drop=True)
+    per["cum"] = per["n_tokens"].cumsum()
+    want = per[per["cum"] - per["n_tokens"] < TOKEN_BUDGET]
+    assert set(got["doc_id"]) == set(want["doc_id"])
+    assert len(got) == len(want)
+    merged = got.sort_values("doc_id").merge(
+        want[["doc_id", "cum", "n_tokens"]], on="doc_id"
+    )
+    assert (merged["cum_tokens"] == merged["cum"]).all()
+    assert (merged["n_tokens_x"] == merged["n_tokens_y"]).all()
+    # budget actually binds (the corpus has more tokens than the budget)
+    assert per["n_tokens"].sum() > TOKEN_BUDGET
+    assert (got["cum_tokens"] - got["n_tokens"] < TOKEN_BUDGET).all()
