@@ -45,6 +45,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ---- round-4 additions (newest first)
         "host_triangles": g_ops.host_triangles,
         "mirror_hosts": g_ops.mirror_hosts,
+        "cohort_matrix": r_ops.cohort_matrix,
         "token_budget_select": d_ops.token_budget_select,
         "source_vocab_overlap": d_ops.source_vocab_overlap,
         "knn_classify": e_ops.knn_classify,
@@ -390,6 +391,25 @@ def _base_oracle_sql() -> dict[str, str]:
                    array_to_string(list_slice(toks, start + 1,
                        least(start + {d_ops.CHUNK_TOKENS}, n)), ' ') AS chunk
             FROM s ORDER BY doc_id, chunk_no
+        """,
+        # weekly cohort matrix: distinct (user, week) pairs, first week per
+        # user, offset counts — weeks are epoch-day // 7 on both sides
+        "cohort_matrix": """
+            WITH pw AS (
+                SELECT DISTINCT user_id,
+                       datediff('day', DATE '1970-01-01',
+                                CAST(date_trunc('day', ts) AS DATE)) // 7
+                           AS week
+                FROM events
+            ),
+            fw AS (
+                SELECT user_id, MIN(week) AS first_week FROM pw GROUP BY user_id
+            )
+            SELECT CAST(f.first_week AS BIGINT) AS cohort_week,
+                   CAST(p.week - f.first_week AS BIGINT) AS week_offset,
+                   CAST(COUNT(*) AS BIGINT) AS n_users
+            FROM pw p JOIN fw f ON p.user_id = f.user_id
+            GROUP BY 1, 2 ORDER BY 1, 2
         """,
         # pairwise distinct-vocab overlap; engine's bitmask rollup is
         # recomputed here as the straightforward self-join ground truth

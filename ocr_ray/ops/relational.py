@@ -1730,3 +1730,51 @@ def supplier_part_variety(sf_dir: str):
         specs=[("supplier_cnt", "count", None)],
         finalize=fin,
     )
+
+
+def cohort_matrix(sf_dir: str):
+    """Weekly signup-cohort retention matrix: users bucketed by their FIRST
+    active week, counted in every subsequent week they return — the
+    triangle heatmap behind every retention dashboard.
+
+    Scale shape: events collapse to distinct (user, week) pairs inside each
+    batch (combiner), co-locate per user via the standard salted partition
+    (user_id % SESSION_PARTS), and each part derives (first_week, offset)
+    rows with one vectorized groupby-min + merge — never a per-user Python
+    loop, never a self-join of the pair set against its own minima across
+    the cluster. The final exchange carries at most |weeks|² rows per part.
+
+    Output: (cohort_week, week_offset, n_users) ordered by (cohort_week,
+    week_offset); weeks are epoch-day // 7 indices, offset 0 row counts the
+    cohort size."""
+    ds = read_table(sf_dir, "events", columns=["ts", "user_id"])
+    epoch = pd.Timestamp("1970-01-01")
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        week = ((df["ts"].dt.normalize() - epoch).dt.days // 7).astype("int64")
+        out = pd.DataFrame({"user_id": df["user_id"], "week": week}).drop_duplicates()
+        out["upart"] = out["user_id"] % SESSION_PARTS
+        return from_pandas_clean(out)
+
+    keyed = ds.map_batches(pairs, batch_format="pyarrow", zero_copy_batch=True)
+
+    def per_part(group: pa.Table) -> pa.Table:
+        df = group.to_pandas().drop_duplicates(["user_id", "week"])
+        first = df.groupby("user_id")["week"].transform("min")
+        out = pd.DataFrame(
+            {"cohort_week": first, "week_offset": df["week"] - first}
+        ).groupby(["cohort_week", "week_offset"], as_index=False).size()
+        return from_pandas_clean(out.rename(columns={"size": "n_users"}))
+
+    grouped = keyed.groupby("upart").map_groups(per_part, batch_format="pyarrow")
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(["cohort_week", "week_offset"]).reset_index(drop=True)
+
+    return grouped_agg(
+        grouped,
+        keys=["cohort_week", "week_offset"],
+        specs=[("n_users", "sum", "n_users")],
+        finalize=fin,
+    )

@@ -2339,3 +2339,29 @@ def test_token_budget_select_greedy_invariants(ray_session):
     # budget actually binds (the corpus has more tokens than the budget)
     assert per["n_tokens"].sum() > TOKEN_BUDGET
     assert (got["cum_tokens"] - got["n_tokens"] < TOKEN_BUDGET).all()
+
+
+def test_cohort_matrix_invariants(ray_session):
+    """Offset-0 row equals cohort size; every cohort's later offsets never
+    exceed it; total users match; brute pandas recomputation agrees."""
+    import pandas as pd
+
+    from ocr_ray.ops.relational import cohort_matrix
+
+    got = _df(cohort_matrix(SF))
+    assert (got["week_offset"] >= 0).all()
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    week = ((ev["ts"].dt.normalize() - pd.Timestamp("1970-01-01")).dt.days // 7)
+    pw = pd.DataFrame({"user_id": ev["user_id"], "week": week}).drop_duplicates()
+    first = pw.groupby("user_id")["week"].min()
+    want = pd.DataFrame({
+        "cohort_week": pw["user_id"].map(first),
+        "week_offset": pw["week"] - pw["user_id"].map(first),
+    }).groupby(["cohort_week", "week_offset"]).size()
+    assert len(got) == len(want)
+    for _, r in got.iterrows():
+        assert want.loc[(r["cohort_week"], r["week_offset"])] == r["n_users"]
+    base = got[got["week_offset"] == 0].set_index("cohort_week")["n_users"]
+    assert base.sum() == ev["user_id"].nunique()
+    for cw, grp in got.groupby("cohort_week"):
+        assert (grp["n_users"] <= base.loc[cw]).all()
