@@ -45,6 +45,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ---- round-4 additions (newest first)
         "host_triangles": g_ops.host_triangles,
         "mirror_hosts": g_ops.mirror_hosts,
+        "value_trend_by_type": r_ops.value_trend_by_type,
+        "lang_source_chisq": d_ops.lang_source_chisq,
         "cohort_matrix": r_ops.cohort_matrix,
         "token_budget_select": d_ops.token_budget_select,
         "source_vocab_overlap": d_ops.source_vocab_overlap,
@@ -391,6 +393,58 @@ def _base_oracle_sql() -> dict[str, str]:
                    array_to_string(list_slice(toks, start + 1,
                        least(start + {d_ops.CHUNK_TOKENS}, n)), ' ') AS chunk
             FROM s ORDER BY doc_id, chunk_no
+        """,
+        # OLS by sufficient statistics: every moment is an exact integer
+        # (HUGEINT-safe in SQL, unbounded int in Python); slope/intercept
+        # are the identical fixed float chain on both sides
+        "value_trend_by_type": """
+            WITH d AS (
+                SELECT event_type,
+                       datediff('day', DATE '1970-01-01',
+                                CAST(date_trunc('day', ts) AS DATE)) AS x,
+                       SUM(CAST(round(value * 100) AS BIGINT)) AS y
+                FROM events GROUP BY 1, 2
+            ),
+            m AS (
+                SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+                       CAST(SUM(x) AS BIGINT) AS sx,
+                       CAST(SUM(y) AS BIGINT) AS sy,
+                       CAST(SUM(x * x) AS BIGINT) AS sxx,
+                       CAST(SUM(x * y) AS BIGINT) AS sxy
+                FROM d GROUP BY 1
+            ),
+            sl AS (
+                SELECT event_type, n, sx, sy,
+                       CASE WHEN n * sxx - sx * sx = 0 THEN 0.0
+                            ELSE CAST(n * sxy - sx * sy AS DOUBLE)
+                                 / CAST(n * sxx - sx * sx AS DOUBLE) END
+                           AS slope
+                FROM m
+            )
+            SELECT event_type, n AS n_days, slope,
+                   (CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE))
+                       / CAST(n AS DOUBLE) AS intercept
+            FROM sl ORDER BY event_type
+        """,
+        # chi-square cells: expected = rt·ct/n (one division of an exact
+        # int product), contrib = (o-e)*(o-e)/e — per-cell values only, no
+        # order-dependent float sum anywhere
+        "lang_source_chisq": """
+            WITH c AS (
+                SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS o
+                FROM documents GROUP BY 1, 2
+            ),
+            x AS (
+                SELECT lang, source, o,
+                       CAST(SUM(o) OVER (PARTITION BY lang)
+                            * SUM(o) OVER (PARTITION BY source) AS DOUBLE)
+                           / CAST(SUM(o) OVER () AS DOUBLE) AS e
+                FROM c
+            )
+            SELECT lang, source, o AS observed, e AS expected,
+                   (CAST(o AS DOUBLE) - e) * (CAST(o AS DOUBLE) - e) / e
+                       AS contrib
+            FROM x ORDER BY lang, source
         """,
         # weekly cohort matrix: distinct (user, week) pairs, first week per
         # user, offset counts — weeks are epoch-day // 7 on both sides

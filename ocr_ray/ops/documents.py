@@ -2848,3 +2848,41 @@ def token_budget_select(sf_dir: str, budget: int = TOKEN_BUDGET):
         )
 
     return keyed.groupby("qbucket").map_groups(emit, batch_format="pyarrow")
+
+
+def lang_source_chisq(sf_dir: str):
+    """Chi-square independence cells for the lang × source contingency
+    table — the drift check telling you whether a feed's language mix
+    deviates from the corpus at large. Per-CELL contributions are emitted
+    (observed, expected, contrib) rather than the summed statistic, so the
+    gate compares deterministic single-expression values and no
+    order-dependent float sum ever exists.
+
+    Scale shape: one grouped count bounded by |langs × sources| cells; row
+    totals, column totals and the expected/contrib chain derive in the
+    finalize task over that tiny frame. expected = rt·ct/n (exact int
+    product, one division); contrib = (o−e)·(o−e)/e — the identical fixed
+    chain in the twin.
+
+    Output: (lang, source, observed, expected, contrib) ordered by
+    (lang, source)."""
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        n = int(df["observed"].sum())
+        rt = df.groupby("lang")["observed"].transform("sum").astype("int64")
+        ct = df.groupby("source")["observed"].transform("sum").astype("int64")
+        e = (rt * ct).astype("float64") / float(n)
+        o = df["observed"].astype("float64")
+        d = o - e
+        df = df.copy()
+        df["observed"] = df["observed"].astype("int64")
+        df["expected"] = e
+        df["contrib"] = d * d / e
+        return df.sort_values(["lang", "source"]).reset_index(drop=True)
+
+    return grouped_agg(
+        read_table(sf_dir, "documents", columns=["lang", "source"]),
+        keys=["lang", "source"],
+        specs=[("observed", "count", None)],
+        finalize=fin,
+    )

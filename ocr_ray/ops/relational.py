@@ -1778,3 +1778,70 @@ def cohort_matrix(sf_dir: str):
         specs=[("n_users", "sum", "n_users")],
         finalize=fin,
     )
+
+
+def value_trend_by_type(sf_dir: str):
+    """Per-event-type OLS trend of daily total value over time — the
+    distributed-regression-via-sufficient-statistics pattern: the cluster
+    only ever aggregates EXACT integer moments (Σx, Σy, Σx², Σxy over
+    epoch-day x and integer-cent y), and the slope/intercept fall out of a
+    fixed float chain in the finalize task, identical to the SQL twin.
+
+    Scale shape: per-batch integer-cent partials collapse to (type, day)
+    cells (one exchange); per-cell moment products are a shuffle-free map;
+    the per-type moment sums are a second tiny exchange bounded by
+    |types|. No float ever crosses a shuffle. Moment magnitudes stay well
+    inside int64 for epoch-day x (~2·10^4) at any per-day cent volume
+    below ~10^12.
+
+    Output: (event_type, n_days, slope, intercept) — slope in cents/day."""
+    ds = read_table(sf_dir, "events", columns=["event_type", "ts", "value"])
+    epoch = pd.Timestamp("1970-01-01")
+
+    def prep(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        x = (df["ts"].dt.normalize() - epoch).dt.days.astype("int64")
+        cents = (df["value"] * 100.0).round().astype("int64")
+        out = pd.DataFrame(
+            {"event_type": df["event_type"], "x": x, "cents": cents}
+        ).groupby(["event_type", "x"], as_index=False)["cents"].sum()
+        return from_pandas_clean(out)
+
+    cells = grouped_agg(
+        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True),
+        keys=["event_type", "x"],
+        specs=[("cents", "sum", "cents")],
+    )
+
+    def moments(batch: pa.Table) -> pa.Table:
+        x = batch.column("x")
+        y = batch.column("cents")
+        return pa.table(
+            {"event_type": batch.column("event_type"),
+             "x": x, "y": y,
+             "xx": pc.multiply(x, x), "xy": pc.multiply(x, y)}
+        )
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for _, r in df.iterrows():
+            n = int(r["n_days"])
+            sx, sy = int(r["sx"]), int(r["sy"])
+            sxx, sxy = int(r["sxx"]), int(r["sxy"])
+            den = n * sxx - sx * sx
+            slope = 0.0 if den == 0 else float(n * sxy - sx * sy) / float(den)
+            intercept = (float(sy) - slope * float(sx)) / float(n)
+            out.append({"event_type": r["event_type"], "n_days": n,
+                        "slope": slope, "intercept": intercept})
+        res = pd.DataFrame(out, columns=["event_type", "n_days", "slope",
+                                         "intercept"])
+        res["n_days"] = res["n_days"].astype("int64")
+        return res.sort_values("event_type").reset_index(drop=True)
+
+    return grouped_agg(
+        cells.map_batches(moments, batch_format="pyarrow", zero_copy_batch=True),
+        keys=["event_type"],
+        specs=[("n_days", "count", None), ("sx", "sum", "x"),
+               ("sy", "sum", "y"), ("sxx", "sum", "xx"), ("sxy", "sum", "xy")],
+        finalize=fin,
+    )

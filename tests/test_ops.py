@@ -2365,3 +2365,48 @@ def test_cohort_matrix_invariants(ray_session):
     assert base.sum() == ev["user_id"].nunique()
     for cw, grp in got.groupby("cohort_week"):
         assert (grp["n_users"] <= base.loc[cw]).all()
+
+
+def test_value_trend_matches_numpy_polyfit(ray_session):
+    """OLS slope/intercept agree with numpy lstsq to float tolerance and
+    the sufficient-statistic identity holds exactly."""
+    import numpy as np
+    import pandas as pd
+
+    from ocr_ray.ops.relational import value_trend_by_type
+
+    got = _df(value_trend_by_type(SF))
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    ev["x"] = (ev["ts"].dt.normalize() - pd.Timestamp("1970-01-01")).dt.days
+    ev["cents"] = (ev["value"] * 100).round().astype("int64")
+    daily = ev.groupby(["event_type", "x"], as_index=False)["cents"].sum()
+    for _, r in got.iterrows():
+        g = daily[daily["event_type"] == r["event_type"]]
+        assert r["n_days"] == len(g)
+        slope, intercept = np.polyfit(g["x"], g["cents"], 1)
+        assert abs(r["slope"] - slope) < 1e-6 * max(1.0, abs(slope))
+        assert abs(r["intercept"] - intercept) < 1e-4 * max(1.0, abs(intercept))
+
+
+def test_lang_source_chisq_cells(ray_session):
+    """Expected margins reproduce the observed margins; contribs are
+    non-negative; scipy-free chi-square identity on a sample of cells."""
+    import pandas as pd
+
+    from ocr_ray.ops.documents import lang_source_chisq
+
+    got = _df(lang_source_chisq(SF))
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    n = len(docs)
+    assert got["observed"].sum() == n
+    assert (got["contrib"] >= 0).all()
+    # only observed (non-zero) cells are emitted
+    assert (got["observed"] >= 1).all()
+    assert len(got) == len(docs.groupby(["lang", "source"]).size())
+    for _, r in got.iterrows():
+        rt = (docs["lang"] == r["lang"]).sum()
+        ct = (docs["source"] == r["source"]).sum()
+        e = float(rt * ct) / float(n)
+        assert r["expected"] == e
+        d = float(r["observed"]) - e
+        assert r["contrib"] == d * d / e
