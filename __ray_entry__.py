@@ -45,6 +45,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ---- round-4 additions (newest first)
         "host_triangles": g_ops.host_triangles,
         "mirror_hosts": g_ops.mirror_hosts,
+        "recrawl_changes": x_ops.recrawl_changes,
+        "daily_top_terms": x_ops.daily_top_terms,
         "value_trend_by_type": r_ops.value_trend_by_type,
         "lang_source_chisq": d_ops.lang_source_chisq,
         "cohort_matrix": r_ops.cohort_matrix,

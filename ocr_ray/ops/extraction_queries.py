@@ -1434,3 +1434,133 @@ def c4_clean(sf_dir: str) -> ray.data.Dataset:
         )
 
     return ds.groupby("bucket").map_groups(rollup, batch_format="pyarrow")
+
+
+RECRAWL_PARTS = 64
+
+
+def recrawl_changes(sf_dir: str) -> ray.data.Dataset:
+    """Temporal version diff for re-crawled urls: for every url fetched
+    more than once, compare the LATEST crawl's text against the previous
+    one — the change-detection signal a recrawl scheduler feeds on (and
+    the twin question to the sink's latest-wins dedup: what did dedup
+    throw away?).
+
+    Scale shape: raw corpus rows collapse to (url, warc_ts, text) keyed by
+    the same crc32 salt partitioning the sink uses; each part resolves its
+    urls with ONE vectorized sort + shifted run detection (no per-url
+    Python loop for the common singleton case); only multi-crawl urls emit
+    rows. Tie order (warc_ts DESC, text DESC) matches the sink's
+    total-order tiebreak.
+
+    Output: (url, n_crawls, changed, len_delta) for urls with >= 2 crawls;
+    len_delta = len(latest) - len(previous) in codepoints."""
+    import zlib
+
+    import numpy as np
+    import pandas as pd
+
+    from .common import from_pandas_clean, grouped_agg
+
+    ds = ray.data.read_parquet(
+        pages_corpus(sf_dir), columns=["url", "warc_ts", "text"]
+    )
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        urls = batch.column("url").to_pylist()
+        part = pa.array(
+            [zlib.crc32(u.encode()) % RECRAWL_PARTS for u in urls], pa.int64()
+        )
+        return batch.append_column("rpart", part)
+
+    keyed = ds.map_batches(add_part, batch_format="pyarrow", zero_copy_batch=True)
+
+    def per_part(group: pa.Table) -> pa.Table:
+        df = group.to_pandas().sort_values(
+            ["url", "warc_ts", "text"], ascending=[True, False, False],
+            kind="mergesort",
+        ).reset_index(drop=True)
+        u = df["url"].to_numpy()
+        n = len(df)
+        empty = pa.schema(
+            [pa.field("url", pa.string()), pa.field("n_crawls", pa.int64()),
+             pa.field("changed", pa.bool_()), pa.field("len_delta", pa.int64())]
+        )
+        if n < 2:
+            return pa.Table.from_pylist([], schema=empty)
+        first_of_run = np.ones(n, dtype=bool)
+        first_of_run[1:] = u[1:] != u[:-1]
+        sizes = np.diff(np.append(np.flatnonzero(first_of_run), n))
+        starts = np.flatnonzero(first_of_run)
+        multi = sizes >= 2
+        if not multi.any():
+            return pa.Table.from_pylist([], schema=empty)
+        s = starts[multi]
+        texts = df["text"].to_numpy()
+        latest, prev = texts[s], texts[s + 1]
+        lens_a = np.array([len(t) for t in latest], dtype=np.int64)
+        lens_b = np.array([len(t) for t in prev], dtype=np.int64)
+        return pa.table(
+            {"url": pa.array(u[s], pa.string()),
+             "n_crawls": pa.array(sizes[multi].astype(np.int64), pa.int64()),
+             "changed": pa.array(latest != prev),
+             "len_delta": pa.array(lens_a - lens_b, pa.int64())}
+        )
+
+    return keyed.groupby("rpart").map_groups(per_part, batch_format="pyarrow")
+
+
+DAILY_TOP_K = 10
+
+
+def daily_top_terms(sf_dir: str) -> ray.data.Dataset:
+    """Per-crawl-day top-K terms by count — the trending-terms feed. Uses
+    the suite's shared index normalization.
+
+    Scale shape: per-batch (day, word) partial counts (combiner) feed ONE
+    grouped sum; the per-day top-K then runs per day-group. NOTE: unlike
+    longest_docs_per_lang, a per-block top-K PRE-prune before the sum
+    would be UNSOUND here — counts are additive across blocks, so a word
+    outside every block-local top-K can still be a global winner; the
+    exchange therefore carries the full per-block distinct (day, word)
+    partials, which is the correct minimal exchange for additive top-k.
+
+    Output: (day, word, n, rank) with rank 1..K by (n desc, word asc)."""
+    import pandas as pd
+
+    from ..kernels.textfn import _INDEX_DEL_TABLE
+    from .common import from_pandas_clean, grouped_agg
+
+    ds = ray.data.read_parquet(
+        pages_corpus(sf_dir), columns=["warc_ts", "text"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        days = batch.column("warc_ts").to_pandas().dt.strftime("%Y-%m-%d")
+        counts: dict[tuple[str, str], int] = {}
+        for day, text in zip(days, batch.column("text").to_pylist()):
+            for tok in text.split():
+                tok = tok.translate(_INDEX_DEL_TABLE).lower()
+                if tok:
+                    k = (day, tok)
+                    counts[k] = counts.get(k, 0) + 1
+        return pa.table(
+            {"day": pa.array([k[0] for k in counts], pa.string()),
+             "word": pa.array([k[1] for k in counts], pa.string()),
+             "n": pa.array(list(counts.values()), pa.int64())}
+        )
+
+    summed = grouped_agg(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        keys=["day", "word"],
+        specs=[("n", "sum", "n")],
+    )
+
+    def topk(group: pa.Table) -> pa.Table:
+        df = group.to_pandas().sort_values(
+            ["n", "word"], ascending=[False, True]
+        ).head(DAILY_TOP_K).reset_index(drop=True)
+        df["rank"] = (df.index + 1).astype("int64")
+        return from_pandas_clean(df[["day", "word", "n", "rank"]])
+
+    return summed.groupby("day").map_groups(topk, batch_format="pyarrow")

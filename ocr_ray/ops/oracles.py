@@ -1598,5 +1598,50 @@ def extra_oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         ORDER BY url, warc_ts
     """
 
+    # ---------------------------------------- corpus: recrawl_changes
+    # same total order as the sink's latest-wins tiebreak (warc_ts DESC,
+    # text DESC); only multi-crawl urls emit
+    from .extraction_queries import DAILY_TOP_K, pages_corpus as _pc
+
+    raw_glob = f"{_pc(sf_dir)}/*.parquet"
+    sql["recrawl_changes"] = f"""
+        WITH r AS (
+            SELECT url, text,
+                   row_number() OVER (PARTITION BY url
+                                      ORDER BY warc_ts DESC, text DESC) AS rn,
+                   COUNT(*) OVER (PARTITION BY url) AS n
+            FROM read_parquet('{raw_glob}')
+        )
+        SELECT a.url, CAST(a.n AS BIGINT) AS n_crawls,
+               a.text <> b.text AS changed,
+               CAST(length(a.text) - length(b.text) AS BIGINT) AS len_delta
+        FROM r a JOIN r b ON a.url = b.url AND a.rn = 1 AND b.rn = 2
+        ORDER BY a.url
+    """
+
+    # ---------------------------------------- corpus: daily_top_terms
+    # shared index normalization; rank by (n DESC, word ASC) per day
+    punct_sql_local = """'«»“”.,;:!?()[]{}"' || chr(39)"""
+    sql["daily_top_terms"] = f"""
+        WITH toks AS (
+            SELECT strftime(warc_ts, '%Y-%m-%d') AS day,
+                   lower(translate(tok, {punct_sql_local}, '')) AS word
+            FROM (SELECT warc_ts, unnest(regexp_extract_all(text, '\\S+')) AS tok
+                  FROM read_parquet('{raw_glob}'))
+        ),
+        c AS (
+            SELECT day, word, CAST(COUNT(*) AS BIGINT) AS n
+            FROM toks WHERE word <> '' GROUP BY day, word
+        ),
+        ranked AS (
+            SELECT day, word, n,
+                   CAST(row_number() OVER (PARTITION BY day
+                       ORDER BY n DESC, word) AS BIGINT) AS rank
+            FROM c
+        )
+        SELECT day, word, n, rank FROM ranked
+        WHERE rank <= {DAILY_TOP_K} ORDER BY day, rank
+    """
+
     sql.update(golden_oracles(sf_dir))
     return sql

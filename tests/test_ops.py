@@ -2410,3 +2410,56 @@ def test_lang_source_chisq_cells(ray_session):
         assert r["expected"] == e
         d = float(r["observed"]) - e
         assert r["contrib"] == d * d / e
+
+
+def test_recrawl_changes_matches_raw_corpus(ray_session):
+    """Every multi-crawl url appears exactly once; changed/len_delta match
+    a pandas recomputation with the same total order."""
+    import pandas as pd
+
+    from ocr_ray.ops.extraction_queries import pages_corpus, recrawl_changes
+
+    got = _df(recrawl_changes(SF)).sort_values("url").reset_index(drop=True)
+    raw = pd.read_parquet(pages_corpus(SF))
+    counts = raw["url"].value_counts()
+    multi = counts[counts >= 2]
+    assert sorted(got["url"]) == sorted(multi.index)
+    by_url = got.set_index("url")["n_crawls"]
+    assert all(by_url[u] == c for u, c in multi.items())
+    r = raw.sort_values(["url", "warc_ts", "text"],
+                        ascending=[True, False, False])
+    for _, row in got.head(50).iterrows():
+        g = r[r["url"] == row["url"]]
+        latest, prev = g["text"].iloc[0], g["text"].iloc[1]
+        assert row["changed"] == (latest != prev)
+        assert row["len_delta"] == len(latest) - len(prev)
+
+
+def test_daily_top_terms_ranks(ray_session):
+    """Rank is dense 1..K per day, ordered by (n desc, word asc); counts
+    match a brute recount for a sample day."""
+    import pandas as pd
+
+    from ocr_ray.kernels.textfn import _INDEX_DEL_TABLE
+    from ocr_ray.ops.extraction_queries import DAILY_TOP_K, daily_top_terms, pages_corpus
+
+    got = _df(daily_top_terms(SF))
+    for day, g in got.groupby("day"):
+        g = g.sort_values("rank")
+        assert list(g["rank"]) == list(range(1, len(g) + 1))
+        assert len(g) <= DAILY_TOP_K
+        key = list(zip(-g["n"], g["word"]))
+        assert key == sorted(key)
+    raw = pd.read_parquet(pages_corpus(SF))
+    day0 = got["day"].iloc[0]
+    sel = raw[raw["warc_ts"].dt.strftime("%Y-%m-%d") == day0]
+    from collections import Counter
+    c = Counter()
+    for t in sel["text"]:
+        for w in t.split():
+            w = w.translate(_INDEX_DEL_TABLE).lower()
+            if w:
+                c[w] += 1
+    want = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:DAILY_TOP_K]
+    g0 = got[got["day"] == day0].sort_values("rank")
+    assert list(zip(g0["word"], g0["n"])) == want
