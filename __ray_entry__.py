@@ -45,6 +45,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ---- round-4 additions (newest first)
         "host_triangles": g_ops.host_triangles,
         "mirror_hosts": g_ops.mirror_hosts,
+        "top_revenue_parts": r_ops.top_revenue_parts,
+        "host_url_samples": x_ops.host_url_samples,
         "recrawl_changes": x_ops.recrawl_changes,
         "daily_top_terms": x_ops.daily_top_terms,
         "value_trend_by_type": r_ops.value_trend_by_type,
@@ -395,6 +397,22 @@ def _base_oracle_sql() -> dict[str, str]:
                    array_to_string(list_slice(toks, start + 1,
                        least(start + {d_ops.CHUNK_TOKENS}, n)), ' ') AS chunk
             FROM s ORDER BY doc_id, chunk_no
+        """,
+        # Q11 shape: HAVING above a scalar derived from the same aggregate;
+        # threshold compared in exact integers (rev4·10^4 > total·5)
+        "top_revenue_parts": """
+            WITH pr AS (
+                SELECT l_partkey,
+                       SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+                           * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                           AS rev4
+                FROM lineitem GROUP BY l_partkey
+            ),
+            t AS (SELECT SUM(rev4) AS total FROM pr)
+            SELECT l_partkey, CAST(rev4 AS DOUBLE) / 10000.0 AS revenue
+            FROM pr, t
+            WHERE rev4 * 10000 > total * 5
+            ORDER BY rev4 DESC, l_partkey
         """,
         # OLS by sufficient statistics: every moment is an exact integer
         # (HUGEINT-safe in SQL, unbounded int in Python); slope/intercept

@@ -1564,3 +1564,47 @@ def daily_top_terms(sf_dir: str) -> ray.data.Dataset:
         return from_pandas_clean(df[["day", "word", "n", "rank"]])
 
     return summed.groupby("day").map_groups(topk, batch_format="pyarrow")
+
+
+HOST_URL_SAMPLE_K = 5
+
+
+def host_url_samples(sf_dir: str) -> ray.data.Dataset:
+    """Per-host sample of the K lexicographically-smallest urls, joined to
+    one comma-separated string — the eyeball-check column every crawl
+    dashboard shows next to host aggregates.
+
+    Scale shape: min-K per group IS safely pre-prunable (unlike additive
+    top-K counts — see daily_top_terms): each block keeps at most K urls
+    per host before the exchange, because a url outside a block's local
+    min-K can never enter the global min-K. The final per-host merge sees
+    ≤ K·blocks rows per host.
+
+    Output: (host, n_sampled, urls) ordered by host."""
+    import re as _re
+
+    import pandas as pd
+
+    from .common import from_pandas_clean
+
+    host_re = _re.compile(URL_PARSE_RE)
+    out = extraction_output(sf_dir, columns=["url"])
+
+    def prune(batch: pa.Table) -> pa.Table:
+        urls = batch.column("url").to_pylist()
+        df = pd.DataFrame(
+            {"host": [host_re.match(u).group(1) for u in urls], "url": urls}
+        ).sort_values(["host", "url"]).groupby("host").head(HOST_URL_SAMPLE_K)
+        return from_pandas_clean(df.reset_index(drop=True))
+
+    pruned = out.map_batches(prune, batch_format="pyarrow", zero_copy_batch=True)
+
+    def merge(group: pa.Table) -> pa.Table:
+        df = group.to_pandas().sort_values("url").head(HOST_URL_SAMPLE_K)
+        return pa.table(
+            {"host": pa.array([df["host"].iloc[0]], pa.string()),
+             "n_sampled": pa.array([len(df)], pa.int64()),
+             "urls": pa.array([",".join(df["url"])], pa.string())}
+        )
+
+    return pruned.groupby("host").map_groups(merge, batch_format="pyarrow")

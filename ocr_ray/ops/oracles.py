@@ -1643,5 +1643,21 @@ def extra_oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         WHERE rank <= {DAILY_TOP_K} ORDER BY day, rank
     """
 
+    # ---------------------------------------- artifact: host_url_samples
+    from .extraction_queries import HOST_URL_SAMPLE_K
+
+    sql["host_url_samples"] = f"""
+        WITH h AS (
+            SELECT split_part(url, '/', 3) AS host, url,
+                   row_number() OVER (PARTITION BY split_part(url, '/', 3)
+                                      ORDER BY url) AS rn
+            FROM read_parquet('{summary}')
+        )
+        SELECT host, CAST(COUNT(*) AS BIGINT) AS n_sampled,
+               string_agg(url, ',' ORDER BY url) AS urls
+        FROM h WHERE rn <= {HOST_URL_SAMPLE_K}
+        GROUP BY host ORDER BY host
+    """
+
     sql.update(golden_oracles(sf_dir))
     return sql

@@ -1845,3 +1845,53 @@ def value_trend_by_type(sf_dir: str):
                ("sy", "sum", "y"), ("sxx", "sum", "xx"), ("sxy", "sum", "xy")],
         finalize=fin,
     )
+
+
+TOP_PART_REVENUE_FRACTION = 0.0005
+
+
+def top_revenue_parts(sf_dir: str):
+    """Parts whose revenue exceeds a fraction of TOTAL corpus revenue —
+    the HAVING-above-scalar-subquery representative (TPC-H Q11's shape):
+    a global scalar derives from pass 1 and broadcasts into the filter.
+
+    Scale shape: ONE aggregation produces the per-part exact 1e-4-unit
+    revenue frame; the grand total derives from that same frame in
+    finalize (no second scan of the fact table), and the threshold
+    comparison is exact-integer (rev4 · 10^7 > total4 · frac_num with
+    frac expressed as an integer ratio) so no float boundary exists.
+
+    Output: (l_partkey, revenue) for qualifying parts, revenue desc,
+    partkey asc."""
+    lineitem = read_table(
+        sf_dir, "lineitem", columns=["l_partkey", "l_extendedprice", "l_discount"]
+    )
+
+    def rev_partial(batch: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(
+            batch.column("l_extendedprice"), 100.0)), pa.int64())
+        dpct = pc.cast(pc.round(pc.multiply(
+            batch.column("l_discount"), 100.0)), pa.int64())
+        rev = pc.multiply(cents, pc.subtract(pa.scalar(100, pa.int64()), dpct))
+        part = pa.table({"l_partkey": batch.column("l_partkey"), "rev4": rev})
+        df = part.to_pandas().groupby("l_partkey", as_index=False)["rev4"].sum()
+        return from_pandas_clean(df)
+
+    # frac = 0.0005 == 5 / 10^4 exactly
+    FRAC_NUM, FRAC_DEN = 5, 10_000
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        total = int(df["rev4"].sum())
+        keep = df["rev4"].astype(object) * FRAC_DEN > total * FRAC_NUM
+        out = df[keep].copy()
+        out["revenue"] = out["rev4"].astype("float64") / 10000.0
+        return out.sort_values(
+            ["rev4", "l_partkey"], ascending=[False, True]
+        ).reset_index(drop=True)[["l_partkey", "revenue"]]
+
+    return grouped_agg(
+        lineitem.map_batches(rev_partial, batch_format="pyarrow", zero_copy_batch=True),
+        keys=["l_partkey"],
+        specs=[("rev4", "sum", "rev4")],
+        finalize=fin,
+    )

@@ -2463,3 +2463,43 @@ def test_daily_top_terms_ranks(ray_session):
     want = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:DAILY_TOP_K]
     g0 = got[got["day"] == day0].sort_values("rank")
     assert list(zip(g0["word"], g0["n"])) == want
+
+
+def test_top_revenue_parts_threshold(ray_session):
+    """Every emitted part clears the exact-integer share threshold; every
+    omitted part does not (recomputed from raw lineitem)."""
+    import pandas as pd
+
+    from ocr_ray.ops.relational import top_revenue_parts
+
+    got = _df(top_revenue_parts(SF))
+    li = pd.read_parquet(f"{SF}/lineitem.parquet")
+    rev4 = ((li["l_extendedprice"] * 100).round().astype("int64")
+            * (100 - (li["l_discount"] * 100).round().astype("int64")))
+    per = rev4.groupby(li["l_partkey"]).sum()
+    total = int(per.sum())
+    want = {int(k) for k, v in per.items() if int(v) * 10000 > total * 5}
+    assert set(got["l_partkey"]) == want
+    merged = got.set_index("l_partkey")
+    for k in got["l_partkey"]:
+        assert merged.loc[k, "revenue"] == per.loc[k] / 10000.0
+    assert (got["revenue"].diff().dropna() <= 0).all()
+
+
+def test_host_url_samples_min_k(ray_session):
+    """Each host's sample is its K smallest urls in order; the pre-prune
+    never loses a global winner."""
+    import pandas as pd
+
+    from ocr_ray.ops.extraction_queries import (
+        HOST_URL_SAMPLE_K, extraction_output, host_url_samples,
+    )
+
+    got = _df(host_url_samples(SF))
+    out = _df(extraction_output(SF, columns=["url"]))
+    hosts = out["url"].str.split("/").str[2]
+    for _, r in got.iterrows():
+        urls = sorted(out["url"][hosts == r["host"]])[:HOST_URL_SAMPLE_K]
+        assert r["n_sampled"] == len(urls)
+        assert r["urls"] == ",".join(urls)
+    assert set(got["host"]) == set(hosts)
