@@ -43,6 +43,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # end of their group.
     return {
         # ---- round-4 additions (newest first)
+        "promo_revenue": r_ops.promo_revenue,
+        "small_qty_revenue": r_ops.small_qty_revenue,
+        "large_orders": r_ops.large_orders,
+        "disjunctive_revenue": r_ops.disjunctive_revenue,
+        "idle_rich_customers": r_ops.idle_rich_customers,
         "host_triangles": g_ops.host_triangles,
         "mirror_hosts": g_ops.mirror_hosts,
         "top_revenue_parts": r_ops.top_revenue_parts,
@@ -632,6 +637,108 @@ def _base_oracle_sql() -> dict[str, str]:
         # Q10: same exact 1e-4-unit integer revenue contract as Q5/Q3;
         # ORDER BY the exact integer (not the derived double) then custkey,
         # mirroring the engine's sort keys
+        # Q14 shape: dimension semi-flag + exact 1e-4-unit integer sums;
+        # the share is the same left-assoc (100.0 · p) / t double chain
+        "promo_revenue": f"""
+            WITH base AS (
+                SELECT strftime(l_shipdate, '%Y-%m') AS month,
+                       CAST(round(l_extendedprice * 100) AS BIGINT)
+                       * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS rev4,
+                       l_partkey IN (SELECT p_partkey FROM part
+                                     WHERE p_type = '{r_ops.PROMO_TYPE}')
+                           AS is_promo
+                FROM lineitem
+            ),
+            m AS (
+                SELECT month,
+                       CAST(SUM(CASE WHEN is_promo THEN rev4 ELSE 0 END)
+                            AS BIGINT) AS p4,
+                       CAST(SUM(rev4) AS BIGINT) AS t4
+                FROM base GROUP BY month
+            )
+            SELECT month,
+                   100.0 * CAST(p4 AS DOUBLE) / CAST(t4 AS DOUBLE) AS promo_pct,
+                   CAST(t4 AS DOUBLE) / 10000.0 AS total_revenue
+            FROM m ORDER BY month
+        """,
+        # Q17 shape: per-part (Σqty, n) thresholds; 0.2·avg as the exact
+        # cross-multiplied integer test 5·q·n < Σqty
+        "small_qty_revenue": f"""
+            WITH bp AS (SELECT p_partkey FROM part
+                        WHERE p_brand = '{r_ops.Q17_BRAND}'),
+            agg AS (
+                SELECT l_partkey,
+                       CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS s,
+                       CAST(COUNT(*) AS BIGINT) AS n
+                FROM lineitem JOIN bp ON l_partkey = p_partkey GROUP BY 1
+            ),
+            hit AS (
+                SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+                FROM lineitem JOIN agg USING (l_partkey)
+                WHERE 5 * CAST(round(l_quantity) AS BIGINT) * n < s
+            )
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_items,
+                   CAST(COALESCE(SUM(cents), 0) AS DOUBLE) / 100.0
+                       AS total_revenue,
+                   CAST(COALESCE(SUM(cents), 0) AS DOUBLE) / 100.0 / 7.0
+                       AS avg_yearly
+            FROM hit
+        """,
+        # Q18 shape: HAVING-filtered quantity rollup, then order/customer
+        # lookups of the tiny qualifying set
+        "large_orders": f"""
+            WITH q AS (
+                SELECT l_orderkey,
+                       CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS BIGINT)
+                           AS sum_qty
+                FROM lineitem GROUP BY 1
+                HAVING SUM(CAST(round(l_quantity) AS BIGINT)) > {r_ops.Q18_MIN_QTY}
+            )
+            SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+                   sum_qty
+            FROM q JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            ORDER BY o_totalprice DESC, o_orderkey
+        """,
+        # Q19 shape: OR-of-brackets over broadcast part attributes
+        "disjunctive_revenue": """
+            WITH li AS (
+                SELECT CAST(round(l_extendedprice * 100) AS BIGINT)
+                       * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS rev4,
+                       CAST(round(l_quantity) AS BIGINT) AS q,
+                       p_brand, p_size
+                FROM lineitem JOIN part ON l_partkey = p_partkey
+            )
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_items,
+                   CAST(COALESCE(SUM(rev4), 0) AS DOUBLE) / 10000.0 AS revenue
+            FROM li WHERE """ + " OR ".join(
+                f"(p_brand = '{cb}' AND p_size BETWEEN {slo} AND {shi}"
+                f" AND q BETWEEN {qlo} AND {qhi})"
+                for cb, slo, shi, qlo, qhi in r_ops.Q19_CLAUSES
+            ) + """
+        """,
+        # Q22 shape: exact-integer above-average test (cents·n > Σcents)
+        # + NOT EXISTS against pending-order custkeys
+        "idle_rich_customers": f"""
+            WITH avgs AS (
+                SELECT CAST(SUM(CAST(round(c_acctbal * 100) AS BIGINT))
+                            AS BIGINT) AS s,
+                       CAST(COUNT(*) AS BIGINT) AS n
+                FROM customer
+                WHERE CAST(round(c_acctbal * 100) AS BIGINT) > 0
+            ),
+            rich AS (
+                SELECT c_custkey, c_mktsegment, c_acctbal FROM customer, avgs
+                WHERE CAST(round(c_acctbal * 100) AS BIGINT) * n > s
+            ),
+            pend AS (SELECT DISTINCT o_custkey FROM orders
+                     WHERE o_orderstatus = '{r_ops.Q22_STATUS}')
+            SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_customers,
+                   round(SUM(c_acctbal), 2) AS total_acctbal
+            FROM rich
+            WHERE c_custkey NOT IN (SELECT o_custkey FROM pend)
+            GROUP BY 1 ORDER BY 1
+        """,
         "returned_items": f"""
             WITH rev AS (
                 SELECT l_orderkey,

@@ -1895,3 +1895,413 @@ def top_revenue_parts(sf_dir: str):
         specs=[("rev4", "sum", "rev4")],
         finalize=fin,
     )
+
+
+# TPC-H Q14/Q17/Q18/Q19/Q22 shapes. Revenue math is the suite's exact-integer
+# convention (top_revenue_parts): price cents × (100 − discount %) = rev4 in
+# 1e-4 currency units, so no float crosses an exchange and the SQL twins are
+# hash-exact. Quantities are integral in the corpus (TPC-H convention) and
+# ride as int64.
+PROMO_TYPE = "PROMO"
+Q17_BRAND = "Brand#23"
+Q18_MIN_QTY = 300
+Q19_CLAUSES = (
+    # (brand, size_lo, size_hi, qty_lo, qty_hi) — OR'd, like Q19's three
+    # bracket predicates
+    ("Brand#2", 1, 15, 1, 11),
+    ("Brand#15", 1, 25, 10, 20),
+    ("Brand#22", 1, 35, 20, 30),
+)
+
+
+def _rev4(batch: pa.Table) -> pa.ChunkedArray:
+    """Exact 1e-4-unit revenue: round(price·100) · (100 − round(disc·100))."""
+    cents = pc.cast(pc.round(pc.multiply(
+        batch.column("l_extendedprice"), 100.0)), pa.int64())
+    dpct = pc.cast(pc.round(pc.multiply(
+        batch.column("l_discount"), 100.0)), pa.int64())
+    return pc.multiply(cents, pc.subtract(pa.scalar(100, pa.int64()), dpct))
+
+
+def promo_revenue(sf_dir: str):
+    """Promotion-revenue share per ship month (TPC-H Q14's shape, widened
+    from one month to a per-month series): 100 · Σ promo rev / Σ rev.
+
+    Scale shape: part is the DIMENSION side — its partkey→is-promo flag is
+    ray.put ONCE as a frozenset and read zero-copy by every task (never a
+    shuffle join of the fact table); per-batch integer partials collapse to
+    one row per (month, block) before the only exchange. The share is one
+    float division over exact int64 sums in finalize, identical to the SQL
+    twin's expression.
+
+    Output: (month, promo_pct, total_revenue) ordered by month."""
+    part = read_table(sf_dir, "part", columns=["p_partkey", "p_type"])
+    promo = part.map_batches(
+        lambda b: b.filter(pc.equal(b.column("p_type"), PROMO_TYPE)).select(
+            ["p_partkey"]),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    promo_ref = ray.put(frozenset(
+        r["p_partkey"] for r in promo.take_all()))
+
+    lineitem = read_table(
+        sf_dir, "lineitem",
+        columns=["l_partkey", "l_shipdate", "l_extendedprice", "l_discount"],
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        promo_keys = ray.get(promo_ref)
+        rev = _rev4(batch)
+        month = pc.strftime(batch.column("l_shipdate"), format="%Y-%m")
+        is_promo = pa.array(
+            [k in promo_keys for k in batch.column("l_partkey").to_pylist()],
+            pa.bool_(),
+        )
+        df = pd.DataFrame(
+            {"month": month.to_pandas(), "rev4": rev.to_pandas(),
+             "promo4": pc.if_else(is_promo, rev, pa.scalar(0, pa.int64())
+                                  ).to_pandas()}
+        ).groupby("month", as_index=False).sum()
+        return from_pandas_clean(df)
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({
+            "month": df["month"],
+            # exact ints → one double division; both engines compute the
+            # identical IEEE quotient, no rounding boundary exists
+            "promo_pct": [100.0 * float(p) / float(t)
+                          for p, t in zip(df["promo4"], df["rev4"])],
+            "total_revenue": df["rev4"].astype("float64") / 10000.0,
+        })
+        return out.sort_values("month").reset_index(drop=True)
+
+    return grouped_agg(
+        lineitem.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        keys=["month"],
+        specs=[("rev4", "sum", "rev4"), ("promo4", "sum", "promo4")],
+        finalize=fin,
+    )
+
+
+def small_qty_revenue(sf_dir: str):
+    """Average yearly revenue lost to small-quantity orders of one brand's
+    parts (TPC-H Q17's shape): lineitems with l_quantity < 0.2 · avg
+    quantity of their part, parts restricted to Q17_BRAND.
+
+    Scale shape: pass 1 is ONE combiner-collapsed aggregation of (Σqty, n)
+    per brand part — the brand filter rides the broadcast partkey set so
+    non-brand rows never enter the exchange; the per-part thresholds
+    broadcast back as exact integer pairs, and the 0.2·avg comparison is
+    the cross-multiplied integer test 5·qty·n < Σqty (no float boundary).
+    Pass 2 is a shuffle-free filtered sum.
+
+    Output: one row (n_items, total_revenue, avg_yearly)."""
+    part = read_table(sf_dir, "part", columns=["p_partkey", "p_brand"])
+    brand_keys = frozenset(
+        r["p_partkey"]
+        for r in part.map_batches(
+            lambda b: b.filter(pc.equal(b.column("p_brand"), Q17_BRAND)).select(
+                ["p_partkey"]),
+            batch_format="pyarrow", zero_copy_batch=True,
+        ).take_all()
+    )
+    brand_ref = ray.put(brand_keys)
+
+    lineitem = read_table(
+        sf_dir, "lineitem",
+        columns=["l_partkey", "l_quantity", "l_extendedprice"],
+    )
+
+    def qty_partial(batch: pa.Table) -> pa.Table:
+        keys = ray.get(brand_ref)
+        mask = pa.array(
+            [k in keys for k in batch.column("l_partkey").to_pylist()],
+            pa.bool_(),
+        )
+        kept = batch.filter(mask)
+        df = pd.DataFrame(
+            {"l_partkey": kept.column("l_partkey").to_pandas(),
+             "qty": pc.cast(pc.round(kept.column("l_quantity")),
+                            pa.int64()).to_pandas()}
+        ).groupby("l_partkey", as_index=False).agg(
+            sum_qty=("qty", "sum"), n=("qty", "size"))
+        df["n"] = df["n"].astype("int64")
+        return from_pandas_clean(df)
+
+    per_part = grouped_agg(
+        lineitem.map_batches(qty_partial, batch_format="pyarrow",
+                             zero_copy_batch=True),
+        keys=["l_partkey"],
+        specs=[("sum_qty", "sum", "sum_qty"), ("n", "sum", "n")],
+    )
+    thresholds = {
+        r["l_partkey"]: (int(r["sum_qty"]), int(r["n"]))
+        for r in per_part.take_all()
+    }
+    thr_ref = ray.put(thresholds)
+
+    def rev_partial(batch: pa.Table) -> pa.Table:
+        thr = ray.get(thr_ref)
+        qty = pc.cast(pc.round(batch.column("l_quantity")), pa.int64()).to_pylist()
+        cents = pc.cast(pc.round(pc.multiply(
+            batch.column("l_extendedprice"), 100.0)), pa.int64()).to_pylist()
+        total = 0
+        n = 0
+        for k, q, c in zip(batch.column("l_partkey").to_pylist(), qty, cents):
+            t = thr.get(k)
+            if t is not None and 5 * q * t[1] < t[0]:
+                total += c
+                n += 1
+        return pa.table({"cents": pa.array([total], pa.int64()),
+                         "n_items": pa.array([n], pa.int64()),
+                         "one": pa.array([1], pa.int64())})
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        cents = int(df["cents"].iloc[0])
+        return pd.DataFrame({
+            "n_items": [int(df["n_items"].iloc[0])],
+            "total_revenue": [float(cents) / 100.0],
+            "avg_yearly": [float(cents) / 100.0 / 7.0],
+        })
+
+    return grouped_agg(
+        lineitem.map_batches(rev_partial, batch_format="pyarrow",
+                             zero_copy_batch=True),
+        keys=["one"],
+        specs=[("cents", "sum", "cents"), ("n_items", "sum", "n_items")],
+        finalize=fin,
+    )
+
+
+def large_orders(sf_dir: str):
+    """Large-volume orders and their customers (TPC-H Q18's shape): orders
+    whose total lineitem quantity exceeds Q18_MIN_QTY, joined back to the
+    order header and customer name.
+
+    Scale shape: the quantity rollup is the only fact-sized exchange
+    (combiner-collapsed per-orderkey int sums); the qualifying set is
+    HAVING-filtered to a handful of rows, so both "joins" degrade to
+    broadcast set-membership filters over streaming scans of orders and
+    customer — no fact⋈fact shuffle ever happens, which is exactly how the
+    Q18 plan should look at 100 TB (the selective HAVING makes the join
+    sides asymmetric).
+
+    Output: (c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+    sum_qty) ordered by o_totalprice desc, o_orderkey."""
+    lineitem = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_quantity"])
+
+    def qty_partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {"l_orderkey": batch.column("l_orderkey").to_pandas(),
+             "qty": pc.cast(pc.round(batch.column("l_quantity")),
+                            pa.int64()).to_pandas()}
+        ).groupby("l_orderkey", as_index=False)["qty"].sum()
+        return from_pandas_clean(df)
+
+    per_order = grouped_agg(
+        lineitem.map_batches(qty_partial, batch_format="pyarrow",
+                             zero_copy_batch=True),
+        keys=["l_orderkey"],
+        specs=[("qty", "sum", "qty")],
+    )
+    big = {
+        int(r["l_orderkey"]): int(r["qty"])
+        for r in per_order.take_all()
+        if int(r["qty"]) > Q18_MIN_QTY
+    }
+    big_ref = ray.put(big)
+
+    orders = read_table(
+        sf_dir, "orders",
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"],
+    )
+
+    def pick_orders(batch: pa.Table) -> pa.Table:
+        qual = ray.get(big_ref)
+        mask = pa.array(
+            [k in qual for k in batch.column("o_orderkey").to_pylist()],
+            pa.bool_(),
+        )
+        kept = batch.filter(mask)
+        qty = pa.array(
+            [qual[k] for k in kept.column("o_orderkey").to_pylist()],
+            pa.int64(),
+        )
+        return kept.append_column("sum_qty", qty)
+
+    qual_orders = orders.map_batches(
+        pick_orders, batch_format="pyarrow", zero_copy_batch=True
+    ).take_all()
+    by_cust: dict[int, list[dict]] = {}
+    for r in qual_orders:
+        by_cust.setdefault(int(r["o_custkey"]), []).append(r)
+    cust_ref = ray.put(by_cust)
+
+    customer = read_table(sf_dir, "customer", columns=["c_custkey", "c_name"])
+
+    def attach(batch: pa.Table) -> pa.Table:
+        lookup = ray.get(cust_ref)
+        out = []
+        for ck, name in zip(batch.column("c_custkey").to_pylist(),
+                            batch.column("c_name").to_pylist()):
+            for o in lookup.get(ck, ()):
+                out.append({
+                    "c_name": name, "c_custkey": ck,
+                    "o_orderkey": o["o_orderkey"],
+                    "o_orderdate": o["o_orderdate"],
+                    "o_totalprice": o["o_totalprice"],
+                    "sum_qty": o["sum_qty"],
+                })
+        return pa.Table.from_pylist(out, schema=pa.schema(
+            [("c_name", pa.string()), ("c_custkey", pa.int64()),
+             ("o_orderkey", pa.int64()), ("o_orderdate", pa.timestamp("us")),
+             ("o_totalprice", pa.float64()), ("sum_qty", pa.int64())]))
+
+    ds = customer.map_batches(attach, batch_format="pyarrow", zero_copy_batch=True)
+
+    def order_rows(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas().sort_values(
+            ["o_totalprice", "o_orderkey"], ascending=[False, True])
+        return from_pandas_clean(df)
+
+    return ds.repartition(1).map_batches(order_rows, batch_format="pyarrow")
+
+
+def disjunctive_revenue(sf_dir: str):
+    """Revenue under an OR-of-brackets predicate spanning fact and dimension
+    attributes (TPC-H Q19's shape): three (brand, size range, quantity
+    range) clauses OR'd together.
+
+    Scale shape: part attributes broadcast ONCE as a partkey→(brand, size)
+    dict (dimension side), the disjunction evaluates per batch with no
+    shuffle, and the only exchange is the single-row integer sum.
+
+    Output: one row (n_items, revenue)."""
+    part = read_table(sf_dir, "part", columns=["p_partkey", "p_brand", "p_size"])
+    attrs = {
+        r["p_partkey"]: (r["p_brand"], int(r["p_size"]))
+        for r in part.take_all()
+    }
+    attrs_ref = ray.put(attrs)
+
+    lineitem = read_table(
+        sf_dir, "lineitem",
+        columns=["l_partkey", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        lookup = ray.get(attrs_ref)
+        rev = _rev4(batch).to_pylist()
+        qty = pc.cast(pc.round(batch.column("l_quantity")), pa.int64()).to_pylist()
+        total = 0
+        n = 0
+        for k, q, r in zip(batch.column("l_partkey").to_pylist(), qty, rev):
+            brand, size = lookup[k]
+            for cb, slo, shi, qlo, qhi in Q19_CLAUSES:
+                if brand == cb and slo <= size <= shi and qlo <= q <= qhi:
+                    total += r
+                    n += 1
+                    break
+        return pa.table({"rev4": pa.array([total], pa.int64()),
+                         "n_items": pa.array([n], pa.int64()),
+                         "one": pa.array([1], pa.int64())})
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "n_items": [int(df["n_items"].iloc[0])],
+            "revenue": [float(int(df["rev4"].iloc[0])) / 10000.0],
+        })
+
+    return grouped_agg(
+        lineitem.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        keys=["one"],
+        specs=[("rev4", "sum", "rev4"), ("n_items", "sum", "n_items")],
+        finalize=fin,
+    )
+
+
+Q22_STATUS = "P"
+
+
+def idle_rich_customers(sf_dir: str):
+    """Well-funded customers with no PENDING order, rolled up per market
+    segment (TPC-H Q22's shape): acctbal above the global average of
+    POSITIVE balances, anti-joined against the custkeys holding an
+    o_orderstatus = 'P' order (the synthetic corpus gives every customer
+    SOME order, so the no-orders-at-all carve is empty by construction;
+    the pending-status carve keeps Q22's plan shape — scalar subquery +
+    NOT EXISTS — with a non-degenerate answer).
+
+    Scale shape: the global average broadcasts as the exact integer pair
+    (Σ positive cents, n) and the above-average test is the
+    cross-multiplied integer comparison cents·n > Σcents (no float
+    boundary); the probe side distinct-reduces o_custkey per batch before
+    ONE exchange; the anti join co-partitions on the key
+    (``Dataset.join('left_anti')``, both sides fact-scale at 100 TB — the
+    same discipline as lapsed_customers' churn window).
+
+    Output: (c_mktsegment, n_customers, total_acctbal) by segment."""
+    from .common import choose_join_parts
+
+    customer = read_table(
+        sf_dir, "customer", columns=["c_custkey", "c_mktsegment", "c_acctbal"]
+    )
+
+    def bal_partial(batch: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(
+            batch.column("c_acctbal"), 100.0)), pa.int64())
+        pos = pc.greater(cents, 0)
+        kept = cents.filter(pos)
+        return pa.table({
+            "sum_cents": pa.array([pc.sum(kept).as_py() or 0], pa.int64()),
+            "n": pa.array([len(kept)], pa.int64()),
+            "one": pa.array([1], pa.int64()),
+        })
+
+    tot = grouped_agg(
+        customer.map_batches(bal_partial, batch_format="pyarrow",
+                             zero_copy_batch=True),
+        keys=["one"],
+        specs=[("sum_cents", "sum", "sum_cents"), ("n", "sum", "n")],
+    ).take_all()[0]
+    sum_cents, n_pos = int(tot["sum_cents"]), int(tot["n"])
+
+    def rich(batch: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(
+            batch.column("c_acctbal"), 100.0)), pa.int64())
+        mask = pc.greater(pc.multiply(cents, pa.scalar(n_pos, pa.int64())),
+                          pa.scalar(sum_cents, pa.int64()))
+        return batch.filter(mask)
+
+    rich_customers = customer.map_batches(
+        rich, batch_format="pyarrow", zero_copy_batch=True)
+
+    orders = read_table(sf_dir, "orders", columns=["o_custkey", "o_orderstatus"])
+
+    def keys_partial(batch: pa.Table) -> pa.Table:
+        kept = batch.filter(pc.equal(batch.column("o_orderstatus"), Q22_STATUS))
+        return pa.table({"o_custkey": kept.column("o_custkey").unique()})
+
+    with_orders = distinct(
+        orders.map_batches(keys_partial, batch_format="pyarrow",
+                           zero_copy_batch=True),
+        ["o_custkey"],
+    )
+
+    idle = rich_customers.join(
+        with_orders, "left_anti",
+        num_partitions=choose_join_parts(sf_dir, "customer", "orders"),
+        on=("c_custkey",), right_on=("o_custkey",),
+    )
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        df["total_acctbal"] = df["total_acctbal"].round(2)
+        return df.sort_values("c_mktsegment").reset_index(drop=True)
+
+    return grouped_agg(
+        idle,
+        keys=["c_mktsegment"],
+        specs=[("n_customers", "count", None),
+               ("total_acctbal", "sum", "c_acctbal")],
+        finalize=fin,
+    )

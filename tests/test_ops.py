@@ -2503,3 +2503,66 @@ def test_host_url_samples_min_k(ray_session):
         assert r["n_sampled"] == len(urls)
         assert r["urls"] == ",".join(urls)
     assert set(got["host"]) == set(hosts)
+
+
+def test_promo_revenue_share(ray_session):
+    """Per-month promo share recomputed from raw tables in pandas; shares
+    sum consistently with totals and stay in [0, 100]."""
+    import pandas as pd
+
+    from ocr_ray.ops.relational import PROMO_TYPE, promo_revenue
+
+    got = _df(promo_revenue(SF))
+    li = pd.read_parquet(f"{SF}/lineitem.parquet")
+    part = pd.read_parquet(f"{SF}/part.parquet")
+    promo = set(part.loc[part["p_type"] == PROMO_TYPE, "p_partkey"])
+    rev4 = ((li["l_extendedprice"] * 100).round().astype("int64")
+            * (100 - (li["l_discount"] * 100).round().astype("int64")))
+    month = li["l_shipdate"].dt.strftime("%Y-%m")
+    t = rev4.groupby(month).sum()
+    p = rev4.where(li["l_partkey"].isin(promo), 0).groupby(month).sum()
+    assert list(got["month"]) == sorted(t.index)
+    for _, r in got.iterrows():
+        assert r["total_revenue"] == t[r["month"]] / 10000.0
+        assert r["promo_pct"] == 100.0 * float(p[r["month"]]) / float(t[r["month"]])
+        assert 0.0 <= r["promo_pct"] <= 100.0
+
+
+def test_large_orders_threshold(ray_session):
+    """Emitted set == orders whose integer quantity rollup clears the
+    HAVING bar; order is totalprice desc with orderkey tiebreak."""
+    import pandas as pd
+
+    from ocr_ray.ops.relational import Q18_MIN_QTY, large_orders
+
+    got = _df(large_orders(SF))
+    li = pd.read_parquet(f"{SF}/lineitem.parquet")
+    q = li["l_quantity"].round().astype("int64").groupby(li["l_orderkey"]).sum()
+    want = {int(k) for k, v in q.items() if int(v) > Q18_MIN_QTY}
+    assert set(got["o_orderkey"]) == want
+    for _, r in got.iterrows():
+        assert r["sum_qty"] == q[r["o_orderkey"]]
+    keys = list(zip(-got["o_totalprice"], got["o_orderkey"]))
+    assert keys == sorted(keys)
+
+
+def test_idle_rich_customers_carve(ray_session):
+    """The anti-join keeps exactly the above-average customers without a
+    pending order (exact integer threshold recomputed in pandas)."""
+    import pandas as pd
+
+    from ocr_ray.ops.relational import Q22_STATUS, idle_rich_customers
+
+    got = _df(idle_rich_customers(SF))
+    cust = pd.read_parquet(f"{SF}/customer.parquet")
+    orders = pd.read_parquet(f"{SF}/orders.parquet")
+    cents = (cust["c_acctbal"] * 100).round().astype("int64")
+    s, n = int(cents[cents > 0].sum()), int((cents > 0).sum())
+    pend = set(orders.loc[orders["o_orderstatus"] == Q22_STATUS, "o_custkey"])
+    keep = cust[(cents * n > s) & ~cust["c_custkey"].isin(pend)]
+    want = keep.groupby("c_mktsegment")["c_acctbal"].agg(["size", "sum"])
+    assert set(got["c_mktsegment"]) == set(want.index)
+    for _, r in got.iterrows():
+        assert r["n_customers"] == want.loc[r["c_mktsegment"], "size"]
+        assert r["total_acctbal"] == round(
+            want.loc[r["c_mktsegment"], "sum"], 2)
