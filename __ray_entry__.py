@@ -43,6 +43,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # end of their group.
     return {
         # ---- round-4 additions (newest first)
+        "bpe_train_merges": d_ops.bpe_train_merges,
         "promo_revenue": r_ops.promo_revenue,
         "small_qty_revenue": r_ops.small_qty_revenue,
         "large_orders": r_ops.large_orders,
@@ -236,6 +237,52 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
     # md5-sketch recomputations, constant-shipped LSH/IVF, golden snapshots
     sql.update(extra_oracle_sql(sf_dir))
     return sql
+
+
+def _bpe_train_sql() -> str:
+    """bpe_train_merges unrolled: round i re-encodes from round i-1 with
+    the round's winner as scalar subqueries (same (n desc, pair asc)
+    argmax), exactly the engine's K honest corpus passes — the same
+    unrolled-iteration oracle discipline as _kmeans_oracle_sql."""
+    wrap = (
+        "CASE WHEN len(regexp_extract_all(text, '\\S+')) = 0 THEN '' "
+        "ELSE '(' || array_to_string(regexp_extract_all(text, '\\S+'), ')(') "
+        "|| ')' END"
+    )
+    # every CTE is MATERIALIZED: e_i and w_i are each referenced more than
+    # once downstream, and DuckDB's default inlining re-evaluates the whole
+    # upstream chain per reference (exponential re-encode blowup)
+    parts = [f"WITH e0 AS MATERIALIZED (SELECT {wrap} AS s FROM documents)"]
+    prev = "e0"
+    k = d_ops.BPE_TRAIN_ROUNDS
+    for i in range(1, k + 1):
+        parts.append(f""",
+        p{i} AS MATERIALIZED (
+            SELECT pair[1] AS a, pair[2] AS b, CAST(COUNT(*) AS BIGINT) AS n
+            FROM (
+                SELECT unnest(list_filter(list_zip(l, l[2:]),
+                                          p -> p[2] IS NOT NULL)) AS pair
+                FROM (SELECT string_split(
+                          substring(s, 2, length(s) - 2), ')(') AS l
+                      FROM {prev} WHERE s <> '')
+            ) GROUP BY 1, 2
+        ),
+        w{i} AS MATERIALIZED (
+            SELECT a, b, n FROM p{i} ORDER BY n DESC, a, b LIMIT 1)""")
+        if i < k:
+            parts.append(f""",
+        e{i} AS MATERIALIZED (
+            SELECT replace(s,
+                '(' || (SELECT a FROM w{i}) || ')(' || (SELECT b FROM w{i}) || ')',
+                '(' || (SELECT a FROM w{i}) || '+' || (SELECT b FROM w{i}) || ')'
+            ) AS s FROM {prev}
+        )""")
+            prev = f"e{i}"
+    parts.append("\n        " + "\n        UNION ALL ".join(
+        f"SELECT CAST({i} AS BIGINT) AS merge_rank, a, b, n FROM w{i}"
+        for i in range(1, k + 1)
+    ) + "\n        ORDER BY merge_rank")
+    return "".join(parts)
 
 
 def _bpe_replace_chain() -> str:
@@ -637,6 +684,8 @@ def _base_oracle_sql() -> dict[str, str]:
         # Q10: same exact 1e-4-unit integer revenue contract as Q5/Q3;
         # ORDER BY the exact integer (not the derived double) then custkey,
         # mirroring the engine's sort keys
+        # K-round iterative trainer, rounds unrolled (see _bpe_train_sql)
+        "bpe_train_merges": _bpe_train_sql(),
         # Q14 shape: dimension semi-flag + exact 1e-4-unit integer sums;
         # the share is the same left-assoc (100.0 · p) / t double chain
         "promo_revenue": f"""

@@ -2060,6 +2060,78 @@ def per_lang_sample(sf_dir: str, k: int = SAMPLE_PER_LANG):
 # fixed merge table (order matters — BPE applies merges in rank order);
 # drawn from the corpus's stable top adjacent pairs, constants like
 # BM25_QUERY_TERMS so the SQL twin can inline them
+BPE_TRAIN_ROUNDS = 6
+
+
+def bpe_train_merges(sf_dir: str, rounds: int = BPE_TRAIN_ROUNDS):
+    """Distributed BPE TRAINING (Sennrich et al. 2016) — the iterative
+    trainer whose per-round statistic is bpe_pair_counts and whose product
+    feeds bpe_apply_merges: each round re-encodes the corpus with the
+    merges learned so far (the '(sym)' wrap representation shared with
+    bpe_apply_merges, merged symbols joined by '+'), counts adjacent
+    SYMBOL pairs, and adopts the deterministic argmax (n desc, then pair
+    asc) as the next merge.
+
+    Scale shape: like kmeans_clusters, the data-dependent iteration is K
+    honest corpus passes — each pass is a combiner-collapsed pair count
+    (only distinct (a, b, n) rows cross the exchange, bounded near vocab²
+    per block regardless of corpus size) and the only driver-side state is
+    the K-row merge table itself. The SQL twin unrolls the K rounds as CTE
+    chains, selecting each round's winner with the same tiebreak
+    (__ray_entry__._bpe_train_sql).
+
+    Output: (merge_rank, a, b, n) — the adopted pair and its count at
+    selection time, one row per round."""
+    ds = read_table(sf_dir, "documents", columns=["text"])
+    merges: list[tuple[str, str]] = []
+    out_rows: list[dict] = []
+
+    for rank in range(1, rounds + 1):
+        frozen = tuple(merges)
+
+        def partial(batch: pa.Table, _m=frozen) -> pa.Table:
+            counts: dict[tuple[str, str], int] = {}
+            for text in batch.column("text").to_pylist():
+                toks = text.split()
+                if not toks:
+                    continue
+                s = "".join(f"({t})" for t in toks)
+                for x, y in _m:
+                    s = s.replace(f"({x})({y})", f"({x}+{y})")
+                syms = s[1:-1].split(")(")
+                for pair in zip(syms, syms[1:]):
+                    counts[pair] = counts.get(pair, 0) + 1
+            ks = list(counts.keys())
+            return pa.table(
+                {"a": pa.array([k[0] for k in ks], pa.string()),
+                 "b": pa.array([k[1] for k in ks], pa.string()),
+                 "n": pa.array(list(counts.values()), pa.int64())}
+            )
+
+        agg = grouped_agg(
+            ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+            keys=["a", "b"],
+            specs=[("n", "sum", "n")],
+        )
+        top = agg.sort(
+            ["n", "a", "b"], descending=[True, False, False]
+        ).limit(1).take_all()
+        if not top:
+            break
+        w = top[0]
+        merges.append((w["a"], w["b"]))
+        out_rows.append(
+            {"merge_rank": rank, "a": w["a"], "b": w["b"], "n": int(w["n"])}
+        )
+
+    return pa.table(
+        {"merge_rank": pa.array([r["merge_rank"] for r in out_rows], pa.int64()),
+         "a": pa.array([r["a"] for r in out_rows], pa.string()),
+         "b": pa.array([r["b"] for r in out_rows], pa.string()),
+         "n": pa.array([r["n"] for r in out_rows], pa.int64())}
+    )
+
+
 BPE_MERGES = (
     ("table", "hash"), ("merge", "group"), ("slow", "key"),
     ("customer", "join"), ("vector", "small"), ("table+hash", "batch"),

@@ -2566,3 +2566,41 @@ def test_idle_rich_customers_carve(ray_session):
         assert r["n_customers"] == want.loc[r["c_mktsegment"], "size"]
         assert r["total_acctbal"] == round(
             want.loc[r["c_mktsegment"], "sum"], 2)
+
+
+def test_bpe_train_merges_greedy_invariants(ray_session):
+    """Round 1's winner is bpe_pair_counts' top pair; counts never increase
+    across rounds (a merge can only remove occurrences of other pairs);
+    every adopted pair's count matches a single-process recount at adoption
+    time."""
+    import pandas as pd
+
+    from ocr_ray.ops.documents import bpe_pair_counts, bpe_train_merges
+
+    got = bpe_train_merges(SF).to_pandas()
+    assert list(got["merge_rank"]) == list(range(1, len(got) + 1))
+
+    top = _df(bpe_pair_counts(SF)).iloc[0]
+    assert (got.iloc[0]["a"], got.iloc[0]["b"]) == (top["a"], top["b"])
+    assert got.iloc[0]["n"] == top["n"]
+
+    # single-process replay of the trainer over the raw corpus
+    texts = pd.read_parquet(f"{SF}/documents.parquet")["text"]
+    merges = []
+    for _, r in got.iterrows():
+        counts = {}
+        for text in texts:
+            toks = text.split()
+            if not toks:
+                continue
+            s = "".join(f"({t})" for t in toks)
+            for x, y in merges:
+                s = s.replace(f"({x})({y})", f"({x}+{y})")
+            syms = s[1:-1].split(")(")
+            for pair in zip(syms, syms[1:]):
+                counts[pair] = counts.get(pair, 0) + 1
+        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        assert (r["a"], r["b"]) == best[0]
+        assert r["n"] == best[1]
+        merges.append(best[0])
+    assert (got["n"].diff().dropna() <= 0).all()
