@@ -43,6 +43,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # end of their group.
     return {
         # ---- round-4 additions (newest first)
+        "url_templates": x_ops.url_templates,
+        "host_degree_powerlaw": g_ops.host_degree_powerlaw,
+        "weighted_sample": d_ops.weighted_sample,
+        "negative_sampling_table": d_ops.negative_sampling_table,
         "bpe_train_merges": d_ops.bpe_train_merges,
         "promo_revenue": r_ops.promo_revenue,
         "small_qty_revenue": r_ops.small_qty_revenue,
@@ -684,6 +688,41 @@ def _base_oracle_sql() -> dict[str, str]:
         # Q10: same exact 1e-4-unit integer revenue contract as Q5/Q3;
         # ORDER BY the exact integer (not the derived double) then custkey,
         # mirroring the engine's sort keys
+        # A-ES weighted sampling: identical IEEE ln/division chain (the
+        # md5→u64→double derivation is the stratified_sample idiom)
+        "weighted_sample": f"""
+            WITH keyed AS (
+                SELECT doc_id, n_chars,
+                       ln(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                1, 16))::UBIGINT AS DOUBLE)
+                          / 18446744073709551616.0)
+                       / greatest(n_chars, 1) AS key
+                FROM documents
+            )
+            SELECT CAST(row_number() OVER (ORDER BY key DESC, doc_id)
+                        AS BIGINT) AS rank,
+                   doc_id, n_chars, key
+            FROM keyed ORDER BY key DESC, doc_id
+            LIMIT {d_ops.WEIGHTED_SAMPLE_K}
+        """,
+        # word2vec unigram^0.75 table; pow parity verified bit-equal,
+        # half-even quantization on both sides
+        "negative_sampling_table": f"""
+            WITH c AS (
+                SELECT tok AS word, CAST(COUNT(*) AS BIGINT) AS n
+                FROM (SELECT unnest(regexp_extract_all(text, '\S+')) AS tok
+                      FROM documents)
+                GROUP BY 1
+            ),
+            top AS (SELECT word, n FROM c
+                    ORDER BY n DESC, word LIMIT {d_ops.NEG_SAMPLE_VOCAB})
+            SELECT word, n,
+                   CAST(round_even(pow(CAST(n AS DOUBLE),
+                                       {d_ops.NEG_SAMPLE_POWER})
+                                   * {float(d_ops.NEG_SAMPLE_SCALE)}, 0)
+                        AS BIGINT) AS weight_q
+            FROM top ORDER BY weight_q DESC, word
+        """,
         # K-round iterative trainer, rounds unrolled (see _bpe_train_sql)
         "bpe_train_merges": _bpe_train_sql(),
         # Q14 shape: dimension semi-flag + exact 1e-4-unit integer sums;

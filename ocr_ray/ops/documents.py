@@ -19,7 +19,8 @@ import ray
 
 from ..kernels import sketches, textstats
 from .common import (
-    cap_bucket_members, choose_join_parts, distinct, grouped_agg, read_table,
+    cap_bucket_members, choose_join_parts, distinct, from_pandas_clean,
+    grouped_agg, read_table,
 )
 
 MINHASH_PERMS = 64
@@ -2958,3 +2959,101 @@ def lang_source_chisq(sf_dir: str):
         specs=[("observed", "count", None)],
         finalize=fin,
     )
+
+
+WEIGHTED_SAMPLE_K = 100
+_U64 = 18446744073709551616.0  # 2^64 as the exact double
+
+
+def weighted_sample(sf_dir: str, k: int = WEIGHTED_SAMPLE_K):
+    """Weighted sampling WITHOUT replacement (Efraimidis–Spirakis A-ES),
+    the distributed-reservoir form: per row, key = ln(u) / w with
+    deterministic u = md5(doc_id)[:16] / 2^64 and weight w = n_chars; the
+    global top-k keys ARE an exact weighted sample without replacement.
+
+    Scale shape: deterministic-hash randomness needs no RNG state or
+    coordination (any worker or retry derives the same key — the
+    stratified_sample discipline), and top-k by key is safely PRE-PRUNABLE:
+    each block keeps its local k best before the exchange, so the merge
+    sees ≤ k·blocks rows regardless of corpus size. The ln/division chain
+    is the identical IEEE expression on both sides (verified bit-equal
+    against DuckDB), with (key, doc_id) as the total-order tiebreak.
+
+    Output: (rank, doc_id, n_chars, key) by rank."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "n_chars"])
+    import math
+
+    def prune(batch: pa.Table) -> pa.Table:
+        rows = []
+        for doc_id, w in zip(batch.column("doc_id").to_pylist(),
+                             batch.column("n_chars").to_pylist()):
+            u = int(hashlib.md5(str(doc_id).encode()).hexdigest()[:16], 16)
+            rows.append((math.log(u / 2**64) / max(int(w), 1), doc_id, w))
+        rows.sort(key=lambda r: (-r[0], r[1]))
+        top = rows[:k]
+        return pa.table(
+            {"key": pa.array([r[0] for r in top], pa.float64()),
+             "doc_id": pa.array([r[1] for r in top], pa.int64()),
+             "n_chars": pa.array([r[2] for r in top], pa.int64())}
+        )
+
+    pruned = ds.map_batches(prune, batch_format="pyarrow", zero_copy_batch=True)
+
+    def merge(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas().sort_values(
+            ["key", "doc_id"], ascending=[False, True]).head(k)
+        df["rank"] = range(1, len(df) + 1)
+        return from_pandas_clean(
+            df[["rank", "doc_id", "n_chars", "key"]].reset_index(drop=True))
+
+    return pruned.repartition(1).map_batches(merge, batch_format="pyarrow")
+
+
+NEG_SAMPLE_VOCAB = 200
+NEG_SAMPLE_POWER = 0.75
+NEG_SAMPLE_SCALE = 1_000_000
+
+
+def negative_sampling_table(sf_dir: str):
+    """The word2vec negative-sampling distribution (Mikolov et al. 2013):
+    top-V whitespace tokens with sampling mass ∝ count^0.75, quantized to
+    integer weights so the table ships as exact ints.
+
+    Scale shape: ONE combiner-collapsed word count (the word_frequency
+    exchange); only the top-V slice leaves the cluster. pow(count, 0.75)
+    on an exact int64 is the identical IEEE double on both sides, and the
+    quantized weight round(·, half-even) lands on exact integers.
+
+    Output: (word, n, weight_q) by weight desc, word asc."""
+    ds = read_table(sf_dir, "documents", columns=["text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        counts: dict[str, int] = {}
+        for text in batch.column("text").to_pylist():
+            for w in text.split():
+                counts[w] = counts.get(w, 0) + 1
+        ks = list(counts.keys())
+        return pa.table(
+            {"word": pa.array(ks, pa.string()),
+             "n": pa.array([counts[w] for w in ks], pa.int64())}
+        )
+
+    counts = grouped_agg(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        keys=["word"],
+        specs=[("n", "sum", "n")],
+    )
+
+    def fin(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas().sort_values(
+            ["n", "word"], ascending=[False, True]).head(NEG_SAMPLE_VOCAB)
+        # float(n)^0.75 · 1e6, round half-even to an exact int — both
+        # sides compute the identical pow double, so no boundary exists
+        df["weight_q"] = [
+            int(round(float(n) ** NEG_SAMPLE_POWER * NEG_SAMPLE_SCALE))
+            for n in df["n"]
+        ]
+        df = df.sort_values(["weight_q", "word"], ascending=[False, True])
+        return from_pandas_clean(df.reset_index(drop=True))
+
+    return counts.repartition(1).map_batches(fin, batch_format="pyarrow")

@@ -1608,3 +1608,49 @@ def host_url_samples(sf_dir: str) -> ray.data.Dataset:
         )
 
     return pruned.groupby("host").map_groups(merge, batch_format="pyarrow")
+
+
+def url_templates(sf_dir: str) -> ray.data.Dataset:
+    """Per-host URL path templates (digit runs collapsed to 'N') with
+    counts — the crawl-frontier dedup primitive: template cardinality per
+    host tells a scheduler which hosts are parameter farms (one template,
+    millions of urls) vs genuine content trees.
+
+    Scale shape: pure per-batch map (compiled regex) + ONE combiner-
+    collapsed count exchange bounded by |hosts|·|templates| per block, not
+    by url volume. Output: (host, template, n_urls) ordered by host,
+    n_urls desc, template."""
+    import re as _re
+
+    import pandas as pd
+
+    from .common import from_pandas_clean, grouped_agg
+
+    parse = _re.compile(URL_PARSE_RE)
+    digits = _re.compile(r"[0-9]+")
+    out = extraction_output(sf_dir, columns=["url"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        hosts: list[str] = []
+        templates: list[str] = []
+        for u in batch.column("url").to_pylist():
+            m = parse.match(u)
+            hosts.append(m.group(1))
+            templates.append(digits.sub("N", m.group(2)))
+        df = pd.DataFrame({"host": hosts, "template": templates})
+        return from_pandas_clean(
+            df.groupby(["host", "template"], as_index=False).size().rename(
+                columns={"size": "n_urls"}))
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        df["n_urls"] = df["n_urls"].astype("int64")
+        return df.sort_values(
+            ["host", "n_urls", "template"], ascending=[True, False, True]
+        ).reset_index(drop=True)
+
+    return grouped_agg(
+        out.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True),
+        keys=["host", "template"],
+        specs=[("n_urls", "sum", "n_urls")],
+        finalize=fin,
+    )

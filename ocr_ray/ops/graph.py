@@ -730,3 +730,59 @@ def mirror_hosts(sf_dir: str) -> ray.data.Dataset:
         specs=[("n_shared", "sum", "n_shared")],
         finalize=fin,
     )
+
+
+POWERLAW_QLOG_SCALE = 1_000_000
+
+
+def host_degree_powerlaw(sf_dir: str) -> ray.data.Dataset:
+    """Out-degree distribution of the host link graph fitted with a log-log
+    OLS line (the power-law exponent estimate every web-graph census
+    reports; Broder et al. 2000 measure exactly this curve).
+
+    Scale shape: degree and histogram are two combiner-collapsed exchanges
+    over the already-aggregated edge list (bounded by |hosts|, then by
+    |distinct degrees|); the regression uses the quantized-log integer-
+    moment discipline (token_entropy / value_trend_by_type): both sides
+    quantize ln(·)·1e6 to exact int64 (round half-even) so the moment sums
+    are order-free integers and the slope is ONE double division.
+
+    Output: one row (n_points, slope, intercept)."""
+    import math
+
+    edges = host_link_graph(sf_dir)
+
+    def drop_dst(batch: pa.Table) -> pa.Table:
+        return batch.select(["src_host"])
+
+    deg = grouped_agg(
+        edges.map_batches(drop_dst, batch_format="pyarrow", zero_copy_batch=True),
+        keys=["src_host"],
+        specs=[("degree", "count", None)],
+    )
+
+    def drop_host(batch: pa.Table) -> pa.Table:
+        return batch.select(["degree"])
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        s = POWERLAW_QLOG_SCALE
+        qx = [round(math.log(int(d)) * s) for d in df["degree"]]
+        qy = [round(math.log(int(m)) * s) for m in df["n_hosts"]]
+        n = len(qx)
+        sx, sy = sum(qx), sum(qy)
+        sxx = sum(x * x for x in qx)
+        sxy = sum(x * y for x, y in zip(qx, qy))
+        den = n * sxx - sx * sx
+        slope = 0.0 if den == 0 else float(n * sxy - sx * sy) / float(den)
+        intercept = (float(sy) - slope * float(sx)) / float(n)
+        return pd.DataFrame(
+            {"n_points": pd.Series([n], dtype="int64"),
+             "slope": [slope], "intercept": [intercept]}
+        )
+
+    return grouped_agg(
+        deg.map_batches(drop_host, batch_format="pyarrow", zero_copy_batch=True),
+        keys=["degree"],
+        specs=[("n_hosts", "count", None)],
+        finalize=fin,
+    )

@@ -1659,5 +1659,62 @@ def extra_oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         GROUP BY host ORDER BY host
     """
 
+    # ------------------------------------------ artifact: url_templates
+    sql["url_templates"] = f"""
+        WITH t AS (
+            SELECT split_part(url, '/', 3) AS host,
+                   regexp_replace(
+                       regexp_extract(url, '^[a-z]+://[^/?]*([^?]*)', 1),
+                       '[0-9]+', 'N', 'g') AS template
+            FROM read_parquet('{summary}')
+        )
+        SELECT host, template, CAST(COUNT(*) AS BIGINT) AS n_urls
+        FROM t GROUP BY 1, 2 ORDER BY host, n_urls DESC, template
+    """
+
+    # ------------------------------------ corpus: host_degree_powerlaw
+    # quantized-log integer moments (round half-even, scale 1e6), one
+    # double division for the slope — mirrors ops.graph.host_degree_powerlaw
+    from .graph import POWERLAW_QLOG_SCALE
+
+    _pl = float(POWERLAW_QLOG_SCALE)
+    sql["host_degree_powerlaw"] = f"""
+        WITH {link_ctes},
+        deg AS (
+            SELECT src_host, CAST(COUNT(*) AS BIGINT) AS degree
+            FROM edges GROUP BY 1
+        ),
+        hist AS (
+            SELECT degree, CAST(COUNT(*) AS BIGINT) AS n_hosts
+            FROM deg GROUP BY 1
+        ),
+        q AS (
+            SELECT CAST(round_even(ln(CAST(degree AS DOUBLE)) * {_pl}, 0)
+                        AS BIGINT) AS qx,
+                   CAST(round_even(ln(CAST(n_hosts AS DOUBLE)) * {_pl}, 0)
+                        AS BIGINT) AS qy
+            FROM hist
+        ),
+        m AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(qx) AS BIGINT) AS sx,
+                   CAST(SUM(qy) AS BIGINT) AS sy,
+                   CAST(SUM(qx * qx) AS BIGINT) AS sxx,
+                   CAST(SUM(qx * qy) AS BIGINT) AS sxy
+            FROM q
+        ),
+        s AS (
+            SELECT n, sx, sy,
+                   CASE WHEN n * sxx - sx * sx = 0 THEN 0.0
+                        ELSE CAST(n * sxy - sx * sy AS DOUBLE)
+                             / CAST(n * sxx - sx * sx AS DOUBLE) END AS slope
+            FROM m
+        )
+        SELECT n AS n_points, slope,
+               (CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE))
+               / CAST(n AS DOUBLE) AS intercept
+        FROM s
+    """
+
     sql.update(golden_oracles(sf_dir))
     return sql

@@ -2604,3 +2604,96 @@ def test_bpe_train_merges_greedy_invariants(ray_session):
         assert r["n"] == best[1]
         merges.append(best[0])
     assert (got["n"].diff().dropna() <= 0).all()
+
+
+def test_weighted_sample_aes_keys(ray_session):
+    """A-ES keys recomputed single-process match exactly; the block-local
+    prune never loses a global winner; ranks are dense."""
+    import hashlib as _h
+    import math
+
+    import pandas as pd
+
+    from ocr_ray.ops.documents import WEIGHTED_SAMPLE_K, weighted_sample
+
+    got = _df(weighted_sample(SF))
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    keys = {}
+    for doc_id, w in zip(docs["doc_id"], docs["n_chars"]):
+        u = int(_h.md5(str(doc_id).encode()).hexdigest()[:16], 16)
+        keys[int(doc_id)] = math.log(u / 2**64) / max(int(w), 1)
+    want = sorted(keys.items(), key=lambda kv: (-kv[1], kv[0]))[:WEIGHTED_SAMPLE_K]
+    assert list(got["doc_id"]) == [d for d, _ in want]
+    assert list(got["key"]) == [k for _, k in want]
+    assert list(got["rank"]) == list(range(1, len(got) + 1))
+
+
+def test_negative_sampling_table_power(ray_session):
+    """weight_q is exactly round(count^0.75 · 1e6) of the true global
+    count, over the true top-V vocabulary."""
+    import pandas as pd
+
+    from ocr_ray.ops.documents import (
+        NEG_SAMPLE_POWER, NEG_SAMPLE_SCALE, NEG_SAMPLE_VOCAB,
+        negative_sampling_table,
+    )
+
+    got = _df(negative_sampling_table(SF))
+    texts = pd.read_parquet(f"{SF}/documents.parquet")["text"]
+    counts: dict[str, int] = {}
+    for t in texts:
+        for w in t.split():
+            counts[w] = counts.get(w, 0) + 1
+    top = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:NEG_SAMPLE_VOCAB]
+    assert set(got["word"]) == {w for w, _ in top}
+    for _, r in got.iterrows():
+        assert r["n"] == counts[r["word"]]
+        assert r["weight_q"] == round(
+            float(counts[r["word"]]) ** NEG_SAMPLE_POWER * NEG_SAMPLE_SCALE)
+
+
+def test_url_templates_cover_output(ray_session):
+    """Template counts recompute from the extraction output's url column;
+    every url maps to exactly one (host, template) cell."""
+    import re
+
+    from ocr_ray.ops.extraction_queries import (
+        URL_PARSE_RE, extraction_output, url_templates,
+    )
+
+    got = _df(url_templates(SF))
+    urls = _df(extraction_output(SF, columns=["url"]))["url"]
+    parse = re.compile(URL_PARSE_RE)
+    want: dict[tuple, int] = {}
+    for u in urls:
+        m = parse.match(u)
+        cell = (m.group(1), re.sub(r"[0-9]+", "N", m.group(2)))
+        want[cell] = want.get(cell, 0) + 1
+    assert {(r["host"], r["template"]): r["n_urls"]
+            for _, r in got.iterrows()} == want
+    assert int(got["n_urls"].sum()) == len(urls)
+
+
+def test_host_degree_powerlaw_numpy(ray_session):
+    """Slope/intercept equal a numpy replay of the quantized-log OLS over
+    the true degree histogram."""
+    import math
+
+    from ocr_ray.ops.graph import (
+        POWERLAW_QLOG_SCALE, host_degree_powerlaw, host_link_graph,
+    )
+
+    got = _df(host_degree_powerlaw(SF)).iloc[0]
+    edges = _df(host_link_graph(SF))
+    deg = edges.groupby("src_host").size()
+    hist = deg.groupby(deg).size()
+    qx = [round(math.log(int(d)) * POWERLAW_QLOG_SCALE) for d in hist.index]
+    qy = [round(math.log(int(m)) * POWERLAW_QLOG_SCALE) for m in hist]
+    n, sx, sy = len(qx), sum(qx), sum(qy)
+    sxx = sum(x * x for x in qx)
+    sxy = sum(x * y for x, y in zip(qx, qy))
+    slope = float(n * sxy - sx * sy) / float(n * sxx - sx * sx)
+    assert got["n_points"] == n
+    assert got["slope"] == slope
+    assert got["intercept"] == (float(sy) - slope * float(sx)) / float(n)
+    assert got["slope"] < 0  # heavier hosts are rarer
