@@ -43,6 +43,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # end of their group.
     return {
         # ---- round-4 additions (newest first)
+        "event_gap_stats": r_ops.event_gap_stats,
+        "proximity_search": d_ops.proximity_search,
+        "crawl_priorities": g_ops.crawl_priorities,
         "url_templates": x_ops.url_templates,
         "host_degree_powerlaw": g_ops.host_degree_powerlaw,
         "weighted_sample": d_ops.weighted_sample,
@@ -688,6 +691,40 @@ def _base_oracle_sql() -> dict[str, str]:
         # Q10: same exact 1e-4-unit integer revenue contract as Q5/Q3;
         # ORDER BY the exact integer (not the derived double) then custkey,
         # mirroring the engine's sort keys
+        # LAG window over (user, type); exact integer-microsecond sums,
+        # one double-division chain for the mean
+        "event_gap_stats": """
+            WITH g AS (
+                SELECT event_type,
+                       epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                           PARTITION BY user_id, event_type
+                           ORDER BY ts, event_id) AS gap_us
+                FROM events
+            )
+            SELECT event_type,
+                   CAST(COUNT(gap_us) AS BIGINT) AS n_gaps,
+                   CAST(SUM(gap_us) AS DOUBLE) / CAST(COUNT(gap_us) AS DOUBLE)
+                       / 1000000.0 AS mean_gap_s,
+                   CAST(MAX(gap_us) AS DOUBLE) / 1000000.0 AS max_gap_s
+            FROM g WHERE gap_us IS NOT NULL
+            GROUP BY 1 ORDER BY 1
+        """,
+        # positional self-join with a bounded position delta
+        "proximity_search": f"""
+            WITH toks AS (
+                SELECT doc_id, generate_subscripts(l, 1) AS pos,
+                       unnest(l) AS tok
+                FROM (SELECT doc_id, regexp_extract_all(text, '\S+') AS l
+                      FROM documents)
+            )
+            SELECT a.doc_id, CAST(COUNT(*) AS BIGINT) AS n_pairs
+            FROM toks a JOIN toks b
+              ON a.doc_id = b.doc_id
+             AND b.pos - a.pos BETWEEN 1 AND {d_ops.PROX_WINDOW}
+            WHERE a.tok = '{d_ops.PROX_TERM_A}'
+              AND b.tok = '{d_ops.PROX_TERM_B}'
+            GROUP BY 1 ORDER BY 1
+        """,
         # A-ES weighted sampling: identical IEEE ln/division chain (the
         # md5→u64→double derivation is the stratified_sample idiom)
         "weighted_sample": f"""

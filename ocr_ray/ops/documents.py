@@ -3057,3 +3057,55 @@ def negative_sampling_table(sf_dir: str):
         return from_pandas_clean(df.reset_index(drop=True))
 
     return counts.repartition(1).map_batches(fin, batch_format="pyarrow")
+
+
+PROX_TERM_A = "hash"
+PROX_TERM_B = "join"
+PROX_WINDOW = 6
+
+
+def proximity_search(sf_dir: str):
+    """Positional proximity search: docs where PROX_TERM_B follows
+    PROX_TERM_A within PROX_WINDOW whitespace-token positions — the
+    positional-index query phrase_search cannot answer (phrases are
+    adjacency; proximity is a bounded position delta).
+
+    Scale shape: shuffle-free per-batch scan; positions come from ONE
+    split per doc and the pair count is a two-pointer walk over the two
+    (sorted) position lists, never a positions×positions product.
+
+    Output: (doc_id, n_pairs) for matching docs, by doc_id."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def scan(batch: pa.Table) -> pa.Table:
+        ids: list[int] = []
+        counts: list[int] = []
+        for doc_id, text in zip(batch.column("doc_id").to_pylist(),
+                                batch.column("text").to_pylist()):
+            pa_pos: list[int] = []
+            pb_pos: list[int] = []
+            for i, t in enumerate(text.split()):
+                if t == PROX_TERM_A:
+                    pa_pos.append(i)
+                elif t == PROX_TERM_B:
+                    pb_pos.append(i)
+            if not pa_pos or not pb_pos:
+                continue
+            # two-pointer count of pairs with 1 <= b - a <= W
+            n = 0
+            j0 = 0
+            for a in pa_pos:
+                while j0 < len(pb_pos) and pb_pos[j0] <= a:
+                    j0 += 1
+                j = j0
+                while j < len(pb_pos) and pb_pos[j] - a <= PROX_WINDOW:
+                    n += 1
+                    j += 1
+            if n:
+                ids.append(doc_id)
+                counts.append(n)
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "n_pairs": pa.array(counts, pa.int64())})
+
+    return ds.map_batches(
+        scan, batch_format="pyarrow", zero_copy_batch=True).sort("doc_id")

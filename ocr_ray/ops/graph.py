@@ -786,3 +786,66 @@ def host_degree_powerlaw(sf_dir: str) -> ray.data.Dataset:
         specs=[("n_hosts", "count", None)],
         finalize=fin,
     )
+
+
+def crawl_priorities(sf_dir: str) -> ray.data.Dataset:
+    """Recrawl scheduling priorities: PageRank × staleness — the composed
+    signal a crawl frontier actually ranks by (important AND stale first).
+    priority = rank · (staleness_days + 1), staleness measured against the
+    corpus's most recent crawl timestamp.
+
+    Scale shape: both inputs are already host-level aggregates (bounded by
+    |hosts|, not docs); the global max-timestamp scalar broadcasts, and the
+    rank⋈freshness match is a co-partitioned ``Dataset.join`` on the host
+    key (NOT a driver-side collect — 10^8 hosts at crawl scale). The link
+    graph names hosts by their short label, so freshness hosts fold to
+    split('.')[0] before the join.
+
+    Output: (host, rank, staleness_days, priority) by priority desc, host."""
+    from ray.data.aggregate import Max
+
+    from .common import from_pandas_clean
+    from .extraction_queries import host_freshness
+
+    pr = pagerank_hosts(sf_dir)
+    fresh = host_freshness(sf_dir)
+
+    def shorten(batch: pa.Table) -> pa.Table:
+        # variant crawls carry mixed-case hosts (corpus v3): the SAME site
+        # must fold to ONE short label, so lowercase before the split and
+        # re-aggregate (freshness rows are per raw authority)
+        hosts = [h.lower().split(".")[0]
+                 for h in batch.column("host").to_pylist()]
+        return pa.table({"fhost": pa.array(hosts, pa.string()),
+                         "last_seen": batch.column("last_seen")})
+
+    # host-level frame (bounded by |hosts|): materialize ONCE so the max
+    # scalar and the join don't each re-run the freshness chain
+    fresh_short = grouped_agg(
+        fresh.map_batches(shorten, batch_format="pyarrow", zero_copy_batch=True),
+        keys=["fhost"],
+        specs=[("last_seen", "max", "last_seen")],
+    ).materialize()
+    max_last = fresh_short.aggregate(Max(on="last_seen", alias_name="m"))["m"]
+
+    joined = pr.join(
+        fresh_short, "inner",
+        num_partitions=choose_join_parts(sf_dir),
+        on=("host",), right_on=("fhost",),
+    )
+
+    def score(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        us = (pd.Timestamp(max_last) - df["last_seen"]).astype(
+            "timedelta64[us]").astype("int64")
+        stale = (us // 86_400_000_000).astype("int64")
+        df["staleness_days"] = stale
+        df["priority"] = [
+            r * float(s + 1) for r, s in zip(df["rank"], stale)
+        ]
+        return from_pandas_clean(
+            df[["host", "rank", "staleness_days", "priority"]])
+
+    return joined.map_batches(
+        score, batch_format="pyarrow", zero_copy_batch=True
+    ).sort(["priority", "host"], descending=[True, False])

@@ -1218,6 +1218,33 @@ def extra_oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
     """
     )
 
+    # -------------------------------------- composed: crawl_priorities
+    # PageRank chain reused verbatim; freshness folds hosts to the link
+    # graph's short labels; priority = rank6 · (staleness_days + 1)
+    sql["crawl_priorities"] = (
+        "WITH " + ",\n".join(pr_ctes)
+        + f""",
+        fresh AS (
+            SELECT split_part(lower(regexp_extract(url, '{_URL_RE}', 1)),
+                              '.', 1) AS host,
+                   MAX(warc_ts) AS last_seen
+            FROM read_parquet('{summary}') GROUP BY 1
+        ),
+        mx AS (SELECT MAX(last_seen) AS m FROM fresh),
+        j AS (
+            SELECT f.host, round_even(r.rank, 6) AS rank,
+                   CAST((epoch_us((SELECT m FROM mx))
+                         - epoch_us(f.last_seen)) // 86400000000 AS BIGINT)
+                       AS staleness_days
+            FROM fresh f JOIN r{PAGERANK_ITERS} r ON r.host = f.host
+        )
+        SELECT host, rank, staleness_days,
+               rank * CAST(staleness_days + 1 AS DOUBLE) AS priority
+        FROM j ORDER BY priority DESC, host
+    """
+    )
+
+
     # --------------------------------------------- direct: dup_clusters
     sql["dup_clusters"] = f"""
         WITH RECURSIVE {_sketch_ctes()},

@@ -2305,3 +2305,71 @@ def idle_rich_customers(sf_dir: str):
                ("total_acctbal", "sum", "c_acctbal")],
         finalize=fin,
     )
+
+
+GAP_PARTS = 64
+
+
+def event_gap_stats(sf_dir: str):
+    """Inter-event gap statistics per event type: mean/max seconds between
+    consecutive events of the SAME (user, type) — the inter-arrival
+    distribution behind retention and anomaly models.
+
+    Scale shape: the user_sessions salted-partition rule (all of a user's
+    events co-locate via user_id % GAP_PARTS, Python calls bounded by
+    GAP_PARTS not user count); inside a part ONE vectorized sort + diff
+    computes exact integer-microsecond gaps, and only per-type (Σgap_us,
+    n, max) partials cross the final tiny exchange. The mean is one
+    double-division chain over exact ints, identical to the SQL twin.
+
+    Output: (event_type, n_gaps, mean_gap_s, max_gap_s) by type."""
+    ds = read_table(sf_dir, "events", columns=["user_id", "event_type", "ts", "event_id"])
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        uid = batch.column("user_id").combine_chunks().to_numpy(zero_copy_only=False)
+        return batch.append_column("upart", pa.array(uid % GAP_PARTS, pa.int64()))
+
+    ds = ds.map_batches(add_part, batch_format="pyarrow", zero_copy_batch=True)
+
+    def gaps_part(group: pa.Table) -> pa.Table:
+        df = group.to_pandas().sort_values(
+            ["user_id", "event_type", "ts", "event_id"], kind="mergesort")
+        if not len(df):
+            return pa.Table.from_pylist([], schema=pa.schema(
+                [pa.field("event_type", pa.string()),
+                 pa.field("sum_us", pa.int64()), pa.field("n_gaps", pa.int64()),
+                 pa.field("max_us", pa.int64())]))
+        us = df["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        uid = df["user_id"].to_numpy()
+        typ = df["event_type"].to_numpy()
+        same = np.empty(len(df), dtype=bool)
+        same[0] = False
+        same[1:] = (uid[1:] == uid[:-1]) & (typ[1:] == typ[:-1])
+        gap = np.empty(len(df), dtype="int64")
+        gap[0] = 0
+        gap[1:] = us[1:] - us[:-1]
+        out = pd.DataFrame({"event_type": typ[same], "gap_us": gap[same]})
+        agg = out.groupby("event_type", as_index=False).agg(
+            sum_us=("gap_us", "sum"), n_gaps=("gap_us", "size"),
+            max_us=("gap_us", "max"))
+        agg["n_gaps"] = agg["n_gaps"].astype("int64")
+        return from_pandas_clean(agg)
+
+    parts = ds.groupby("upart").map_groups(gaps_part, batch_format="pyarrow")
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        df["mean_gap_s"] = [
+            float(s) / float(n) / 1000000.0
+            for s, n in zip(df["sum_us"], df["n_gaps"])
+        ]
+        df["max_gap_s"] = df["max_us"].astype("float64") / 1000000.0
+        return df.sort_values("event_type").reset_index(drop=True)[
+            ["event_type", "n_gaps", "mean_gap_s", "max_gap_s"]]
+
+    return grouped_agg(
+        parts,
+        keys=["event_type"],
+        specs=[("sum_us", "sum", "sum_us"), ("n_gaps", "sum", "n_gaps"),
+               ("max_us", "max", "max_us")],
+        finalize=fin,
+    )

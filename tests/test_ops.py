@@ -2697,3 +2697,73 @@ def test_host_degree_powerlaw_numpy(ray_session):
     assert got["slope"] == slope
     assert got["intercept"] == (float(sy) - slope * float(sx)) / float(n)
     assert got["slope"] < 0  # heavier hosts are rarer
+
+
+def test_event_gap_stats_pandas_replay(ray_session):
+    """Gap stats equal a pandas groupby-diff replay over raw events."""
+    import pandas as pd
+
+    from ocr_ray.ops.relational import event_gap_stats
+
+    got = _df(event_gap_stats(SF))
+    ev = pd.read_parquet(f"{SF}/events.parquet").sort_values(
+        ["user_id", "event_type", "ts", "event_id"])
+    us = ev["ts"].astype("datetime64[us]").astype("int64")
+    gap = us.groupby(
+        [ev["user_id"], ev["event_type"]]).diff().dropna().astype("int64")
+    per = gap.groupby(ev["event_type"]).agg(["sum", "size", "max"])
+    assert list(got["event_type"]) == sorted(per.index)
+    for _, r in got.iterrows():
+        s, n, mx = per.loc[r["event_type"]]
+        assert r["n_gaps"] == n
+        assert r["mean_gap_s"] == float(s) / float(n) / 1000000.0
+        assert r["max_gap_s"] == float(mx) / 1000000.0
+
+
+def test_proximity_search_window(ray_session):
+    """Pair counts equal a brute-force position scan; every emitted doc has
+    at least one in-window pair."""
+    import pandas as pd
+
+    from ocr_ray.ops.documents import (
+        PROX_TERM_A, PROX_TERM_B, PROX_WINDOW, proximity_search,
+    )
+
+    got = _df(proximity_search(SF))
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    want = {}
+    for doc_id, text in zip(docs["doc_id"], docs["text"]):
+        toks = text.split()
+        n = sum(
+            1
+            for i, a in enumerate(toks) if a == PROX_TERM_A
+            for j in range(i + 1, min(i + PROX_WINDOW + 1, len(toks)))
+            if toks[j] == PROX_TERM_B
+        )
+        if n:
+            want[int(doc_id)] = n
+    assert dict(zip(got["doc_id"], got["n_pairs"])) == want
+    assert len(want) > 0
+
+
+def test_crawl_priorities_composition(ray_session):
+    """priority == rank · (staleness + 1) recomputed from the two source
+    queries; ordering is priority desc with host tiebreak."""
+    import pandas as pd
+
+    from ocr_ray.ops.extraction_queries import host_freshness
+    from ocr_ray.ops.graph import crawl_priorities, pagerank_hosts
+
+    got = _df(crawl_priorities(SF))
+    pr = _df(pagerank_hosts(SF)).set_index("host")["rank"]
+    fresh = _df(host_freshness(SF))
+    fresh["short"] = fresh["host"].str.lower().str.split(".").str[0]
+    last = fresh.groupby("short")["last_seen"].max()
+    mx = last.max()
+    for _, r in got.iterrows():
+        stale = int((mx - last[r["host"]]) // pd.Timedelta(days=1))
+        assert r["staleness_days"] == stale
+        assert r["rank"] == pr[r["host"]]
+        assert r["priority"] == pr[r["host"]] * float(stale + 1)
+    keys = list(zip(-got["priority"], got["host"]))
+    assert keys == sorted(keys)
