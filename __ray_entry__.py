@@ -43,6 +43,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # end of their group.
     return {
         # ---- round-4 additions (newest first)
+        "rank_fusion": d_ops.rank_fusion,
+        "session_lengths": r_ops.session_lengths,
+        "centroid_distances": e_ops.centroid_distances,
         "event_gap_stats": r_ops.event_gap_stats,
         "proximity_search": d_ops.proximity_search,
         "crawl_priorities": g_ops.crawl_priorities,
@@ -2064,6 +2067,66 @@ def _base_oracle_sql() -> dict[str, str]:
             GROUP BY c.label, c.n ORDER BY c.label
         """,
     }
+    # RRF composes the two ranker SQL twins; RANK() tie semantics match the
+    # engine's histogram-broadcast ranks over the same rounded scores
+    sql["rank_fusion"] = f"""
+        WITH b AS ({sql["bm25_scores"]}),
+        l AS ({sql["unigram_logprob"]}),
+        r AS (
+            SELECT b.doc_id,
+                   rank() OVER (ORDER BY b.bm25 DESC) AS rank_bm25,
+                   rank() OVER (ORDER BY l.avg_neg_logprob ASC) AS rank_lm
+            FROM b JOIN l ON b.doc_id = l.doc_id
+        )
+        SELECT doc_id, CAST(rank_bm25 AS BIGINT) AS rank_bm25,
+               CAST(rank_lm AS BIGINT) AS rank_lm,
+               1.0 / ({d_ops.RRF_K} + rank_bm25)
+               + 1.0 / ({d_ops.RRF_K} + rank_lm) AS rrf
+        FROM r ORDER BY rrf DESC, doc_id LIMIT {d_ops.RRF_TOP_K}
+    """
+
+    _gap_us = r_ops.SESSION_GAP_MIN * 60 * 1_000_000
+    sql["session_lengths"] = f"""
+        WITH o AS (
+            SELECT user_id, ts, event_id,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                        OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > {_gap_us}
+                        THEN 1 ELSE 0 END AS brk
+            FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        s AS (
+            SELECT user_id, SUM(brk) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id
+                ROWS UNBOUNDED PRECEDING) AS sid
+            FROM o
+        ),
+        z AS (SELECT CAST(COUNT(*) AS BIGINT) AS session_len
+              FROM s GROUP BY user_id, sid)
+        SELECT session_len, CAST(COUNT(*) AS BIGINT) AS n_sessions
+        FROM z GROUP BY 1 ORDER BY 1
+    """
+
+    sql["centroid_distances"] = """
+        WITH ex AS (
+            SELECT label, generate_subscripts(embedding, 1) AS dim,
+                   unnest(embedding) AS val
+            FROM embeddings
+        ),
+        dims AS (
+            SELECT label, dim, SUM(CAST(val AS DOUBLE)) AS s
+            FROM ex GROUP BY 1, 2
+        ),
+        cnt AS (SELECT label, COUNT(*) AS n FROM embeddings GROUP BY 1),
+        c AS (
+            SELECT d.label, d.dim, d.s / c2.n AS v
+            FROM dims d JOIN cnt c2 USING (label)
+        )
+        SELECT a.label AS label_a, b.label AS label_b,
+               round(sqrt(SUM((a.v - b.v) * (a.v - b.v))), 4) AS dist
+        FROM c a JOIN c b ON a.dim = b.dim AND a.label < b.label
+        GROUP BY 1, 2 ORDER BY 1, 2
+    """
+
     # CCNet head/middle/tail buckets compose on the unigram-score SQL above;
     # cutoff rule mirrors the engine exactly: c_q = smallest rounded score
     # whose per-lang cumulative count >= ceil(q * n_lang)

@@ -3109,3 +3109,80 @@ def proximity_search(sf_dir: str):
 
     return ds.map_batches(
         scan, batch_format="pyarrow", zero_copy_batch=True).sort("doc_id")
+
+
+RRF_K = 60
+RRF_TOP_K = 50
+
+
+def rank_fusion(sf_dir: str):
+    """Reciprocal-rank fusion (Cormack et al. 2009) of two retrieval
+    signals: BM25 (desc) and the unigram-LM fluency score (asc). Each doc's
+    fused score is 1/(K+r_bm25) + 1/(K+r_lm) with RANK() tie semantics.
+
+    Scale shape: ranks come from the histogram-broadcast trick
+    (length_percent_rank) — NO global sort: both scores are already
+    rounded to 1e-4 so they quantize to exact ints; one tiny histogram per
+    signal broadcasts its cumulative form and the per-doc rank is a
+    shuffle-free lookup. The two per-doc frames meet in a co-partitioned
+    ``Dataset.join`` on doc_id, and the final top-k is block-prunable
+    (each block keeps its local k best before the merge).
+
+    Output: (doc_id, rank_bm25, rank_lm, rrf) top-RRF_TOP_K by rrf desc."""
+    b = bm25_scores(sf_dir).select_columns(["doc_id", "bm25"])
+    lm = unigram_logprob(sf_dir).select_columns(["doc_id", "avg_neg_logprob"])
+
+    def quant(col: str):
+        def f(batch: pa.Table) -> pa.Table:
+            q = [int(round(v * 10000)) for v in batch.column(col).to_pylist()]
+            return pa.table({"doc_id": batch.column("doc_id"),
+                             "q": pa.array(q, pa.int64())})
+        return f
+
+    bq = b.map_batches(quant("bm25"), batch_format="pyarrow", zero_copy_batch=True)
+    lq = lm.map_batches(quant("avg_neg_logprob"), batch_format="pyarrow",
+                        zero_copy_batch=True)
+
+    def rank_map(ds, descending: bool) -> dict[int, int]:
+        hist = grouped_agg(ds, keys=["q"], specs=[("cnt", "count", None)])
+        h = pd.DataFrame(hist.take_all()).sort_values(
+            "q", ascending=not descending).reset_index(drop=True)
+        better = h["cnt"].cumsum().shift(1, fill_value=0).astype("int64")
+        return dict(zip(h["q"].astype(int), better + 1))
+
+    r1_ref = ray.put(rank_map(bq, descending=True))
+    r2_ref = ray.put(rank_map(lq, descending=False))
+
+    from .common import choose_join_parts
+
+    joined = bq.join(
+        lq, "inner",
+        num_partitions=choose_join_parts(sf_dir, "documents"),
+        on=("doc_id",), right_on=("doc_id",),
+        left_suffix="_b", right_suffix="_l",
+    )
+
+    def score(batch: pa.Table) -> pa.Table:
+        m1, m2 = ray.get(r1_ref), ray.get(r2_ref)
+        df = batch.to_pandas()
+        qb = df["q_b"] if "q_b" in df else df["q"]
+        ql = df["q_l"]
+        r1 = [m1[int(v)] for v in qb]
+        r2 = [m2[int(v)] for v in ql]
+        out = pd.DataFrame({
+            "doc_id": df["doc_id"].astype("int64"),
+            "rank_bm25": pd.Series(r1, dtype="int64"),
+            "rank_lm": pd.Series(r2, dtype="int64"),
+            "rrf": [1.0 / (RRF_K + a) + 1.0 / (RRF_K + b2)
+                    for a, b2 in zip(r1, r2)],
+        }).sort_values(["rrf", "doc_id"], ascending=[False, True]).head(RRF_TOP_K)
+        return from_pandas_clean(out.reset_index(drop=True))
+
+    pruned = joined.map_batches(score, batch_format="pyarrow")
+
+    def merge(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas().sort_values(
+            ["rrf", "doc_id"], ascending=[False, True]).head(RRF_TOP_K)
+        return from_pandas_clean(df.reset_index(drop=True))
+
+    return pruned.repartition(1).map_batches(merge, batch_format="pyarrow")

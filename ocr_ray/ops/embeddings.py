@@ -673,3 +673,71 @@ def knn_classify(sf_dir: str):
         )
 
     return ds.map_batches(classify, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def centroid_distances(sf_dir: str):
+    """Pairwise Euclidean distances between label centroids — the
+    inter-class separation matrix that accompanies label_centroids in any
+    embedding-quality report.
+
+    Scale shape: centroids come from the same vectorized partial-sum
+    exchange as label_centroids; only the |labels| centroid rows (a
+    dimension-bounded frame) leave the cluster, and the |labels|² pairs are
+    computed once in a single task. Distances round to 4 like
+    centroid_norm (absorbing distributed float-sum order).
+
+    Output: (label_a, label_b, dist) for a < b, ordered."""
+    ds = read_table(sf_dir, "embeddings", columns=["label", "embedding"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        m = _matrix(batch)
+        labels = np.asarray(batch.column("label").to_pylist())
+        out = []
+        for lab in np.unique(labels):
+            sel = m[labels == lab]
+            out.append(
+                {"label": int(lab), "vec_sum": sel.sum(axis=0).tolist(),
+                 "n": int(sel.shape[0])}
+            )
+        return pa.Table.from_pylist(
+            out,
+            schema=pa.schema(
+                [pa.field("label", pa.int32()),
+                 pa.field("vec_sum", pa.list_(pa.float64())),
+                 pa.field("n", pa.int64())]
+            ),
+        )
+
+    def combine(group: pa.Table) -> pa.Table:
+        sums = np.array(group.column("vec_sum").to_pylist())
+        n = sum(group.column("n").to_pylist())
+        centroid = sums.sum(axis=0) / n
+        return pa.Table.from_pylist(
+            [{"label": group.column("label")[0].as_py(),
+              "centroid": centroid.tolist()}],
+            schema=pa.schema(
+                [pa.field("label", pa.int32()),
+                 pa.field("centroid", pa.list_(pa.float64()))]
+            ),
+        )
+
+    cents = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("label").map_groups(combine, batch_format="pyarrow")
+        .take_all()
+    )
+    cents.sort(key=lambda r: r["label"])
+    rows = []
+    for i in range(len(cents)):
+        for j in range(i + 1, len(cents)):
+            a = np.asarray(cents[i]["centroid"])
+            b = np.asarray(cents[j]["centroid"])
+            d = float(np.sqrt(np.sum((a - b) * (a - b))))
+            rows.append({"label_a": int(cents[i]["label"]),
+                         "label_b": int(cents[j]["label"]),
+                         "dist": round(d, 4)})
+    return pa.table(
+        {"label_a": pa.array([r["label_a"] for r in rows], pa.int32()),
+         "label_b": pa.array([r["label_b"] for r in rows], pa.int32()),
+         "dist": pa.array([r["dist"] for r in rows], pa.float64())}
+    )

@@ -2373,3 +2373,57 @@ def event_gap_stats(sf_dir: str):
                ("max_us", "max", "max_us")],
         finalize=fin,
     )
+
+
+def session_lengths(sf_dir: str):
+    """Session-size distribution (events per 30-min-gap session) — the
+    bounce-rate histogram (session_len = 1) every clickstream report leads
+    with; the companion rollup to user_sessions' per-user counts.
+
+    Scale shape: the user_sessions salted-partition rule (user_id %
+    GAP_PARTS co-locates a user's events, Python calls bounded by parts);
+    inside a part ONE vectorized sort + diff finds break positions and the
+    per-session sizes are np.diff over the break indices — then only the
+    tiny (session_len, n) histogram partials cross the final exchange.
+    Gaps compare exact integer microseconds (> 30·60·10^6), matching the
+    SQL window twin boundary-for-boundary.
+
+    Output: (session_len, n_sessions) by session_len."""
+    ds = read_table(sf_dir, "events", columns=["user_id", "ts", "event_id"])
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        uid = batch.column("user_id").combine_chunks().to_numpy(zero_copy_only=False)
+        return batch.append_column("upart", pa.array(uid % GAP_PARTS, pa.int64()))
+
+    ds = ds.map_batches(add_part, batch_format="pyarrow", zero_copy_batch=True)
+    gap_us = SESSION_GAP_MIN * 60 * 1_000_000
+
+    def sizes_part(group: pa.Table) -> pa.Table:
+        df = group.to_pandas().sort_values(
+            ["user_id", "ts", "event_id"], kind="mergesort")
+        if not len(df):
+            return pa.Table.from_pylist([], schema=pa.schema(
+                [pa.field("session_len", pa.int64()),
+                 pa.field("n_sessions", pa.int64())]))
+        us = df["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        uid = df["user_id"].to_numpy()
+        brk = np.empty(len(df), dtype=bool)
+        brk[0] = True
+        brk[1:] = (uid[1:] != uid[:-1]) | (us[1:] - us[:-1] > gap_us)
+        starts = np.flatnonzero(brk)
+        sizes = np.diff(np.append(starts, len(df)))
+        vals, counts = np.unique(sizes, return_counts=True)
+        return pa.table({"session_len": pa.array(vals, pa.int64()),
+                         "n_sessions": pa.array(counts, pa.int64())})
+
+    parts = ds.groupby("upart").map_groups(sizes_part, batch_format="pyarrow")
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values("session_len").reset_index(drop=True)
+
+    return grouped_agg(
+        parts,
+        keys=["session_len"],
+        specs=[("n_sessions", "sum", "n_sessions")],
+        finalize=fin,
+    )

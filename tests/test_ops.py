@@ -2767,3 +2767,66 @@ def test_crawl_priorities_composition(ray_session):
         assert r["priority"] == pr[r["host"]] * float(stale + 1)
     keys = list(zip(-got["priority"], got["host"]))
     assert keys == sorted(keys)
+
+
+def test_rank_fusion_reciprocal_ranks(ray_session):
+    """Fused scores recompute from the two rankers with RANK() tie
+    semantics; output is the global top-K."""
+    import pandas as pd
+
+    from ocr_ray.ops.documents import (
+        RRF_K, RRF_TOP_K, bm25_scores, rank_fusion, unigram_logprob,
+    )
+
+    got = _df(rank_fusion(SF))
+    b = _df(bm25_scores(SF)).set_index("doc_id")["bm25"]
+    lm = _df(unigram_logprob(SF)).set_index("doc_id")["avg_neg_logprob"]
+    r1 = b.rank(method="min", ascending=False).astype(int)
+    r2 = lm.rank(method="min", ascending=True).astype(int)
+    rrf = pd.DataFrame({
+        "r1": r1, "r2": r2,
+        "rrf": [1.0 / (RRF_K + a) + 1.0 / (RRF_K + c)
+                for a, c in zip(r1, r2)],
+    }).reset_index().sort_values(["rrf", "doc_id"], ascending=[False, True])
+    want = rrf.head(RRF_TOP_K)
+    assert list(got["doc_id"]) == list(want["doc_id"])
+    assert list(got["rank_bm25"]) == list(want["r1"])
+    assert list(got["rank_lm"]) == list(want["r2"])
+    assert list(got["rrf"]) == list(want["rrf"])
+
+
+def test_session_lengths_totals(ray_session):
+    """The histogram's session and event totals agree with user_sessions;
+    every session length is positive."""
+    from ocr_ray.ops.relational import session_lengths, user_sessions
+
+    got = _df(session_lengths(SF))
+    per_user = _df(user_sessions(SF))
+    assert (got["session_len"] > 0).all()
+    assert (got["session_len"] * got["n_sessions"]).sum() == per_user["n_events"].sum()
+    assert got["n_sessions"].sum() == per_user["n_sessions"].sum()
+
+
+def test_centroid_distances_matrix(ray_session):
+    """Distances recompute from raw embeddings; symmetry-free a<b
+    triangle covers every label pair."""
+    import itertools
+
+    import numpy as np
+    import pandas as pd
+
+    from ocr_ray.ops.embeddings import centroid_distances
+
+    got = centroid_distances(SF).to_pandas()
+    emb = pd.read_parquet(f"{SF}/embeddings.parquet")
+    cents = {
+        int(lab): np.mean(np.stack(g["embedding"].to_numpy()), axis=0,
+                          dtype="float64")
+        for lab, g in emb.groupby("label")
+    }
+    labs = sorted(cents)
+    assert list(zip(got["label_a"], got["label_b"])) == list(
+        itertools.combinations(labs, 2))
+    for _, r in got.iterrows():
+        d = float(np.linalg.norm(cents[r["label_a"]] - cents[r["label_b"]]))
+        assert abs(r["dist"] - d) < 2e-4
