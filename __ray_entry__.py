@@ -43,6 +43,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # end of their group.
     return {
         # ---- round-4 additions (newest first)
+        "customer_rfm": r_ops.customer_rfm,
+        "host_dup_ratio": x_ops.host_dup_ratio,
+        "host_lang_entropy": x_ops.host_lang_entropy,
+        "kmeans_quality": e_ops.kmeans_quality,
         "rank_fusion": d_ops.rank_fusion,
         "session_lengths": r_ops.session_lengths,
         "centroid_distances": e_ops.centroid_distances,
@@ -364,6 +368,23 @@ def _kmeans_oracle_sql() -> str:
         SELECT vec_id, CAST(cid AS BIGINT) AS cluster
         FROM af WHERE rn = 1 ORDER BY vec_id""")
     return "".join(parts)
+
+
+def _kmeans_quality_sql() -> str:
+    """kmeans_quality's twin: the same unrolled training chain, but the
+    tail sums per-vector squared distances to the FINAL assigned centroid
+    (round_even 4 absorbs distributed float-sum order, as in the engine)."""
+    base = _kmeans_oracle_sql()
+    head, _, _ = base.rpartition("SELECT vec_id, CAST(cid AS BIGINT) AS cluster")
+    k = e_ops.KMEANS_ITERS
+    dist = "list_sum(list_transform(list_zip(e, ce), p -> (p[1]-p[2])*(p[1]-p[2])))"
+    return head + f"""SELECT CAST(b.cid AS BIGINT) AS cluster,
+               CAST(COUNT(*) AS BIGINT) AS n_vectors,
+               round_even(SUM({dist}), 4) AS inertia
+        FROM (SELECT vec_id, cid FROM af WHERE rn = 1) b
+        JOIN v USING (vec_id)
+        JOIN c{k} c ON c.cid = b.cid
+        GROUP BY b.cid ORDER BY cluster"""
 
 
 def _base_oracle_sql() -> dict[str, str]:
@@ -2067,6 +2088,42 @@ def _base_oracle_sql() -> dict[str, str]:
             GROUP BY c.label, c.n ORDER BY c.label
         """,
     }
+    # RFM quartiles: histogram-broadcast RANK(), integer quartile math
+    sql["customer_rfm"] = f"""
+        WITH pc AS (
+            SELECT o_custkey AS c_custkey, MAX(o_orderdate) AS last_dt,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders,
+                   CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+                        AS BIGINT) AS cents
+            FROM orders GROUP BY 1
+        ),
+        mx AS (SELECT MAX(last_dt) AS m FROM pc),
+        f AS (
+            SELECT c_custkey,
+                   CAST((epoch_us((SELECT m FROM mx)) - epoch_us(last_dt))
+                        // 86400000000 AS BIGINT) AS recency_days,
+                   n_orders, cents
+            FROM pc
+        ),
+        r AS (
+            SELECT *,
+                   rank() OVER (ORDER BY recency_days ASC) AS rr,
+                   rank() OVER (ORDER BY n_orders DESC) AS rf,
+                   rank() OVER (ORDER BY cents DESC) AS rm,
+                   (SELECT COUNT(*) FROM pc) AS n
+            FROM f
+        )
+        SELECT c_custkey, recency_days, n_orders,
+               CAST(cents AS DOUBLE) / 100.0 AS monetary,
+               CAST((rr - 1) * {r_ops.RFM_QUANTILES} // n + 1 AS BIGINT) AS r_q,
+               CAST((rf - 1) * {r_ops.RFM_QUANTILES} // n + 1 AS BIGINT) AS f_q,
+               CAST((rm - 1) * {r_ops.RFM_QUANTILES} // n + 1 AS BIGINT) AS m_q
+        FROM r ORDER BY c_custkey
+    """
+
+    # same unrolled training chain as kmeans_clusters, distance-sum tail
+    sql["kmeans_quality"] = _kmeans_quality_sql()
+
     # RRF composes the two ranker SQL twins; RANK() tie semantics match the
     # engine's histogram-broadcast ranks over the same rounded scores
     sql["rank_fusion"] = f"""

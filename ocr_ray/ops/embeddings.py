@@ -555,17 +555,34 @@ def kmeans_clusters(sf_dir: str, k: int = KMEANS_K, iters: int = KMEANS_ITERS):
     no shuffle at all; the model (k×d doubles) broadcasts via ray.put.
     Output: (vec_id, cluster)."""
     ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    centroids = _kmeans_train(ds, k, iters)
+    cref = ray.put(centroids)
 
+    def final(batch: pa.Table) -> pa.Table:
+        cents = ray.get(cref)
+        lab = _assign(_matrix(batch), cents)
+        return pa.table(
+            {"vec_id": batch.column("vec_id"),
+             "cluster": pa.array(lab.astype(np.int64), pa.int64())}
+        )
+
+    return ds.map_batches(final, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _assign(m: np.ndarray, cents: np.ndarray) -> np.ndarray:
+    # (n, k) squared distances; argmin breaks ties on lowest cluster id
+    d = ((m[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+    return d.argmin(axis=1)
+
+
+def _kmeans_train(ds, k: int, iters: int) -> np.ndarray:
+    """The Lloyd training loop shared by kmeans_clusters and
+    kmeans_quality (same determinism contract; see kmeans_clusters)."""
     init = (
         ds.sort("vec_id").limit(k).take_all()
     )
     centroids = np.array([list(r["embedding"]) for r in init], dtype=np.float64)
     centroids = np.round(centroids, KMEANS_ROUND)
-
-    def _assign(m: np.ndarray, cents: np.ndarray) -> np.ndarray:
-        # (n, k) squared distances; argmin breaks ties on lowest cluster id
-        d = ((m[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
-        return d.argmin(axis=1)
 
     for _ in range(iters):
         cref = ray.put(centroids)
@@ -599,17 +616,7 @@ def kmeans_clusters(sf_dir: str, k: int = KMEANS_K, iters: int = KMEANS_ITERS):
                 nxt[c] = np.round(s / n, KMEANS_ROUND)
         centroids = nxt
 
-    cref = ray.put(centroids)
-
-    def final(batch: pa.Table) -> pa.Table:
-        cents = ray.get(cref)
-        lab = _assign(_matrix(batch), cents)
-        return pa.table(
-            {"vec_id": batch.column("vec_id"),
-             "cluster": pa.array(lab.astype(np.int64), pa.int64())}
-        )
-
-    return ds.map_batches(final, batch_format="pyarrow", zero_copy_batch=True)
+    return centroids
 
 
 KNN_SEED_MOD = 5
@@ -740,4 +747,57 @@ def centroid_distances(sf_dir: str):
         {"label_a": pa.array([r["label_a"] for r in rows], pa.int32()),
          "label_b": pa.array([r["label_b"] for r in rows], pa.int32()),
          "dist": pa.array([r["dist"] for r in rows], pa.float64())}
+    )
+
+
+def kmeans_quality(sf_dir: str, k: int = KMEANS_K, iters: int = KMEANS_ITERS):
+    """Per-cluster quality of the trained k-means model: member count and
+    inertia (Σ squared distance to the assigned centroid) — the
+    elbow-curve statistic that decides k.
+
+    Scale shape: the trained k×d model broadcasts once; ONE shuffle-free
+    pass emits (cluster, n, dist_sum) partials per batch and only k rows
+    per block cross the exchange. Inertia rounds to 4 (absorbing
+    distributed float-sum order, the label_centroids discipline); the SQL
+    twin replays the identical unrolled training (same centroids, same
+    assignments) and sums the same per-vector distances.
+
+    Output: (cluster, n_vectors, inertia) by cluster."""
+    from .common import grouped_agg
+
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    centroids = _kmeans_train(ds, k, iters)
+    cref = ray.put(centroids)
+
+    def partial(batch: pa.Table, _cref=cref) -> pa.Table:
+        cents = ray.get(_cref)
+        m = _matrix(batch)
+        lab = _assign(m, cents)
+        d = ((m - cents[lab]) ** 2).sum(axis=1)
+        rows = []
+        for c in np.unique(lab):
+            sel = d[lab == c]
+            rows.append({"cluster": int(c), "n_vectors": int(len(sel)),
+                         "dist_sum": float(sel.sum())})
+        return pa.Table.from_pylist(
+            rows,
+            schema=pa.schema(
+                [pa.field("cluster", pa.int64()),
+                 pa.field("n_vectors", pa.int64()),
+                 pa.field("dist_sum", pa.float64())]
+            ),
+        )
+
+    import pandas as pd
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        df["inertia"] = df["dist_sum"].round(4)
+        return df.sort_values("cluster").reset_index(drop=True)[
+            ["cluster", "n_vectors", "inertia"]]
+
+    return grouped_agg(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        keys=["cluster"],
+        specs=[("n_vectors", "sum", "n_vectors"), ("dist_sum", "sum", "dist_sum")],
+        finalize=fin,
     )

@@ -1654,3 +1654,124 @@ def url_templates(sf_dir: str) -> ray.data.Dataset:
         specs=[("n_urls", "sum", "n_urls")],
         finalize=fin,
     )
+
+
+def host_dup_ratio(sf_dir: str) -> ray.data.Dataset:
+    """Per-host content duplication ratio: 1 − distinct-texts / records —
+    the crawl-quality rollup that flags template farms (same body under
+    many urls) before they pollute a training mix.
+
+    Scale shape: text bodies never cross the exchange — only 16-byte md5
+    hashes; the first exchange is combiner-collapsed (host, hash) counts,
+    the second is a tiny per-host rollup. The ratio is one IEEE division
+    of exact counts, identical to the SQL twin.
+
+    Output: (host, n_urls, n_distinct, dup_ratio) by host."""
+    import hashlib as _h
+    import re as _re
+
+    import pandas as pd
+
+    from .common import from_pandas_clean, grouped_agg
+
+    parse = _re.compile(URL_PARSE_RE)
+    out = extraction_output(sf_dir, columns=["url", "text"])
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        hosts = [parse.match(u).group(1)
+                 for u in batch.column("url").to_pylist()]
+        hashes = [_h.md5(t.encode()).hexdigest()
+                  for t in batch.column("text").to_pylist()]
+        df = pd.DataFrame({"host": hosts, "h": hashes}).groupby(
+            ["host", "h"], as_index=False).size().rename(columns={"size": "n"})
+        df["n"] = df["n"].astype("int64")
+        return from_pandas_clean(df)
+
+    cells = grouped_agg(
+        out.map_batches(pairs, batch_format="pyarrow", zero_copy_batch=True),
+        keys=["host", "h"],
+        specs=[("n", "sum", "n")],
+    )
+
+    def per_host(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas().groupby("host", as_index=False).agg(
+            n_urls=("n", "sum"), n_distinct=("n", "size"))
+        df["n_urls"] = df["n_urls"].astype("int64")
+        df["n_distinct"] = df["n_distinct"].astype("int64")
+        return from_pandas_clean(df)
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        df["dup_ratio"] = [
+            1.0 - float(d) / float(n)
+            for d, n in zip(df["n_distinct"], df["n_urls"])
+        ]
+        return df.sort_values("host").reset_index(drop=True)
+
+    return grouped_agg(
+        cells.map_batches(per_host, batch_format="pyarrow", zero_copy_batch=True),
+        keys=["host"],
+        specs=[("n_urls", "sum", "n_urls"), ("n_distinct", "sum", "n_distinct")],
+        finalize=fin,
+    )
+
+
+def host_lang_entropy(sf_dir: str) -> ray.data.Dataset:
+    """Per-host language-mix entropy — low entropy means a monolingual
+    site, high entropy a mixed-language aggregator (a routing signal for
+    language-targeted crawls). Uses the token_entropy determinism
+    contract: per-language contributions c·log2(c) quantize to exact
+    integers (round(log2(c)·2^20)) so the only floats are log2(n) and one
+    final division, identical on both sides.
+
+    Output: (host, n_records, entropy) by host."""
+    import math
+    import re as _re
+
+    import pandas as pd
+
+    from ..ops.documents import ENTROPY_QLOG_SCALE
+    from .common import from_pandas_clean, grouped_agg
+
+    parse = _re.compile(URL_PARSE_RE)
+    out = extraction_output(sf_dir, columns=["url", "lang"])
+
+    def cells(batch: pa.Table) -> pa.Table:
+        hosts = [parse.match(u).group(1)
+                 for u in batch.column("url").to_pylist()]
+        df = pd.DataFrame(
+            {"host": hosts, "lang": batch.column("lang").to_pylist()}
+        ).groupby(["host", "lang"], as_index=False).size().rename(
+            columns={"size": "c"})
+        df["c"] = df["c"].astype("int64")
+        return from_pandas_clean(df)
+
+    counts = grouped_agg(
+        out.map_batches(cells, batch_format="pyarrow", zero_copy_batch=True),
+        keys=["host", "lang"],
+        specs=[("c", "sum", "c")],
+    )
+    scale = ENTROPY_QLOG_SCALE
+
+    def moments(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["s"] = [
+            int(c) * round(math.log2(int(c)) * scale) if c > 1 else 0
+            for c in df["c"]
+        ]
+        return from_pandas_clean(df[["host", "c", "s"]])
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        df["entropy"] = [
+            0.0 if n == 0 else math.log2(int(n)) - int(s) / (int(n) * float(scale))
+            for n, s in zip(df["n_records"], df["s"])
+        ]
+        df["n_records"] = df["n_records"].astype("int64")
+        return df.sort_values("host").reset_index(drop=True)[
+            ["host", "n_records", "entropy"]]
+
+    return grouped_agg(
+        counts.map_batches(moments, batch_format="pyarrow", zero_copy_batch=True),
+        keys=["host"],
+        specs=[("n_records", "sum", "c"), ("s", "sum", "s")],
+        finalize=fin,
+    )

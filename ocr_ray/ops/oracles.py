@@ -1686,6 +1686,44 @@ def extra_oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         GROUP BY host ORDER BY host
     """
 
+    # ----------------------------------------- artifact: host_dup_ratio
+    sql["host_dup_ratio"] = f"""
+        WITH p AS (
+            SELECT split_part(url, '/', 3) AS host, md5(text) AS h
+            FROM read_parquet('{summary}')
+        ),
+        g AS (SELECT host, h, CAST(COUNT(*) AS BIGINT) AS n
+              FROM p GROUP BY 1, 2)
+        SELECT host, CAST(SUM(n) AS BIGINT) AS n_urls,
+               CAST(COUNT(*) AS BIGINT) AS n_distinct,
+               1.0 - CAST(COUNT(*) AS DOUBLE) / CAST(SUM(n) AS DOUBLE)
+                   AS dup_ratio
+        FROM g GROUP BY host ORDER BY host
+    """
+
+    # -------------------------------------- artifact: host_lang_entropy
+    from .documents import ENTROPY_QLOG_SCALE as _EQS
+
+    sql["host_lang_entropy"] = f"""
+        WITH c AS (
+            SELECT split_part(url, '/', 3) AS host, lang,
+                   CAST(COUNT(*) AS BIGINT) AS c
+            FROM read_parquet('{summary}') GROUP BY 1, 2
+        ),
+        e AS (
+            SELECT host, CAST(SUM(c) AS BIGINT) AS n,
+                   CAST(SUM(CASE WHEN c > 1 THEN c * CAST(round(
+                       log2(c) * {_EQS}) AS BIGINT) ELSE 0 END)
+                       AS BIGINT) AS s
+            FROM c GROUP BY 1
+        )
+        SELECT host, n AS n_records,
+               CASE WHEN n = 0 THEN 0.0
+                    ELSE log2(n) - CAST(s AS DOUBLE) / (n * {float(_EQS)}) END
+                   AS entropy
+        FROM e ORDER BY host
+    """
+
     # ------------------------------------------ artifact: url_templates
     sql["url_templates"] = f"""
         WITH t AS (

@@ -2427,3 +2427,96 @@ def session_lengths(sf_dir: str):
         specs=[("n_sessions", "sum", "n_sessions")],
         finalize=fin,
     )
+
+
+RFM_QUANTILES = 4
+
+
+def customer_rfm(sf_dir: str):
+    """RFM segmentation (recency / frequency / monetary quartiles) — the
+    classic warehouse scoring rollup, built WITHOUT a global sort: each
+    metric's RANK() comes from a broadcast histogram (the
+    length_percent_rank trick) and the quartile is pure integer math
+    ((rank−1)·4 // n + 1), so ties never straddle a float boundary.
+
+    Scale shape: ONE combiner-collapsed per-customer aggregate (the only
+    fact-sized exchange, materialized once so the histogram pass and the
+    scoring pass don't recompute it); three metric histograms ride ONE
+    extra tiny exchange as (metric, value) cells; rank maps broadcast via
+    ray.put; scoring is shuffle-free.
+
+    Output: (c_custkey, recency_days, n_orders, monetary, r_q, f_q, m_q)."""
+    orders = read_table(
+        sf_dir, "orders", columns=["o_custkey", "o_orderdate", "o_totalprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["cents"] = (df["o_totalprice"] * 100).round().astype("int64")
+        g = df.groupby("o_custkey", as_index=False).agg(
+            last_dt=("o_orderdate", "max"), n_orders=("o_custkey", "size"),
+            cents=("cents", "sum"))
+        g["n_orders"] = g["n_orders"].astype("int64")
+        return from_pandas_clean(g)
+
+    per_cust = grouped_agg(
+        orders.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        keys=["o_custkey"],
+        specs=[("last_dt", "max", "last_dt"), ("n_orders", "sum", "n_orders"),
+               ("cents", "sum", "cents")],
+    ).materialize()
+
+    from ray.data.aggregate import Max
+
+    max_dt = per_cust.aggregate(Max(on="last_dt", alias_name="m"))["m"]
+    mx_us = int(pd.Timestamp(max_dt).value // 1000)  # ns → µs
+
+    def melt(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        last_us = df["last_dt"].astype("datetime64[us]").astype("int64")
+        rec = (mx_us - last_us) // 86_400_000_000
+        out = pd.concat([
+            pd.DataFrame({"metric": "r", "v": rec.astype("int64")}),
+            pd.DataFrame({"metric": "f", "v": df["n_orders"].astype("int64")}),
+            pd.DataFrame({"metric": "m", "v": df["cents"].astype("int64")}),
+        ])
+        g = out.groupby(["metric", "v"], as_index=False).size().rename(
+            columns={"size": "cnt"})
+        g["cnt"] = g["cnt"].astype("int64")
+        return from_pandas_clean(g)
+
+    hist = grouped_agg(
+        per_cust.map_batches(melt, batch_format="pyarrow", zero_copy_batch=True),
+        keys=["metric", "v"],
+        specs=[("cnt", "sum", "cnt")],
+    )
+    h = pd.DataFrame(hist.take_all())
+    n_cust = int(h.loc[h["metric"] == "r", "cnt"].sum())
+    rank_maps: dict[str, dict[int, int]] = {}
+    for metric, asc in (("r", True), ("f", False), ("m", False)):
+        hm = h[h["metric"] == metric].sort_values(
+            "v", ascending=asc).reset_index(drop=True)
+        better = hm["cnt"].cumsum().shift(1, fill_value=0).astype("int64")
+        rank_maps[metric] = dict(zip(hm["v"].astype(int), better + 1))
+    maps_ref = ray.put(rank_maps)
+    q = RFM_QUANTILES
+
+    def score(batch: pa.Table) -> pa.Table:
+        maps = ray.get(maps_ref)
+        df = batch.to_pandas()
+        last_us = df["last_dt"].astype("datetime64[us]").astype("int64")
+        rec = ((mx_us - last_us) // 86_400_000_000).astype("int64")
+        out = pd.DataFrame({
+            "c_custkey": df["o_custkey"].astype("int64"),
+            "recency_days": rec,
+            "n_orders": df["n_orders"].astype("int64"),
+            "monetary": df["cents"].astype("float64") / 100.0,
+        })
+        for col, metric, vals in (("r_q", "r", rec),
+                                  ("f_q", "f", df["n_orders"]),
+                                  ("m_q", "m", df["cents"])):
+            ranks = [maps[metric][int(v)] for v in vals]
+            out[col] = pd.Series(
+                [(r - 1) * q // n_cust + 1 for r in ranks], dtype="int64")
+        return from_pandas_clean(out)
+
+    return per_cust.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)

@@ -2830,3 +2830,123 @@ def test_centroid_distances_matrix(ray_session):
     for _, r in got.iterrows():
         d = float(np.linalg.norm(cents[r["label_a"]] - cents[r["label_b"]]))
         assert abs(r["dist"] - d) < 2e-4
+
+
+def test_customer_rfm_quartiles(ray_session):
+    """Quartile labels recompute from pandas ranks with min-tie semantics
+    and integer quartile math; metrics recompute from raw orders."""
+    import pandas as pd
+
+    from ocr_ray.ops.relational import RFM_QUANTILES, customer_rfm
+
+    got = _df(customer_rfm(SF)).sort_values("c_custkey").reset_index(drop=True)
+    orders = pd.read_parquet(f"{SF}/orders.parquet")
+    orders["cents"] = (orders["o_totalprice"] * 100).round().astype("int64")
+    pc = orders.groupby("o_custkey").agg(
+        last=("o_orderdate", "max"), n_orders=("o_custkey", "size"),
+        cents=("cents", "sum"))
+    rec = ((pc["last"].max() - pc["last"]).dt.total_seconds() * 1e6
+           // 86_400_000_000).astype("int64")
+    n = len(pc)
+    want = pd.DataFrame({
+        "recency_days": rec, "n_orders": pc["n_orders"], "cents": pc["cents"],
+        "rr": rec.rank(method="min").astype(int),
+        "rf": pc["n_orders"].rank(method="min", ascending=False).astype(int),
+        "rm": pc["cents"].rank(method="min", ascending=False).astype(int),
+    }).sort_index()
+    assert list(got["c_custkey"]) == list(want.index)
+    for col, rcol in (("r_q", "rr"), ("f_q", "rf"), ("m_q", "rm")):
+        assert list(got[col]) == [
+            (r - 1) * RFM_QUANTILES // n + 1 for r in want[rcol]]
+    assert list(got["recency_days"]) == list(want["recency_days"])
+    assert list(got["monetary"]) == list(want["cents"] / 100.0)
+    for col in ("r_q", "f_q", "m_q"):
+        assert set(got[col]) <= set(range(1, RFM_QUANTILES + 1))
+
+
+def test_host_dup_ratio_bounds(ray_session):
+    """Distinct counts recompute from the output table; ratio stays in
+    [0, 1) and the url totals cover every record."""
+    import hashlib as _h
+    import re
+
+    import pandas as pd
+
+    from ocr_ray.ops.extraction_queries import (
+        URL_PARSE_RE, extraction_output, host_dup_ratio,
+    )
+
+    got = _df(host_dup_ratio(SF))
+    out = _df(extraction_output(SF, columns=["url", "text"]))
+    parse = re.compile(URL_PARSE_RE)
+    df = pd.DataFrame({
+        "host": [parse.match(u).group(1) for u in out["url"]],
+        "h": [_h.md5(t.encode()).hexdigest() for t in out["text"]],
+    })
+    want = df.groupby("host").agg(
+        n_urls=("h", "size"), n_distinct=("h", "nunique"))
+    assert list(got["host"]) == sorted(want.index)
+    for _, r in got.iterrows():
+        assert r["n_urls"] == want.loc[r["host"], "n_urls"]
+        assert r["n_distinct"] == want.loc[r["host"], "n_distinct"]
+        assert 0.0 <= r["dup_ratio"] < 1.0
+    assert int(got["n_urls"].sum()) == len(out)
+
+
+def test_host_lang_entropy_range(ray_session):
+    """Entropy recomputes from the quantized-log formula over true
+    per-host language counts; monolingual hosts land at ~0."""
+    import math
+    import re
+
+    import pandas as pd
+
+    from ocr_ray.ops.documents import ENTROPY_QLOG_SCALE
+    from ocr_ray.ops.extraction_queries import (
+        URL_PARSE_RE, extraction_output, host_lang_entropy,
+    )
+
+    got = _df(host_lang_entropy(SF))
+    out = _df(extraction_output(SF, columns=["url", "lang"]))
+    parse = re.compile(URL_PARSE_RE)
+    df = pd.DataFrame({
+        "host": [parse.match(u).group(1) for u in out["url"]],
+        "lang": out["lang"],
+    })
+    for _, r in got.iterrows():
+        counts = df[df["host"] == r["host"]]["lang"].value_counts()
+        n = int(counts.sum())
+        s = sum(int(c) * round(math.log2(int(c)) * ENTROPY_QLOG_SCALE)
+                for c in counts if c > 1)
+        want = math.log2(n) - s / (n * float(ENTROPY_QLOG_SCALE))
+        assert r["n_records"] == n
+        assert r["entropy"] == want
+        assert -1e-9 <= r["entropy"] <= math.log2(max(len(counts), 1)) + 1e-9
+
+
+def test_kmeans_quality_inertia(ray_session):
+    """Cluster sizes match kmeans_clusters; inertia is within rounding of a
+    single-process recomputation against the trained model."""
+    import numpy as np
+    import pandas as pd
+
+    from ocr_ray.ops.embeddings import (
+        KMEANS_ITERS, KMEANS_K, _assign, _kmeans_train, kmeans_clusters,
+        kmeans_quality,
+    )
+    from ocr_ray.ops.common import read_table
+
+    got = _df(kmeans_quality(SF))
+    assign = _df(kmeans_clusters(SF))
+    sizes = assign.groupby("cluster").size()
+    assert dict(zip(got["cluster"], got["n_vectors"])) == dict(sizes)
+
+    emb = pd.read_parquet(f"{SF}/embeddings.parquet")
+    m = np.stack(emb["embedding"].to_numpy()).astype("float64")
+    cents = _kmeans_train(
+        read_table(SF, "embeddings", columns=["vec_id", "embedding"]),
+        KMEANS_K, KMEANS_ITERS)
+    lab = _assign(m, cents)
+    d = ((m - cents[lab]) ** 2).sum(axis=1)
+    for _, r in got.iterrows():
+        assert abs(r["inertia"] - d[lab == r["cluster"]].sum()) < 2e-4
