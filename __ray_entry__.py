@@ -43,6 +43,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # end of their group.
     return {
         # ---- round-4 additions (newest first)
+        "embedding_top_component": e_ops.embedding_top_component,
         "customer_rfm": r_ops.customer_rfm,
         "host_dup_ratio": x_ops.host_dup_ratio,
         "host_lang_entropy": x_ops.host_lang_entropy,
@@ -2088,6 +2089,61 @@ def _base_oracle_sql() -> dict[str, str]:
             GROUP BY c.label, c.n ORDER BY c.label
         """,
     }
+    # power iteration unrolled (kmeans-style re-quantization per step)
+    sql["embedding_top_component"] = f"""
+        WITH ex AS MATERIALIZED (
+            SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+                   CAST(unnest(embedding) AS DOUBLE) AS val
+            FROM embeddings
+        ),
+        m AS MATERIALIZED (
+            SELECT a.dim AS i, b.dim AS j,
+                   round_even(SUM(a.val * b.val), {e_ops.POWER_M_ROUND}) AS g
+            FROM ex a JOIN ex b USING (vec_id) GROUP BY 1, 2
+        ),
+        v0 AS (
+            SELECT dim AS j,
+                   1.0 / sqrt((SELECT CAST(MAX(dim) AS DOUBLE) FROM ex)) AS x
+            FROM (SELECT DISTINCT dim FROM ex)
+        ),
+        w1 AS MATERIALIZED (
+            SELECT m.i AS j, round_even(SUM(m.g * v.x), 9) AS w
+            FROM m JOIN v0 v ON m.j = v.j GROUP BY 1
+        ),
+        v1 AS MATERIALIZED (
+            SELECT j, round_even(w / (SELECT sqrt(SUM(w * w)) FROM w1), 9)
+                AS x
+            FROM w1
+        ),
+        w2 AS MATERIALIZED (
+            SELECT m.i AS j, round_even(SUM(m.g * v.x), 9) AS w
+            FROM m JOIN v1 v ON m.j = v.j GROUP BY 1
+        ),
+        v2 AS MATERIALIZED (
+            SELECT j, round_even(w / (SELECT sqrt(SUM(w * w)) FROM w2), 9)
+                AS x
+            FROM w2
+        ),
+        w3 AS MATERIALIZED (
+            SELECT m.i AS j, round_even(SUM(m.g * v.x), 9) AS w
+            FROM m JOIN v2 v ON m.j = v.j GROUP BY 1
+        ),
+        v3 AS MATERIALIZED (
+            SELECT j, round_even(w / (SELECT sqrt(SUM(w * w)) FROM w3), 9)
+                AS x
+            FROM w3
+        ),
+        eig AS (
+            SELECT round_even(SUM(va.x * m.g * vb.x),
+                              {e_ops.POWER_EIG_ROUND}) AS e
+            FROM m JOIN v3 va ON m.i = va.j
+            JOIN v3 vb ON m.j = vb.j
+        )
+        SELECT CAST(j AS BIGINT) AS dim, x AS loading,
+               (SELECT e FROM eig) AS eigenvalue
+        FROM v3 ORDER BY dim
+    """
+
     # RFM quartiles: histogram-broadcast RANK(), integer quartile math
     sql["customer_rfm"] = f"""
         WITH pc AS (

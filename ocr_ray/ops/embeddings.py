@@ -801,3 +801,66 @@ def kmeans_quality(sf_dir: str, k: int = KMEANS_K, iters: int = KMEANS_ITERS):
         specs=[("n_vectors", "sum", "n_vectors"), ("dist_sum", "sum", "dist_sum")],
         finalize=fin,
     )
+
+
+POWER_ITERS = 3
+POWER_M_ROUND = 6    # second-moment matrix quantization (absorbs sum order)
+POWER_V_ROUND = 9    # per-iteration vector re-quantization
+POWER_EIG_ROUND = 4
+
+
+def embedding_top_component(sf_dir: str):
+    """Power iteration toward the dominant principal direction of the
+    embedding cloud, on the (uncentered) second-moment matrix M = XᵀX —
+    the distributed-PCA primitive behind whitening and ABTT-style
+    post-processing (Mu & Viswanath 2018). Convergence is (λ₂/λ₁)^k per
+    round: decisive spectra converge in POWER_ITERS rounds, near-isotropic
+    clouds (like the synthetic table) only drift toward the top — the
+    operator's contract is the exact quantized iteration, not a converged
+    eigenpair.
+
+    Determinism contract (the kmeans_clusters discipline, adapted to
+    linear algebra): M's entries are rounded half-even to POWER_M_ROUND
+    after the global sum (absorbing distributed float-add order), v₀ is
+    the exact constant 1/√d = 0.125 for d = 64, and after every matvec
+    the vector re-quantizes to POWER_V_ROUND decimals — both sides enter
+    each iteration with bit-identical state, so the unrolled SQL twin
+    reproduces the loadings exactly.
+
+    Scale shape: ONE streaming pass computes per-batch d×d partial
+    Gramians (vectorized m.T @ m); only d² floats per block cross the
+    exchange, the iteration itself is driver-side O(d²) on a model-sized
+    matrix, and no shuffle exists anywhere.
+
+    Output: (dim, loading, eigenvalue) — 1-based dims, eigenvalue = the
+    Rayleigh quotient vᵀMv rounded to POWER_EIG_ROUND."""
+    ds = read_table(sf_dir, "embeddings", columns=["embedding"])
+
+    def gram_partial(batch: pa.Table) -> pa.Table:
+        m = _matrix(batch)
+        g = m.T @ m
+        return pa.Table.from_pylist(
+            [{"g": g.reshape(-1).tolist()}],
+            schema=pa.schema([pa.field("g", pa.list_(pa.float64()))]),
+        )
+
+    parts = ds.map_batches(
+        gram_partial, batch_format="pyarrow", zero_copy_batch=True
+    ).take_all()  # one d×d row per block — model-sized, never data-sized
+    d = int(np.sqrt(len(parts[0]["g"])))
+    M = np.zeros((d, d), dtype=np.float64)
+    for r in parts:
+        M += np.asarray(r["g"], dtype=np.float64).reshape(d, d)
+    M = np.round(M, POWER_M_ROUND)
+
+    v = np.full(d, 1.0 / np.sqrt(d), dtype=np.float64)
+    for _ in range(POWER_ITERS):
+        w = np.round(M @ v, POWER_V_ROUND)
+        v = np.round(w / np.sqrt(np.sum(w * w)), POWER_V_ROUND)
+    eig = round(float(v @ M @ v), POWER_EIG_ROUND)
+
+    return pa.table(
+        {"dim": pa.array(range(1, d + 1), pa.int64()),
+         "loading": pa.array(v.tolist(), pa.float64()),
+         "eigenvalue": pa.array([eig] * d, pa.float64())}
+    )

@@ -2950,3 +2950,46 @@ def test_kmeans_quality_inertia(ray_session):
     d = ((m - cents[lab]) ** 2).sum(axis=1)
     for _, r in got.iterrows():
         assert abs(r["inertia"] - d[lab == r["cluster"]].sum()) < 2e-4
+
+
+def test_embedding_top_component_dominant(ray_session):
+    """The power-iteration output matches numpy's leading eigenvector of
+    the quantized second-moment matrix (up to sign and the re-quantization
+    contract), and the Rayleigh quotient approaches the top eigenvalue."""
+    import numpy as np
+    import pandas as pd
+
+    from ocr_ray.ops.embeddings import (
+        POWER_EIG_ROUND, POWER_ITERS, POWER_M_ROUND, POWER_V_ROUND,
+        embedding_top_component,
+    )
+
+    got = embedding_top_component(SF).to_pandas()
+    emb = pd.read_parquet(f"{SF}/embeddings.parquet")
+    m = np.stack(emb["embedding"].to_numpy()).astype("float64")
+    M = np.round(m.T @ m, POWER_M_ROUND)
+    d = M.shape[0]
+    assert list(got["dim"]) == list(range(1, d + 1))
+
+    # exact replay of the quantized iteration
+    v = np.full(d, 1.0 / np.sqrt(d))
+    for _ in range(POWER_ITERS):
+        w = np.round(M @ v, POWER_V_ROUND)
+        v = np.round(w / np.sqrt(np.sum(w * w)), POWER_V_ROUND)
+    assert np.array_equal(got["loading"].to_numpy(), v)
+    assert got["eigenvalue"].iloc[0] == round(float(v @ M @ v), POWER_EIG_ROUND)
+
+    # true power-iteration invariants (the synthetic cloud is near-
+    # isotropic, so K=3 rounds can't isolate the top eigvec — but the
+    # Rayleigh quotient must climb monotonically toward, and stay below,
+    # the top eigenvalue)
+    evals = np.linalg.eigvalsh(M)
+    rq = []
+    u = np.full(d, 1.0 / np.sqrt(d))
+    for _ in range(POWER_ITERS):
+        rq.append(float(u @ M @ u) / float(u @ u))
+        w = np.round(M @ u, POWER_V_ROUND)
+        u = np.round(w / np.sqrt(np.sum(w * w)), POWER_V_ROUND)
+    rq.append(float(u @ M @ u))
+    assert all(b >= a - 1e-9 for a, b in zip(rq, rq[1:]))
+    assert got["eigenvalue"].iloc[0] <= evals[-1] + 1e-6
