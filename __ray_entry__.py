@@ -43,6 +43,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # end of their group.
     return {
         # ---- round-4 additions (newest first)
+        "bigram_logprob": d_ops.bigram_logprob,
         "embedding_top_component": e_ops.embedding_top_component,
         "customer_rfm": r_ops.customer_rfm,
         "host_dup_ratio": x_ops.host_dup_ratio,
@@ -2089,6 +2090,55 @@ def _base_oracle_sql() -> dict[str, str]:
             GROUP BY c.label, c.n ORDER BY c.label
         """,
     }
+    # bigram LM with unk-mapped vocab; every doc pair exists in bg by
+    # construction, so the scoring join never misses
+    sql["bigram_logprob"] = f"""
+        WITH toks AS MATERIALIZED (
+            SELECT doc_id, generate_subscripts(l, 1) AS pos, unnest(l) AS tok
+            FROM (SELECT doc_id, regexp_extract_all(text, '\S+') AS l
+                  FROM documents)
+        ),
+        uni AS (SELECT tok, COUNT(*) AS n FROM toks GROUP BY 1),
+        voc AS MATERIALIZED (
+            SELECT tok FROM uni ORDER BY n DESC, tok LIMIT {d_ops.BIGRAM_VOCAB}
+        ),
+        mt AS MATERIALIZED (
+            SELECT doc_id, pos,
+                   CASE WHEN tok IN (SELECT tok FROM voc) THEN tok
+                        ELSE '{d_ops.BIGRAM_UNK}' END AS m
+            FROM toks
+        ),
+        pairs AS MATERIALIZED (
+            SELECT a.doc_id, a.m AS x, b.m AS y
+            FROM mt a JOIN mt b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        ),
+        bg AS MATERIALIZED (
+            SELECT x, y, CAST(COUNT(*) AS BIGINT) AS c FROM pairs GROUP BY 1, 2
+        ),
+        ctx AS MATERIALIZED (
+            SELECT x, CAST(SUM(c) AS BIGINT) AS cx FROM bg GROUP BY 1
+        ),
+        kk AS (
+            SELECT CAST(COUNT(*) AS BIGINT) + CAST((SELECT COUNT(*) FROM voc
+                   WHERE tok = '{d_ops.BIGRAM_UNK}') = 0 AS BIGINT) + 1 AS k
+            FROM voc
+        ),
+        s AS (
+            SELECT p.doc_id, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+                   SUM(ln(CAST(b.c + 1 AS DOUBLE)
+                          / CAST(c2.cx + (SELECT k FROM kk) AS DOUBLE))) AS lp
+            FROM pairs p
+            JOIN bg b ON p.x = b.x AND p.y = b.y
+            JOIN ctx c2 ON p.x = c2.x
+            GROUP BY 1
+        )
+        SELECT d.doc_id, COALESCE(s.n_pairs, 0) AS n_pairs,
+               CASE WHEN s.doc_id IS NULL THEN 0.0
+                    ELSE round_even(-lp / n_pairs, 4) END AS bigram_nll
+        FROM documents d LEFT JOIN s USING (doc_id)
+        ORDER BY d.doc_id
+    """
+
     # power iteration unrolled (kmeans-style re-quantization per step)
     sql["embedding_top_component"] = f"""
         WITH ex AS MATERIALIZED (

@@ -3186,3 +3186,96 @@ def rank_fusion(sf_dir: str):
         return from_pandas_clean(df.reset_index(drop=True))
 
     return pruned.repartition(1).map_batches(merge, batch_format="pyarrow")
+
+
+BIGRAM_VOCAB = 500
+BIGRAM_UNK = "<unk>"
+
+
+def bigram_logprob(sf_dir: str):
+    """Bigram-LM fluency score — the conditional upgrade of
+    unigram_logprob's CCNet-style filter: every token maps to the
+    top-BIGRAM_VOCAB vocabulary or '<unk>', and score(doc) =
+    -mean ln p(w₂|w₁) with add-one smoothing p(b|a) = (c(a,b)+1)/(ctx(a)+K),
+    K = |vocab incl. unk| + 1.
+
+    Scale shape: two model-building exchanges, both combiner-collapsed and
+    MODEL-bounded (unigram counts → top-V slice; mapped bigram counts →
+    ≤ (V+1)² rows), each broadcast ONCE via ray.put; scoring is a
+    shuffle-free per-batch pass. Context totals derive from the bigram
+    table itself (Σ_b c(a,b)) so no third pass exists. Per-doc ln sums
+    round to 4 (absorbing float-add order, the unigram_logprob contract).
+
+    Output: (doc_id, n_pairs, bigram_nll), one row per doc."""
+    import math
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def uni_partial(batch: pa.Table) -> pa.Table:
+        counts: dict[str, int] = {}
+        for text in batch.column("text").to_pylist():
+            for w in text.split():
+                counts[w] = counts.get(w, 0) + 1
+        ks = list(counts.keys())
+        return pa.table({"w": pa.array(ks, pa.string()),
+                         "n": pa.array([counts[k] for k in ks], pa.int64())})
+
+    uni = grouped_agg(
+        ds.map_batches(uni_partial, batch_format="pyarrow", zero_copy_batch=True),
+        keys=["w"],
+        specs=[("n", "sum", "n")],
+    )
+    vocab = frozenset(
+        r["w"] for r in
+        uni.sort(["n", "w"], descending=[True, False]).limit(BIGRAM_VOCAB).take_all()
+    )
+    vocab_ref = ray.put(vocab)
+
+    def bg_partial(batch: pa.Table) -> pa.Table:
+        voc = ray.get(vocab_ref)
+        counts: dict[tuple[str, str], int] = {}
+        for text in batch.column("text").to_pylist():
+            ms = [w if w in voc else BIGRAM_UNK for w in text.split()]
+            for pair in zip(ms, ms[1:]):
+                counts[pair] = counts.get(pair, 0) + 1
+        ks = list(counts.keys())
+        return pa.table(
+            {"x": pa.array([k[0] for k in ks], pa.string()),
+             "y": pa.array([k[1] for k in ks], pa.string()),
+             "c": pa.array(list(counts.values()), pa.int64())}
+        )
+
+    bg_rows = grouped_agg(
+        ds.map_batches(bg_partial, batch_format="pyarrow", zero_copy_batch=True),
+        keys=["x", "y"],
+        specs=[("c", "sum", "c")],
+    ).take_all()  # ≤ (V+1)² rows — model-sized
+    bg = {(r["x"], r["y"]): int(r["c"]) for r in bg_rows}
+    ctx: dict[str, int] = {}
+    for (x, _), c in bg.items():
+        ctx[x] = ctx.get(x, 0) + c
+    k_smooth = len(vocab | {BIGRAM_UNK}) + 1
+    model_ref = ray.put((vocab, bg, ctx))
+
+    def score(batch: pa.Table) -> pa.Table:
+        voc, bgm, ctxm = ray.get(model_ref)
+        ids: list[int] = []
+        n_pairs: list[int] = []
+        nll: list[float] = []
+        for doc_id, text in zip(batch.column("doc_id").to_pylist(),
+                                batch.column("text").to_pylist()):
+            ms = [w if w in voc else BIGRAM_UNK for w in text.split()]
+            s = 0.0
+            n = 0
+            for pair in zip(ms, ms[1:]):
+                c = bgm[pair]
+                s += math.log((c + 1) / (ctxm[pair[0]] + k_smooth))
+                n += 1
+            ids.append(doc_id)
+            n_pairs.append(n)
+            nll.append(round(-s / n, 4) if n else 0.0)
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "n_pairs": pa.array(n_pairs, pa.int64()),
+                         "bigram_nll": pa.array(nll, pa.float64())})
+
+    return ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)

@@ -2993,3 +2993,45 @@ def test_embedding_top_component_dominant(ray_session):
     rq.append(float(u @ M @ u))
     assert all(b >= a - 1e-9 for a, b in zip(rq, rq[1:]))
     assert got["eigenvalue"].iloc[0] <= evals[-1] + 1e-6
+
+
+def test_bigram_logprob_model_replay(ray_session):
+    """Scores replay single-process from the add-one-smoothed bigram model
+    over the unk-mapped top-V vocabulary."""
+    import math
+
+    import pandas as pd
+
+    from ocr_ray.ops.documents import (
+        BIGRAM_UNK, BIGRAM_VOCAB, bigram_logprob,
+    )
+
+    got = _df(bigram_logprob(SF)).set_index("doc_id")
+    texts = pd.read_parquet(f"{SF}/documents.parquet").set_index("doc_id")["text"]
+
+    uni: dict[str, int] = {}
+    for t in texts:
+        for w in t.split():
+            uni[w] = uni.get(w, 0) + 1
+    vocab = {w for w, _ in sorted(
+        uni.items(), key=lambda kv: (-kv[1], kv[0]))[:BIGRAM_VOCAB]}
+    bg: dict[tuple, int] = {}
+    for t in texts:
+        ms = [w if w in vocab else BIGRAM_UNK for w in t.split()]
+        for p in zip(ms, ms[1:]):
+            bg[p] = bg.get(p, 0) + 1
+    ctx: dict[str, int] = {}
+    for (x, _), c in bg.items():
+        ctx[x] = ctx.get(x, 0) + c
+    k = len(vocab | {BIGRAM_UNK}) + 1
+
+    assert set(got.index) == set(texts.index)
+    for doc_id, t in texts.items():
+        ms = [w if w in vocab else BIGRAM_UNK for w in t.split()]
+        s, n = 0.0, 0
+        for p in zip(ms, ms[1:]):
+            s += math.log((bg[p] + 1) / (ctx[p[0]] + k))
+            n += 1
+        assert got.loc[doc_id, "n_pairs"] == n
+        assert got.loc[doc_id, "bigram_nll"] == (round(-s / n, 4) if n else 0.0)
+    assert (got["bigram_nll"] >= 0).all()
