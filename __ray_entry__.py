@@ -43,6 +43,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # end of their group.
     return {
         # ---- round-4 additions (newest first)
+        "doc_keywords": d_ops.doc_keywords,
+        "ship_latency": r_ops.ship_latency,
         "bigram_logprob": d_ops.bigram_logprob,
         "embedding_top_component": e_ops.embedding_top_component,
         "customer_rfm": r_ops.customer_rfm,
@@ -2090,6 +2092,60 @@ def _base_oracle_sql() -> dict[str, str]:
             GROUP BY c.label, c.n ORDER BY c.label
         """,
     }
+    # per-doc tf·idf top-k against the top-V vocabulary
+    sql["doc_keywords"] = f"""
+        WITH toks AS MATERIALIZED (
+            SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS w
+            FROM documents
+        ),
+        dfreq AS (
+            SELECT w, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+            FROM toks GROUP BY 1
+        ),
+        voc AS MATERIALIZED (
+            SELECT w, df FROM dfreq
+            ORDER BY df DESC, w LIMIT {d_ops.KEYWORD_VOCAB}
+        ),
+        nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+        tf AS (
+            SELECT t.doc_id, t.w, CAST(COUNT(*) AS BIGINT) AS tf
+            FROM toks t JOIN voc USING (w) GROUP BY 1, 2
+        ),
+        scored AS (
+            SELECT tf.doc_id, tf.w AS term,
+                   round_even(tf.tf * ln(CAST((SELECT n FROM nn) + 1 AS DOUBLE)
+                              / CAST(v.df + 1 AS DOUBLE)), 6) AS score,
+                   row_number() OVER (
+                       PARTITION BY tf.doc_id
+                       ORDER BY tf.tf * ln(CAST((SELECT n FROM nn) + 1 AS DOUBLE)
+                                / CAST(v.df + 1 AS DOUBLE)) DESC, tf.w
+                   ) AS rank
+            FROM tf JOIN voc v USING (w)
+        )
+        SELECT doc_id, CAST(rank AS BIGINT) AS rank, term, score
+        FROM scored WHERE rank <= {d_ops.KEYWORD_TOP_K}
+        ORDER BY doc_id, rank
+    """
+
+    # fact-fact join: per-order min shipdate meets the order header
+    sql["ship_latency"] = """
+        WITH fs AS (
+            SELECT l_orderkey, MIN(l_shipdate) AS first_ship
+            FROM lineitem GROUP BY 1
+        ),
+        lat AS (
+            SELECT o_orderpriority,
+                   (epoch_us(first_ship) - epoch_us(o_orderdate))
+                       // 86400000000 AS lat
+            FROM orders JOIN fs ON o_orderkey = l_orderkey
+        )
+        SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(lat) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+                   AS mean_latency_days,
+               CAST(MAX(lat) AS BIGINT) AS max_latency_days
+        FROM lat GROUP BY 1 ORDER BY 1
+    """
+
     # bigram LM with unk-mapped vocab; every doc pair exists in bg by
     # construction, so the scoring join never misses
     sql["bigram_logprob"] = f"""

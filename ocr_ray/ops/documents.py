@@ -3279,3 +3279,68 @@ def bigram_logprob(sf_dir: str):
                          "bigram_nll": pa.array(nll, pa.float64())})
 
     return ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+
+
+KEYWORD_VOCAB = 2000
+KEYWORD_TOP_K = 3
+
+
+def doc_keywords(sf_dir: str):
+    """Per-document keyword extraction: top-KEYWORD_TOP_K terms by
+    tf·idf against the corpus top-KEYWORD_VOCAB vocabulary — the per-doc
+    counterpart of tfidf_top_terms' corpus ranking.
+
+    Scale shape: document frequencies ride ONE combiner-collapsed exchange
+    of per-batch DISTINCT (term) partials; only the top-V slice broadcasts
+    as an idf dict (ray.put once). Scoring + per-doc top-k is shuffle-free
+    (the doc's own counter is the working set). idf = ln((N+1)/(df+1)) is
+    one int-ratio ln, identical on both sides; tf·idf products therefore
+    order identically, with term asc as the tiebreak.
+
+    Output: (doc_id, rank, term, score) with score rounded 6."""
+    import math
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def df_partial(batch: pa.Table) -> pa.Table:
+        counts: dict[str, int] = {}
+        for text in batch.column("text").to_pylist():
+            for w in set(text.split()):
+                counts[w] = counts.get(w, 0) + 1
+        ks = list(counts.keys())
+        return pa.table({"w": pa.array(ks, pa.string()),
+                         "df": pa.array([counts[k] for k in ks], pa.int64())})
+
+    agg = grouped_agg(
+        ds.map_batches(df_partial, batch_format="pyarrow", zero_copy_batch=True),
+        keys=["w"],
+        specs=[("df", "sum", "df")],
+    )
+    rows = agg.sort(["df", "w"], descending=[True, False]).limit(
+        KEYWORD_VOCAB).take_all()
+    n_total = ds.count()
+    idf = {
+        r["w"]: math.log((n_total + 1) / (int(r["df"]) + 1)) for r in rows
+    }
+    idf_ref = ray.put(idf)
+
+    def score(batch: pa.Table) -> pa.Table:
+        table = ray.get(idf_ref)
+        out: list[dict] = []
+        for doc_id, text in zip(batch.column("doc_id").to_pylist(),
+                                batch.column("text").to_pylist()):
+            tf: dict[str, int] = {}
+            for w in text.split():
+                if w in table:
+                    tf[w] = tf.get(w, 0) + 1
+            top = sorted(
+                ((c * table[w], w) for w, c in tf.items()),
+                key=lambda t: (-t[0], t[1]))[:KEYWORD_TOP_K]
+            for rank, (s, w) in enumerate(top, 1):
+                out.append({"doc_id": doc_id, "rank": rank, "term": w,
+                            "score": round(s, 6)})
+        return pa.Table.from_pylist(out, schema=pa.schema(
+            [("doc_id", pa.int64()), ("rank", pa.int64()),
+             ("term", pa.string()), ("score", pa.float64())]))
+
+    return ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)

@@ -2520,3 +2520,67 @@ def customer_rfm(sf_dir: str):
         return from_pandas_clean(out)
 
     return per_cust.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def ship_latency(sf_dir: str):
+    """Order-to-first-shipment latency per order priority — the fulfilment
+    SLA rollup, and the suite's genuine FACT⋈FACT equi-join: per-order min
+    shipdate (combiner-collapsed) meets the orders table in a
+    co-partitioned ``Dataset.join`` (neither side is broadcastable at
+    10^12 orders).
+
+    Scale shape: one combiner exchange (l_orderkey → min shipdate, one row
+    per order per block), one hash join with input-scaled partitions, one
+    tiny per-priority rollup of exact integer day latencies. The mean is a
+    single double division of exact int sums.
+
+    Output: (o_orderpriority, n_orders, mean_latency_days,
+    max_latency_days) by priority."""
+    from .common import choose_join_parts
+
+    lineitem = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_shipdate"])
+
+    def ship_partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas().groupby("l_orderkey", as_index=False)[
+            "l_shipdate"].min().rename(columns={"l_shipdate": "first_ship"})
+        return from_pandas_clean(df)
+
+    first_ship = grouped_agg(
+        lineitem.map_batches(ship_partial, batch_format="pyarrow",
+                             zero_copy_batch=True),
+        keys=["l_orderkey"],
+        specs=[("first_ship", "min", "first_ship")],
+    )
+
+    orders = read_table(
+        sf_dir, "orders",
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"],
+    )
+    joined = orders.join(
+        first_ship, "inner",
+        num_partitions=choose_join_parts(sf_dir, "orders", "lineitem"),
+        on=("o_orderkey",), right_on=("l_orderkey",),
+    )
+
+    def latency(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        o_us = df["o_orderdate"].astype("datetime64[us]").astype("int64")
+        s_us = df["first_ship"].astype("datetime64[us]").astype("int64")
+        df["lat"] = ((s_us - o_us) // 86_400_000_000).astype("int64")
+        return from_pandas_clean(df[["o_orderpriority", "lat"]])
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        df["mean_latency_days"] = [
+            float(s) / float(n) for s, n in zip(df["sum_lat"], df["n_orders"])
+        ]
+        return df.sort_values("o_orderpriority").reset_index(drop=True)[
+            ["o_orderpriority", "n_orders", "mean_latency_days",
+             "max_latency_days"]]
+
+    return grouped_agg(
+        joined.map_batches(latency, batch_format="pyarrow", zero_copy_batch=True),
+        keys=["o_orderpriority"],
+        specs=[("n_orders", "count", None), ("sum_lat", "sum", "lat"),
+               ("max_latency_days", "max", "lat")],
+        finalize=fin,
+    )

@@ -3035,3 +3035,63 @@ def test_bigram_logprob_model_replay(ray_session):
         assert got.loc[doc_id, "n_pairs"] == n
         assert got.loc[doc_id, "bigram_nll"] == (round(-s / n, 4) if n else 0.0)
     assert (got["bigram_nll"] >= 0).all()
+
+
+def test_doc_keywords_tfidf(ray_session):
+    """Top-k keywords replay from a single-process tf·idf over the top-V
+    document-frequency vocabulary; ranks are dense per doc."""
+    import math
+
+    import pandas as pd
+
+    from ocr_ray.ops.documents import (
+        KEYWORD_TOP_K, KEYWORD_VOCAB, doc_keywords,
+    )
+
+    got = _df(doc_keywords(SF))
+    texts = pd.read_parquet(f"{SF}/documents.parquet").set_index("doc_id")["text"]
+    df_counts: dict[str, int] = {}
+    for t in texts:
+        for w in set(t.split()):
+            df_counts[w] = df_counts.get(w, 0) + 1
+    voc = dict(sorted(df_counts.items(), key=lambda kv: (-kv[1], kv[0]))[
+        :KEYWORD_VOCAB])
+    n = len(texts)
+    idf = {w: math.log((n + 1) / (c + 1)) for w, c in voc.items()}
+    by_doc = {k: g for k, g in got.groupby("doc_id")}
+    for doc_id, t in texts.items():
+        tf: dict[str, int] = {}
+        for w in t.split():
+            if w in idf:
+                tf[w] = tf.get(w, 0) + 1
+        want = sorted(((c * idf[w], w) for w, c in tf.items()),
+                      key=lambda p: (-p[0], p[1]))[:KEYWORD_TOP_K]
+        g = by_doc.get(doc_id)
+        rows = [] if g is None else list(g.sort_values("rank").itertuples())
+        assert len(rows) == len(want)
+        for r, (s, w) in zip(rows, want):
+            assert r.term == w
+            assert r.score == round(s, 6)
+
+
+def test_ship_latency_join(ray_session):
+    """Latencies recompute from a pandas merge of orders and per-order min
+    shipdates; every priority present."""
+    import pandas as pd
+
+    from ocr_ray.ops.relational import ship_latency
+
+    got = _df(ship_latency(SF))
+    li = pd.read_parquet(f"{SF}/lineitem.parquet")
+    orders = pd.read_parquet(f"{SF}/orders.parquet")
+    fs = li.groupby("l_orderkey")["l_shipdate"].min()
+    m = orders.join(fs, on="o_orderkey", how="inner")
+    lat = ((m["l_shipdate"] - m["o_orderdate"]).dt.total_seconds() * 1e6
+           // 86_400_000_000).astype("int64")
+    per = lat.groupby(m["o_orderpriority"]).agg(["size", "sum", "max"])
+    assert list(got["o_orderpriority"]) == sorted(per.index)
+    for _, r in got.iterrows():
+        sz, sm, mx = per.loc[r["o_orderpriority"]]
+        assert r["n_orders"] == sz
+        assert r["mean_latency_days"] == float(sm) / float(sz)
+        assert r["max_latency_days"] == mx
