@@ -43,6 +43,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # end of their group.
     return {
         # ---- round-4 additions (newest first)
+        "nation_trade_volume": r_ops.nation_trade_volume,
+        "market_share": r_ops.market_share,
+        "custdist": r_ops.custdist,
         "doc_keywords": d_ops.doc_keywords,
         "ship_latency": r_ops.ship_latency,
         "bigram_logprob": d_ops.bigram_logprob,
@@ -2125,6 +2128,69 @@ def _base_oracle_sql() -> dict[str, str]:
         SELECT doc_id, CAST(rank AS BIGINT) AS rank, term, score
         FROM scored WHERE rank <= {d_ops.KEYWORD_TOP_K}
         ORDER BY doc_id, rank
+    """
+
+    # Q7: same exact 1e-4-unit integer revenue as the engine; the supp≠cust
+    # predicate and the two-year ship window mirror nation_trade_volume
+    sql["nation_trade_volume"] = f"""
+        SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+               CAST(year(l_shipdate) AS BIGINT) AS l_year,
+               CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                    AS DOUBLE) / 10000.0 AS revenue
+        FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ns ON s_nationkey = ns.n_nationkey
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation nc ON c_nationkey = nc.n_nationkey
+        WHERE s_nationkey <> c_nationkey
+          AND l_shipdate >= TIMESTAMP '{r_ops.Q7_YEAR_LO}'
+          AND l_shipdate <  TIMESTAMP '{r_ops.Q7_YEAR_HI}'
+        GROUP BY 1, 2, 3
+        ORDER BY 1, 2, 3
+    """
+
+    # Q8: exact integer numerator/denominator summed as BIGINT, one double
+    # division per year shared with the engine's finalize
+    sql["market_share"] = f"""
+        WITH rc AS (
+            SELECT c_custkey FROM customer
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = '{r_ops.Q8_REGION}'
+        ),
+        rev AS (
+            SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+                   CAST(round(l_extendedprice * 100) AS BIGINT)
+                       * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS rev4,
+                   CASE WHEN n_name = '{r_ops.Q8_NATION}' THEN 1 ELSE 0 END AS tgt
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN rc ON o_custkey = rc.c_custkey
+            WHERE p_type = '{r_ops.Q8_TYPE}'
+        )
+        SELECT o_year,
+               CAST(SUM(rev4 * tgt) AS DOUBLE) / CAST(SUM(rev4) AS DOUBLE)
+                   AS mkt_share,
+               CAST(SUM(rev4) AS DOUBLE) / 10000.0 AS total_revenue
+        FROM rev GROUP BY 1 ORDER BY 1
+    """
+
+    # Q13: the LEFT JOIN's zero bucket appears through the same
+    # count-per-customer → count-per-count two-level aggregate
+    sql["custdist"] = """
+        WITH per_cust AS (
+            SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
+            FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+            GROUP BY 1
+        )
+        SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+        FROM per_cust GROUP BY 1
+        ORDER BY custdist DESC, c_count DESC
     """
 
     # fact-fact join: per-order min shipdate meets the order header

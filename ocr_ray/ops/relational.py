@@ -2584,3 +2584,299 @@ def ship_latency(sf_dir: str):
                ("max_latency_days", "max", "lat")],
         finalize=fin,
     )
+
+
+# TPC-H Q7/Q8/Q13 shapes (reference exposes the same grouped-join analytics
+# surface through its export rollups; these complete the classic join-tree
+# family alongside Q1/Q3/Q5/Q10/Q11/Q14/Q16-Q19/Q22 above).
+Q7_YEAR_LO = "1996-01-01"
+Q7_YEAR_HI = "1998-01-01"
+
+
+def nation_trade_volume(sf_dir: str):
+    """TPC-H Q7 shape: shipped revenue between every ORDERED pair of
+    distinct (supplier nation → customer nation) per ship year.
+
+    Scale shape: both dimension arms (suppkey→nation, custkey→nation) are
+    ray.put ONCE as int→int maps — the fact scans never shuffle for them.
+    lineitem prunes its two-year ship window at the parquet read, then
+    partial-aggregates exact 1e-4-unit revenue per (orderkey, supp_nation,
+    year) BEFORE the single co-partitioned hash join with the 2-column
+    orders stream; the supp≠cust predicate filters join output and a tiny
+    grouped sum per (supp_nation, cust_nation, year) finishes — the only
+    all-to-all carries one row per qualifying (order × supplier nation ×
+    year), never a lineitem row.
+
+    Output: (supp_nation, cust_nation, l_year, revenue) ordered by the
+    three keys."""
+    import pyarrow.dataset as pads
+
+    from .common import choose_join_parts
+
+    lo, hi = pd.Timestamp(Q7_YEAR_LO), pd.Timestamp(Q7_YEAR_HI)
+
+    nations = {
+        r["n_nationkey"]: r["n_name"]
+        for r in read_table(sf_dir, "nation", columns=["n_nationkey", "n_name"]).take_all()
+    }
+    cust_nation = {
+        r["c_custkey"]: r["c_nationkey"]
+        for r in read_table(sf_dir, "customer", columns=["c_custkey", "c_nationkey"]).take_all()
+    }
+    supp_nation = {
+        r["s_suppkey"]: r["s_nationkey"]
+        for r in read_table(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"]).take_all()
+    }
+    cust_ref, supp_ref = ray.put(cust_nation), ray.put(supp_nation)
+
+    lineitem = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_shipdate",
+                 "l_extendedprice", "l_discount"],
+        filter=(pads.field("l_shipdate") >= pads.scalar(lo))
+        & (pads.field("l_shipdate") < pads.scalar(hi)),
+    )
+
+    def rev_partial(batch: pa.Table) -> pa.Table:
+        smap = ray.get(supp_ref)
+        supp = batch.column("l_suppkey").to_numpy(zero_copy_only=False)
+        sn = np.array([smap.get(int(s), -1) for s in supp], dtype=np.int64)
+        year = pc.cast(pc.year(batch.column("l_shipdate")), pa.int64())
+        df = pd.DataFrame(
+            {"l_orderkey": batch.column("l_orderkey").to_numpy(zero_copy_only=False),
+             "supp_nation_key": sn,
+             "l_year": year.to_numpy(zero_copy_only=False),
+             "rev4": _rev4(batch).to_pandas().to_numpy()}
+        ).groupby(["l_orderkey", "supp_nation_key", "l_year"], as_index=False)["rev4"].sum()
+        return from_pandas_clean(df)
+
+    revenue = grouped_agg(
+        lineitem.map_batches(rev_partial, batch_format="pyarrow", zero_copy_batch=True),
+        keys=["l_orderkey", "supp_nation_key", "l_year"],
+        specs=[("rev4", "sum", "rev4")],
+    )
+
+    orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+
+    def order_nation(batch: pa.Table) -> pa.Table:
+        cmap = ray.get(cust_ref)
+        cust = batch.column("o_custkey").to_numpy(zero_copy_only=False)
+        cn = np.array([cmap.get(int(c), -1) for c in cust], dtype=np.int64)
+        return pa.table(
+            {"o_orderkey": batch.column("o_orderkey"),
+             "cust_nation_key": pa.array(cn, pa.int64())}
+        )
+
+    orders = orders.map_batches(order_nation, batch_format="pyarrow", zero_copy_batch=True)
+
+    joined = revenue.join(
+        orders, join_type="inner",
+        num_partitions=choose_join_parts(sf_dir, "orders", "lineitem", floor=4),
+        on=("l_orderkey",), right_on=("o_orderkey",),
+    )
+
+    def per_pair(batch: pa.Table) -> pa.Table:
+        keep = pc.not_equal(
+            batch.column("supp_nation_key"), batch.column("cust_nation_key"))
+        df = batch.filter(keep).to_pandas().groupby(
+            ["supp_nation_key", "cust_nation_key", "l_year"],
+            as_index=False)["rev4"].sum()
+        return from_pandas_clean(df)
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        df["supp_nation"] = df["supp_nation_key"].map(nations)
+        df["cust_nation"] = df["cust_nation_key"].map(nations)
+        # exact int / 10000.0 is the same double on both sides
+        df["revenue"] = df["rev4"].astype("float64") / 10000.0
+        return df.sort_values(
+            ["supp_nation", "cust_nation", "l_year"]
+        ).reset_index(drop=True)[["supp_nation", "cust_nation", "l_year", "revenue"]]
+
+    return grouped_agg(
+        joined.map_batches(per_pair, batch_format="pyarrow"),
+        keys=["supp_nation_key", "cust_nation_key", "l_year"],
+        specs=[("rev4", "sum", "rev4")],
+        finalize=fin,
+    )
+
+
+Q8_REGION = "EUROPE"
+Q8_NATION = "NATION_7"
+Q8_TYPE = "LARGE"
+
+
+def market_share(sf_dir: str):
+    """TPC-H Q8 shape: Q8_NATION's share of Q8_TYPE-part revenue sold into
+    Q8_REGION's customers, per order year.
+
+    Scale shape: three broadcast dimension arms — the qualifying partkey
+    set (one frozenset), suppkey→is-target-nation, and the region's custkey
+    set — each ray.put once; the lineitem scan filters to qualifying parts
+    and partial-aggregates exact (total, target-nation) revenue per
+    orderkey BEFORE the single co-partitioned join with the region-pruned
+    (orderkey, year) orders stream. The share is one float division of
+    exact int64 sums per year, identical to the SQL twin's expression.
+
+    Output: (o_year, mkt_share, total_revenue) ordered by o_year."""
+    from .common import choose_join_parts
+
+    region_keys = {
+        r["r_regionkey"]
+        for r in read_table(sf_dir, "region", columns=["r_regionkey", "r_name"]).take_all()
+        if r["r_name"] == Q8_REGION
+    }
+    region_nations = {
+        r["n_nationkey"]
+        for r in read_table(
+            sf_dir, "nation", columns=["n_nationkey", "n_regionkey"]).take_all()
+        if r["n_regionkey"] in region_keys
+    }
+    target_key = {
+        r["n_nationkey"]
+        for r in read_table(sf_dir, "nation", columns=["n_nationkey", "n_name"]).take_all()
+        if r["n_name"] == Q8_NATION
+    }
+    part_keys = frozenset(
+        r["p_partkey"]
+        for r in read_table(sf_dir, "part", columns=["p_partkey", "p_type"]).take_all()
+        if r["p_type"] == Q8_TYPE
+    )
+    target_supp = frozenset(
+        r["s_suppkey"]
+        for r in read_table(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"]).take_all()
+        if r["s_nationkey"] in target_key
+    )
+    region_cust = frozenset(
+        r["c_custkey"]
+        for r in read_table(sf_dir, "customer", columns=["c_custkey", "c_nationkey"]).take_all()
+        if r["c_nationkey"] in region_nations
+    )
+    part_ref = ray.put(part_keys)
+    supp_ref = ray.put(target_supp)
+    cust_ref = ray.put(region_cust)
+
+    lineitem = read_table(
+        sf_dir, "lineitem",
+        columns=["l_orderkey", "l_partkey", "l_suppkey",
+                 "l_extendedprice", "l_discount"],
+    )
+
+    def rev_partial(batch: pa.Table) -> pa.Table:
+        pset = ray.get(part_ref)
+        sset = ray.get(supp_ref)
+        pk = batch.column("l_partkey").to_numpy(zero_copy_only=False)
+        keep = np.fromiter((int(k) in pset for k in pk), dtype=bool, count=len(pk))
+        if not keep.any():
+            return pa.Table.from_pylist([], schema=pa.schema(
+                [pa.field("l_orderkey", pa.int64()),
+                 pa.field("rev4", pa.int64()),
+                 pa.field("target4", pa.int64())]))
+        t = batch.filter(pa.array(keep))
+        rev = _rev4(t).to_pandas().to_numpy()
+        sk = t.column("l_suppkey").to_numpy(zero_copy_only=False)
+        is_target = np.fromiter(
+            (int(k) in sset for k in sk), dtype=bool, count=len(sk))
+        df = pd.DataFrame(
+            {"l_orderkey": t.column("l_orderkey").to_numpy(zero_copy_only=False),
+             "rev4": rev,
+             "target4": np.where(is_target, rev, 0)}
+        ).groupby("l_orderkey", as_index=False).sum()
+        return from_pandas_clean(df)
+
+    revenue = grouped_agg(
+        lineitem.map_batches(rev_partial, batch_format="pyarrow", zero_copy_batch=True),
+        keys=["l_orderkey"],
+        specs=[("rev4", "sum", "rev4"), ("target4", "sum", "target4")],
+    )
+
+    orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def order_year(batch: pa.Table) -> pa.Table:
+        cset = ray.get(cust_ref)
+        ck = batch.column("o_custkey").to_numpy(zero_copy_only=False)
+        keep = np.fromiter((int(k) in cset for k in ck), dtype=bool, count=len(ck))
+        t = batch.filter(pa.array(keep))
+        return pa.table(
+            {"o_orderkey": t.column("o_orderkey"),
+             "o_year": pc.cast(pc.year(t.column("o_orderdate")), pa.int64())}
+        )
+
+    orders = orders.map_batches(order_year, batch_format="pyarrow", zero_copy_batch=True)
+
+    joined = revenue.join(
+        orders, join_type="inner",
+        num_partitions=choose_join_parts(sf_dir, "orders", "lineitem", floor=4),
+        on=("l_orderkey",), right_on=("o_orderkey",),
+    )
+
+    def per_year(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas().groupby("o_year", as_index=False)[
+            ["rev4", "target4"]].sum()
+        return from_pandas_clean(df)
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({
+            "o_year": df["o_year"].astype("int64"),
+            # exact ints → one double division, shared with the twin
+            "mkt_share": [float(t) / float(r)
+                          for t, r in zip(df["target4"], df["rev4"])],
+            "total_revenue": df["rev4"].astype("float64") / 10000.0,
+        })
+        return out.sort_values("o_year").reset_index(drop=True)
+
+    return grouped_agg(
+        joined.map_batches(per_year, batch_format="pyarrow"),
+        keys=["o_year"],
+        specs=[("rev4", "sum", "rev4"), ("target4", "sum", "target4")],
+        finalize=fin,
+    )
+
+
+def custdist(sf_dir: str):
+    """TPC-H Q13 shape: how many customers placed exactly k orders, for
+    every k INCLUDING the zero-order customers the left join exists for.
+
+    Scale shape: orders partial-counts per custkey inside each batch
+    (combiner), one grouped sum per custkey, then the per-customer counts
+    re-aggregate to the tiny (c_count → n customers) frame; the zero bucket
+    is total customers (a count aggregate, no data moved) minus the
+    customers seen in orders — the left join's semantics at the cost of two
+    scalar aggregates instead of a customer×orders shuffle.
+
+    Output: (c_count, custdist) ordered by custdist desc, c_count desc."""
+    orders = read_table(sf_dir, "orders", columns=["o_custkey"])
+
+    def per_cust_partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas().groupby("o_custkey", as_index=False).size()
+        return from_pandas_clean(df.rename(columns={"size": "c_count"}))
+
+    per_cust = grouped_agg(
+        orders.map_batches(per_cust_partial, batch_format="pyarrow", zero_copy_batch=True),
+        keys=["o_custkey"],
+        specs=[("c_count", "sum", "c_count")],
+    )
+
+    n_customers = read_table(sf_dir, "customer", columns=["c_custkey"]).count()
+
+    def dist_partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas().groupby("c_count", as_index=False).size()
+        return from_pandas_clean(df.rename(columns={"size": "custdist"}))
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        zero = int(n_customers) - int(df["custdist"].sum())
+        if zero:
+            df = pd.concat(
+                [df, pd.DataFrame({"c_count": [0], "custdist": [zero]})],
+                ignore_index=True)
+        df["c_count"] = df["c_count"].astype("int64")
+        df["custdist"] = df["custdist"].astype("int64")
+        return df.sort_values(
+            ["custdist", "c_count"], ascending=[False, False]
+        ).reset_index(drop=True)[["c_count", "custdist"]]
+
+    return grouped_agg(
+        per_cust.map_batches(dist_partial, batch_format="pyarrow"),
+        keys=["c_count"],
+        specs=[("custdist", "sum", "custdist")],
+        finalize=fin,
+    )

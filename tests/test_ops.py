@@ -3095,3 +3095,101 @@ def test_ship_latency_join(ray_session):
         assert r["n_orders"] == sz
         assert r["mean_latency_days"] == float(sm) / float(sz)
         assert r["max_latency_days"] == mx
+
+
+def test_nation_trade_volume_pairs(ray_session):
+    """Pair revenue recomputes from a pandas replay; no self-pairs; exact
+    integer revenue convention holds."""
+    import pandas as pd
+
+    from ocr_ray.ops.relational import Q7_YEAR_HI, Q7_YEAR_LO, nation_trade_volume
+
+    got = _df(nation_trade_volume(SF))
+    assert (got["supp_nation"] != got["cust_nation"]).all()
+    li = pd.read_parquet(f"{SF}/lineitem.parquet")
+    li = li[(li["l_shipdate"] >= pd.Timestamp(Q7_YEAR_LO))
+            & (li["l_shipdate"] < pd.Timestamp(Q7_YEAR_HI))].copy()
+    orders = pd.read_parquet(f"{SF}/orders.parquet")
+    cust = pd.read_parquet(f"{SF}/customer.parquet")
+    supp = pd.read_parquet(f"{SF}/supplier.parquet")
+    nation = pd.read_parquet(f"{SF}/nation.parquet").set_index("n_nationkey")["n_name"]
+    m = (li.merge(orders[["o_orderkey", "o_custkey"]],
+                  left_on="l_orderkey", right_on="o_orderkey")
+           .merge(cust[["c_custkey", "c_nationkey"]],
+                  left_on="o_custkey", right_on="c_custkey")
+           .merge(supp[["s_suppkey", "s_nationkey"]],
+                  left_on="l_suppkey", right_on="s_suppkey"))
+    m = m[m["s_nationkey"] != m["c_nationkey"]].copy()
+    m["rev4"] = ((m["l_extendedprice"] * 100).round().astype("int64")
+                 * (100 - (m["l_discount"] * 100).round().astype("int64")))
+    m["supp_nation"] = m["s_nationkey"].map(nation)
+    m["cust_nation"] = m["c_nationkey"].map(nation)
+    m["l_year"] = m["l_shipdate"].dt.year.astype("int64")
+    exp = (m.groupby(["supp_nation", "cust_nation", "l_year"])["rev4"].sum()
+            .astype("float64") / 10000.0)
+    assert len(got) == len(exp)
+    for _, r in got.iterrows():
+        assert r["revenue"] == exp.loc[(r["supp_nation"], r["cust_nation"],
+                                        r["l_year"])]
+
+
+def test_market_share_bounds(ray_session):
+    """Share is a [0,1] fraction; totals recompute from a pandas replay of
+    the Q8 join tree."""
+    import pandas as pd
+
+    from ocr_ray.ops.relational import Q8_NATION, Q8_REGION, Q8_TYPE, market_share
+
+    got = _df(market_share(SF))
+    assert ((got["mkt_share"] >= 0) & (got["mkt_share"] <= 1)).all()
+    li = pd.read_parquet(f"{SF}/lineitem.parquet")
+    part = pd.read_parquet(f"{SF}/part.parquet")
+    li = li.merge(part[part["p_type"] == Q8_TYPE][["p_partkey"]],
+                  left_on="l_partkey", right_on="p_partkey")
+    nation = pd.read_parquet(f"{SF}/nation.parquet")
+    region = pd.read_parquet(f"{SF}/region.parquet")
+    rkeys = set(region[region["r_name"] == Q8_REGION]["r_regionkey"])
+    rnat = set(nation[nation["n_regionkey"].isin(rkeys)]["n_nationkey"])
+    cust = pd.read_parquet(f"{SF}/customer.parquet")
+    rc = set(cust[cust["c_nationkey"].isin(rnat)]["c_custkey"])
+    supp = pd.read_parquet(f"{SF}/supplier.parquet")
+    tkey = set(nation[nation["n_name"] == Q8_NATION]["n_nationkey"])
+    tsupp = set(supp[supp["s_nationkey"].isin(tkey)]["s_suppkey"])
+    orders = pd.read_parquet(f"{SF}/orders.parquet")
+    m = li.merge(orders[["o_orderkey", "o_custkey", "o_orderdate"]],
+                 left_on="l_orderkey", right_on="o_orderkey")
+    m = m[m["o_custkey"].isin(rc)].copy()
+    m["rev4"] = ((m["l_extendedprice"] * 100).round().astype("int64")
+                 * (100 - (m["l_discount"] * 100).round().astype("int64")))
+    m["tgt4"] = m["rev4"].where(m["l_suppkey"].isin(tsupp), 0)
+    m["o_year"] = m["o_orderdate"].dt.year.astype("int64")
+    g = m.groupby("o_year")[["rev4", "tgt4"]].sum()
+    assert list(got["o_year"]) == sorted(g.index)
+    for _, r in got.iterrows():
+        rev4, tgt4 = g.loc[r["o_year"], "rev4"], g.loc[r["o_year"], "tgt4"]
+        assert r["mkt_share"] == float(tgt4) / float(rev4)
+        assert r["total_revenue"] == float(rev4) / 10000.0
+
+
+def test_custdist_zero_bucket(ray_session):
+    """Customer counts across buckets sum to the full customer table —
+    the zero-order bucket carries exactly the never-ordered customers."""
+    import pandas as pd
+
+    from ocr_ray.ops.relational import custdist
+
+    got = _df(custdist(SF))
+    cust = pd.read_parquet(f"{SF}/customer.parquet")
+    orders = pd.read_parquet(f"{SF}/orders.parquet")
+    assert got["custdist"].sum() == len(cust)
+    per = orders.groupby("o_custkey").size()
+    exp = per.value_counts()
+    zero = len(cust) - per.index.nunique()
+    for _, r in got.iterrows():
+        if r["c_count"] == 0:
+            assert r["custdist"] == zero
+        else:
+            assert r["custdist"] == exp.loc[r["c_count"]]
+    # ordered by custdist desc, c_count desc
+    key = list(zip(-got["custdist"], -got["c_count"]))
+    assert key == sorted(key)
