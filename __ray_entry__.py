@@ -43,6 +43,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # end of their group.
     return {
         # ---- round-4 additions (newest first)
+        "classifier_auc": d_ops.classifier_auc,
+        "class_keywords": d_ops.class_keywords,
+        "source_js_divergence": d_ops.source_js_divergence,
         "nation_trade_volume": r_ops.nation_trade_volume,
         "market_share": r_ops.market_share,
         "custdist": r_ops.custdist,
@@ -2128,6 +2131,133 @@ def _base_oracle_sql() -> dict[str, str]:
         SELECT doc_id, CAST(rank AS BIGINT) AS rank, term, score
         FROM scored WHERE rank <= {d_ops.KEYWORD_TOP_K}
         ORDER BY doc_id, rank
+    """
+
+    # Mann-Whitney AUC over the quantized-logit histogram; U2 counts each
+    # (pos,neg) pair twice (ties once each way), one division at the end
+    sql["classifier_auc"] = f"""
+        WITH toks AS (
+            SELECT doc_id, unnest(regexp_extract_all(lower(text), '\\S+')) AS w
+            FROM documents
+        ),
+        b AS (
+            SELECT doc_id,
+                   ('0x' || substr(md5(w), 1, 16))::UBIGINT
+                       % {d_ops.HASH_CLF_BUCKETS} AS bkt
+            FROM toks
+        ),
+        s AS (
+            SELECT doc_id, COUNT(*) AS n,
+                   SUM(CAST((bkt * {d_ops.HASH_CLF_LCG_A}
+                             + {d_ops.HASH_CLF_LCG_C}) % 2048 AS BIGINT)
+                       - 1024) AS tot
+            FROM b GROUP BY doc_id
+        ),
+        q AS (
+            SELECT CAST(floor(COALESCE(s.tot / 1024.0 / s.n, 0.0)
+                              * 1000000.0) AS BIGINT) AS q,
+                   CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS pos
+            FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id
+        ),
+        h AS (
+            SELECT q, CAST(SUM(pos) AS BIGINT) AS np,
+                   CAST(SUM(1 - pos) AS BIGINT) AS nn
+            FROM q GROUP BY 1
+        ),
+        c AS (
+            SELECT np, nn,
+                   COALESCE(SUM(nn) OVER (ORDER BY q
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) AS cumneg
+            FROM h
+        )
+        SELECT CAST(SUM(np) AS BIGINT) AS n_pos,
+               CAST(SUM(nn) AS BIGINT) AS n_neg,
+               CAST(SUM(np * (2 * cumneg + nn)) AS DOUBLE)
+                   / CAST(2 * SUM(np) * SUM(nn) AS DOUBLE) AS auc
+        FROM c
+    """
+
+    # c-TF-IDF: vocab = doc_keywords' top-V by document frequency;
+    # n_sources counted over the (source, term) frame on both sides
+    sql["class_keywords"] = f"""
+        WITH dtoks AS (
+            SELECT doc_id, source, unnest(regexp_extract_all(text, '\\S+')) AS w
+            FROM documents
+        ),
+        dfreq AS (
+            SELECT w, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+            FROM dtoks GROUP BY 1
+        ),
+        voc AS MATERIALIZED (
+            SELECT w FROM dfreq ORDER BY df DESC, w LIMIT {d_ops.KEYWORD_VOCAB}
+        ),
+        tf AS MATERIALIZED (
+            SELECT source, t.w AS term, CAST(COUNT(*) AS BIGINT) AS tf
+            FROM dtoks t JOIN voc USING (w) GROUP BY 1, 2
+        ),
+        ns AS (SELECT CAST(COUNT(DISTINCT source) AS BIGINT) AS n FROM tf),
+        sdf AS (
+            SELECT term, CAST(COUNT(DISTINCT source) AS BIGINT) AS sdf
+            FROM tf GROUP BY 1
+        ),
+        scored AS (
+            SELECT tf.source, tf.term,
+                   round_even(tf.tf * ln(CAST((SELECT n FROM ns) + 1 AS DOUBLE)
+                              / CAST(s.sdf + 1 AS DOUBLE)), 6) AS score,
+                   row_number() OVER (
+                       PARTITION BY tf.source
+                       ORDER BY tf.tf * ln(CAST((SELECT n FROM ns) + 1 AS DOUBLE)
+                                / CAST(s.sdf + 1 AS DOUBLE)) DESC, tf.term
+                   ) AS rank
+            FROM tf JOIN sdf s USING (term)
+        )
+        SELECT source, CAST(rank AS BIGINT) AS rank, term, score
+        FROM scored WHERE rank <= {d_ops.CLASS_KEYWORD_TOP_K}
+        ORDER BY source, rank
+    """
+
+    # JS divergence with token_entropy's quantized-log convention: integer
+    # ratios inside log2, int64 contribution sums, fixed final expression
+    sql["source_js_divergence"] = f"""
+        WITH toks AS (
+            SELECT source, unnest(regexp_extract_all(text, '\\S+')) AS w
+            FROM documents
+        ),
+        cw AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS b FROM toks GROUP BY 1),
+        voc AS MATERIALIZED (
+            SELECT w, b FROM cw ORDER BY b DESC, w LIMIT {d_ops.JS_VOCAB}
+        ),
+        av AS MATERIALIZED (
+            SELECT source, t.w, CAST(COUNT(*) AS BIGINT) AS a
+            FROM toks t JOIN voc USING (w) GROUP BY 1, 2
+        ),
+        tot AS (SELECT CAST(SUM(b) AS BIGINT) AS bt FROM voc),
+        atot AS (SELECT source, CAST(SUM(a) AS BIGINT) AS at FROM av GROUP BY 1),
+        grid AS (
+            SELECT s.source, v.w, v.b, COALESCE(av.a, 0) AS a,
+                   s.at, (SELECT bt FROM tot) AS bt
+            FROM atot s CROSS JOIN voc v
+            LEFT JOIN av ON av.source = s.source AND av.w = v.w
+        ),
+        contrib AS (
+            SELECT source, at, bt,
+                   CASE WHEN a > 0 THEN a * CAST(round(log2(
+                            CAST(2 * a * bt AS DOUBLE)
+                            / CAST(a * bt + b * at AS DOUBLE))
+                            * {d_ops.JS_QLOG_SCALE}) AS BIGINT)
+                        ELSE 0 END AS s1,
+                   CASE WHEN a > 0 THEN b * CAST(round(log2(
+                            CAST(2 * b * at AS DOUBLE)
+                            / CAST(a * bt + b * at AS DOUBLE))
+                            * {d_ops.JS_QLOG_SCALE}) AS BIGINT)
+                        ELSE b * {d_ops.JS_QLOG_SCALE} END AS s2
+            FROM grid
+        )
+        SELECT source, at AS n_tokens,
+               (CAST(SUM(s1) AS DOUBLE) / at + CAST(SUM(s2) AS DOUBLE) / bt)
+                   / {float(2 * d_ops.JS_QLOG_SCALE)} AS js
+        FROM contrib GROUP BY source, at, bt ORDER BY source
     """
 
     # Q7: same exact 1e-4-unit integer revenue as the engine; the supp≠cust

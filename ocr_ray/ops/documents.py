@@ -3344,3 +3344,254 @@ def doc_keywords(sf_dir: str):
              ("term", pa.string()), ("score", pa.float64())]))
 
     return ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def classifier_auc(sf_dir: str):
+    """Distributed AUC (area under the ROC curve) of the hashed linear
+    quality classifier against the lang=='en' label — the model-eval step a
+    corpus-filtering pipeline runs before trusting a classifier threshold,
+    computed WITHOUT a global sort.
+
+    Method: AUC is the Mann-Whitney U statistic. Each doc's logit is
+    quantized to an exact int64 key q = floor(logit · 1e6) (the identical
+    IEEE expression on both sides); per-batch partials histogram (q →
+    n_pos, n_neg), ONE tiny grouped exchange sums them, and the finalize
+    pass walks the histogram once: U2 = Σ_q n_pos(q)·(2·cum_neg(<q) +
+    n_neg(q)) counts each (pos, neg) pair twice (ties count once each
+    way), so AUC = U2 / (2·P·N) — exact integer arithmetic until the one
+    final division shared with the SQL twin.
+
+    Scale shape: shuffle-free scoring (broadcast weight table), an exchange
+    bounded by the number of DISTINCT quantized logits (≤ 1e6·logit-range,
+    independent of corpus size), and a driver pass over that histogram.
+
+    Output: one row (n_pos, n_neg, auc)."""
+    import math
+
+    import numpy as np
+
+    w_ref = ray.put(hash_classifier_weights())
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        wt = ray.get(w_ref)
+        memo: dict[str, int] = {}
+        qs: list[int] = []
+        for text in batch.column("text").to_pylist():
+            toks = text.lower().split()
+            tot = 0
+            for t in toks:
+                b = memo.get(t)
+                if b is None:
+                    b = int.from_bytes(
+                        hashlib.md5(t.encode()).digest()[:8], "big"
+                    ) % HASH_CLF_BUCKETS
+                    memo[t] = b
+                tot += int(wt[b])
+            logit = tot / 1024.0 / len(toks) if toks else 0.0
+            qs.append(math.floor(logit * 1000000.0))
+        pos = np.array(
+            [1 if g == "en" else 0
+             for g in batch.column("lang").to_pylist()], dtype=np.int64)
+        df = pd.DataFrame({"q": np.array(qs, dtype=np.int64),
+                           "n_pos": pos, "n_neg": 1 - pos}
+                          ).groupby("q", as_index=False).sum()
+        return from_pandas_clean(df)
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("q").reset_index(drop=True)
+        npos = df["n_pos"].to_numpy()
+        nneg = df["n_neg"].to_numpy()
+        cumneg = np.concatenate([[0], np.cumsum(nneg)[:-1]])
+        u2 = int((npos * (2 * cumneg + nneg)).sum())
+        p, n = int(npos.sum()), int(nneg.sum())
+        return pd.DataFrame({
+            "n_pos": [p], "n_neg": [n],
+            # exact ints → one double division, shared with the twin
+            "auc": [float(u2) / float(2 * p * n)],
+        })
+
+    return grouped_agg(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        keys=["q"],
+        specs=[("n_pos", "sum", "n_pos"), ("n_neg", "sum", "n_neg")],
+        finalize=fin,
+    )
+
+
+CLASS_KEYWORD_TOP_K = 5
+
+
+def class_keywords(sf_dir: str):
+    """c-TF-IDF class keywords (the BERTopic/topic-labeling shape): for
+    each source, the top-CLASS_KEYWORD_TOP_K terms by class-level tf·idf,
+    where tf is the term's count in the source's concatenated text and
+    idf = ln((n_sources + 1) / (sources-containing-term + 1)).
+
+    Scale shape: same two-exchange plan as doc_keywords — a combiner-
+    collapsed document-frequency exchange picks the top-KEYWORD_VOCAB
+    vocabulary (broadcast once), then per-batch (source, term) partials
+    ride ONE exchange bounded by sources × vocab; the idf, ranking and
+    tie-break (score desc, term asc) happen in the single finalize pass
+    over that tiny frame.
+
+    Output: (source, rank, term, score) with score rounded 6."""
+    import math
+
+    ds = read_table(sf_dir, "documents", columns=["source", "text"])
+
+    def df_partial(batch: pa.Table) -> pa.Table:
+        counts: dict[str, int] = {}
+        for text in batch.column("text").to_pylist():
+            for w in set(text.split()):
+                counts[w] = counts.get(w, 0) + 1
+        ks = list(counts.keys())
+        return pa.table({"w": pa.array(ks, pa.string()),
+                         "df": pa.array([counts[k] for k in ks], pa.int64())})
+
+    agg = grouped_agg(
+        ds.map_batches(df_partial, batch_format="pyarrow", zero_copy_batch=True),
+        keys=["w"],
+        specs=[("df", "sum", "df")],
+    )
+    vocab = frozenset(
+        r["w"] for r in
+        agg.sort(["df", "w"], descending=[True, False]).limit(KEYWORD_VOCAB).take_all()
+    )
+    vocab_ref = ray.put(vocab)
+
+    def tf_partial(batch: pa.Table) -> pa.Table:
+        voc = ray.get(vocab_ref)
+        counts: dict[tuple[str, str], int] = {}
+        for src, text in zip(batch.column("source").to_pylist(),
+                             batch.column("text").to_pylist()):
+            for w in text.split():
+                if w in voc:
+                    k = (src, w)
+                    counts[k] = counts.get(k, 0) + 1
+        ks = list(counts.keys())
+        return pa.table({"source": pa.array([k[0] for k in ks], pa.string()),
+                         "term": pa.array([k[1] for k in ks], pa.string()),
+                         "tf": pa.array([counts[k] for k in ks], pa.int64())})
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        n_sources = df["source"].nunique()
+        sdf = df.groupby("term")["source"].nunique()
+        out: list[dict] = []
+        for src, g in df.groupby("source"):
+            scored = sorted(
+                ((int(tf) * math.log((n_sources + 1) / (int(sdf.loc[w]) + 1)), w)
+                 for w, tf in zip(g["term"], g["tf"])),
+                key=lambda t: (-t[0], t[1]))[:CLASS_KEYWORD_TOP_K]
+            for rank, (s, w) in enumerate(scored, 1):
+                out.append({"source": src, "rank": rank, "term": w,
+                            "score": round(s, 6)})
+        res = pd.DataFrame(out).sort_values(["source", "rank"])
+        res["rank"] = res["rank"].astype("int64")
+        return res.reset_index(drop=True)
+
+    return grouped_agg(
+        ds.map_batches(tf_partial, batch_format="pyarrow", zero_copy_batch=True),
+        keys=["source", "term"],
+        specs=[("tf", "sum", "tf")],
+        finalize=fin,
+    )
+
+
+JS_VOCAB = 512
+JS_QLOG_SCALE = 1 << 20
+
+
+def source_js_divergence(sf_dir: str):
+    """Jensen-Shannon divergence of each source's unigram distribution from
+    the corpus-wide distribution, over the top-JS_VOCAB vocabulary — the
+    domain-drift diagnostic a corpus-mix review runs to find outlier
+    sources.
+
+    Determinism contract (token_entropy's convention): with a = source
+    count of w, A = source total, b = corpus count, B = corpus total, the
+    log arguments 2aB/(aB+bA) and 2bA/(aB+bA) are EXACT integer ratios;
+    each log2 is quantized to int64 (round(log2 · 2^20)) so the two
+    per-source sums S1 = Σ a·qlog(p-side), S2 = Σ b·qlog(q-side) are
+    order-independent integers, and JS = (S1/A + S2/B) / 2^21 is a fixed
+    float expression identical in the SQL twin. Terms a source never emits
+    (a = 0) contribute exactly b·2^20 to S2 (log2(2) quantizes exactly),
+    handled in closed form.
+
+    Scale shape: one vocabulary exchange (combiner-collapsed, top-V
+    broadcast), one (source × V)-bounded count exchange, and a finalize
+    pass over that tiny frame.
+
+    Output: (source, n_tokens, js) ordered by source."""
+    import math
+
+    ds = read_table(sf_dir, "documents", columns=["source", "text"])
+
+    def cnt_partial(batch: pa.Table) -> pa.Table:
+        counts: dict[str, int] = {}
+        for text in batch.column("text").to_pylist():
+            for w in text.split():
+                counts[w] = counts.get(w, 0) + 1
+        ks = list(counts.keys())
+        return pa.table({"w": pa.array(ks, pa.string()),
+                         "c": pa.array([counts[k] for k in ks], pa.int64())})
+
+    agg = grouped_agg(
+        ds.map_batches(cnt_partial, batch_format="pyarrow", zero_copy_batch=True),
+        keys=["w"],
+        specs=[("c", "sum", "c")],
+    )
+    vocab = frozenset(
+        r["w"] for r in
+        agg.sort(["c", "w"], descending=[True, False]).limit(JS_VOCAB).take_all()
+    )
+    vocab_ref = ray.put(vocab)
+
+    def tf_partial(batch: pa.Table) -> pa.Table:
+        voc = ray.get(vocab_ref)
+        counts: dict[tuple[str, str], int] = {}
+        for src, text in zip(batch.column("source").to_pylist(),
+                             batch.column("text").to_pylist()):
+            for w in text.split():
+                if w in voc:
+                    k = (src, w)
+                    counts[k] = counts.get(k, 0) + 1
+        ks = list(counts.keys())
+        return pa.table({"source": pa.array([k[0] for k in ks], pa.string()),
+                         "w": pa.array([k[1] for k in ks], pa.string()),
+                         "a": pa.array([counts[k] for k in ks], pa.int64())})
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        scale = JS_QLOG_SCALE
+        corpus = df.groupby("w")["a"].sum()          # b per vocab term
+        B = int(corpus.sum())
+        out: list[dict] = []
+        for src, g in df.groupby("source"):
+            A = int(g["a"].sum())
+            s1 = 0
+            s2 = 0
+            b_seen = 0
+            for w, a in zip(g["w"], g["a"]):
+                a = int(a)
+                b = int(corpus.loc[w])
+                b_seen += b
+                den = a * B + b * A
+                # cast num/den to double BEFORE dividing — the twin's
+                # BIGINT '/' does the same, and int/int true division
+                # would diverge past 2^53
+                s1 += a * round(math.log2(float(2 * a * B) / float(den)) * scale)
+                s2 += b * round(math.log2(float(2 * b * A) / float(den)) * scale)
+            # a=0 terms: qlog = scale exactly, contribution b·scale
+            s2 += (B - b_seen) * scale
+            js = (s1 / float(A) + s2 / float(B)) / float(2 * scale)
+            out.append({"source": src, "n_tokens": A, "js": js})
+        res = pd.DataFrame(out).sort_values("source")
+        res["n_tokens"] = res["n_tokens"].astype("int64")
+        return res.reset_index(drop=True)
+
+    return grouped_agg(
+        ds.map_batches(tf_partial, batch_format="pyarrow", zero_copy_batch=True),
+        keys=["source", "w"],
+        specs=[("a", "sum", "a")],
+        finalize=fin,
+    )

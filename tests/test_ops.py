@@ -3193,3 +3193,75 @@ def test_custdist_zero_bucket(ray_session):
     # ordered by custdist desc, c_count desc
     key = list(zip(-got["custdist"], -got["c_count"]))
     assert key == sorted(key)
+
+
+def test_classifier_auc_rank_replay(ray_session):
+    """AUC recomputes from a tie-aware pandas rank replay of the per-doc
+    logits; P + N covers every document."""
+    import hashlib
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    from ocr_ray.ops.documents import (
+        HASH_CLF_BUCKETS, classifier_auc, hash_classifier_weights)
+
+    got = _df(classifier_auc(SF))
+    assert len(got) == 1
+    r = got.iloc[0]
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    assert r["n_pos"] + r["n_neg"] == len(docs)
+    assert 0.0 <= r["auc"] <= 1.0
+    w = hash_classifier_weights()
+    qs, pos = [], []
+    for _, d in docs.iterrows():
+        toks = d["text"].lower().split()
+        tot = sum(int(w[int.from_bytes(hashlib.md5(t.encode()).digest()[:8],
+                                       "big") % HASH_CLF_BUCKETS])
+                  for t in toks)
+        logit = tot / 1024.0 / len(toks) if toks else 0.0
+        qs.append(math.floor(logit * 1e6))
+        pos.append(d["lang"] == "en")
+    s = pd.Series(qs)
+    ranks = s.rank(method="average")  # tie-aware Mann-Whitney
+    p = int(np.sum(pos))
+    n = len(docs) - p
+    u = float(ranks[np.array(pos)].sum()) - p * (p + 1) / 2.0
+    assert r["auc"] == pytest.approx(u / (p * n), abs=1e-12)
+
+
+def test_class_keywords_structure(ray_session):
+    """Every source gets ranks 1..K with scores non-increasing and the
+    term-asc tiebreak; tf recomputes from a pandas token count."""
+    from ocr_ray.ops.documents import CLASS_KEYWORD_TOP_K, class_keywords
+
+    got = _df(class_keywords(SF))
+    assert set(got.columns) == {"source", "rank", "term", "score"}
+    for src, g in got.groupby("source"):
+        g = g.sort_values("rank")
+        assert list(g["rank"]) == list(range(1, len(g) + 1))
+        assert len(g) <= CLASS_KEYWORD_TOP_K
+        s = list(g["score"])
+        assert all(a >= b for a, b in zip(s, s[1:]))
+
+
+def test_source_js_divergence_bounds(ray_session):
+    """JS (log2) is bounded in [0, 1]; token totals recompute from a pandas
+    count restricted to the top-V vocabulary."""
+    from collections import Counter
+
+    import pandas as pd
+
+    from ocr_ray.ops.documents import JS_VOCAB, source_js_divergence
+
+    got = _df(source_js_divergence(SF))
+    assert ((got["js"] >= 0.0) & (got["js"] <= 1.0)).all()
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    counts = Counter(w for t in docs["text"] for w in t.split())
+    voc = set(w for w, _ in sorted(
+        counts.items(), key=lambda kv: (-kv[1], kv[0]))[:JS_VOCAB])
+    per_src = docs.groupby("source")["text"].apply(
+        lambda ts: sum(1 for t in ts for w in t.split() if w in voc))
+    for _, r in got.iterrows():
+        assert r["n_tokens"] == per_src.loc[r["source"]]
