@@ -43,6 +43,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # end of their group.
     return {
         # ---- round-4 additions (newest first)
+        "ppjoin_pairs": d_ops.ppjoin_pairs,
         "classifier_auc": d_ops.classifier_auc,
         "class_keywords": d_ops.class_keywords,
         "source_js_divergence": d_ops.source_js_divergence,
@@ -2131,6 +2132,30 @@ def _base_oracle_sql() -> dict[str, str]:
         SELECT doc_id, CAST(rank AS BIGINT) AS rank, term, score
         FROM scored WHERE rank <= {d_ops.KEYWORD_TOP_K}
         ORDER BY doc_id, rank
+    """
+
+    # PPJoin ground truth: the prefix filter is EXACT, so the oracle is the
+    # plain all-pairs token-set Jaccard at the same integer threshold
+    sql["ppjoin_pairs"] = f"""
+        WITH toks AS (
+            SELECT DISTINCT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS w
+            FROM documents
+        ),
+        sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM toks GROUP BY 1),
+        inter AS (
+            SELECT a.doc_id AS da, b.doc_id AS db, CAST(COUNT(*) AS BIGINT) AS i
+            FROM toks a JOIN toks b ON a.w = b.w AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT da AS doc_a, db AS doc_b,
+               round_even(CAST(i AS DOUBLE)
+                          / CAST(sa.n + sb.n - i AS DOUBLE), 4) AS jaccard
+        FROM inter
+        JOIN sz sa ON da = sa.doc_id
+        JOIN sz sb ON db = sb.doc_id
+        WHERE {d_ops.PPJOIN_TAU_DEN} * i
+              >= {d_ops.PPJOIN_TAU_NUM} * (sa.n + sb.n - i)
+        ORDER BY doc_a, doc_b
     """
 
     # Mann-Whitney AUC over the quantized-logit histogram; U2 counts each

@@ -3595,3 +3595,179 @@ def source_js_divergence(sf_dir: str):
         specs=[("a", "sum", "a")],
         finalize=fin,
     )
+
+
+# PPJoin-style exact set-similarity self-join (Xiao et al. 2008, "Efficient
+# Similarity Joins for Near Duplicate Detection"): candidates come from the
+# PREFIX FILTER — any pair with Jaccard >= τ must share one of each doc's
+# (|s| - ceil(τ|s|) + 1) globally-rarest tokens — so the exact join never
+# sketches (unlike MinHash-LSH) and never goes all-pairs. τ = 19/20 kept as
+# an integer ratio: every threshold test is exact int64 arithmetic.
+PPJOIN_TAU_NUM = 19
+PPJOIN_TAU_DEN = 20
+PPJOIN_PARTS = 64
+
+
+def ppjoin_pairs(sf_dir: str):
+    """Exact token-set Jaccard >= 19/20 self-join via prefix filtering —
+    the sketch-free member of the near-dup family (MinHash/SimHash find
+    candidates probabilistically; the prefix filter finds EVERY qualifying
+    pair by construction).
+
+    Plan (each exchange hash-keyed and bounded):
+      1. distinct (doc_id, tok, set_size) rows; token document frequencies
+         via one combiner-collapsed exchange;
+      2. df attaches back by a co-partitioned join on tok (no vocab
+         broadcast — the ordering the prefix needs is (df, tok) asc);
+      3. per-doc prefix = first |s| - ceil(τ|s|) + 1 tokens under that
+         order, computed in ONE vectorized sort+cumcount per salted
+         doc-partition;
+      4. candidate pairs form inside per-token buckets of PREFIX entries
+         only (length filter DEN·min >= NUM·max applies before emit,
+         bucket membership capped + logged like the LSH family);
+      5. verification joins each candidate to the two docs' packed token
+         sets (tokens are whitespace-split, so ' '.join is lossless) and
+         keeps pairs with DEN·|∩| >= NUM·(|A|+|B|-|∩|) — exact integers,
+         no float threshold boundary.
+
+    Output: (doc_a, doc_b, jaccard) with jaccard rounded 4."""
+    from .common import cap_bucket_members, choose_join_parts, distinct
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def tok_rows(batch: pa.Table) -> pa.Table:
+        ids: list[int] = []
+        ws: list[str] = []
+        szs: list[int] = []
+        for doc_id, text in zip(batch.column("doc_id").to_pylist(),
+                                batch.column("text").to_pylist()):
+            s = set(text.split())
+            ids.extend([doc_id] * len(s))
+            ws.extend(s)
+            szs.extend([len(s)] * len(s))
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "tok": pa.array(ws, pa.string()),
+                         "sz": pa.array(szs, pa.int64())})
+
+    toks = ds.map_batches(tok_rows, batch_format="pyarrow", zero_copy_batch=True)
+
+    def df_partial(batch: pa.Table) -> pa.Table:
+        dfr = batch.to_pandas().groupby("tok", as_index=False).size()
+        return from_pandas_clean(dfr.rename(columns={"size": "df"}))
+
+    dfreq = grouped_agg(
+        toks.map_batches(df_partial, batch_format="pyarrow", zero_copy_batch=True),
+        keys=["tok"],
+        specs=[("df", "sum", "df")],
+    )
+
+    parts = choose_join_parts(sf_dir, "documents", floor=8)
+    with_df = toks.join(dfreq, join_type="inner", num_partitions=parts,
+                        on=("tok",))
+
+    def add_dpart(batch: pa.Table) -> pa.Table:
+        did = batch.column("doc_id").combine_chunks().to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "dpart", pa.array(did % PPJOIN_PARTS, pa.int64()))
+
+    with_df = with_df.map_batches(add_dpart, batch_format="pyarrow",
+                                  zero_copy_batch=True)
+
+    def prefixes(group: pa.Table) -> pa.Table:
+        df = group.to_pandas().sort_values(
+            ["doc_id", "df", "tok"], kind="mergesort")
+        if not len(df):
+            return pa.Table.from_pylist([], schema=pa.schema(
+                [("tok", pa.string()), ("doc_id", pa.int64()),
+                 ("sz", pa.int64())]))
+        df["rn"] = df.groupby("doc_id").cumcount()
+        sz = df["sz"].to_numpy()
+        # L = sz - ceil(τ·sz) + 1, all-integer
+        lim = sz - (PPJOIN_TAU_NUM * sz + PPJOIN_TAU_DEN - 1) // PPJOIN_TAU_DEN + 1
+        keep = df[df["rn"].to_numpy() < lim]
+        return from_pandas_clean(keep[["tok", "doc_id", "sz"]])
+
+    prefix = with_df.groupby("dpart").map_groups(prefixes, batch_format="pyarrow")
+
+    def add_tpart(batch: pa.Table) -> pa.Table:
+        import zlib
+
+        tp = pa.array(
+            [zlib.crc32(t.encode()) % PPJOIN_PARTS
+             for t in batch.column("tok").to_pylist()], pa.int64())
+        return batch.append_column("tpart", tp)
+
+    prefix = prefix.map_batches(add_tpart, batch_format="pyarrow",
+                                zero_copy_batch=True)
+
+    def bucket_pairs(group: pa.Table) -> pa.Table:
+        import numpy as np
+
+        out_a: list[int] = []
+        out_b: list[int] = []
+        df = group.to_pandas()
+        for _, g in df.groupby("tok", sort=False):
+            n = cap_bucket_members(len(g), "ppjoin prefix bucket")
+            g = g.sort_values(["doc_id"]).head(n)
+            ids = g["doc_id"].to_numpy()
+            szs = g["sz"].to_numpy()
+            ia, ib = np.triu_indices(len(ids), k=1)
+            # length filter: DEN·min(sa,sb) >= NUM·max(sa,sb)
+            lo = np.minimum(szs[ia], szs[ib])
+            hi = np.maximum(szs[ia], szs[ib])
+            ok = PPJOIN_TAU_DEN * lo >= PPJOIN_TAU_NUM * hi
+            out_a.extend(ids[ia][ok])
+            out_b.extend(ids[ib][ok])
+        return pa.table({"doc_a": pa.array(out_a, pa.int64()),
+                         "doc_b": pa.array(out_b, pa.int64())})
+
+    # Materialize the (small) candidate set: a barrier here splits the DAG
+    # so the candidate join and the two verification joins never hold their
+    # shuffle-aggregator actors concurrently — three JoinOperators in one
+    # streaming DAG deadlock at low CPU counts (reproduced at 4 CPUs).
+    cands = distinct(
+        prefix.groupby("tpart").map_groups(bucket_pairs, batch_format="pyarrow"),
+        keys=["doc_a", "doc_b"],
+    ).materialize()
+
+    def packed_sets(batch: pa.Table) -> pa.Table:
+        ids: list[int] = []
+        packed: list[str] = []
+        for doc_id, text in zip(batch.column("doc_id").to_pylist(),
+                                batch.column("text").to_pylist()):
+            ids.append(doc_id)
+            packed.append(" ".join(sorted(set(text.split()))))
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "toks": pa.array(packed, pa.string())})
+
+    docsets = ds.map_batches(packed_sets, batch_format="pyarrow",
+                             zero_copy_batch=True)
+
+    with_a = cands.join(docsets, join_type="inner", num_partitions=parts,
+                        on=("doc_a",), right_on=("doc_id",)
+                        ).rename_columns({"toks": "toks_a"})
+    with_ab = with_a.join(docsets, join_type="inner", num_partitions=parts,
+                          on=("doc_b",), right_on=("doc_id",)
+                          ).rename_columns({"toks": "toks_b"})
+
+    def verify(batch: pa.Table) -> pa.Table:
+        out_a: list[int] = []
+        out_b: list[int] = []
+        out_j: list[float] = []
+        for a, b, ta, tb in zip(batch.column("doc_a").to_pylist(),
+                                batch.column("doc_b").to_pylist(),
+                                batch.column("toks_a").to_pylist(),
+                                batch.column("toks_b").to_pylist()):
+            sa = set(ta.split())
+            sb = set(tb.split())
+            inter = len(sa & sb)
+            union = len(sa) + len(sb) - inter
+            if PPJOIN_TAU_DEN * inter >= PPJOIN_TAU_NUM * union:
+                out_a.append(a)
+                out_b.append(b)
+                out_j.append(round(float(inter) / float(union), 4))
+        return pa.table({"doc_a": pa.array(out_a, pa.int64()),
+                         "doc_b": pa.array(out_b, pa.int64()),
+                         "jaccard": pa.array(out_j, pa.float64())})
+
+    return with_ab.map_batches(verify, batch_format="pyarrow")

@@ -3265,3 +3265,26 @@ def test_source_js_divergence_bounds(ray_session):
         lambda ts: sum(1 for t in ts for w in t.split() if w in voc))
     for _, r in got.iterrows():
         assert r["n_tokens"] == per_src.loc[r["source"]]
+
+
+def test_ppjoin_pairs_exact_vs_brute(ray_session):
+    """The prefix filter loses no pair: engine output equals the brute-force
+    all-pairs token-set Jaccard at the same integer threshold."""
+    from itertools import combinations
+
+    import pandas as pd
+
+    from ocr_ray.ops.documents import PPJOIN_TAU_DEN, PPJOIN_TAU_NUM, ppjoin_pairs
+
+    got = _df(ppjoin_pairs(SF)).sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    sets = {r["doc_id"]: set(r["text"].split()) for _, r in docs.iterrows()}
+    exp = []
+    for a, b in combinations(sorted(sets), 2):
+        i = len(sets[a] & sets[b])
+        u = len(sets[a]) + len(sets[b]) - i
+        if u and PPJOIN_TAU_DEN * i >= PPJOIN_TAU_NUM * u:
+            exp.append((a, b, round(float(i) / float(u), 4)))
+    assert len(got) == len(exp)
+    for (ea, eb, ej), (_, r) in zip(exp, got.iterrows()):
+        assert (r["doc_a"], r["doc_b"], r["jaccard"]) == (ea, eb, ej)
