@@ -43,6 +43,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # end of their group.
     return {
         # ---- round-4 additions (newest first)
+        "brand_basket_pairs": r_ops.brand_basket_pairs,
+        "loyal_customers": r_ops.loyal_customers,
+        "top2_orders_per_customer": r_ops.top2_orders_per_customer,
+        "orders_above_cust_avg": r_ops.orders_above_cust_avg,
+        "decayed_user_scores": r_ops.decayed_user_scores,
+        "k_core_hosts": g_ops.k_core_hosts,
         "ppjoin_pairs": d_ops.ppjoin_pairs,
         "classifier_auc": d_ops.classifier_auc,
         "class_keywords": d_ops.class_keywords,
@@ -2596,5 +2602,78 @@ def _base_oracle_sql() -> dict[str, str]:
                     ELSE 'tail' END AS bucket
         FROM l JOIN c1 USING (lang) JOIN c2 USING (lang)
         ORDER BY l.doc_id
+    """
+
+    # market basket: per-order distinct brand sets, pair self-join a < b
+    sql["brand_basket_pairs"] = """
+        WITH ob AS (
+            SELECT DISTINCT l_orderkey, p_brand
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+        )
+        SELECT a.p_brand AS brand_a, b.p_brand AS brand_b,
+               CAST(COUNT(*) AS BIGINT) AS n_orders
+        FROM ob a JOIN ob b
+          ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+        GROUP BY 1, 2
+        ORDER BY n_orders DESC, brand_a, brand_b
+    """
+
+    # relational division as count-distinct-equals-divisor
+    sql["loyal_customers"] = f"""
+        WITH cq AS (
+            SELECT DISTINCT o_custkey,
+                   CAST(quarter(o_orderdate) AS BIGINT) AS q
+            FROM orders
+            WHERE o_orderdate >= TIMESTAMP '{r_ops.LOYAL_YEAR}-01-01'
+              AND o_orderdate <  TIMESTAMP '{r_ops.LOYAL_YEAR + 1}-01-01'
+        ),
+        loyal AS (SELECT o_custkey FROM cq GROUP BY 1 HAVING COUNT(*) = 4)
+        SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_loyal
+        FROM loyal JOIN customer ON o_custkey = c_custkey
+        GROUP BY 1 ORDER BY 1
+    """
+
+    # window rank: top-K most expensive orders per customer
+    sql["top2_orders_per_customer"] = f"""
+        SELECT o_custkey AS c_custkey,
+               CAST(row_number() OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rk,
+               o_orderkey, o_totalprice
+        FROM orders
+        QUALIFY rk <= {r_ops.TOPK_K}
+        ORDER BY c_custkey, rk
+    """
+
+    # correlated subquery decorrelated: cents·n > sum_cents, exact ints
+    sql["orders_above_cust_avg"] = """
+        WITH oc AS (
+            SELECT o_custkey, o_orderpriority,
+                   CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+            FROM orders
+        ),
+        st AS (
+            SELECT o_custkey, SUM(cents) AS s,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM oc GROUP BY 1
+        )
+        SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_above,
+               CAST(SUM(oc.cents) AS DOUBLE) / 100.0 AS revenue
+        FROM oc JOIN st USING (o_custkey)
+        WHERE oc.cents * st.n > st.s
+        GROUP BY 1 ORDER BY 1
+    """
+
+    # dyadic time decay: weight = DECAY_UNIT >> weeks_old, pure int64 sum
+    sql["decayed_user_scores"] = f"""
+        WITH anchor AS (SELECT CAST(max(ts) AS DATE) AS d FROM events)
+        SELECT user_id,
+               CAST(SUM(CAST(round(value * 100) AS BIGINT)
+                    * ({r_ops.DECAY_UNIT} >> CAST(least(
+                        date_diff('day', CAST(ts AS DATE),
+                                  (SELECT d FROM anchor)) // 7,
+                        60) AS BIGINT))) AS DOUBLE)
+                   / {r_ops.DECAY_UNIT * 100}.0 AS score
+        FROM events GROUP BY 1 ORDER BY 1
     """
     return sql

@@ -849,3 +849,71 @@ def crawl_priorities(sf_dir: str) -> ray.data.Dataset:
     return joined.map_batches(
         score, batch_format="pyarrow", zero_copy_batch=True
     ).sort(["priority", "host"], descending=[True, False])
+
+
+KCORE_K = 3
+KCORE_ROUNDS = 6
+
+
+def k_core_hosts(sf_dir: str) -> ray.data.Dataset:
+    """k-core peeling over the undirected distinct host link graph:
+    KCORE_ROUNDS rounds of "drop every host with degree < KCORE_K, then
+    recompute degrees on the induced subgraph" — the standard spam-farm /
+    community-kernel extraction. Both engine and oracle run EXACTLY
+    KCORE_ROUNDS rounds (the suite's unrolled-iteration discipline, same
+    as pagerank/k-means), so the gate never depends on convergence.
+
+    Scale shape: per-round state is one degree table (O(hosts), built by a
+    combiner-collapsed grouped count over the edge list) and one surviving
+    host set broadcast via ray.put — the edge list itself is filtered by a
+    shuffle-free map_batches semi-join per round, never re-shuffled. The
+    documented assumption (same as mirror_hosts/pagerank): the HOST
+    dimension fits the object store; edges stay distributed.
+
+    Output: (host, core_degree) for hosts alive after the last peel, with
+    their induced-subgraph degree, ordered by host."""
+    import numpy as np
+
+    from .common import from_pandas_clean
+
+    edges = _canonical_edges(sf_dir).materialize()
+
+    def degrees(ed: ray.data.Dataset) -> ray.data.Dataset:
+        def partial(batch: pa.Table) -> pa.Table:
+            df = batch.to_pandas()
+            out = pd.DataFrame(
+                {"host": pd.concat([df["a"], df["b"]], ignore_index=True)}
+            ).groupby("host", as_index=False).size().rename(
+                columns={"size": "deg"})
+            return from_pandas_clean(out)
+
+        return grouped_agg(
+            ed.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+            keys=["host"], specs=[("deg", "sum", "deg")])
+
+    deg = degrees(edges).materialize()
+    for _ in range(KCORE_ROUNDS):
+        alive = frozenset(
+            r["host"] for r in deg.take_all() if r["deg"] >= KCORE_K)
+        alive_ref = ray.put(alive)
+
+        def keep_edges(batch: pa.Table) -> pa.Table:
+            aset = ray.get(alive_ref)
+            a = batch.column("a").to_pylist()
+            b = batch.column("b").to_pylist()
+            keep = np.fromiter(
+                (x in aset and y in aset for x, y in zip(a, b)),
+                dtype=bool, count=len(a))
+            return batch.filter(pa.array(keep))
+
+        edges = edges.map_batches(
+            keep_edges, batch_format="pyarrow", zero_copy_batch=True
+        ).materialize()
+        deg = degrees(edges).materialize()
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        df["core_degree"] = df["core_degree"].astype("int64")
+        return df.sort_values("host").reset_index(drop=True)
+
+    return grouped_agg(
+        deg, keys=["host"], specs=[("core_degree", "sum", "deg")], finalize=fin)

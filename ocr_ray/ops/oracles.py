@@ -1565,6 +1565,41 @@ def extra_oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         FROM corners GROUP BY host ORDER BY host
     """
 
+    # ---------------------------------------- corpus: k_core_hosts
+    # EXACTLY KCORE_ROUNDS peels, unrolled (the suite's iteration-unrolled
+    # oracle discipline) — round i keeps hosts whose round-(i-1) induced
+    # degree >= k, then recomputes degrees on the induced subgraph; every
+    # CTE is MATERIALIZED (e_i / d_i are each referenced twice downstream)
+    from .graph import KCORE_K, KCORE_ROUNDS
+
+    kcore_parts = [f"""WITH {link_ctes},
+        und AS (
+            SELECT DISTINCT least(src_host, dst_host) AS a,
+                            greatest(src_host, dst_host) AS b
+            FROM links WHERE src_host <> dst_host
+        ),
+        e0 AS MATERIALIZED (SELECT a, b FROM und),
+        d0 AS MATERIALIZED (
+            SELECT host, CAST(COUNT(*) AS BIGINT) AS deg
+            FROM (SELECT a AS host FROM e0 UNION ALL SELECT b FROM e0)
+            GROUP BY 1)"""]
+    for i in range(1, KCORE_ROUNDS + 1):
+        kcore_parts.append(f""",
+        a{i} AS MATERIALIZED (
+            SELECT host FROM d{i - 1} WHERE deg >= {KCORE_K}),
+        e{i} AS MATERIALIZED (
+            SELECT a, b FROM e{i - 1}
+            WHERE a IN (SELECT host FROM a{i})
+              AND b IN (SELECT host FROM a{i})),
+        d{i} AS MATERIALIZED (
+            SELECT host, CAST(COUNT(*) AS BIGINT) AS deg
+            FROM (SELECT a AS host FROM e{i} UNION ALL SELECT b FROM e{i})
+            GROUP BY 1)""")
+    kcore_parts.append(f"""
+        SELECT host, deg AS core_degree FROM d{KCORE_ROUNDS} ORDER BY host
+    """)
+    sql["k_core_hosts"] = "".join(kcore_parts)
+
     # ---------------------------------------- artifact: mirror_hosts
     # same >= MIRROR_MIN_PAR_CHARS paragraphs, same signed-md5 hash, and
     # the SAME deterministic per-hash host cap (QUALIFY) as the engine —

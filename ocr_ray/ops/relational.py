@@ -2880,3 +2880,309 @@ def custdist(sf_dir: str):
         specs=[("custdist", "sum", "custdist")],
         finalize=fin,
     )
+
+
+# Market-basket / division / window-rank / correlated-subquery / time-decay
+# shapes (session 7). Same exact-integer conventions as the Q-suite above.
+
+BASKET_PARTS = 64
+LOYAL_YEAR = 1997
+TOPK_PARTS = 64
+TOPK_K = 2
+DECAY_UNIT = 1 << 20  # dyadic weights: DECAY_UNIT >> weeks_old, exact in SQL
+
+
+def brand_basket_pairs(sf_dir: str):
+    """Market-basket mining: how often every UNORDERED pair of part brands
+    is co-ordered (both brands appear in the same order). The classic
+    self-join-per-basket shape, bounded by design: 25 brands → ≤ 300 pairs
+    out, and ≤ C(25,2) pair rows per order regardless of order size.
+
+    Scale shape: part's partkey→brand map is a broadcast dimension arm
+    (ray.put once); (orderkey, brand) distinct-collapses via one combiner
+    pass BEFORE pair enumeration, so a 10k-line order contributes each
+    brand once; baskets co-locate on the SALTED ``orderkey % BASKET_PARTS``
+    (Python-call count bounded by BASKET_PARTS, not order count) and the
+    within-part pair build is one vectorized self-merge; a tiny grouped sum
+    over ≤ 300 keys finishes.
+
+    Output: (brand_a, brand_b, n_orders), brand_a < brand_b, ordered by
+    count desc then pair."""
+    brand_of = {
+        r["p_partkey"]: r["p_brand"]
+        for r in read_table(sf_dir, "part", columns=["p_partkey", "p_brand"]).take_all()
+    }
+    brand_ref = ray.put(brand_of)
+
+    lineitem = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
+
+    def to_brand(batch: pa.Table) -> pa.Table:
+        bmap = ray.get(brand_ref)
+        pk = batch.column("l_partkey").to_numpy(zero_copy_only=False)
+        df = pd.DataFrame(
+            {"l_orderkey": batch.column("l_orderkey").to_numpy(zero_copy_only=False),
+             "brand": [bmap[int(k)] for k in pk]}
+        ).drop_duplicates()
+        return from_pandas_clean(df)
+
+    ob = distinct(
+        lineitem.map_batches(to_brand, batch_format="pyarrow", zero_copy_batch=True),
+        ["l_orderkey", "brand"],
+    )
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        ok = batch.column("l_orderkey").combine_chunks().to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "bpart", pa.array(ok % BASKET_PARTS, pa.int64()))
+
+    ob = ob.map_batches(add_part, batch_format="pyarrow", zero_copy_batch=True)
+
+    def pairs_part(group: pa.Table) -> pa.Table:
+        df = group.select(["l_orderkey", "brand"]).to_pandas()
+        m = df.merge(df, on="l_orderkey")
+        m = m[m["brand_x"] < m["brand_y"]]
+        out = (
+            m.groupby(["brand_x", "brand_y"], as_index=False).size()
+            .rename(columns={"brand_x": "brand_a", "brand_y": "brand_b",
+                             "size": "n_orders"})
+        )
+        return from_pandas_clean(out)
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        df["n_orders"] = df["n_orders"].astype("int64")
+        return df.sort_values(
+            ["n_orders", "brand_a", "brand_b"], ascending=[False, True, True]
+        ).reset_index(drop=True)
+
+    return grouped_agg(
+        ob.groupby("bpart").map_groups(pairs_part, batch_format="pyarrow"),
+        keys=["brand_a", "brand_b"],
+        specs=[("n_orders", "sum", "n_orders")],
+        finalize=fin,
+    )
+
+
+def loyal_customers(sf_dir: str):
+    """Relational division: customers who placed >= 1 order in EVERY
+    quarter of LOYAL_YEAR, rolled up per market segment. The FORALL shape
+    (division) done as a count-distinct-equals-divisor aggregate — no
+    nested NOT EXISTS ever runs.
+
+    Scale shape: orders prunes to one year at the read, (custkey, quarter)
+    distinct-collapses via one combiner pass (≤ 4 rows per customer cross
+    the exchange), the =4 filter is a column compare on the small grouped
+    frame, and the custkey→segment dimension arm is broadcast once.
+
+    Output: (c_mktsegment, n_loyal) ordered by segment."""
+    import pyarrow.dataset as pads
+
+    lo = pd.Timestamp(f"{LOYAL_YEAR}-01-01")
+    hi = pd.Timestamp(f"{LOYAL_YEAR + 1}-01-01")
+    seg_of = {
+        r["c_custkey"]: r["c_mktsegment"]
+        for r in read_table(
+            sf_dir, "customer", columns=["c_custkey", "c_mktsegment"]).take_all()
+    }
+    seg_ref = ray.put(seg_of)
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderdate"],
+        filter=(pads.field("o_orderdate") >= pads.scalar(lo))
+        & (pads.field("o_orderdate") < pads.scalar(hi)),
+    )
+
+    def cust_quarter(batch: pa.Table) -> pa.Table:
+        q = pc.cast(pc.quarter(batch.column("o_orderdate")), pa.int64())
+        return pa.table(
+            {"o_custkey": batch.column("o_custkey"), "quarter": q}
+        )
+
+    cq = distinct(
+        orders.map_batches(cust_quarter, batch_format="pyarrow", zero_copy_batch=True),
+        ["o_custkey", "quarter"],
+    )
+
+    per_cust = grouped_agg(
+        cq, keys=["o_custkey"], specs=[("n_quarters", "count", None)])
+
+    def to_segment(batch: pa.Table) -> pa.Table:
+        smap = ray.get(seg_ref)
+        df = batch.to_pandas()
+        df = df[df["n_quarters"] == 4]
+        if not len(df):
+            return pa.Table.from_pylist([], schema=pa.schema(
+                [pa.field("c_mktsegment", pa.string()),
+                 pa.field("n_loyal", pa.int64())]))
+        df["c_mktsegment"] = [smap[int(k)] for k in df["o_custkey"]]
+        out = df.groupby("c_mktsegment", as_index=False).size().rename(
+            columns={"size": "n_loyal"})
+        return from_pandas_clean(out)
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        df["n_loyal"] = df["n_loyal"].astype("int64")
+        return df.sort_values("c_mktsegment").reset_index(drop=True)
+
+    return grouped_agg(
+        per_cust.map_batches(to_segment, batch_format="pyarrow"),
+        keys=["c_mktsegment"],
+        specs=[("n_loyal", "sum", "n_loyal")],
+        finalize=fin,
+    )
+
+
+def top2_orders_per_customer(sf_dir: str):
+    """Window-rank shape: each customer's TOPK_K most expensive orders
+    (row_number() over (partition by custkey order by totalprice desc,
+    orderkey)) — the per-group top-k every leaderboard/window query needs.
+
+    Scale shape: a per-batch vectorized top-k partial (sort + groupby
+    cumcount, no Python per group) shrinks each batch to ≤ K rows per
+    customer BEFORE the exchange; survivors co-locate on the SALTED
+    ``custkey % TOPK_PARTS`` and the within-part final top-k is the same
+    vectorized pass — Python-call count bounded by TOPK_PARTS. totalprice
+    passes through untouched (no float arithmetic), so the hash gate is
+    exact; ties break on orderkey ascending, a total order.
+
+    Output: (c_custkey, rk, o_orderkey, o_totalprice) ordered by custkey,
+    rk."""
+    orders = read_table(
+        sf_dir, "orders", columns=["o_custkey", "o_orderkey", "o_totalprice"])
+
+    def topk(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(
+            ["o_custkey", "o_totalprice", "o_orderkey"],
+            ascending=[True, False, True], kind="mergesort")
+        rk = df.groupby("o_custkey").cumcount() + 1
+        df = df[rk <= TOPK_K].copy()
+        df["rk"] = rk[rk <= TOPK_K].astype("int64")
+        return df
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = topk(batch.to_pandas())
+        df["cpart"] = (df["o_custkey"] % TOPK_PARTS).astype("int64")
+        return from_pandas_clean(df)
+
+    ds = orders.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+
+    def final_part(group: pa.Table) -> pa.Table:
+        df = topk(group.select(
+            ["o_custkey", "o_orderkey", "o_totalprice"]).to_pandas())
+        df = df.rename(columns={"o_custkey": "c_custkey"})
+        return from_pandas_clean(
+            df[["c_custkey", "rk", "o_orderkey", "o_totalprice"]])
+
+    return (
+        ds.groupby("cpart")
+        .map_groups(final_part, batch_format="pyarrow")
+        .sort(["c_custkey", "rk"])
+    )
+
+
+def orders_above_cust_avg(sf_dir: str):
+    """Correlated-subquery shape (o_totalprice > AVG over the customer's
+    own orders), decorrelated the scale-correct way: the per-customer
+    (sum, count) pair is ONE combiner-collapsed grouped aggregate,
+    broadcast once, and the compare runs exactly — price_cents · n >
+    sum_cents — so no float division ever happens and the SQL twin
+    hash-matches bit for bit. Rolled up per order priority.
+
+    Single-order customers never qualify (their only order equals its own
+    mean) — same in SQL. Output: (o_orderpriority, n_above, revenue)."""
+    orders = read_table(
+        sf_dir, "orders",
+        columns=["o_custkey", "o_totalprice", "o_orderpriority"])
+
+    def cents_partial(batch: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(
+            batch.column("o_totalprice"), 100.0)), pa.int64())
+        df = pd.DataFrame(
+            {"o_custkey": batch.column("o_custkey").to_numpy(zero_copy_only=False),
+             "sum_cents": cents.to_numpy(zero_copy_only=False)})
+        g = df.groupby("o_custkey", as_index=False)
+        out = g.sum()
+        out["n_orders"] = g.size()["size"].to_numpy()
+        return from_pandas_clean(out)
+
+    per_cust = grouped_agg(
+        orders.map_batches(cents_partial, batch_format="pyarrow", zero_copy_batch=True),
+        keys=["o_custkey"],
+        specs=[("sum_cents", "sum", "sum_cents"), ("n_orders", "sum", "n_orders")],
+    )
+    stats = {
+        r["o_custkey"]: (r["sum_cents"], r["n_orders"])
+        for r in per_cust.take_all()
+    }
+    stats_ref = ray.put(stats)
+
+    def above(batch: pa.Table) -> pa.Table:
+        smap = ray.get(stats_ref)
+        df = batch.to_pandas()
+        cents = np.rint(df["o_totalprice"].to_numpy() * 100.0).astype(np.int64)
+        sums = np.fromiter(
+            (smap[int(k)][0] for k in df["o_custkey"]), dtype=np.int64,
+            count=len(df))
+        ns = np.fromiter(
+            (smap[int(k)][1] for k in df["o_custkey"]), dtype=np.int64,
+            count=len(df))
+        keep = cents * ns > sums
+        out = pd.DataFrame(
+            {"o_orderpriority": df["o_orderpriority"].to_numpy()[keep],
+             "cents": cents[keep]})
+        g = out.groupby("o_orderpriority", as_index=False)
+        res = g.sum()
+        res["n_above"] = g.size()["size"].to_numpy()
+        return from_pandas_clean(res)
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        df["n_above"] = df["n_above"].astype("int64")
+        df["revenue"] = df["cents"].astype("float64") / 100.0
+        return df.sort_values("o_orderpriority").reset_index(drop=True)[
+            ["o_orderpriority", "n_above", "revenue"]]
+
+    return grouped_agg(
+        orders.map_batches(above, batch_format="pyarrow", zero_copy_batch=True),
+        keys=["o_orderpriority"],
+        specs=[("cents", "sum", "cents"), ("n_above", "sum", "n_above")],
+        finalize=fin,
+    )
+
+
+def decayed_user_scores(sf_dir: str):
+    """Exponentially time-decayed engagement score per user — the freshness
+    weighting every recommendation/crawl-priority pipeline applies — kept
+    HASH-EXACT by using dyadic weights: weight = DECAY_UNIT >> weeks_old
+    (a right shift, not pow(0.5, x) in floats), value in exact cents, so
+    the weighted sum is pure int64 and the single final division is the
+    same double on both sides.
+
+    Scale shape: the anchor (max event date) is one scalar aggregate; the
+    scan partial-aggregates Σ value_cents·weight per user inside each batch
+    — one row per (batch × user) crosses the exchange.
+
+    Output: (user_id, score) with score = Σ cents·w / (DECAY_UNIT·100),
+    ordered by user_id."""
+    ds = read_table(sf_dir, "events", columns=["user_id", "ts", "value"])
+    anchor = pd.Timestamp(ds.max("ts")).normalize()
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        age_days = (anchor - df["ts"].dt.normalize()).dt.days.to_numpy()
+        weeks = np.minimum(age_days // 7, 60).astype(np.int64)
+        cents = np.rint(df["value"].to_numpy() * 100.0).astype(np.int64)
+        num = cents * (DECAY_UNIT >> weeks)
+        out = pd.DataFrame({"user_id": df["user_id"], "num": num}).groupby(
+            "user_id", as_index=False).sum()
+        return from_pandas_clean(out)
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        df["score"] = df["num"].astype("float64") / (DECAY_UNIT * 100.0)
+        return df.sort_values("user_id").reset_index(drop=True)[
+            ["user_id", "score"]]
+
+    return grouped_agg(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        keys=["user_id"],
+        specs=[("num", "sum", "num")],
+        finalize=fin,
+    )

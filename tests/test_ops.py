@@ -3288,3 +3288,124 @@ def test_ppjoin_pairs_exact_vs_brute(ray_session):
     assert len(got) == len(exp)
     for (ea, eb, ej), (_, r) in zip(exp, got.iterrows()):
         assert (r["doc_a"], r["doc_b"], r["jaccard"]) == (ea, eb, ej)
+
+
+def test_brand_basket_pairs_replay(ray_session):
+    """Pair counts recompute from a pandas basket replay; canonical a<b
+    ordering; bounded by C(n_brands, 2)."""
+    from itertools import combinations
+
+    from ocr_ray.ops.relational import brand_basket_pairs
+
+    got = _df(brand_basket_pairs(SF))
+    assert (got["brand_a"] < got["brand_b"]).all()
+    li = pd.read_parquet(f"{SF}/lineitem.parquet", columns=["l_orderkey", "l_partkey"])
+    part = pd.read_parquet(f"{SF}/part.parquet", columns=["p_partkey", "p_brand"])
+    m = li.merge(part, left_on="l_partkey", right_on="p_partkey")
+    exp: dict[tuple[str, str], int] = {}
+    for _, g in m.groupby("l_orderkey"):
+        for a, b in combinations(sorted(set(g["p_brand"])), 2):
+            exp[(a, b)] = exp.get((a, b), 0) + 1
+    assert len(got) == len(exp)
+    for _, r in got.iterrows():
+        assert exp[(r["brand_a"], r["brand_b"])] == r["n_orders"]
+
+
+def test_loyal_customers_division(ray_session):
+    """Division replay: a customer counts iff it has orders in all four
+    quarters of LOYAL_YEAR."""
+    from ocr_ray.ops.relational import LOYAL_YEAR, loyal_customers
+
+    got = _df(loyal_customers(SF))
+    orders = pd.read_parquet(f"{SF}/orders.parquet", columns=["o_custkey", "o_orderdate"])
+    orders = orders[orders["o_orderdate"].dt.year == LOYAL_YEAR].copy()
+    orders["q"] = orders["o_orderdate"].dt.quarter
+    nq = orders.drop_duplicates(["o_custkey", "q"]).groupby("o_custkey").size()
+    loyal = set(nq[nq == 4].index)
+    cust = pd.read_parquet(f"{SF}/customer.parquet", columns=["c_custkey", "c_mktsegment"])
+    exp = cust[cust["c_custkey"].isin(loyal)].groupby("c_mktsegment").size()
+    assert int(got["n_loyal"].sum()) == len(loyal)
+    for _, r in got.iterrows():
+        assert exp[r["c_mktsegment"]] == r["n_loyal"]
+
+
+def test_top2_orders_per_customer_window(ray_session):
+    """Window replay: rk matches a pandas rank over (price desc, orderkey);
+    every customer contributes at most TOPK_K rows."""
+    from ocr_ray.ops.relational import TOPK_K, top2_orders_per_customer
+
+    got = _df(top2_orders_per_customer(SF))
+    orders = pd.read_parquet(f"{SF}/orders.parquet")
+    exp = orders.sort_values(
+        ["o_custkey", "o_totalprice", "o_orderkey"],
+        ascending=[True, False, True], kind="mergesort")
+    exp["rk"] = exp.groupby("o_custkey").cumcount() + 1
+    exp = exp[exp["rk"] <= TOPK_K]
+    assert len(got) == len(exp)
+    assert got.groupby("c_custkey").size().max() <= TOPK_K
+    for (_, g), (_, e) in zip(got.iterrows(), exp.iterrows()):
+        assert (g["c_custkey"], g["rk"], g["o_orderkey"]) == (
+            e["o_custkey"], e["rk"], e["o_orderkey"])
+
+
+def test_orders_above_cust_avg_exact(ray_session):
+    """Strict-above-own-mean replay in exact integer arithmetic; a customer
+    with one order never qualifies."""
+    from ocr_ray.ops.relational import orders_above_cust_avg
+
+    got = _df(orders_above_cust_avg(SF))
+    orders = pd.read_parquet(f"{SF}/orders.parquet")
+    cents = (orders["o_totalprice"] * 100).round().astype("int64")
+    orders = orders.assign(cents=cents)
+    st = orders.groupby("o_custkey")["cents"].agg(["sum", "count"])
+    m = orders.join(st, on="o_custkey")
+    above = m[m["cents"] * m["count"] > m["sum"]]
+    exp = above.groupby("o_orderpriority")["cents"].agg(["count", "sum"])
+    assert int(got["n_above"].sum()) == len(above)
+    for _, r in got.iterrows():
+        e = exp.loc[r["o_orderpriority"]]
+        assert r["n_above"] == e["count"]
+        assert r["revenue"] == e["sum"] / 100.0
+
+
+def test_decayed_user_scores_dyadic(ray_session):
+    """Dyadic decay replay: weight halves per week of age; exact int64
+    accumulation matches to the bit."""
+    import numpy as np
+
+    from ocr_ray.ops.relational import DECAY_UNIT, decayed_user_scores
+
+    got = _df(decayed_user_scores(SF))
+    ev = pd.read_parquet(f"{SF}/events.parquet", columns=["user_id", "ts", "value"])
+    anchor = ev["ts"].max().normalize()
+    age = (anchor - ev["ts"].dt.normalize()).dt.days.to_numpy()
+    w = DECAY_UNIT >> np.minimum(age // 7, 60).astype(np.int64)
+    num = (ev["value"].to_numpy() * 100).round().astype("int64") * w
+    exp = pd.DataFrame({"user_id": ev["user_id"], "num": num}).groupby(
+        "user_id")["num"].sum()
+    assert len(got) == len(exp)
+    for _, r in got.iterrows():
+        assert r["score"] == exp[r["user_id"]] / (DECAY_UNIT * 100.0)
+
+
+def test_k_core_hosts_peeling(ray_session):
+    """k-core replay: KCORE_ROUNDS peels of a networkx-free adjacency dict;
+    surviving hosts and induced degrees match exactly."""
+    from ocr_ray.ops.graph import KCORE_K, KCORE_ROUNDS, _canonical_edges, k_core_hosts
+
+    got = _df(k_core_hosts(SF))
+    edges = {(r["a"], r["b"]) for r in _canonical_edges(SF).take_all()}
+    for _ in range(KCORE_ROUNDS):
+        deg: dict[str, int] = {}
+        for a, b in edges:
+            deg[a] = deg.get(a, 0) + 1
+            deg[b] = deg.get(b, 0) + 1
+        alive = {h for h, d in deg.items() if d >= KCORE_K}
+        edges = {(a, b) for a, b in edges if a in alive and b in alive}
+    deg = {}
+    for a, b in edges:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    assert len(got) == len(deg)
+    for _, r in got.iterrows():
+        assert deg[r["host"]] == r["core_degree"]
