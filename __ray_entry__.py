@@ -43,6 +43,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # end of their group.
     return {
         # ---- round-4 additions (newest first)
+        "rolling_7d_revenue": r_ops.rolling_7d_revenue,
+        "referential_audit": r_ops.referential_audit,
+        "source_gini": d_ops.source_gini,
+        "hard_negatives": e_ops.hard_negatives,
         "brand_basket_pairs": r_ops.brand_basket_pairs,
         "loyal_customers": r_ops.loyal_customers,
         "top2_orders_per_customer": r_ops.top2_orders_per_customer,
@@ -2675,5 +2679,95 @@ def _base_oracle_sql() -> dict[str, str]:
                         60) AS BIGINT))) AS DOUBLE)
                    / {r_ops.DECAY_UNIT * 100}.0 AS score
         FROM events GROUP BY 1 ORDER BY 1
+    """
+
+    # trailing 7-present-day window over exact per-day cents
+    sql["rolling_7d_revenue"] = """
+        WITH d AS (
+            SELECT strftime(o_orderdate, '%Y-%m-%d') AS day,
+                   SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+            FROM orders GROUP BY 1
+        )
+        SELECT day,
+               CAST(cents AS DOUBLE) / 100.0 AS revenue,
+               CAST(SUM(cents) OVER w AS DOUBLE) / 100.0 AS rolling_7d,
+               CAST(SUM(cents) OVER w AS DOUBLE)
+                   / (100.0 * COUNT(*) OVER w) AS rolling_avg_7d
+        FROM d
+        WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+        ORDER BY day
+    """
+
+    # full-outer-join integrity audit collapsed to one tally row
+    sql["referential_audit"] = """
+        WITH k AS (
+            SELECT COALESCE(o.n_ord, 0) AS n_ord, COALESCE(l.n_li, 0) AS n_li
+            FROM (SELECT o_orderkey, CAST(COUNT(*) AS BIGINT) AS n_ord
+                  FROM orders GROUP BY 1) o
+            FULL OUTER JOIN
+                 (SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS n_li
+                  FROM lineitem GROUP BY 1) l
+              ON o.o_orderkey = l.l_orderkey
+        )
+        SELECT CAST(SUM(n_ord) AS BIGINT) AS n_orders,
+               CAST(SUM(n_li) AS BIGINT) AS n_lineitems,
+               CAST(SUM(CASE WHEN n_ord > 0 AND n_li > 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_matched_orders,
+               CAST(SUM(CASE WHEN n_ord > 0 AND n_li = 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_childless_orders,
+               CAST(SUM(CASE WHEN n_ord = 0 THEN n_li ELSE 0 END)
+                    AS BIGINT) AS n_orphan_lineitems,
+               CAST(SUM(CASE WHEN n_ord = 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_orphan_keys
+        FROM k
+    """
+
+    # per-source Gini via the rank-weighted closed form, int64 sums
+    sql["source_gini"] = """
+        WITH r AS (
+            SELECT source, CAST(n_chars AS BIGINT) AS x,
+                   row_number() OVER (
+                       PARTITION BY source ORDER BY n_chars, doc_id) AS rk
+            FROM documents
+        )
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(x) AS BIGINT) AS total_chars,
+               2.0 * SUM(rk * x) / (COUNT(*) * SUM(x))
+                   - (COUNT(*) + 1.0) / COUNT(*) AS gini
+        FROM r GROUP BY source ORDER BY source
+    """
+
+    # hard negatives over the sq8_quantize code chain: integer dot argmax,
+    # lowest-neg_id tiebreak — the same quantize expression as sq8_quantize
+    sql["hard_negatives"] = f"""
+        WITH v AS (
+            SELECT vec_id, label,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+            FROM embeddings
+        ),
+        s AS (
+            SELECT vec_id, label, e, list_min(e) AS vmin,
+                   (list_max(e) - list_min(e)) / {float(e_ops.SQ8_LEVELS)} AS scale
+            FROM v
+        ),
+        c AS (
+            SELECT vec_id, label,
+                   list_transform(e, x -> CASE WHEN scale = 0 THEN 0
+                       ELSE least({e_ops.SQ8_LEVELS}, greatest(0,
+                           CAST(floor((x - vmin) / scale + 0.5) AS BIGINT)))
+                       END) AS codes
+            FROM s
+        ),
+        a AS (
+            SELECT vec_id AS anchor_id, label AS a_label, codes AS a_codes
+            FROM c WHERE vec_id % {e_ops.HARDNEG_ANCHOR_MOD} = 0
+        )
+        SELECT anchor_id, c.vec_id AS neg_id,
+               CAST(list_sum(list_transform(list_zip(a.a_codes, c.codes),
+                    q -> q[1] * q[2])) AS BIGINT) AS dot
+        FROM a JOIN c ON a.a_label <> c.label
+        QUALIFY row_number() OVER (
+            PARTITION BY anchor_id ORDER BY dot DESC, neg_id) = 1
+        ORDER BY anchor_id
     """
     return sql

@@ -3771,3 +3771,43 @@ def ppjoin_pairs(sf_dir: str):
                          "jaccard": pa.array(out_j, pa.float64())})
 
     return with_ab.map_batches(verify, batch_format="pyarrow")
+
+
+def source_gini(sf_dir: str):
+    """Gini coefficient of document length (n_chars) per source — the
+    inequality audit that tells a curation pipeline whether one crawl
+    source is a few giants plus dust (gini→1) or evenly sized (gini→0).
+
+    Exactness: the rank-weighted sum S1 = Σ i·x_(i) and total Sx stay pure
+    int64 (ties contribute the same S1 under any tie order, so the rank
+    tiebreak never matters); the closed form
+    ``gini = 2·S1/(n·Sx) − (n+1)/n`` is evaluated with the identical
+    expression on both sides — two divisions, one subtract, same doubles.
+
+    Scale shape: sources co-locate via ``groupby(source)`` and each group
+    is ONE vectorized numpy pass (sort + dot). Documented assumption: one
+    source's rows fit a worker (the same per-group contract as
+    longest_docs_per_lang); the 100-TB path would swap the exact rank-dot
+    for a per-source histogram sketch.
+
+    Output: (source, n_docs, total_chars, gini) ordered by source."""
+    import numpy as np
+
+    ds = read_table(sf_dir, "documents", columns=["source", "n_chars"])
+
+    def gini_group(group: pa.Table) -> pa.Table:
+        df = group.to_pandas()
+        x = np.sort(df["n_chars"].to_numpy().astype(np.int64))
+        n = len(x)
+        sx = int(x.sum())
+        s1 = int((np.arange(1, n + 1, dtype=np.int64) * x).sum())
+        gini = 2.0 * s1 / (n * sx) - (n + 1.0) / n if sx else 0.0
+        return pa.table(
+            {"source": pa.array([df["source"].iloc[0]], pa.string()),
+             "n_docs": pa.array([n], pa.int64()),
+             "total_chars": pa.array([sx], pa.int64()),
+             "gini": pa.array([gini], pa.float64())}
+        )
+
+    return ds.groupby("source").map_groups(
+        gini_group, batch_format="pyarrow").sort("source")

@@ -864,3 +864,90 @@ def embedding_top_component(sf_dir: str):
          "loading": pa.array(v.tolist(), pa.float64()),
          "eigenvalue": pa.array([eig] * d, pa.float64())}
     )
+
+
+HARDNEG_ANCHOR_MOD = 10
+# encode (dot, vec_id) into one int64 so the distributed argmax is a plain
+# Max aggregate: dot ≤ 255²·d ≈ 4.2M for d=64, id headroom 2^31
+_HARDNEG_ID_SPAN = 1 << 31
+
+
+def _sq8_codes(m: np.ndarray) -> np.ndarray:
+    """The sq8_quantize code chain (shared float expression with its SQL
+    twin): per-vector min/max scale to 0..SQ8_LEVELS ints."""
+    vmin = m.min(axis=1)
+    vmax = m.max(axis=1)
+    scale = (vmax - vmin) / float(SQ8_LEVELS)
+    safe = np.where(scale == 0.0, 1.0, scale)
+    codes = np.floor((m - vmin[:, None]) / safe[:, None] + 0.5)
+    codes = np.clip(codes, 0, SQ8_LEVELS).astype(np.int64)
+    codes[scale == 0.0, :] = 0
+    return codes
+
+
+def hard_negatives(sf_dir: str):
+    """Hard-negative mining for contrastive training: for every anchor
+    vector (vec_id % HARDNEG_ANCHOR_MOD == 0), the most similar vector
+    with a DIFFERENT label — similarity as the integer dot product of SQ8
+    codes, so the argmax is exact (no float sum-order noise) and the SQL
+    twin replays the identical quantize→dot→argmax chain bit for bit.
+    Ties break to the lowest vec_id via the encoded (dot, −id) max.
+
+    Scale shape: the anchor code matrix broadcasts once via ray.put; each
+    batch runs ONE int64 matmul against it and emits a single best-
+    candidate row per anchor (n_anchors rows per batch cross the
+    exchange); a grouped Max over the encoded key finishes. This is the
+    brute-force baseline path (cf. ann_brute_topk); the scale path buckets
+    candidates by IVF cell first.
+
+    Output: (anchor_id, neg_id, dot) ordered by anchor_id."""
+    from .common import grouped_agg
+
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding", "label"])
+
+    # anchors are filtered DISTRIBUTED (vectorized batch mask, not a
+    # per-row lambda); only the 1/mod sample materializes
+    def pick_anchors(batch: pa.Table) -> pa.Table:
+        vid = batch.column("vec_id").to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(vid % HARDNEG_ANCHOR_MOD == 0))
+
+    anchors = ds.map_batches(
+        pick_anchors, batch_format="pyarrow", zero_copy_batch=True).take_all()
+    anchors.sort(key=lambda r: r["vec_id"])
+    a_ids = np.array([r["vec_id"] for r in anchors], dtype=np.int64)
+    a_labels = np.array([r["label"] for r in anchors], dtype=np.int64)
+    a_codes = _sq8_codes(
+        np.array([r["embedding"] for r in anchors], dtype=np.float64))
+    a_ref = ray.put((a_ids, a_labels, a_codes))
+
+    def best_in_batch(batch: pa.Table) -> pa.Table:
+        ids, labels, codes = ray.get(a_ref)
+        m = _matrix(batch)
+        v_codes = _sq8_codes(m)
+        v_ids = batch.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        v_labels = batch.column("label").to_numpy(zero_copy_only=False).astype(np.int64)
+        dots = codes @ v_codes.T  # (n_anchors, batch)
+        # encoded argmax key: prefer high dot, then LOW vec_id
+        enc = dots * _HARDNEG_ID_SPAN + (_HARDNEG_ID_SPAN - 1 - v_ids)[None, :]
+        enc = np.where(labels[:, None] != v_labels[None, :], enc, -1)
+        best = enc.max(axis=1)
+        keep = best >= 0
+        return pa.table(
+            {"anchor_id": pa.array(ids[keep], pa.int64()),
+             "enc": pa.array(best[keep], pa.int64())}
+        )
+
+    def fin(df):
+        df["dot"] = (df["enc"] // _HARDNEG_ID_SPAN).astype("int64")
+        df["neg_id"] = (
+            _HARDNEG_ID_SPAN - 1 - (df["enc"] % _HARDNEG_ID_SPAN)
+        ).astype("int64")
+        return df.sort_values("anchor_id").reset_index(drop=True)[
+            ["anchor_id", "neg_id", "dot"]]
+
+    return grouped_agg(
+        ds.map_batches(best_in_batch, batch_format="pyarrow", zero_copy_batch=True),
+        keys=["anchor_id"],
+        specs=[("enc", "max", "enc")],
+        finalize=fin,
+    )

@@ -3186,3 +3186,111 @@ def decayed_user_scores(sf_dir: str):
         specs=[("num", "sum", "num")],
         finalize=fin,
     )
+
+
+def rolling_7d_revenue(sf_dir: str):
+    """Trailing 7-row windowed aggregate: per order day, that day's revenue
+    plus the rolling sum/average over the last 7 present days (ROWS 6
+    PRECEDING — a time-series smoothing every dashboard needs and Ray Data
+    has no native window operator for).
+
+    Scale shape: the scan partial-aggregates exact cents per day inside
+    each batch (one row per batch × day crosses the exchange); the rolling
+    pass runs in the single-task finalize over the tiny per-day frame —
+    window state never touches the distributed path because days are
+    bounded (~2.4k for the corpus span), the suite's standard
+    small-result-window discipline.
+
+    Output: (day, revenue, rolling_7d, rolling_avg_7d) ordered by day."""
+    orders = read_table(sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        cents = np.rint(df["o_totalprice"].to_numpy() * 100.0).astype(np.int64)
+        out = pd.DataFrame(
+            {"day": df["o_orderdate"].dt.strftime("%Y-%m-%d"), "cents": cents}
+        ).groupby("day", as_index=False).sum()
+        return from_pandas_clean(out)
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("day").reset_index(drop=True)
+        roll = df["cents"].rolling(7, min_periods=1).sum().astype("int64")
+        n = df["cents"].rolling(7, min_periods=1).count().astype("int64")
+        df["revenue"] = df["cents"].astype("float64") / 100.0
+        df["rolling_7d"] = roll.astype("float64") / 100.0
+        # same expression as SQL: double(cents sum) / (100 * window rows)
+        df["rolling_avg_7d"] = roll.astype("float64") / (100.0 * n)
+        return df[["day", "revenue", "rolling_7d", "rolling_avg_7d"]]
+
+    return grouped_agg(
+        orders.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        keys=["day"],
+        specs=[("cents", "sum", "cents")],
+        finalize=fin,
+    )
+
+
+def referential_audit(sf_dir: str):
+    """Referential-integrity audit between the orders and lineitem fact
+    tables — the data-quality gate every ingest pipeline runs before
+    training jobs consume a drop: orphan lineitems (no order header),
+    childless orders (no lines), matched counts.
+
+    Scale shape: a FULL OUTER JOIN without the join — both scans emit
+    combiner-collapsed (orderkey, n_li, n_ord) partial counts, one union +
+    grouped sum co-locates each key exactly once, and the classification
+    collapses to five scalar tallies before the single-row finalize. The
+    only all-to-all carries one row per distinct orderkey.
+
+    Output: one row (n_orders, n_lineitems, n_matched_orders,
+    n_childless_orders, n_orphan_lineitems, n_orphan_keys)."""
+    orders = read_table(sf_dir, "orders", columns=["o_orderkey"])
+    lineitem = read_table(sf_dir, "lineitem", columns=["l_orderkey"])
+
+    def ord_partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas().groupby("o_orderkey", as_index=False).size()
+        df = df.rename(columns={"o_orderkey": "okey", "size": "n_ord"})
+        df["n_li"] = 0
+        return from_pandas_clean(df)
+
+    def li_partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas().groupby("l_orderkey", as_index=False).size()
+        df = df.rename(columns={"l_orderkey": "okey", "size": "n_li"})
+        df["n_ord"] = 0
+        return from_pandas_clean(df)
+
+    both = orders.map_batches(
+        ord_partial, batch_format="pyarrow", zero_copy_batch=True
+    ).union(lineitem.map_batches(
+        li_partial, batch_format="pyarrow", zero_copy_batch=True))
+
+    per_key = grouped_agg(
+        both, keys=["okey"],
+        specs=[("n_ord", "sum", "n_ord"), ("n_li", "sum", "n_li")])
+
+    _TALLIES = ["n_orders", "n_lineitems", "n_matched_orders",
+                "n_childless_orders", "n_orphan_lineitems", "n_orphan_keys"]
+
+    def classify(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        has_ord = df["n_ord"].to_numpy() > 0
+        has_li = df["n_li"].to_numpy() > 0
+        return from_pandas_clean(pd.DataFrame({
+            "k": [0],  # constant grouping key: a global sum as grouped_agg
+            "n_orders": [int(df["n_ord"].sum())],
+            "n_lineitems": [int(df["n_li"].sum())],
+            "n_matched_orders": [int((has_ord & has_li).sum())],
+            "n_childless_orders": [int((has_ord & ~has_li).sum())],
+            "n_orphan_lineitems": [int(df["n_li"].to_numpy()[~has_ord].sum())],
+            "n_orphan_keys": [int((~has_ord).sum())],
+        }))
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        return df[_TALLIES].astype("int64")
+
+    return grouped_agg(
+        per_key.map_batches(classify, batch_format="pyarrow"),
+        keys=["k"],
+        specs=[(c, "sum", c) for c in _TALLIES],
+        finalize=fin,
+    )

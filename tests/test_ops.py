@@ -3409,3 +3409,84 @@ def test_k_core_hosts_peeling(ray_session):
     assert len(got) == len(deg)
     for _, r in got.iterrows():
         assert deg[r["host"]] == r["core_degree"]
+
+
+def test_rolling_7d_revenue_window(ray_session):
+    """Rolling replay: pandas rolling(7) over per-day exact cents matches
+    the windowed output bit for bit."""
+    from ocr_ray.ops.relational import rolling_7d_revenue
+
+    got = _df(rolling_7d_revenue(SF))
+    orders = pd.read_parquet(f"{SF}/orders.parquet")
+    cents = (orders["o_totalprice"] * 100).round().astype("int64")
+    daily = pd.DataFrame(
+        {"day": orders["o_orderdate"].dt.strftime("%Y-%m-%d"), "cents": cents}
+    ).groupby("day", as_index=False).sum().sort_values("day").reset_index(drop=True)
+    roll = daily["cents"].rolling(7, min_periods=1).sum().astype("int64")
+    n = daily["cents"].rolling(7, min_periods=1).count().astype("int64")
+    assert list(got["day"]) == list(daily["day"])
+    assert (got["revenue"] == daily["cents"] / 100.0).all()
+    assert (got["rolling_7d"] == roll / 100.0).all()
+    assert (got["rolling_avg_7d"] == roll.astype("float64") / (100.0 * n)).all()
+
+
+def test_referential_audit_tallies(ray_session):
+    """Audit replay over raw key sets; the synthetic corpus is referentially
+    intact, so orphan/childless tallies must be zero and matched == both
+    distinct key counts."""
+    from ocr_ray.ops.relational import referential_audit
+
+    got = _df(referential_audit(SF)).iloc[0]
+    orders = pd.read_parquet(f"{SF}/orders.parquet", columns=["o_orderkey"])
+    li = pd.read_parquet(f"{SF}/lineitem.parquet", columns=["l_orderkey"])
+    okeys, lkeys = set(orders["o_orderkey"]), set(li["l_orderkey"])
+    assert got["n_orders"] == len(orders)
+    assert got["n_lineitems"] == len(li)
+    assert got["n_matched_orders"] == len(okeys & lkeys)
+    assert got["n_childless_orders"] == len(okeys - lkeys)
+    assert got["n_orphan_keys"] == len(lkeys - okeys)
+    assert got["n_orphan_lineitems"] == int(
+        li["l_orderkey"].isin(lkeys - okeys).sum())
+
+
+def test_source_gini_closed_form(ray_session):
+    """Gini replay from the rank-weighted closed form; values in [0, 1)
+    and exact against a numpy recompute."""
+    import numpy as np
+
+    from ocr_ray.ops.documents import source_gini
+
+    got = _df(source_gini(SF))
+    docs = pd.read_parquet(f"{SF}/documents.parquet", columns=["source", "n_chars"])
+    assert ((got["gini"] >= 0) & (got["gini"] < 1)).all()
+    for _, r in got.iterrows():
+        x = np.sort(docs[docs["source"] == r["source"]]["n_chars"].to_numpy())
+        n, sx = len(x), int(x.sum())
+        s1 = int((np.arange(1, n + 1) * x).sum())
+        assert r["n_docs"] == n and r["total_chars"] == sx
+        assert r["gini"] == 2.0 * s1 / (n * sx) - (n + 1.0) / n
+
+
+def test_hard_negatives_brute(ray_session):
+    """Brute replay: for every anchor, the integer-dot argmax over
+    different-label SQ8 codes, lowest-id tiebreak."""
+    import numpy as np
+
+    from ocr_ray.ops.embeddings import (
+        HARDNEG_ANCHOR_MOD, _sq8_codes, hard_negatives)
+
+    got = _df(hard_negatives(SF))
+    emb = pd.read_parquet(f"{SF}/embeddings.parquet")
+    m = np.array(list(emb["embedding"]), dtype=np.float64)
+    codes = _sq8_codes(m)
+    ids = emb["vec_id"].to_numpy()
+    labels = emb["label"].to_numpy()
+    a_mask = ids % HARDNEG_ANCHOR_MOD == 0
+    assert len(got) == int(a_mask.sum())
+    for _, r in got.iterrows():
+        i = int(np.flatnonzero(ids == r["anchor_id"])[0])
+        dots = codes[i] @ codes.T
+        cand = labels != labels[i]
+        best = max(
+            (int(d), -int(v)) for d, v, ok in zip(dots, ids, cand) if ok)
+        assert (r["dot"], r["neg_id"]) == (best[0], -best[1])
