@@ -43,6 +43,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # end of their group.
     return {
         # ---- round-4 additions (newest first)
+        "supplier_overlap_pairs": r_ops.supplier_overlap_pairs,
+        "outlier_docs": d_ops.outlier_docs,
+        "hits_scores": g_ops.hits_scores,
+        "error_taxonomy": x_ops.error_taxonomy,
         "rolling_7d_revenue": r_ops.rolling_7d_revenue,
         "referential_audit": r_ops.referential_audit,
         "source_gini": d_ops.source_gini,
@@ -2735,6 +2739,43 @@ def _base_oracle_sql() -> dict[str, str]:
                2.0 * SUM(rk * x) / (COUNT(*) * SUM(x))
                    - (COUNT(*) + 1.0) / COUNT(*) AS gini
         FROM r GROUP BY source ORDER BY source
+    """
+
+    # bipartite projection with the suite's deterministic sorted-prefix cap
+    sql["supplier_overlap_pairs"] = f"""
+        WITH ps AS (
+            SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+        ),
+        cap AS (
+            SELECT l_partkey, l_suppkey FROM ps
+            QUALIFY row_number() OVER (
+                PARTITION BY l_partkey ORDER BY l_suppkey)
+                <= {r_ops.PARTSUPP_CAP}
+        )
+        SELECT a.l_suppkey AS supp_a, b.l_suppkey AS supp_b,
+               CAST(COUNT(*) AS BIGINT) AS n_shared_parts
+        FROM cap a JOIN cap b
+          ON a.l_partkey = b.l_partkey AND a.l_suppkey < b.l_suppkey
+        GROUP BY 1, 2
+        ORDER BY n_shared_parts DESC, supp_a, supp_b
+    """
+
+    # Tukey fences on order-statistic quartiles, cross-multiplied to ints
+    _num, _den = d_ops.OUTLIER_IQR_NUM, d_ops.OUTLIER_IQR_DEN
+    sql["outlier_docs"] = f"""
+        WITH q AS (
+            SELECT lang,
+                   percentile_disc(0.25) WITHIN GROUP (ORDER BY n_chars) AS q1,
+                   percentile_disc(0.75) WITHIN GROUP (ORDER BY n_chars) AS q3
+            FROM documents GROUP BY lang
+        )
+        SELECT doc_id, d.lang, n_chars,
+               CASE WHEN {_den} * n_chars < {_den} * q1 - {_num} * (q3 - q1)
+                    THEN 'low' ELSE 'high' END AS side
+        FROM documents d JOIN q ON d.lang = q.lang
+        WHERE {_den} * n_chars < {_den} * q1 - {_num} * (q3 - q1)
+           OR {_den} * n_chars > {_den} * q3 + {_num} * (q3 - q1)
+        ORDER BY doc_id
     """
 
     # hard negatives over the sq8_quantize code chain: integer dot argmax,

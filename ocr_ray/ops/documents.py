@@ -3811,3 +3811,72 @@ def source_gini(sf_dir: str):
 
     return ds.groupby("source").map_groups(
         gini_group, batch_format="pyarrow").sort("source")
+
+
+# fences at q ± (NUM/DEN)·IQR, compared in integers. 1/2·IQR (tighter than
+# Tukey's 3/2, which flags nothing on the synthetic near-uniform lengths) —
+# the constant is the POLICY knob; the machinery is multiplier-agnostic.
+OUTLIER_IQR_NUM = 1
+OUTLIER_IQR_DEN = 2
+
+
+def outlier_docs(sf_dir: str):
+    """Tukey-fence length outliers per language: docs whose n_chars falls
+    outside [q1 − (NUM/DEN)·IQR, q3 + (NUM/DEN)·IQR] of their language's
+    distribution
+    — the pre-training length filter that catches both navigation stubs
+    and concatenation blobs.
+
+    Exactness: q1/q3 are ORDER STATISTICS (percentile_disc semantics —
+    sorted value at index ceil(q·n)−1), so they are exact ints; the fence
+    compare is cross-multiplied to stay integral:
+    ``DEN·x < DEN·q1 − NUM·IQR`` (low) / ``DEN·x > DEN·q3 + NUM·IQR``
+    (high) — no float ever forms.
+
+    Scale shape: per-lang quantiles come from ONE map_groups pass over the
+    (lang, n_chars) projection (languages are a small dimension; the
+    100-TB path swaps in a per-lang histogram sketch), broadcast once;
+    the flagging scan is shuffle-free.
+
+    Output: (doc_id, lang, n_chars, side) ordered by doc_id."""
+    import numpy as np
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "lang", "n_chars"])
+
+    def quartiles(group: pa.Table) -> pa.Table:
+        df = group.to_pandas()
+        x = np.sort(df["n_chars"].to_numpy().astype(np.int64))
+        n = len(x)
+        q1 = int(x[int(np.ceil(0.25 * n)) - 1])
+        q3 = int(x[int(np.ceil(0.75 * n)) - 1])
+        return pa.table(
+            {"lang": pa.array([df["lang"].iloc[0]], pa.string()),
+             "q1": pa.array([q1], pa.int64()),
+             "q3": pa.array([q3], pa.int64())}
+        )
+
+    fences = {
+        r["lang"]: (r["q1"], r["q3"])
+        for r in ds.drop_columns(["doc_id"]).groupby("lang")
+        .map_groups(quartiles, batch_format="pyarrow").take_all()
+    }
+    fences_ref = ray.put(fences)
+
+    def flag(batch: pa.Table) -> pa.Table:
+        fmap = ray.get(fences_ref)
+        df = batch.to_pandas()
+        q1 = np.fromiter((fmap[v][0] for v in df["lang"]), dtype=np.int64,
+                         count=len(df))
+        q3 = np.fromiter((fmap[v][1] for v in df["lang"]), dtype=np.int64,
+                         count=len(df))
+        iqr = q3 - q1
+        x = df["n_chars"].to_numpy().astype(np.int64)
+        lo = OUTLIER_IQR_DEN * x < OUTLIER_IQR_DEN * q1 - OUTLIER_IQR_NUM * iqr
+        hi = OUTLIER_IQR_DEN * x > OUTLIER_IQR_DEN * q3 + OUTLIER_IQR_NUM * iqr
+        keep = lo | hi
+        out = df[keep].copy()
+        out["side"] = np.where(lo[keep], "low", "high")
+        return from_pandas_clean(out[["doc_id", "lang", "n_chars", "side"]])
+
+    return ds.map_batches(
+        flag, batch_format="pyarrow", zero_copy_batch=True).sort("doc_id")

@@ -1775,3 +1775,45 @@ def host_lang_entropy(sf_dir: str) -> ray.data.Dataset:
         specs=[("n_records", "sum", "c"), ("s", "sum", "s")],
         finalize=fin,
     )
+
+
+def error_taxonomy(sf_dir: str) -> ray.data.Dataset:
+    """Failure-mode rollup over the extraction run: how many records of
+    each branch died with each exception class — the ops dashboard every
+    large crawl-processing fleet watches (the error column is the
+    engine's per-record failure capture; SURVEY.md T5's retries + error
+    column replace the reference's progress/failure state).
+
+    Scale shape: a two-column pruned read of the committed shards, a
+    shuffle-free per-batch rollup, one tiny grouped sum.
+
+    Output: (branch, error_class, n) ordered by branch, error_class, with
+    error_class = the exception class before the first ':'."""
+    import pandas as pd
+
+    from .common import from_pandas_clean, grouped_agg
+
+    out = extraction_output(sf_dir, columns=["branch", "error"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df = df[df["error"].notna()].copy()
+        if not len(df):
+            return pa.Table.from_pylist([], schema=pa.schema(
+                [pa.field("branch", pa.string()),
+                 pa.field("error_class", pa.string()),
+                 pa.field("n", pa.int64())]))
+        df["error_class"] = df["error"].str.split(":", n=1).str[0]
+        out = df.groupby(["branch", "error_class"], as_index=False).size()
+        return from_pandas_clean(out.rename(columns={"size": "n"}))
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        df["n"] = df["n"].astype("int64")
+        return df.sort_values(["branch", "error_class"]).reset_index(drop=True)
+
+    return grouped_agg(
+        out.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        keys=["branch", "error_class"],
+        specs=[("n", "sum", "n")],
+        finalize=fin,
+    )

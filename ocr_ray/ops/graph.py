@@ -917,3 +917,94 @@ def k_core_hosts(sf_dir: str) -> ray.data.Dataset:
 
     return grouped_agg(
         deg, keys=["host"], specs=[("core_degree", "sum", "deg")], finalize=fin)
+
+
+HITS_ROUNDS = 2
+
+
+def hits_scores(sf_dir: str) -> ray.data.Dataset:
+    """HITS hubs-and-authorities over the weighted host link graph —
+    Kleinberg's twin of PageRank: a good hub links to good authorities, a
+    good authority is linked from good hubs. Run UNNORMALIZED in pure
+    int64 for exactly HITS_ROUNDS rounds: the per-round L1 normalization
+    only rescales (rankings are scale-invariant), and dropping it keeps
+    every score an exact integer — no float sum-order noise for the hash
+    gate to trip on (documented bound: scores grow like (deg·w)^rounds,
+    ~10^12 for a 10^3-degree weighted host graph at 2 rounds — int64 safe).
+
+    Scale shape: same dataflow as pagerank_hosts' distributed path — each
+    half-round is one hash join (scores ⋈ edges) + one combiner-collapsed
+    grouped sum, per-round state is O(hosts) and materialized; nodes with
+    no in/out edges keep score 0 via the final left joins.
+
+    Output: (host, hub, auth) after HITS_ROUNDS rounds, ordered by host."""
+    from .common import distinct, from_pandas_clean
+
+    edges = host_link_graph(sf_dir).materialize()
+    parts = choose_join_parts(sf_dir, "documents")
+
+    nodes = distinct(
+        edges.select_columns(["src_host"]).rename_columns({"src_host": "host"})
+        .union(
+            edges.select_columns(["dst_host"]).rename_columns({"dst_host": "host"})
+        ),
+        keys=["host"],
+    ).materialize()
+
+    hub = nodes.map_batches(
+        lambda b: pa.table({"host": b.column("host"),
+                            "hub": pa.array([1] * b.num_rows, pa.int64())}),
+        batch_format="pyarrow",
+    ).materialize()
+
+    auth = None
+    for _ in range(HITS_ROUNDS):
+        j = edges.join(
+            hub, join_type="inner", num_partitions=parts,
+            on=("src_host",), right_on=("host",),
+        )
+
+        def a_rows(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            return pa.table(
+                {"host": batch.column("dst_host"),
+                 "auth": pc.multiply(batch.column("n_links"),
+                                     batch.column("hub"))}
+            )
+
+        auth = grouped_agg(
+            j.map_batches(a_rows, batch_format="pyarrow"),
+            keys=["host"], specs=[("auth", "sum", "auth")]).materialize()
+
+        j2 = edges.join(
+            auth, join_type="inner", num_partitions=parts,
+            on=("dst_host",), right_on=("host",),
+        )
+
+        def h_rows(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            return pa.table(
+                {"host": batch.column("src_host"),
+                 "hub": pc.multiply(batch.column("n_links"),
+                                    batch.column("auth"))}
+            )
+
+        hub = grouped_agg(
+            j2.map_batches(h_rows, batch_format="pyarrow"),
+            keys=["host"], specs=[("hub", "sum", "hub")]).materialize()
+
+    out = nodes.join(
+        hub, join_type="left_outer", num_partitions=parts, on=("host",),
+    ).join(
+        auth, join_type="left_outer", num_partitions=parts, on=("host",),
+    )
+
+    def fin(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["hub"] = df["hub"].fillna(0).astype("int64")
+        df["auth"] = df["auth"].fillna(0).astype("int64")
+        return from_pandas_clean(df[["host", "hub", "auth"]])
+
+    return out.map_batches(fin, batch_format="pyarrow").sort("host")

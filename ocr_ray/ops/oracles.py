@@ -1600,6 +1600,49 @@ def extra_oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
     """)
     sql["k_core_hosts"] = "".join(kcore_parts)
 
+    # ---------------------------------------- corpus: hits_scores
+    # unnormalized integer HITS, HITS_ROUNDS rounds unrolled — every score
+    # stays BIGINT so no float sum-order noise can trip the hash gate
+    from .graph import HITS_ROUNDS
+
+    hits_parts = [f"""WITH {link_ctes},
+        nodes AS (
+            SELECT DISTINCT src_host AS host FROM edges
+            UNION SELECT DISTINCT dst_host FROM edges
+        ),
+        h0 AS (SELECT host, CAST(1 AS BIGINT) AS hub FROM nodes)"""]
+    for i in range(1, HITS_ROUNDS + 1):
+        hits_parts.append(f""",
+        a{i} AS MATERIALIZED (
+            SELECT e.dst_host AS host,
+                   CAST(SUM(e.n_links * h.hub) AS BIGINT) AS auth
+            FROM edges e JOIN h{i - 1} h ON e.src_host = h.host
+            GROUP BY 1),
+        h{i} AS MATERIALIZED (
+            SELECT e.src_host AS host,
+                   CAST(SUM(e.n_links * a.auth) AS BIGINT) AS hub
+            FROM edges e JOIN a{i} a ON e.dst_host = a.host
+            GROUP BY 1)""")
+    hits_parts.append(f"""
+        SELECT n.host, COALESCE(h.hub, 0) AS hub, COALESCE(a.auth, 0) AS auth
+        FROM nodes n
+        LEFT JOIN h{HITS_ROUNDS} h ON n.host = h.host
+        LEFT JOIN a{HITS_ROUNDS} a ON n.host = a.host
+        ORDER BY n.host
+    """)
+    sql["hits_scores"] = "".join(hits_parts)
+
+    # ---------------------------------------- artifact: error_taxonomy
+    # per-(branch, exception class) failure rollup recomputed from the
+    # committed shards' error column
+    sql["error_taxonomy"] = f"""
+        SELECT branch, split_part(error, ':', 1) AS error_class,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM read_parquet('{summary}')
+        WHERE error IS NOT NULL
+        GROUP BY 1, 2 ORDER BY 1, 2
+    """
+
     # ---------------------------------------- artifact: mirror_hosts
     # same >= MIRROR_MIN_PAR_CHARS paragraphs, same signed-md5 hash, and
     # the SAME deterministic per-hash host cap (QUALIFY) as the engine —

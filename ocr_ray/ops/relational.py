@@ -3294,3 +3294,64 @@ def referential_audit(sf_dir: str):
         specs=[(c, "sum", c) for c in _TALLIES],
         finalize=fin,
     )
+
+
+PROJ_PARTS = 64
+PARTSUPP_CAP = 4096  # sorted-prefix cap per part, mirrored in the SQL twin
+
+
+def supplier_overlap_pairs(sf_dir: str):
+    """Bipartite projection: project the part↔supplier incidence (from
+    lineitem) onto suppliers — for every supplier pair, how many distinct
+    parts both have shipped. The co-engagement graph build behind
+    supplier-substitution and collusion analytics.
+
+    Scale shape: (partkey, suppkey) distinct-collapses first (one combiner
+    exchange); each part's supplier list is capped at PARTSUPP_CAP by the
+    deterministic sorted-by-suppkey prefix (same one-sided-truncation
+    guard as the LSH bucket caps — the SQL twin applies the identical
+    QUALIFY), bounding the per-part pair fan-out; parts co-locate on the
+    SALTED ``partkey % PROJ_PARTS`` and pair enumeration is one vectorized
+    self-merge per part group. Output is bounded by C(|suppliers|, 2) —
+    a dimension-squared frame, never corpus-sized.
+
+    Output: (supp_a, supp_b, n_shared_parts), supp_a < supp_b, ordered by
+    n_shared_parts desc then pair."""
+    ps = distinct(
+        read_table(sf_dir, "lineitem", columns=["l_partkey", "l_suppkey"]),
+        ["l_partkey", "l_suppkey"],
+    )
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        pk = batch.column("l_partkey").combine_chunks().to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "ppart", pa.array(pk % PROJ_PARTS, pa.int64()))
+
+    ps = ps.map_batches(add_part, batch_format="pyarrow", zero_copy_batch=True)
+
+    def pairs_part(group: pa.Table) -> pa.Table:
+        df = group.select(["l_partkey", "l_suppkey"]).to_pandas()
+        df = df.sort_values(["l_partkey", "l_suppkey"], kind="mergesort")
+        rk = df.groupby("l_partkey").cumcount()
+        df = df[rk < PARTSUPP_CAP]
+        m = df.merge(df, on="l_partkey")
+        m = m[m["l_suppkey_x"] < m["l_suppkey_y"]]
+        out = (
+            m.groupby(["l_suppkey_x", "l_suppkey_y"], as_index=False).size()
+            .rename(columns={"l_suppkey_x": "supp_a", "l_suppkey_y": "supp_b",
+                             "size": "n_shared_parts"})
+        )
+        return from_pandas_clean(out)
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        df["n_shared_parts"] = df["n_shared_parts"].astype("int64")
+        return df.sort_values(
+            ["n_shared_parts", "supp_a", "supp_b"],
+            ascending=[False, True, True]).reset_index(drop=True)
+
+    return grouped_agg(
+        ps.groupby("ppart").map_groups(pairs_part, batch_format="pyarrow"),
+        keys=["supp_a", "supp_b"],
+        specs=[("n_shared_parts", "sum", "n_shared_parts")],
+        finalize=fin,
+    )

@@ -3490,3 +3490,97 @@ def test_hard_negatives_brute(ray_session):
         best = max(
             (int(d), -int(v)) for d, v, ok in zip(dots, ids, cand) if ok)
         assert (r["dot"], r["neg_id"]) == (best[0], -best[1])
+
+
+def test_supplier_overlap_pairs_projection(ray_session):
+    """Bipartite-projection replay: pair counts equal shared distinct part
+    sets; canonical supp_a < supp_b."""
+    from itertools import combinations
+
+    from ocr_ray.ops.relational import supplier_overlap_pairs
+
+    got = _df(supplier_overlap_pairs(SF))
+    assert (got["supp_a"] < got["supp_b"]).all()
+    ps = pd.read_parquet(
+        f"{SF}/lineitem.parquet", columns=["l_partkey", "l_suppkey"]
+    ).drop_duplicates()
+    exp: dict[tuple[int, int], int] = {}
+    for _, g in ps.groupby("l_partkey"):
+        for a, b in combinations(sorted(g["l_suppkey"]), 2):
+            exp[(a, b)] = exp.get((a, b), 0) + 1
+    assert len(got) == len(exp)
+    for _, r in got.iterrows():
+        assert exp[(r["supp_a"], r["supp_b"])] == r["n_shared_parts"]
+
+
+def test_outlier_docs_fences(ray_session):
+    """Fence replay: exactly the docs outside q ± (NUM/DEN)·IQR of their
+    language, with order-statistic quartiles."""
+    import numpy as np
+
+    from ocr_ray.ops.documents import (
+        OUTLIER_IQR_DEN, OUTLIER_IQR_NUM, outlier_docs)
+
+    got = _df(outlier_docs(SF))
+    assert len(got) > 0
+    docs = pd.read_parquet(
+        f"{SF}/documents.parquet", columns=["doc_id", "lang", "n_chars"])
+    flagged = {}
+    for lang, g in docs.groupby("lang"):
+        x = np.sort(g["n_chars"].to_numpy())
+        n = len(x)
+        q1 = int(x[int(np.ceil(0.25 * n)) - 1])
+        q3 = int(x[int(np.ceil(0.75 * n)) - 1])
+        iqr = q3 - q1
+        for _, r in g.iterrows():
+            v = OUTLIER_IQR_DEN * int(r["n_chars"])
+            if v < OUTLIER_IQR_DEN * q1 - OUTLIER_IQR_NUM * iqr:
+                flagged[r["doc_id"]] = "low"
+            elif v > OUTLIER_IQR_DEN * q3 + OUTLIER_IQR_NUM * iqr:
+                flagged[r["doc_id"]] = "high"
+    assert len(got) == len(flagged)
+    for _, r in got.iterrows():
+        assert flagged[r["doc_id"]] == r["side"]
+
+
+def test_hits_scores_integer_recurrence(ray_session):
+    """HITS replay: two unnormalized integer rounds over the weighted edge
+    dict match the distributed joins exactly."""
+    from ocr_ray.ops.graph import HITS_ROUNDS, hits_scores, host_link_graph
+
+    got = _df(hits_scores(SF))
+    edges = [(r["src_host"], r["dst_host"], r["n_links"])
+             for r in host_link_graph(SF).take_all()]
+    nodes = {s for s, _, _ in edges} | {d for _, d, _ in edges}
+    hub = {h: 1 for h in nodes}
+    auth: dict[str, int] = {}
+    for _ in range(HITS_ROUNDS):
+        auth = {}
+        for s, d, w in edges:
+            if s in hub:
+                auth[d] = auth.get(d, 0) + w * hub[s]
+        hub = {}
+        for s, d, w in edges:
+            if d in auth:
+                hub[s] = hub.get(s, 0) + w * auth[d]
+    assert len(got) == len(nodes)
+    for _, r in got.iterrows():
+        assert (r["hub"], r["auth"]) == (
+            hub.get(r["host"], 0), auth.get(r["host"], 0))
+
+
+def test_error_taxonomy_rollup(ray_session):
+    """Taxonomy replay over the extraction cache: class = error prefix
+    before ':', counts per branch."""
+    from ocr_ray.ops.extraction_queries import error_taxonomy, extraction_output
+
+    got = _df(error_taxonomy(SF))
+    raw = pd.DataFrame(
+        extraction_output(SF, columns=["branch", "error"]).take_all())
+    raw = raw[raw["error"].notna()].copy()
+    raw["error_class"] = raw["error"].str.split(":", n=1).str[0]
+    exp = raw.groupby(["branch", "error_class"]).size()
+    assert len(got) == len(exp)
+    assert int(got["n"].sum()) == len(raw)
+    for _, r in got.iterrows():
+        assert exp[(r["branch"], r["error_class"])] == r["n"]
