@@ -43,6 +43,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # end of their group.
     return {
         # ---- round-4 additions (newest first)
+        "forecast_revenue": r_ops.forecast_revenue,
+        "top_supplier": r_ops.top_supplier,
+        "dim_truncation_recall": e_ops.dim_truncation_recall,
         "supplier_overlap_pairs": r_ops.supplier_overlap_pairs,
         "outlier_docs": d_ops.outlier_docs,
         "hits_scores": g_ops.hits_scores,
@@ -2810,5 +2813,86 @@ def _base_oracle_sql() -> dict[str, str]:
         QUALIFY row_number() OVER (
             PARTITION BY anchor_id ORDER BY dot DESC, neg_id) = 1
         ORDER BY anchor_id
+    """
+
+    # Q6: the same exact 1e-4-unit integer product (cents × discount
+    # percent) as the engine; one double division on the grand total
+    sql["forecast_revenue"] = f"""
+        SELECT CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+                        * CAST(round(l_discount * 100) AS BIGINT))
+                    AS DOUBLE) / 10000.0 AS revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '{r_ops.Q6_YEAR_LO}'
+          AND l_shipdate <  TIMESTAMP '{r_ops.Q6_YEAR_HI}'
+          AND CAST(round(l_discount * 100) AS BIGINT)
+              BETWEEN {r_ops.Q6_DISC_LO} AND {r_ops.Q6_DISC_HI}
+          AND l_quantity < {r_ops.Q6_MAX_QTY}
+    """
+
+    # Q15: revenue view + max subquery on the identical integer rev4
+    sql["top_supplier"] = f"""
+        WITH rev AS (
+            SELECT l_suppkey,
+                   SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+                       * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                       AS rev4
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '{r_ops.Q15_WINDOW_LO}'
+              AND l_shipdate <  TIMESTAMP '{r_ops.Q15_WINDOW_HI}'
+            GROUP BY 1
+        )
+        SELECT s_suppkey, s_name,
+               CAST(rev4 AS DOUBLE) / 10000.0 AS total_revenue
+        FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        WHERE rev4 = (SELECT MAX(rev4) FROM rev)
+        ORDER BY s_suppkey
+    """
+
+    # Matryoshka truncation eval: both spaces ranked like ann_brute_topk
+    # (cosine desc, vec_id asc), recall = top-k overlap / k
+    sql["dim_truncation_recall"] = f"""
+        WITH q AS (
+            SELECT vec_id AS query_id, embedding AS qe
+            FROM embeddings ORDER BY vec_id LIMIT {e_ops.TRUNC_QUERIES}
+        ),
+        scored AS (
+            SELECT q.query_id, e.vec_id,
+                   list_sum(list_transform(list_zip(q.qe, e.embedding),
+                        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+                   / (sqrt(list_sum(list_transform(q.qe,
+                        x -> CAST(x AS DOUBLE) * x)))
+                      * sqrt(list_sum(list_transform(e.embedding,
+                        x -> CAST(x AS DOUBLE) * x)))) AS cos_full,
+                   list_sum(list_transform(
+                        list_zip(q.qe[1:{e_ops.TRUNC_DIM}],
+                                 e.embedding[1:{e_ops.TRUNC_DIM}]),
+                        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+                   / (sqrt(list_sum(list_transform(q.qe[1:{e_ops.TRUNC_DIM}],
+                        x -> CAST(x AS DOUBLE) * x)))
+                      * sqrt(list_sum(list_transform(
+                            e.embedding[1:{e_ops.TRUNC_DIM}],
+                            x -> CAST(x AS DOUBLE) * x)))) AS cos_trunc
+            FROM q CROSS JOIN embeddings e
+            WHERE e.vec_id <> q.query_id
+        ),
+        tf AS (
+            SELECT query_id, vec_id FROM scored
+            QUALIFY row_number() OVER (PARTITION BY query_id
+                ORDER BY cos_full DESC, vec_id) <= {e_ops.TRUNC_K}
+        ),
+        tt AS (
+            SELECT query_id, vec_id FROM scored
+            QUALIFY row_number() OVER (PARTITION BY query_id
+                ORDER BY cos_trunc DESC, vec_id) <= {e_ops.TRUNC_K}
+        ),
+        hits AS (
+            SELECT tf.query_id, COUNT(tt.vec_id) AS n_hits
+            FROM tf LEFT JOIN tt
+              ON tf.query_id = tt.query_id AND tf.vec_id = tt.vec_id
+            GROUP BY 1
+        )
+        SELECT query_id, CAST(n_hits AS BIGINT) AS n_hits,
+               CAST(n_hits AS DOUBLE) / {e_ops.TRUNC_K} AS recall
+        FROM hits ORDER BY query_id
     """
     return sql

@@ -951,3 +951,90 @@ def hard_negatives(sf_dir: str):
         specs=[("enc", "max", "enc")],
         finalize=fin,
     )
+
+
+# --- Matryoshka dimension-truncation evaluation -------------------------
+# Matryoshka-style representations (Kusupati et al. 2022) keep the first d
+# dimensions usable as a cheaper embedding; before switching an ANN index
+# to truncated vectors, a curation pipeline measures how much retrieval the
+# truncation loses. Constants are part of the query's identity (the SQL
+# twin bakes the same values).
+TRUNC_DIM = 16       # keep the first 16 of 64 dims
+TRUNC_QUERIES = 16   # evaluate on the first 16 vec_ids
+TRUNC_K = 10
+
+
+def dim_truncation_recall(sf_dir: str):
+    """Recall@k of truncated-dimension retrieval vs full-dimension
+    retrieval: for each query vector, the brute-force cosine top-k is
+    computed in BOTH spaces (full d and the first TRUNC_DIM dims) and
+    scored by overlap — recall = |topk_full ∩ topk_trunc| / k.
+
+    Scale shape: both normalized query matrices broadcast once
+    (``ray.put``); each batch scores itself with TWO matmuls and prunes to
+    a per-batch per-space top-k (the same broadcast-matmul law as
+    ann_brute_topk), so the exchange carries ≤ 2·k·n_queries rows per
+    block, never the corpus; the final per-query intersection runs in a
+    tiny map_groups over ≤ 2·k·blocks rows.
+
+    Output: (query_id, n_hits, recall) ordered by query_id."""
+    ids, qmat = _query_matrix(sf_dir, TRUNC_QUERIES)
+    qfull = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
+    qt = qmat[:, :TRUNC_DIM]
+    qtrunc = qt / np.linalg.norm(qt, axis=1, keepdims=True)
+    q_ref = ray.put((ids, qfull, qtrunc))
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    k = TRUNC_K
+
+    def score(batch: pa.Table) -> pa.Table:
+        q_ids, qf, qs = ray.get(q_ref)
+        m = _matrix(batch)
+        mf = m / np.linalg.norm(m, axis=1, keepdims=True)
+        mt = m[:, :TRUNC_DIM]
+        ms = mt / np.linalg.norm(mt, axis=1, keepdims=True)
+        vec_ids = _ids(batch)
+        out = {"query_id": [], "space": [], "vec_id": [], "cosine": []}
+        for space, sims in (("full", qf @ mf.T), ("trunc", qs @ ms.T)):
+            for qi, qid in enumerate(q_ids):
+                mask = vec_ids != qid
+                cand_ids = vec_ids[mask]
+                cand = sims[qi][mask]
+                take = min(k, len(cand))
+                idx = np.argpartition(-cand, take - 1)[:take] if take else []
+                for i in idx:
+                    out["query_id"].append(int(qid))
+                    out["space"].append(space)
+                    out["vec_id"].append(int(cand_ids[i]))
+                    out["cosine"].append(float(cand[i]))
+        return pa.table(
+            {"query_id": pa.array(out["query_id"], pa.int64()),
+             "space": pa.array(out["space"], pa.string()),
+             "vec_id": pa.array(out["vec_id"], pa.int64()),
+             "cosine": pa.array(out["cosine"], pa.float64())}
+        )
+
+    cands = ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+
+    def recall(group: pa.Table) -> pa.Table:
+        df = group.to_pandas()
+        tops = {}
+        for space, sub in df.groupby("space"):
+            sub = sub.sort_values(["cosine", "vec_id"],
+                                  ascending=[False, True]).head(k)
+            tops[space] = set(sub["vec_id"])
+        hits = len(tops.get("full", set()) & tops.get("trunc", set()))
+        return pa.table(
+            {"query_id": pa.array([int(df["query_id"].iloc[0])], pa.int64()),
+             "n_hits": pa.array([hits], pa.int64()),
+             "recall": pa.array([hits / k], pa.float64())}
+        )
+
+    out = cands.groupby("query_id").map_groups(recall, batch_format="pyarrow")
+
+    def fin(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas().sort_values("query_id").reset_index(drop=True)
+        from .common import from_pandas_clean
+
+        return from_pandas_clean(df)
+
+    return out.repartition(1).map_batches(fin, batch_format="pyarrow")

@@ -3355,3 +3355,113 @@ def supplier_overlap_pairs(sf_dir: str):
         specs=[("n_shared_parts", "sum", "n_shared_parts")],
         finalize=fin,
     )
+
+
+# TPC-H Q6/Q15 shapes. These complete the suite's coverage of the
+# TPC-H queries expressible on the driver tables (no partsupp / shipmode /
+# commit-receipt dates exist here, so Q2/Q9/Q12/Q20/Q21 have no input).
+Q6_YEAR_LO = "1996-01-01"
+Q6_YEAR_HI = "1997-01-01"
+Q6_DISC_LO = 5   # discount percent, inclusive
+Q6_DISC_HI = 7
+Q6_MAX_QTY = 24  # l_quantity strictly below
+Q15_WINDOW_LO = "1996-01-01"
+Q15_WINDOW_HI = "1996-04-01"
+
+
+def forecast_revenue(sf_dir: str):
+    """TPC-H Q6 shape: revenue increase from hypothetically eliminating a
+    discount band — Σ price·discount over one ship year, a discount
+    bracket and a quantity cap.
+
+    Scale shape: the year window prunes at the parquet read (row-group
+    filter); the discount/quantity predicates and the price·discount
+    product are one vectorized Arrow pass per batch; each batch collapses
+    to a SINGLE partial-sum row (exact 1e-4-unit integers), so the only
+    "exchange" is a take of one tiny row per block — no groupby at all.
+    The float division happens once on the collapsed total, identical to
+    the SQL twin.
+
+    Output: one row (revenue,)."""
+    import pyarrow.dataset as pads
+
+    lo, hi = pd.Timestamp(Q6_YEAR_LO), pd.Timestamp(Q6_YEAR_HI)
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_shipdate", "l_quantity", "l_extendedprice", "l_discount"],
+        filter=(pads.field("l_shipdate") >= pads.scalar(lo))
+        & (pads.field("l_shipdate") < pads.scalar(hi)),
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        dpct = pc.cast(pc.round(pc.multiply(
+            batch.column("l_discount"), 100.0)), pa.int64())
+        keep = pc.and_(
+            pc.and_(pc.greater_equal(dpct, pa.scalar(Q6_DISC_LO, pa.int64())),
+                    pc.less_equal(dpct, pa.scalar(Q6_DISC_HI, pa.int64()))),
+            pc.less(batch.column("l_quantity"), pa.scalar(float(Q6_MAX_QTY))),
+        )
+        batch = batch.filter(keep)
+        dpct = pc.cast(pc.round(pc.multiply(
+            batch.column("l_discount"), 100.0)), pa.int64())
+        cents = pc.cast(pc.round(pc.multiply(
+            batch.column("l_extendedprice"), 100.0)), pa.int64())
+        # price·discount in exact 1e-4 units: cents (1e-2) × percent (1e-2)
+        rev4 = pc.sum(pc.multiply(cents, dpct)).as_py() or 0
+        return pa.table({"rev4": pa.array([rev4], pa.int64())})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    total = sum(r["rev4"] for r in parts.take_all())
+    return pa.table({"revenue": pa.array([total / 10000.0], pa.float64())})
+
+
+def top_supplier(sf_dir: str):
+    """TPC-H Q15 shape: the supplier(s) with maximum shipped revenue inside
+    a three-month window (the "revenue view" + max-subquery pattern; ties
+    all surface, as in the spec).
+
+    Scale shape: the window prunes at the read; per-batch integer partials
+    collapse per suppkey before the one small exchange (supplier-cardinality
+    sized, never lineitem-sized); the max + tie filter and the name lookup
+    (supplier is a broadcast-sized dimension) run in the single-task
+    finalize.
+
+    Output: (s_suppkey, s_name, total_revenue) for the argmax suppliers,
+    ordered by s_suppkey."""
+    import pyarrow.dataset as pads
+
+    lo, hi = pd.Timestamp(Q15_WINDOW_LO), pd.Timestamp(Q15_WINDOW_HI)
+    names = {
+        r["s_suppkey"]: r["s_name"]
+        for r in read_table(sf_dir, "supplier",
+                            columns=["s_suppkey", "s_name"]).take_all()
+    }
+    lineitem = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"],
+        filter=(pads.field("l_shipdate") >= pads.scalar(lo))
+        & (pads.field("l_shipdate") < pads.scalar(hi)),
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "l_suppkey": batch.column("l_suppkey").to_numpy(zero_copy_only=False),
+            "rev4": _rev4(batch).to_pandas().to_numpy(),
+        }).groupby("l_suppkey", as_index=False)["rev4"].sum()
+        return from_pandas_clean(df)
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        best = df["rev4"].max()
+        df = df[df["rev4"] == best].copy()
+        df["s_name"] = df["l_suppkey"].map(names)
+        df["total_revenue"] = df["rev4"] / 10000.0
+        df = df.rename(columns={"l_suppkey": "s_suppkey"})
+        return df[["s_suppkey", "s_name", "total_revenue"]].sort_values(
+            "s_suppkey").reset_index(drop=True)
+
+    return grouped_agg(
+        lineitem.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        keys=["l_suppkey"],
+        specs=[("rev4", "sum", "rev4")],
+        finalize=fin,
+    )
