@@ -43,6 +43,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # end of their group.
     return {
         # ---- round-4 additions (newest first)
+        "image_dhash_dups": m_ops.image_dhash_dups,
         "forecast_revenue": r_ops.forecast_revenue,
         "top_supplier": r_ops.top_supplier,
         "dim_truncation_recall": e_ops.dim_truncation_recall,

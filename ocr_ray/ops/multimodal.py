@@ -513,3 +513,145 @@ def audio_window_energy(sf_dir: str) -> ray.data.Dataset:
         batch_size=VIDEO_BATCH,
         concurrency=small_pool(),
     )
+
+
+# --------------------------------------------- perceptual image near-dedup
+
+DHASH_GRID = 8           # 8x8 gradient grid -> 64-bit hash
+# Pair-verification threshold. Rendered text pages share gross structure
+# (line grid), so loose thresholds explode: measured on the sf0.01 corpus
+# (~2.2k pages), hamming<=10 emits 147k pairs (67 per page — useless as a
+# dedup signal) while <=2 keeps only visually-identical/near pages.
+DHASH_MAX_HAMMING = 2
+_MASK64 = (1 << 64) - 1
+
+
+def dhash64(img: np.ndarray) -> int:
+    """Difference hash (dHash) of a grayscale pixel array, integer-exact.
+
+    The array is reduced to an (GRID, GRID+1) cell grid whose boundaries
+    are ``(k*dim)//GRID`` (pure integer math, no resampling kernel); bit
+    (i, j) is set iff cell (i, j) is brighter than cell (i, j+1), compared
+    by cross-multiplied integer sums so cells of unequal area never need a
+    float division. Returned as SIGNED two's-complement int64 — the form
+    that rides Arrow exchanges (same convention as line_hash64)."""
+    h, w = img.shape
+    g = DHASH_GRID
+    rb = (np.arange(g + 1, dtype=np.int64) * h) // g
+    cb = (np.arange(g + 2, dtype=np.int64) * w) // (g + 1)
+    # per-cell integer sums via a prefix-sum table (exact, vectorized)
+    ps = np.zeros((h + 1, w + 1), dtype=np.int64)
+    np.cumsum(np.cumsum(img, axis=0, dtype=np.int64), axis=1, out=ps[1:, 1:])
+    sums = (ps[rb[1:, None], cb[None, 1:]] - ps[rb[:-1, None], cb[None, 1:]]
+            - ps[rb[1:, None], cb[None, :-1]] + ps[rb[:-1, None], cb[None, :-1]])
+    areas = (rb[1:, None] - rb[:-1, None]) * (cb[None, 1:] - cb[None, :-1])
+    bits = sums[:, :-1] * areas[:, 1:] > sums[:, 1:] * areas[:, :-1]
+    val = 0
+    for b in bits.ravel():
+        val = (val << 1) | int(b)
+    if val >= 1 << 63:
+        val -= 1 << 64
+    return val
+
+
+class PageDhashWorker:
+    """Actor-pool stage: page PNG → (page_key, dhash, band values). Bands
+    are the four 16-bit chunks of the hash, emitted as separate columns so
+    the SQL twin never needs signed bit-shift gymnastics."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        cols: dict[str, list] = {"page_key": [], "dhash": [],
+                                 "b0": [], "b1": [], "b2": [], "b3": []}
+        urls = batch.column("url").to_pylist()
+        pages = batch.column("page_no").to_pylist()
+        for url, page_no, png in zip(urls, pages, batch.column("page_png").to_pylist()):
+            try:
+                img = raster.png_decode(png)
+            except Exception:  # noqa: BLE001 — undecodable page: skip
+                continue
+            hv = dhash64(img)
+            u = hv & _MASK64
+            cols["page_key"].append(f"{url}#{page_no}")
+            cols["dhash"].append(hv)
+            for c in range(4):
+                cols[f"b{c}"].append((u >> (16 * c)) & 0xFFFF)
+        return pa.table(
+            {"page_key": pa.array(cols["page_key"], pa.string()),
+             "dhash": pa.array(cols["dhash"], pa.int64()),
+             **{f"b{c}": pa.array(cols[f"b{c}"], pa.int64()) for c in range(4)}}
+        )
+
+
+def page_dhash_rows(sf_dir: str) -> ray.data.Dataset:
+    """Per OCR-branch page: perceptual dHash over the DECODED pixels (the
+    per-record stage of image_dhash_dups and its oracle artifact)."""
+    ds = ray.data.read_parquet(pages_corpus(sf_dir), columns=["url", "html"])
+    ds = ds.map_batches(_explode_images, batch_format="pyarrow", zero_copy_batch=True)
+    return ds.map_batches(
+        PageDhashWorker,
+        batch_format="pyarrow",
+        batch_size=32,
+        concurrency=small_pool(),
+        num_cpus=1,
+    )
+
+
+def image_dhash_dups(sf_dir: str) -> ray.data.Dataset:
+    """Perceptual near-duplicate page pairs: dHash over decoded pixels,
+    banded into four 16-bit chunks (the SimHash banding law applied to an
+    IMAGE sketch), candidates sharing a chunk verified by Hamming ≤
+    DHASH_MAX_HAMMING. This is the visual counterpart of media_exact_dedup:
+    re-encoded or lightly-retouched page images collide here while their
+    byte digests differ.
+
+    Scale shape: pixels never cross an exchange — each page collapses to a
+    16-byte sketch row in the decode actor pool; the band groupby moves
+    4 rows/page; buckets are capped by the deterministic sorted-prefix rule
+    (cap_bucket_members, truncation logged, same cap mirrored in the SQL
+    twin); pair output is distinct-collapsed.
+
+    Output: (key_a, key_b, hamming), key_a < key_b (order-insensitive)."""
+    from .common import cap_bucket_members, distinct
+
+    rows = page_dhash_rows(sf_dir)
+
+    def chunk_rows(batch: pa.Table) -> pa.Table:
+        out: dict[str, list] = {"chunk_key": [], "page_key": [], "dhash": []}
+        keys = batch.column("page_key").to_pylist()
+        hashes = batch.column("dhash").to_pylist()
+        bands = [batch.column(f"b{c}").to_pylist() for c in range(4)]
+        for i, k in enumerate(keys):
+            for c in range(4):
+                out["chunk_key"].append((c << 16) | int(bands[c][i]))
+                out["page_key"].append(k)
+                out["dhash"].append(hashes[i])
+        return pa.table(
+            {"chunk_key": pa.array(out["chunk_key"], pa.int64()),
+             "page_key": pa.array(out["page_key"], pa.string()),
+             "dhash": pa.array(out["dhash"], pa.int64())}
+        )
+
+    def bucket_pairs(group: pa.Table) -> pa.Table:
+        rows_ = sorted(group.to_pylist(), key=lambda r: r["page_key"])
+        keep = cap_bucket_members(
+            len(rows_), "dhash", rows_[0]["chunk_key"] if rows_ else None)
+        rows_ = rows_[:keep]
+        out: dict[str, list] = {"key_a": [], "key_b": [], "hamming": []}
+        for i in range(len(rows_)):
+            for j in range(i + 1, len(rows_)):
+                if rows_[i]["page_key"] == rows_[j]["page_key"]:
+                    continue
+                d = bin((rows_[i]["dhash"] ^ rows_[j]["dhash"]) & _MASK64).count("1")
+                if d <= DHASH_MAX_HAMMING:
+                    out["key_a"].append(rows_[i]["page_key"])
+                    out["key_b"].append(rows_[j]["page_key"])
+                    out["hamming"].append(d)
+        return pa.table(
+            {"key_a": pa.array(out["key_a"], pa.string()),
+             "key_b": pa.array(out["key_b"], pa.string()),
+             "hamming": pa.array(out["hamming"], pa.int64())}
+        )
+
+    cands = rows.map_batches(chunk_rows, batch_format="pyarrow", zero_copy_batch=True)
+    pairs = cands.groupby("chunk_key").map_groups(bucket_pairs, batch_format="pyarrow")
+    return distinct(pairs, ["key_a", "key_b"], carry=["hamming"])

@@ -64,6 +64,7 @@ def ensure_artifacts(sf_dir: str) -> dict[str, str]:
         "naive_lines": os.path.join(root, "naive_lines"),
         "media_hashes": os.path.join(root, "media_hashes"),
         "crops": os.path.join(root, "crops"),
+        "page_dhash": os.path.join(root, "page_dhash"),
         "planes": os.path.join(root, "planes.parquet"),
         "ivf": os.path.join(root, "ivf.parquet"),
         "ivf_probe": os.path.join(root, "ivf_probe.parquet"),
@@ -143,6 +144,10 @@ def ensure_artifacts(sf_dir: str) -> dict[str, str]:
     # crop_exact_dedup oracles recompute digests and rollups from the
     # stored blobs themselves
     mm.image_region_crops(sf_dir).write_parquet(paths["crops"])
+
+    # -- per-page perceptual dHash rows — image_dhash_dups' oracle
+    # recomputes the band bucketing + capped pair verification from this
+    mm.page_dhash_rows(sf_dir).write_parquet(paths["page_dhash"])
 
     # -- LSH plane bank
     from .embeddings import lsh_planes

@@ -1044,6 +1044,35 @@ def extra_oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         FROM d GROUP BY crop_md5 ORDER BY crop_md5
     """
 
+    # ------------------------------------ artifact: image_dhash_dups
+    # The artifact stores per-page (page_key, dhash, b0..b3); the oracle
+    # recomputes the band bucketing with the engine's capped sorted-prefix
+    # rule, enumerates in-bucket pairs and verifies Hamming distance via
+    # bit_count(xor) over the signed-int64 hashes (two's-complement xor ==
+    # uint64 xor bit-for-bit).
+    from .multimodal import DHASH_MAX_HAMMING
+
+    page_dhash = f"{a['page_dhash']}/*.parquet"
+    sql["image_dhash_dups"] = f"""
+        WITH d AS (SELECT * FROM read_parquet('{page_dhash}')),
+        bands AS (
+            SELECT page_key, dhash, (c.c << 16) | CASE c.c
+                       WHEN 0 THEN b0 WHEN 1 THEN b1
+                       WHEN 2 THEN b2 ELSE b3 END AS chunk_key
+            FROM d, (VALUES (0), (1), (2), (3)) AS c(c)
+        ),
+        capped AS (
+            SELECT page_key, dhash, chunk_key FROM bands
+            QUALIFY row_number() OVER (
+                PARTITION BY chunk_key ORDER BY page_key) <= {_bucket_cap()}
+        )
+        SELECT DISTINCT a.page_key AS key_a, b.page_key AS key_b,
+               CAST(bit_count(xor(a.dhash, b.dhash)) AS BIGINT) AS hamming
+        FROM capped a JOIN capped b
+          ON a.chunk_key = b.chunk_key AND a.page_key < b.page_key
+        WHERE bit_count(xor(a.dhash, b.dhash)) <= {DHASH_MAX_HAMMING}
+    """
+
     # ------------------------------------------------ artifact: pii_scrub
     from .extraction_queries import EMAIL_RE_S, PHONE_RE_S
 

@@ -57,3 +57,53 @@ def test_undecodable_page_yields_no_crops():
         ),
     )
     assert ImageCropWorker()(batch).num_rows == 0
+
+
+# ------------------------------------------------------- perceptual dHash
+
+def test_dhash64_known_gradient():
+    from ocr_ray.ops.multimodal import dhash64
+
+    # strictly right-darker gradient: every cell brighter than its right
+    # neighbour -> all 64 bits set -> signed -1
+    img = np.tile(np.arange(160, -20, -20, dtype=np.uint8).repeat(2), (16, 1))
+    assert img.shape == (16, 18)
+    assert dhash64(img) == -1
+    # flat image: no bit set
+    assert dhash64(np.full((16, 18), 200, np.uint8)) == 0
+
+
+def test_dhash64_deterministic_and_locality():
+    from ocr_ray.ops.multimodal import dhash64
+
+    _, batch = _page_batch()
+    img = raster.png_decode(batch.column("page_png")[0].as_py())
+    h1, h2 = dhash64(img), dhash64(np.ascontiguousarray(img))
+    assert h1 == h2
+    # a small local retouch moves few bits; an unrelated page moves many
+    smudged = img.copy()
+    smudged[:8, :8] = 0
+    d_small = bin((h1 ^ dhash64(smudged)) & ((1 << 64) - 1)).count("1")
+    other = raster.render_page_png(_page_tree(random.Random(99)))
+    d_far = bin((h1 ^ dhash64(raster.png_decode(other))) & ((1 << 64) - 1)).count("1")
+    assert d_small <= 6
+    assert d_far > d_small
+
+
+def test_dhash_worker_identical_pages_collide():
+    from ocr_ray.ops.multimodal import PageDhashWorker
+
+    _, batch = _page_batch()
+    png = batch.column("page_png")[0].as_py()
+    two = pa.Table.from_pylist(
+        [{"url": "https://a.example/x", "page_no": 0, "page_png": png},
+         {"url": "https://b.example/y", "page_no": 0, "page_png": png}],
+        schema=batch.schema,
+    )
+    out = PageDhashWorker()(two)
+    assert out.num_rows == 2
+    assert out.column("dhash")[0].as_py() == out.column("dhash")[1].as_py()
+    # band columns are the 16-bit chunks of the unsigned hash
+    u = out.column("dhash")[0].as_py() & ((1 << 64) - 1)
+    for c in range(4):
+        assert out.column(f"b{c}")[0].as_py() == (u >> (16 * c)) & 0xFFFF
