@@ -43,6 +43,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # end of their group.
     return {
         # ---- round-4 additions (newest first)
+        "minhash_precision": d_ops.minhash_precision,
+        "cms_word_counts": d_ops.cms_word_counts,
+        "late_event_audit": r_ops.late_event_audit,
         "image_dhash_dups": m_ops.image_dhash_dups,
         "forecast_revenue": r_ops.forecast_revenue,
         "top_supplier": r_ops.top_supplier,
@@ -2814,6 +2817,71 @@ def _base_oracle_sql() -> dict[str, str]:
         QUALIFY row_number() OVER (
             PARTITION BY anchor_id ORDER BY dot DESC, neg_id) = 1
         ORDER BY anchor_id
+    """
+
+    # watermark-lag audit: arrival order = md5-prefix hash of event_id (the
+    # H64 convention), strict-predecessor running max, exact log2 bin via
+    # the binary-digit count (length(printf('%b', v)) = bit_length(v))
+    sql["late_event_audit"] = """
+        WITH e AS (
+            SELECT event_type, event_id,
+                   CAST(epoch_us(ts) AS BIGINT) AS tsu,
+                   ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 16))
+                       ::UBIGINT AS arrival
+            FROM events
+        ),
+        w AS (
+            SELECT event_type, tsu,
+                   max(tsu) OVER (ORDER BY arrival, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS wm
+            FROM e
+        ),
+        l AS (
+            SELECT event_type,
+                   CASE WHEN wm IS NULL OR wm <= tsu THEN CAST(0 AS BIGINT)
+                        ELSE (wm - tsu) // 1000000 END AS lag_s
+            FROM w
+        )
+        SELECT event_type,
+               CAST(length(printf('%b', lag_s + 1)) - 1 AS BIGINT) AS lag_bin,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM l GROUP BY 1, 2 ORDER BY 1, 2
+    """
+
+    # count-min sketch rebuilt cell-for-cell in SQL: the same md5-prefix
+    # hash family (word|depth), same 4×1024 geometry; estimate = min over
+    # depths of the hashed cell's total
+    _h_cms = "('0x' || substr(md5(w || '|' || CAST(d.d AS VARCHAR)), 1, 16))::UBIGINT"
+    sql["cms_word_counts"] = f"""
+        WITH toks AS (
+            SELECT unnest(regexp_extract_all(lower(text), '\\S+')) AS w
+            FROM documents
+        ),
+        tc AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS n FROM toks GROUP BY 1),
+        top AS (
+            SELECT w, n FROM tc
+            ORDER BY n DESC, w LIMIT {d_ops.CMS_TOP_WORDS}
+        ),
+        cells AS (
+            SELECT d.d, CAST({_h_cms} % {d_ops.CMS_WIDTH} AS BIGINT) AS bucket,
+                   SUM(n) AS cnt
+            FROM tc, (VALUES (0), (1), (2), (3)) AS d(d)
+            GROUP BY 1, 2
+        ),
+        est AS (
+            SELECT t.w, t.n, MIN(c.cnt) AS cms
+            FROM top t
+            JOIN (SELECT t2.w AS w2, d.d,
+                         CAST(('0x' || substr(md5(t2.w || '|'
+                              || CAST(d.d AS VARCHAR)), 1, 16))::UBIGINT
+                              % {d_ops.CMS_WIDTH} AS BIGINT) AS bucket
+                  FROM top t2, (VALUES (0), (1), (2), (3)) AS d(d)) q
+              ON q.w2 = t.w
+            JOIN cells c ON c.d = q.d AND c.bucket = q.bucket
+            GROUP BY t.w, t.n
+        )
+        SELECT w AS word, n AS true_count, CAST(cms AS BIGINT) AS cms_count
+        FROM est ORDER BY true_count DESC, word
     """
 
     # Q6: the same exact 1e-4-unit integer product (cents × discount

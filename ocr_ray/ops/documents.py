@@ -3880,3 +3880,107 @@ def outlier_docs(sf_dir: str):
 
     return ds.map_batches(
         flag, batch_format="pyarrow", zero_copy_batch=True).sort("doc_id")
+
+
+# ------------------------------------------------------- count-min sketch
+
+CMS_DEPTH = 4
+CMS_WIDTH = 1024
+CMS_TOP_WORDS = 50
+
+
+def cms_word_counts(sf_dir: str):
+    """Count-min sketch (Cormode & Muthukrishnan 2005) over the corpus word
+    stream, validated against truth: build a DEPTH×WIDTH counter matrix
+    distributed (each batch sketches locally; sketches merge by cell-wise
+    sum — the defining mergeability of CMS), then report the sketch
+    estimate next to the exact count for the top words. Estimates
+    over-count, never under (the gate's oracle recomputes both sides).
+
+    Scale shape: each batch collapses to ≤ DEPTH×WIDTH non-zero cell rows
+    regardless of batch size; the only exchange is the cell-keyed grouped
+    sum, bounded by the CONSTANT sketch size (4×1024) — never
+    vocabulary-sized. Truth for the top-50 words reuses the word-frequency
+    partial-count law; both tiny frames meet on the driver.
+
+    Output: (word, true_count, cms_count) ordered by true_count desc, word."""
+    import numpy as np
+
+    from ..kernels.sketches import _stable_hash64
+
+    ds = read_table(sf_dir, "documents", columns=["text"])
+
+    def sketch_partial(batch: pa.Table) -> pa.Table:
+        cells: dict[tuple[int, int], int] = {}
+        for text in batch.column("text").to_pylist():
+            for tok in text.lower().split():
+                for d in range(CMS_DEPTH):
+                    b = _stable_hash64(f"{tok}|{d}".encode()) % CMS_WIDTH
+                    k = (d, b)
+                    cells[k] = cells.get(k, 0) + 1
+        return pa.table(
+            {"d": pa.array([k[0] for k in cells], pa.int64()),
+             "bucket": pa.array([k[1] for k in cells], pa.int64()),
+             "cnt": pa.array(list(cells.values()), pa.int64())}
+        )
+
+    sketch = grouped_agg(
+        ds.map_batches(sketch_partial, batch_format="pyarrow", zero_copy_batch=True),
+        keys=["d", "bucket"],
+        specs=[("cnt", "sum", "cnt")],
+    )
+    cms = np.zeros((CMS_DEPTH, CMS_WIDTH), dtype=np.int64)
+    for r in sketch.take_all():
+        cms[r["d"], r["bucket"]] = r["cnt"]
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        counts: dict[str, int] = {}
+        for text in batch.column("text").to_pylist():
+            for tok in text.lower().split():
+                counts[tok] = counts.get(tok, 0) + 1
+        return pa.table(
+            {"word": pa.array(list(counts.keys()), pa.string()),
+             "n": pa.array(list(counts.values()), pa.int64())}
+        )
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["true_count", "word"],
+                            ascending=[False, True]).head(
+            CMS_TOP_WORDS).reset_index(drop=True)
+        est = [
+            int(min(cms[d, _stable_hash64(f"{w}|{d}".encode()) % CMS_WIDTH]
+                    for d in range(CMS_DEPTH)))
+            for w in df["word"]
+        ]
+        df["cms_count"] = pd.Series(est, dtype="int64")
+        return df[["word", "true_count", "cms_count"]]
+
+    return grouped_agg(
+        read_table(sf_dir, "documents", columns=["text"]).map_batches(
+            count_partial, batch_format="pyarrow", zero_copy_batch=True),
+        keys=["word"],
+        specs=[("true_count", "sum", "n")],
+        finalize=fin,
+    )
+
+
+def minhash_precision(sf_dir: str):
+    """Sketch-quality eval: precision of the MinHash-LSH candidate pairs
+    against exact character-5-gram Jaccard ≥ NGRAM_TAU — the measurement a
+    curation run performs before trusting banded LSH for corpus-scale
+    dedup (too-low precision means the verify stage dominates cost;
+    recall is 1.0 by construction on the verified-from-candidates set).
+
+    Scale shape: pure composition of two existing scale-safe pipelines
+    (banded candidates, join-verified exact Jaccard); only two Dataset
+    counts reach the driver.
+
+    Output: one row (n_candidates, n_verified, precision)."""
+    n_cand = minhash_dup_pairs(sf_dir).count()
+    n_ver = ngram_verified_pairs(sf_dir).count()
+    prec = (n_ver / n_cand) if n_cand else 0.0
+    return pa.table(
+        {"n_candidates": pa.array([n_cand], pa.int64()),
+         "n_verified": pa.array([n_ver], pa.int64()),
+         "precision": pa.array([prec], pa.float64())}
+    )

@@ -412,6 +412,50 @@ def extra_oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         ORDER BY doc_a, doc_b
     """
 
+    # ------------------------------------------- direct: minhash_precision
+    # counts over the SAME candidate + exact-Jaccard chains as the two
+    # queries it composes
+    sql["minhash_precision"] = f"""
+        WITH {_sketch_ctes()},
+        norm AS (
+            SELECT doc_id,
+                   array_to_string(regexp_extract_all(lower(text), '\\S+'), ' ') AS s
+            FROM documents
+        ),
+        grams AS (
+            SELECT DISTINCT doc_id, substr(s, CAST(i AS INT), 5) AS g
+            FROM norm, LATERAL unnest(range(1, length(s) - 3)) AS r(i)
+            WHERE length(s) >= 5
+            UNION
+            SELECT DISTINCT doc_id, s AS g FROM norm
+            WHERE length(s) > 0 AND length(s) < 5
+        ),
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id),
+        inter AS (
+            SELECT c.doc_a, c.doc_b, COUNT(*) AS both
+            FROM minhash_pairs c
+            JOIN grams ga ON ga.doc_id = c.doc_a
+            JOIN grams gb ON gb.doc_id = c.doc_b AND gb.g = ga.g
+            GROUP BY c.doc_a, c.doc_b
+        ),
+        jac AS (
+            SELECT c.doc_a, c.doc_b,
+                   COALESCE(i.both, 0) * 1.0
+                   / (sa.n + sb.n - COALESCE(i.both, 0)) AS j
+            FROM minhash_pairs c
+            LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+            JOIN sizes sa ON sa.doc_id = c.doc_a
+            JOIN sizes sb ON sb.doc_id = c.doc_b
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_candidates,
+               CAST(COUNT(*) FILTER (WHERE j >= {NGRAM_TAU}) AS BIGINT)
+                   AS n_verified,
+               CASE WHEN COUNT(*) = 0 THEN 0.0
+                    ELSE CAST(COUNT(*) FILTER (WHERE j >= {NGRAM_TAU})
+                              AS DOUBLE) / COUNT(*) END AS precision
+        FROM jac
+    """
+
     # --------------------------------------------- direct: simhash_dup_pairs
     sql["simhash_dup_pairs"] = f"""
         WITH tok AS (

@@ -3465,3 +3465,97 @@ def top_supplier(sf_dir: str):
         specs=[("rev4", "sum", "rev4")],
         finalize=fin,
     )
+
+
+# ------------------------------------------ watermark / late-data audit
+
+# Arrival order is the md5-prefix hash of event_id (the suite's H64
+# convention) — a deterministic stand-in for network-shuffled ingest, so
+# event-time order and arrival order genuinely diverge. 4096 ordered
+# arrival buckets (top 12 bits) bound pass-2 group sizes at any scale.
+ARRIVAL_BUCKET_SHIFT = 52
+LATE_EVENT_DELAY_S = 0  # lag measured against the raw watermark
+
+
+def late_event_audit(sf_dir: str):
+    """Watermark-lag histogram — the sizing analysis every streaming
+    pipeline runs before fixing an allowed-lateness bound: replay events in
+    (simulated) arrival order, track the running event-time watermark
+    (max event time seen STRICTLY BEFORE each arrival), and histogram each
+    event's lag behind it, log2-binned, per event type.
+
+    Scale shape (the global_doc_ids two-pass block-offset law applied to a
+    prefix MAX instead of a prefix SUM): pass 1 grouped-maxes the tiny
+    4096-bucket arrival histogram; the driver prefix-maxes it in bucket
+    order and broadcasts the exclusive seed map; pass 2 computes each
+    bucket's internal running max locally (one vectorized pass over the
+    sorted group) — never a global totally-ordered sort, and only
+    (event_type, lag_bin) partials cross the final exchange.
+
+    Output: (event_type, lag_bin, n_events); lag_bin = bit_length(lag_s+1)
+    − 1, lag 0 for watermark-current events (including the first arrival)."""
+    from ..kernels.sketches import _stable_hash64
+
+    ds = read_table(sf_dir, "events",
+                    columns=["event_id", "ts", "event_type"])
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        ids = batch.column("event_id").to_pylist()
+        arr = [_stable_hash64(str(i).encode()) for i in ids]
+        bucket = [a >> ARRIVAL_BUCKET_SHIFT for a in arr]
+        # arrival rides as its 0..2^64 value split into (bucket, low bits)
+        # so nothing unsigned crosses an exchange
+        low = [a & ((1 << ARRIVAL_BUCKET_SHIFT) - 1) for a in arr]
+        tsu = pc.cast(batch.column("ts"), pa.int64())
+        return pa.table(
+            {"bucket": pa.array(bucket, pa.int64()),
+             "arrival_low": pa.array(low, pa.int64()),
+             "event_id": batch.column("event_id"),
+             "event_type": batch.column("event_type"),
+             "tsu": tsu}
+        )
+
+    keyed_ds = ds.map_batches(keyed, batch_format="pyarrow", zero_copy_batch=True)
+
+    # pass 1: tiny per-bucket max — driver prefix-maxes it in bucket order
+    bmax = grouped_agg(keyed_ds, keys=["bucket"], specs=[("mx", "max", "tsu")])
+    h = pd.DataFrame(bmax.take_all()).sort_values("bucket").reset_index(drop=True)
+    running = h["mx"].cummax().shift(1)  # exclusive: max of all EARLIER buckets
+    seeds = {
+        int(b): (None if pd.isna(s) else int(s))
+        for b, s in zip(h["bucket"], running)
+    }
+    seed_ref = ray.put(seeds)
+
+    def bucket_lags(group: pa.Table) -> pa.Table:
+        seed_map = ray.get(seed_ref)
+        df = group.to_pandas().sort_values(
+            ["arrival_low", "event_id"], kind="mergesort")
+        ts = df["tsu"].to_numpy()
+        prev = np.empty(len(ts), dtype=np.float64)
+        prev[0] = np.nan
+        run = np.maximum.accumulate(ts)
+        prev[1:] = run[:-1]
+        seed = seed_map.get(int(df["bucket"].iloc[0]))
+        if seed is not None:
+            prev = np.where(np.isnan(prev), seed, np.maximum(prev, seed))
+        lag_us = np.where(np.isnan(prev), 0, np.maximum(prev - ts, 0))
+        lag_s = (lag_us // 1_000_000).astype(np.int64)
+        bins = np.frompyfunc(lambda v: int(v + 1).bit_length() - 1, 1, 1)(
+            lag_s).astype(np.int64)
+        out = pd.DataFrame({"event_type": df["event_type"].to_numpy(),
+                            "lag_bin": bins})
+        out = out.groupby(["event_type", "lag_bin"], as_index=False).size() \
+                 .rename(columns={"size": "n_events"})
+        return from_pandas_clean(out)
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        df["n_events"] = df["n_events"].astype("int64")
+        return df.sort_values(["event_type", "lag_bin"]).reset_index(drop=True)
+
+    return grouped_agg(
+        keyed_ds.groupby("bucket").map_groups(bucket_lags, batch_format="pyarrow"),
+        keys=["event_type", "lag_bin"],
+        specs=[("n_events", "sum", "n_events")],
+        finalize=fin,
+    )
