@@ -43,6 +43,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # end of their group.
     return {
         # ---- round-4 additions (newest first)
+        "shard_shuffle_manifest": d_ops.shard_shuffle_manifest,
+        "compression_ratio_stats": d_ops.compression_ratio_stats,
+        "host_components": g_ops.host_components,
         "minhash_precision": d_ops.minhash_precision,
         "cms_word_counts": d_ops.cms_word_counts,
         "late_event_audit": r_ops.late_event_audit,
@@ -2846,6 +2849,22 @@ def _base_oracle_sql() -> dict[str, str]:
                CAST(length(printf('%b', lag_s + 1)) - 1 AS BIGINT) AS lag_bin,
                CAST(COUNT(*) AS BIGINT) AS n_events
         FROM l GROUP BY 1, 2 ORDER BY 1, 2
+    """
+
+    # seeded shard shuffle: same md5-prefix key, rank within shard
+    sql["shard_shuffle_manifest"] = f"""
+        WITH k AS (
+            SELECT doc_id,
+                   ('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                        || '|{d_ops.SHUFFLE_SEED}'), 1, 16))::UBIGINT AS key
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST(key % {d_ops.SHUFFLE_SHARDS} AS BIGINT) AS shard,
+               CAST(row_number() OVER (
+                    PARTITION BY key % {d_ops.SHUFFLE_SHARDS}
+                    ORDER BY key, doc_id) - 1 AS BIGINT) AS pos
+        FROM k ORDER BY shard, pos
     """
 
     # count-min sketch rebuilt cell-for-cell in SQL: the same md5-prefix

@@ -3984,3 +3984,149 @@ def minhash_precision(sf_dir: str):
          "n_verified": pa.array([n_ver], pa.int64()),
          "precision": pa.array([prec], pa.float64())}
     )
+
+
+def doc_compression_rows(sf_dir: str):
+    """Per-document zlib compressibility: (doc_id, source, raw_bytes,
+    comp_bytes) — the per-record stage of compression_ratio_stats and its
+    oracle artifact. Compression ratio is a classic fluency/quality signal
+    (highly repetitive or template text compresses far below prose; the
+    Gopher/C4 family uses it as a cheap perplexity stand-in)."""
+    import zlib
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "source", "text"])
+
+    def rows(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        raw = [len(t.encode("utf-8")) for t in texts]
+        comp = [len(zlib.compress(t.encode("utf-8"), 6)) for t in texts]
+        return pa.table(
+            {"doc_id": batch.column("doc_id"),
+             "source": batch.column("source"),
+             "raw_bytes": pa.array(raw, pa.int64()),
+             "comp_bytes": pa.array(comp, pa.int64())}
+        )
+
+    return ds.map_batches(rows, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def compression_ratio_stats(sf_dir: str):
+    """Per-source compression-quality rollup over the per-doc zlib stage:
+    byte-weighted corpus ratio (exact integer sums, ONE double division)
+    plus the per-doc ratio extremes.
+
+    Scale shape: compression runs embarrassingly parallel per batch; only
+    (source, int sums, rounded extremes) partials cross the exchange —
+    the rollup is source-dimension sized. The oracle recomputes this
+    rollup in SQL from the dumped per-doc stage (zlib has no SQL form).
+
+    Output: (source, n_docs, bytes_ratio, min_ratio, max_ratio) by source."""
+    rows = doc_compression_rows(sf_dir)
+
+    def with_ratio(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        raw = batch.column("raw_bytes").to_numpy(zero_copy_only=False)
+        comp = batch.column("comp_bytes").to_numpy(zero_copy_only=False)
+        ratio = np.where(raw > 0, comp / np.maximum(raw, 1), 0.0).round(4)
+        return batch.append_column("ratio", pa.array(ratio, pa.float64()))
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        df["bytes_ratio"] = (df["sum_comp"] / df["sum_raw"]).round(4)
+        df = df.drop(columns=["sum_comp", "sum_raw"])
+        return df[["source", "n_docs", "bytes_ratio", "min_ratio",
+                   "max_ratio"]].sort_values("source").reset_index(drop=True)
+
+    return grouped_agg(
+        rows.map_batches(with_ratio, batch_format="pyarrow", zero_copy_batch=True),
+        keys=["source"],
+        specs=[("n_docs", "count", None),
+               ("sum_raw", "sum", "raw_bytes"),
+               ("sum_comp", "sum", "comp_bytes"),
+               ("min_ratio", "min", "ratio"),
+               ("max_ratio", "max", "ratio")],
+        finalize=fin,
+    )
+
+
+# ------------------------------------------- seeded training-shard shuffle
+
+SHUFFLE_SEED = "s0"
+SHUFFLE_SHARDS = 8
+SHUFFLE_BUCKET_SHIFT = 52  # top 12 bits of the hash -> 4096 ordered buckets
+
+
+def shard_shuffle_manifest(sf_dir: str):
+    """Deterministic seeded global shuffle into training shards — the
+    manifest every training run derives before writing tokenized shards:
+    each doc gets a shuffle key (md5-prefix hash of ``doc_id|seed``), a
+    shard (key mod SHARDS) and its 0-based position within the shard in
+    key order. Re-running with the same seed reproduces the exact layout;
+    changing the seed reshuffles.
+
+    Scale shape (the global_doc_ids block-offset law, keyed by shard):
+    pass 1 grouped-counts the tiny (shard, bucket) histogram (bucket = top
+    12 hash bits, so bucket order IS key order); the driver prefix-sums
+    per shard and broadcasts offsets; pass 2 ranks each (shard, bucket)
+    group locally and adds the offset. No global sort; the exchange moves
+    one row per doc once, keyed by (shard, bucket).
+
+    Output: (doc_id, shard, pos) ordered by (shard, pos)."""
+    from ..kernels.sketches import _stable_hash64
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id"])
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        keys = [_stable_hash64(f"{i}|{SHUFFLE_SEED}".encode()) for i in ids]
+        return pa.table(
+            {"doc_id": batch.column("doc_id"),
+             "shard": pa.array([k % SHUFFLE_SHARDS for k in keys], pa.int64()),
+             "bucket": pa.array([k >> SHUFFLE_BUCKET_SHIFT for k in keys],
+                                pa.int64()),
+             "low": pa.array([k & ((1 << SHUFFLE_BUCKET_SHIFT) - 1) for k in keys],
+                             pa.int64())}
+        )
+
+    keyed_ds = ds.map_batches(keyed, batch_format="pyarrow", zero_copy_batch=True)
+
+    counts = grouped_agg(
+        keyed_ds, keys=["shard", "bucket"], specs=[("cnt", "count", None)]
+    )
+    h = pd.DataFrame(counts.take_all()).sort_values(
+        ["shard", "bucket"]).reset_index(drop=True)
+    h["offset"] = h.groupby("shard")["cnt"].cumsum().shift(1, fill_value=0)
+    # shift(1) crosses shard boundaries: re-zero each shard's first bucket
+    first = h.groupby("shard").head(1).index
+    h.loc[first, "offset"] = 0
+    offsets = {
+        (int(s), int(b)): int(o)
+        for s, b, o in zip(h["shard"], h["bucket"], h["offset"])
+    }
+    off_ref = ray.put(offsets)
+
+    def rank_group(group: pa.Table) -> pa.Table:
+        import numpy as np
+
+        omap = ray.get(off_ref)
+        low = group.column("low").to_numpy(zero_copy_only=False)
+        ids = group.column("doc_id").to_numpy(zero_copy_only=False)
+        shard = int(group.column("shard")[0].as_py())
+        bucket = int(group.column("bucket")[0].as_py())
+        order = np.lexsort((ids, low))
+        pos = np.empty(len(ids), dtype=np.int64)
+        pos[order] = omap[(shard, bucket)] + np.arange(len(ids), dtype=np.int64)
+        return pa.table(
+            {"doc_id": group.column("doc_id"),
+             "shard": group.column("shard"),
+             "pos": pa.array(pos, pa.int64())}
+        )
+
+    out = keyed_ds.groupby(["shard", "bucket"]).map_groups(
+        rank_group, batch_format="pyarrow")
+
+    def fin(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas().sort_values(["shard", "pos"]).reset_index(drop=True)
+        return from_pandas_clean(df)
+
+    return out.repartition(1).map_batches(fin, batch_format="pyarrow")

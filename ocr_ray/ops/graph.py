@@ -1008,3 +1008,94 @@ def hits_scores(sf_dir: str) -> ray.data.Dataset:
         return from_pandas_clean(df[["host", "hub", "auth"]])
 
     return out.map_batches(fin, batch_format="pyarrow").sort("host")
+
+
+def host_components(sf_dir: str) -> ray.data.Dataset:
+    """Connected components of the UNDIRECTED host link graph — the
+    crawl-frontier / mirror-cluster partitioning that groups hosts into
+    isolated link islands. Output: (host, component_id, component_size)
+    for every host that appears in the link graph (either side of any
+    anchor); component_id is the MIN host string in the component.
+
+    Scale shape: hosts are the dimension side of the corpus (bounded by
+    web-site count, not page count), so the distinct canonical edge list is
+    dimension-sized; the same union-find single pass as dup_clusters runs
+    over it and only the {host → label} map is broadcast — the per-host
+    spine is labeled distributed, per batch. A link graph beyond
+    CC_SINGLE_PASS_EDGE_CAP edges would switch to the label-propagation
+    rounds exactly as dup_clusters does (same code path shape).
+
+    Oracle: DuckDB recursive CTE over the same link CTEs."""
+    from .common import distinct, from_pandas_clean
+
+    edges = _canonical_edges(sf_dir)
+
+    rows = host_link_rows(sf_dir)
+
+    def node_rows(batch: pa.Table) -> pa.Table:
+        src = batch.column("src_host").combine_chunks()
+        dst = batch.column("dst_host").combine_chunks()
+        return pa.table({"host": pa.concat_arrays([src, dst])})
+
+    nodes = distinct(
+        rows.map_batches(node_rows, batch_format="pyarrow", zero_copy_batch=True),
+        ["host"],
+    )
+
+    # union-find over the dimension-sized edge list (strings; min-string
+    # labeling via union-by-smaller-root, mirroring _cc_single_pass)
+    parent: dict[str, str] = {}
+
+    def find(x: str) -> str:
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:
+            parent[x], x = root, parent[x]
+        return root
+
+    for batch in edges.iter_batches(batch_format="pyarrow"):
+        for a, b in zip(batch.column("a").to_pylist(),
+                        batch.column("b").to_pylist()):
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                if rb < ra:
+                    ra, rb = rb, ra
+                parent[rb] = ra
+
+    label_map = {x: find(x) for x in list(parent.keys())}
+    map_ref = ray.put(label_map)
+
+    def label(batch: pa.Table) -> pa.Table:
+        m = ray.get(map_ref)
+        hosts = batch.column("host").to_pylist()
+        return pa.table(
+            {"host": batch.column("host"),
+             "component_id": pa.array([m.get(h, h) for h in hosts], pa.string())}
+        )
+
+    labeled = nodes.map_batches(label, batch_format="pyarrow", zero_copy_batch=True)
+    # component sizes are dimension-sized (one row per component): grouped
+    # partial counts, then a broadcast lookup — no corpus-scale join
+    sizes = grouped_agg(
+        labeled.select_columns(["component_id"]), keys=["component_id"],
+        specs=[("component_size", "count", None)],
+    )
+    size_map = {r["component_id"]: int(r["component_size"])
+                for r in sizes.take_all()}
+    size_ref = ray.put(size_map)
+
+    def attach(batch: pa.Table) -> pa.Table:
+        m = ray.get(size_ref)
+        comp = batch.column("component_id").to_pylist()
+        return batch.append_column(
+            "component_size", pa.array([m[c] for c in comp], pa.int64()))
+
+    out = labeled.map_batches(attach, batch_format="pyarrow", zero_copy_batch=True)
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        return df[["host", "component_id", "component_size"]].sort_values(
+            "host").reset_index(drop=True)
+
+    return out.repartition(1).map_batches(
+        lambda b: from_pandas_clean(fin(b.to_pandas())), batch_format="pyarrow")

@@ -65,6 +65,7 @@ def ensure_artifacts(sf_dir: str) -> dict[str, str]:
         "media_hashes": os.path.join(root, "media_hashes"),
         "crops": os.path.join(root, "crops"),
         "page_dhash": os.path.join(root, "page_dhash"),
+        "doc_compress": os.path.join(root, "doc_compress"),
         "planes": os.path.join(root, "planes.parquet"),
         "ivf": os.path.join(root, "ivf.parquet"),
         "ivf_probe": os.path.join(root, "ivf_probe.parquet"),
@@ -148,6 +149,12 @@ def ensure_artifacts(sf_dir: str) -> dict[str, str]:
     # -- per-page perceptual dHash rows — image_dhash_dups' oracle
     # recomputes the band bucketing + capped pair verification from this
     mm.page_dhash_rows(sf_dir).write_parquet(paths["page_dhash"])
+
+    # -- per-doc zlib sizes — compression_ratio_stats' oracle recomputes
+    # the per-source rollup from this dump (zlib has no SQL form)
+    from .documents import doc_compression_rows
+
+    doc_compression_rows(sf_dir).write_parquet(paths["doc_compress"])
 
     # -- LSH plane bank
     from .embeddings import lsh_planes

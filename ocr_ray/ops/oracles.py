@@ -1088,6 +1088,23 @@ def extra_oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         FROM d GROUP BY crop_md5 ORDER BY crop_md5
     """
 
+    # ------------------------------- artifact: compression_ratio_stats
+    doc_compress = f"{a['doc_compress']}/*.parquet"
+    sql["compression_ratio_stats"] = f"""
+        WITH r AS (
+            SELECT source, raw_bytes, comp_bytes,
+                   CASE WHEN raw_bytes > 0 THEN round_even(
+                        CAST(comp_bytes AS DOUBLE) / raw_bytes, 4)
+                        ELSE 0.0 END AS ratio
+            FROM read_parquet('{doc_compress}')
+        )
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               round_even(CAST(SUM(comp_bytes) AS DOUBLE)
+                          / SUM(raw_bytes), 4) AS bytes_ratio,
+               MIN(ratio) AS min_ratio, MAX(ratio) AS max_ratio
+        FROM r GROUP BY source ORDER BY source
+    """
+
     # ------------------------------------ artifact: image_dhash_dups
     # The artifact stores per-page (page_key, dhash, b0..b3); the oracle
     # recomputes the band bucketing with the engine's capped sorted-prefix
@@ -1223,6 +1240,35 @@ def extra_oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
     sql["host_link_graph"] = f"""
         WITH {link_ctes}
         SELECT * FROM edges ORDER BY src_host, dst_host
+    """
+
+    # ------------------------------------------- corpus: host_components
+    # the dup_clusters recursive-walk oracle applied to the host graph
+    sql["host_components"] = f"""
+        WITH RECURSIVE {link_ctes},
+        ce AS (
+            SELECT DISTINCT least(src_host, dst_host) AS a,
+                   greatest(src_host, dst_host) AS b
+            FROM links WHERE src_host <> dst_host
+        ),
+        sym(x, y) AS (
+            SELECT a, b FROM ce UNION SELECT b, a FROM ce
+        ),
+        nodes AS (
+            SELECT DISTINCT src_host AS h FROM links
+            UNION SELECT DISTINCT dst_host FROM links
+        ),
+        walk(node, lab) AS (
+            SELECT h, h FROM nodes
+            UNION
+            SELECT sym.y, walk.lab FROM walk JOIN sym ON sym.x = walk.node
+        ),
+        cc AS (SELECT node AS host, MIN(lab) AS component_id
+               FROM walk GROUP BY node)
+        SELECT host, component_id,
+               CAST(COUNT(*) OVER (PARTITION BY component_id) AS BIGINT)
+                   AS component_size
+        FROM cc ORDER BY host
     """
 
     # ------------------------------------------------ corpus: anchor_texts
