@@ -655,3 +655,81 @@ def image_dhash_dups(sf_dir: str) -> ray.data.Dataset:
     cands = rows.map_batches(chunk_rows, batch_format="pyarrow", zero_copy_batch=True)
     pairs = cands.groupby("chunk_key").map_groups(bucket_pairs, batch_format="pyarrow")
     return distinct(pairs, ["key_a", "key_b"], carry=["hamming"])
+
+
+# --------------------------------------------------- audio VAD segments
+
+# The gate is RELATIVE (window energy >= the recording's mean window
+# energy, compared cross-multiplied in exact integers) — the fixture's
+# closed-form PCM is a fixed-stride residue sweep whose window energies
+# are nearly constant, so any absolute constant gates all-or-nothing;
+# a per-recording relative gate is also what real VAD front-ends use
+# (noise floors differ per recording).
+
+
+def audio_speech_segments(sf_dir: str) -> ray.data.Dataset:
+    """Voice-activity segmentation: threshold the per-window PCM energy and
+    merge consecutive active windows into segments (the gaps-and-islands
+    primitive every speech pipeline runs before transcription); a window is
+    active iff its energy is >= the recording's mean window energy
+    (cross-multiplied, exact integers). All-integer
+    output — the SQL twin rebuilds the same windows from the container's
+    closed-form samples and runs the textbook islands window query.
+
+    Scale shape: windows group per aud_id (each group is one recording's
+    window list — bounded by recording length, never corpus-sized); run
+    detection is one vectorized pass per group; only segment rows leave.
+
+    Output: (aud_id, seg_idx, start_win, end_win, n_windows, energy_sum)."""
+    import numpy as np
+
+    ds = ray.data.read_parquet(audios_corpus(sf_dir), columns=["aud_id", "media"])
+    wins = ds.map_batches(
+        AudioEnergyWorker,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=VIDEO_BATCH,
+        concurrency=small_pool(),
+    )
+
+    def segments(group: pa.Table) -> pa.Table:
+        df = group.to_pandas().sort_values("win_idx")
+        aud = int(df["aud_id"].iloc[0])
+        rows = energy_islands(df["win_idx"].to_numpy(), df["energy"].to_numpy())
+        cols: dict[str, list] = {
+            "aud_id": [aud] * len(rows),
+            "seg_idx": [r[0] for r in rows],
+            "start_win": [r[1] for r in rows],
+            "end_win": [r[2] for r in rows],
+            "n_windows": [r[3] for r in rows],
+            "energy_sum": [r[4] for r in rows],
+        }
+        return pa.table({k: pa.array(v, pa.int64()) for k, v in cols.items()})
+
+    return wins.groupby("aud_id").map_groups(segments, batch_format="pyarrow")
+
+
+def energy_islands(idx: np.ndarray, en: np.ndarray) -> list[tuple[int, int, int, int, int]]:
+    """Gaps-and-islands over (win_idx, energy): active = energy*n >=
+    sum(energy) (exact integers); consecutive active windows merge.
+    Returns (seg_idx, start_win, end_win, n_windows, energy_sum) tuples.
+    Module-level so the general multi-segment case is unit-testable (the
+    synthetic audio fixture's energies drift smoothly, so it only ever
+    produces one island per recording)."""
+    active = en * len(en) >= int(en.sum())
+    rows: list[tuple[int, int, int, int, int]] = []
+    seg = 0
+    i = 0
+    n = len(idx)
+    while i < n:
+        if not active[i]:
+            i += 1
+            continue
+        j = i
+        while j + 1 < n and active[j + 1] and idx[j + 1] == idx[j] + 1:
+            j += 1
+        rows.append((seg, int(idx[i]), int(idx[j]), int(j - i + 1),
+                     int(en[i:j + 1].sum())))
+        seg += 1
+        i = j + 1
+    return rows

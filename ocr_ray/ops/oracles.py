@@ -1658,6 +1658,55 @@ def extra_oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         FROM vals ORDER BY aud_id, win_idx
     """
 
+    # ---------------------------------- fixture-replay: audio VAD islands
+    sql["audio_speech_segments"] = f"""
+        WITH a AS (
+            SELECT aud_id, CAST(n_samples AS BIGINT) AS ns
+            FROM read_parquet('{audios_glob}')
+        ),
+        wins AS (
+            SELECT aud_id, ns, CAST(u.w AS BIGINT) AS win_idx
+            FROM a, LATERAL (
+                SELECT unnest(generate_series(
+                    0, CAST((ns - 1) // {AUDIO_WIN} AS BIGINT))) AS w) u
+        ),
+        en AS (
+            SELECT aud_id, win_idx,
+                   CAST(list_sum(list_transform(
+                       range(win_idx * {AUDIO_WIN},
+                             least(ns, (win_idx + 1) * {AUDIO_WIN})),
+                       i -> ((aud_id * 37 + i * 31 + 17) % 4001 - 2000)
+                            * ((aud_id * 37 + i * 31 + 17) % 4001 - 2000)))
+                       AS BIGINT) AS energy
+            FROM wins
+        ),
+        gated AS (
+            SELECT aud_id, win_idx, energy,
+                   CAST(COUNT(*) OVER (PARTITION BY aud_id) AS BIGINT) AS nw,
+                   CAST(SUM(energy) OVER (PARTITION BY aud_id) AS BIGINT)
+                       AS tot
+            FROM en
+        ),
+        act AS (
+            SELECT aud_id, win_idx, energy,
+                   win_idx - row_number() OVER (
+                       PARTITION BY aud_id ORDER BY win_idx) AS grp
+            FROM gated WHERE energy * nw >= tot
+        ),
+        seg AS (
+            SELECT aud_id, MIN(win_idx) AS start_win, MAX(win_idx) AS end_win,
+                   CAST(COUNT(*) AS BIGINT) AS n_windows,
+                   CAST(SUM(energy) AS BIGINT) AS energy_sum
+            FROM act GROUP BY aud_id, grp
+        )
+        SELECT aud_id,
+               CAST(row_number() OVER (
+                    PARTITION BY aud_id ORDER BY start_win) - 1 AS BIGINT)
+                   AS seg_idx,
+               start_win, end_win, n_windows, energy_sum
+        FROM seg ORDER BY aud_id, seg_idx
+    """
+
     # ---------------------------------------- corpus: host_triangles
     # same canonical undirected edge set, triangles by the textbook 3-way
     # self-join with a<b<c ordering (each triangle once), per-host counts

@@ -107,3 +107,17 @@ def test_dhash_worker_identical_pages_collide():
     u = out.column("dhash")[0].as_py() & ((1 << 64) - 1)
     for c in range(4):
         assert out.column(f"b{c}")[0].as_py() == (u >> (16 * c)) & 0xFFFF
+
+
+def test_energy_islands_splits_runs():
+    from ocr_ray.ops.multimodal import energy_islands
+
+    idx = np.arange(8, dtype=np.int64)
+    # mean = 50; active pattern: 1,1,0,1,0,0,1,1 -> islands [0,1],[3],[6,7]
+    en = np.array([90, 80, 10, 70, 10, 10, 60, 70], dtype=np.int64)
+    segs = energy_islands(idx, en)
+    assert segs == [(0, 0, 1, 2, 170), (1, 3, 3, 1, 70), (2, 6, 7, 2, 130)]
+    # a win_idx GAP between active windows also splits
+    segs2 = energy_islands(np.array([0, 1, 3], dtype=np.int64),
+                           np.array([100, 100, 100], dtype=np.int64))
+    assert segs2 == [(0, 0, 1, 2, 200), (1, 3, 3, 1, 100)]
