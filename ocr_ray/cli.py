@@ -48,6 +48,15 @@ def main(argv=None) -> int:
     p_ex.add_argument("--out", required=True)
     p_ex.add_argument("--outputs", default="txt,txt_delimited,csv,xml")
 
+    p_q = sub.add_parser(
+        "query", help="run a named operator pipeline over an sf_dir")
+    p_q.add_argument("--name", help="queries() entry to run (omit to list)")
+    p_q.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    p_q.add_argument("--out", help="write result to this parquet file")
+    p_q.add_argument("--head", type=int, default=10,
+                     help="rows to print when --out is not given")
+    p_q.add_argument("--num-cpus", type=int, default=None)
+
     args = parser.parse_args(argv)
 
     if args.cmd == "synth":
@@ -91,6 +100,54 @@ def main(argv=None) -> int:
         print(json.dumps({"docs": acks.count(),
                           "files": sum(r["n_files"] for r in acks.take_all())}))
         return 0
+
+    if args.cmd == "query":
+        # the queries() registry lives in the driver contract module at the
+        # repo root; resolve it relative to this package's parent
+        repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        if repo_root not in sys.path:
+            sys.path.insert(0, repo_root)
+        import __ray_entry__ as entrymod
+
+        registry = entrymod.queries()
+        if not args.name:
+            print(json.dumps(sorted(registry)))
+            return 0
+        if args.name not in registry:
+            print(json.dumps({"error": f"unknown query {args.name!r}"}))
+            return 2
+        import ray
+
+        if not ray.is_initialized():
+            kwargs = {"address": "local", "include_dashboard": False}
+            if args.num_cpus:
+                kwargs["num_cpus"] = args.num_cpus
+            ray.init(**kwargs)
+        try:
+            import pandas as pd
+            import pyarrow as pa
+            import ray.data
+
+            result = registry[args.name](args.sf_dir)
+            if isinstance(result, ray.data.Dataset):
+                table = pa.Table.from_pylist(result.take_all())
+            elif isinstance(result, pa.Table):
+                table = result
+            else:  # pandas
+                table = pa.Table.from_pandas(result, preserve_index=False)
+            if args.out:
+                import pyarrow.parquet as pq
+
+                pq.write_table(table, args.out)
+                print(json.dumps({"query": args.name, "rows": table.num_rows,
+                                  "out": args.out}))
+            else:
+                df = table.slice(0, args.head).to_pandas()
+                print(df.to_string(index=False))
+                print(json.dumps({"query": args.name, "rows": table.num_rows}))
+            return 0
+        finally:
+            ray.shutdown()
 
     # extract
     import ray

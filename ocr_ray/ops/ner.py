@@ -130,3 +130,58 @@ def doc_entities(sf_dir: str) -> ray.data.Dataset:
         return _rollup_bucket(df.drop(columns=["salt"]))
 
     return salted.groupby("salt").map_groups(rollup, batch_format="pandas")
+
+
+ENTITY_PAIR_CAP = 64  # sorted-prefix cap per doc, mirrored in the SQL twin
+
+
+def entity_cooccurrence(sf_dir: str) -> ray.data.Dataset:
+    """Entity co-occurrence edges: for every pair of distinct PERSON-shaped
+    names mentioned in the same document, the number of documents that
+    co-mention them — the edge-building step of a knowledge-graph /
+    entity-linking pipeline, fed by the in-engine NER stage.
+
+    Scale shape: builds on doc_entities (itself partial-aggregated and
+    salt-bucketed); each doc's name list is already sorted-distinct, capped
+    at ENTITY_PAIR_CAP by the deterministic sorted prefix (same one-sided
+    truncation law as the LSH bucket caps, mirrored by the SQL twin's
+    QUALIFY), so per-doc pair fan-out is bounded; pair partials collapse
+    per batch before the one name-pair keyed exchange.
+
+    Output: (name_a, name_b, n_docs), name_a < name_b, ordered by
+    n_docs desc then pair."""
+    import pandas as pd
+
+    from .common import from_pandas_clean, grouped_agg
+
+    ents = doc_entities(sf_dir)
+
+    def pair_partials(batch: pa.Table) -> pa.Table:
+        counts: dict[tuple[str, str], int] = {}
+        types = batch.column("entity_type").to_pylist()
+        ent_strs = batch.column("entities").to_pylist()
+        for t, es in zip(types, ent_strs):
+            if t != "name":
+                continue
+            names = es.split("|")[:ENTITY_PAIR_CAP]
+            for i in range(len(names)):
+                for j in range(i + 1, len(names)):
+                    k = (names[i], names[j])
+                    counts[k] = counts.get(k, 0) + 1
+        return pa.table(
+            {"name_a": pa.array([k[0] for k in counts], pa.string()),
+             "name_b": pa.array([k[1] for k in counts], pa.string()),
+             "n_docs": pa.array(list(counts.values()), pa.int64())}
+        )
+
+    def fin(df: "pd.DataFrame") -> "pd.DataFrame":
+        return df.sort_values(
+            ["n_docs", "name_a", "name_b"],
+            ascending=[False, True, True]).reset_index(drop=True)
+
+    return grouped_agg(
+        ents.map_batches(pair_partials, batch_format="pyarrow", zero_copy_batch=True),
+        keys=["name_a", "name_b"],
+        specs=[("n_docs", "sum", "n_docs")],
+        finalize=fin,
+    )

@@ -1578,6 +1578,38 @@ def extra_oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         ORDER BY h.url, h.entity_type
     """
 
+    # ----------------------------------- artifact: entity_cooccurrence
+    # names-only replay of the doc_entities chain (earliest hit-crawl per
+    # url over NAME rows), capped sorted prefix, per-url pair self-join
+    from .ner import ENTITY_PAIR_CAP, NAME_RE_S
+
+    sql["entity_cooccurrence"] = f"""
+        WITH names AS (
+            SELECT url, warc_ts, u.e AS name
+            FROM read_parquet('{naive_lines}'),
+                 LATERAL unnest(regexp_extract_all(line, '{NAME_RE_S}')) AS u(e)
+        ),
+        onecrawl AS (
+            SELECT url, min(warc_ts) AS ts FROM names GROUP BY url
+        ),
+        per AS (
+            SELECT DISTINCT n.url, n.name
+            FROM names n JOIN onecrawl o
+              ON n.url = o.url AND n.warc_ts = o.ts
+        ),
+        capped AS (
+            SELECT url, name FROM per
+            QUALIFY row_number() OVER (PARTITION BY url ORDER BY name)
+                    <= {ENTITY_PAIR_CAP}
+        )
+        SELECT a.name AS name_a, b.name AS name_b,
+               CAST(COUNT(*) AS BIGINT) AS n_docs
+        FROM capped a JOIN capped b
+          ON a.url = b.url AND a.name < b.name
+        GROUP BY 1, 2
+        ORDER BY n_docs DESC, name_a, name_b
+    """
+
     # ---------------------------------------- fixture: video_frame_sample
     # independent parse of the VID0 container: n_frames and per-frame
     # lengths from the fixed-layout header (hex()/substr nibble
