@@ -395,6 +395,7 @@ class FrameSampleWorker:
         cols: dict[str, list] = {
             "vid_id": [], "frame_idx": [], "frame_off": [],
             "frame_bytes": [], "width": [], "height": [], "mean_lum": [],
+            "lum_sum": [], "n_pix": [],
         }
         ids = batch.column("vid_id").to_pylist()
         for vid, media in zip(ids, batch.column("media").to_pylist()):
@@ -409,6 +410,8 @@ class FrameSampleWorker:
                 cols["width"].append(img.shape[1])
                 cols["height"].append(img.shape[0])
                 cols["mean_lum"].append(round(float(img.mean()), 4))
+                cols["lum_sum"].append(int(img.sum(dtype=np.int64)))
+                cols["n_pix"].append(int(img.size))
         return pa.table(
             {"vid_id": pa.array(cols["vid_id"], pa.int64()),
              "frame_idx": pa.array(cols["frame_idx"], pa.int64()),
@@ -416,7 +419,9 @@ class FrameSampleWorker:
              "frame_bytes": pa.array(cols["frame_bytes"], pa.int64()),
              "width": pa.array(cols["width"], pa.int64()),
              "height": pa.array(cols["height"], pa.int64()),
-             "mean_lum": pa.array(cols["mean_lum"], pa.float64())}
+             "mean_lum": pa.array(cols["mean_lum"], pa.float64()),
+             "lum_sum": pa.array(cols["lum_sum"], pa.int64()),
+             "n_pix": pa.array(cols["n_pix"], pa.int64())}
         )
 
 
@@ -446,7 +451,7 @@ def video_frame_sample(sf_dir: str) -> ray.data.Dataset:
         batch_size=VIDEO_BATCH,
         concurrency=small_pool(),
     )
-    return out.drop_columns(["mean_lum"])
+    return out.drop_columns(["mean_lum", "lum_sum", "n_pix"])
 
 
 # ------------------------------------------------------------ audio windows
@@ -733,3 +738,65 @@ def energy_islands(idx: np.ndarray, en: np.ndarray) -> list[tuple[int, int, int,
         seg += 1
         i = j + 1
     return rows
+
+
+# ------------------------------------------------ video scene boundaries
+
+SCENE_CUT_MLUM = 500  # cut when sampled-frame mean lum moves >= 0.5 levels
+
+
+def frame_lum_rows(sf_dir: str) -> ray.data.Dataset:
+    """Per sampled frame: exact integer luminance sums from the DECODED
+    pixels — the per-record stage of video_scene_changes and its oracle
+    artifact (no zlib inflate in SQL)."""
+    ds = ray.data.read_parquet(videos_corpus(sf_dir), columns=["vid_id", "media"])
+    out = ds.map_batches(
+        FrameSampleWorker,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=VIDEO_BATCH,
+        concurrency=small_pool(),
+    )
+    return out.select_columns(["vid_id", "frame_idx", "lum_sum", "n_pix"])
+
+
+def video_scene_changes(sf_dir: str) -> ray.data.Dataset:
+    """Scene-change scan over the sampled frame stream: for every
+    consecutive pair of SAMPLED frames of a video, the absolute jump in
+    mean luminance, measured in exact integer milli-levels
+    (``lum_sum*1000 // n_pix``, floor on both sides), and the cut verdict
+    at SCENE_CUT_MLUM. The shot-boundary primitive of a video curation
+    pipeline, on decoded pixel evidence.
+
+    Scale shape: frames group per vid_id (bounded by one video's length);
+    the delta scan is one vectorized pass per group; only pair rows leave
+    the task. The SQL twin LAGs over the dumped per-frame integer sums.
+
+    Output: (vid_id, prev_idx, frame_idx, delta_mlum, is_cut)."""
+    rows = frame_lum_rows(sf_dir)
+
+    def deltas(group: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = group.to_pandas().sort_values("frame_idx")
+        mlum = (df["lum_sum"].to_numpy() * 1000) // df["n_pix"].to_numpy()
+        idx = df["frame_idx"].to_numpy()
+        if len(idx) < 2:
+            return pa.table(
+                {"vid_id": pa.array([], pa.int64()),
+                 "prev_idx": pa.array([], pa.int64()),
+                 "frame_idx": pa.array([], pa.int64()),
+                 "delta_mlum": pa.array([], pa.int64()),
+                 "is_cut": pa.array([], pa.bool_())}
+            )
+        d = np.abs(np.diff(mlum)).astype(np.int64)
+        vid = int(df["vid_id"].iloc[0])
+        return pa.table(
+            {"vid_id": pa.array([vid] * len(d), pa.int64()),
+             "prev_idx": pa.array(idx[:-1], pa.int64()),
+             "frame_idx": pa.array(idx[1:], pa.int64()),
+             "delta_mlum": pa.array(d, pa.int64()),
+             "is_cut": pa.array(d >= SCENE_CUT_MLUM)}
+        )
+
+    return rows.groupby("vid_id").map_groups(deltas, batch_format="pyarrow")

@@ -66,6 +66,7 @@ def ensure_artifacts(sf_dir: str) -> dict[str, str]:
         "crops": os.path.join(root, "crops"),
         "page_dhash": os.path.join(root, "page_dhash"),
         "doc_compress": os.path.join(root, "doc_compress"),
+        "frame_lums": os.path.join(root, "frame_lums"),
         "planes": os.path.join(root, "planes.parquet"),
         "ivf": os.path.join(root, "ivf.parquet"),
         "ivf_probe": os.path.join(root, "ivf_probe.parquet"),
@@ -155,6 +156,10 @@ def ensure_artifacts(sf_dir: str) -> dict[str, str]:
     from .documents import doc_compression_rows
 
     doc_compression_rows(sf_dir).write_parquet(paths["doc_compress"])
+
+    # -- per-sampled-frame integer luminance sums — video_scene_changes'
+    # oracle LAGs over this dump (no inflate in SQL)
+    mm.frame_lum_rows(sf_dir).write_parquet(paths["frame_lums"])
 
     # -- LSH plane bank
     from .embeddings import lsh_planes

@@ -1610,6 +1610,31 @@ def extra_oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         ORDER BY n_docs DESC, name_a, name_b
     """
 
+    # ------------------------------------- artifact: video_scene_changes
+    from .multimodal import SCENE_CUT_MLUM
+
+    frame_lums = f"{a['frame_lums']}/*.parquet"
+    sql["video_scene_changes"] = f"""
+        WITH m AS (
+            SELECT vid_id, frame_idx,
+                   (lum_sum * 1000) // n_pix AS mlum
+            FROM read_parquet('{frame_lums}')
+        ),
+        lagged AS (
+            SELECT vid_id, frame_idx, mlum,
+                   lag(frame_idx) OVER (PARTITION BY vid_id
+                       ORDER BY frame_idx) AS prev_idx,
+                   lag(mlum) OVER (PARTITION BY vid_id
+                       ORDER BY frame_idx) AS prev_mlum
+            FROM m
+        )
+        SELECT vid_id, prev_idx, frame_idx,
+               CAST(abs(mlum - prev_mlum) AS BIGINT) AS delta_mlum,
+               abs(mlum - prev_mlum) >= {SCENE_CUT_MLUM} AS is_cut
+        FROM lagged WHERE prev_idx IS NOT NULL
+        ORDER BY vid_id, frame_idx
+    """
+
     # ---------------------------------------- fixture: video_frame_sample
     # independent parse of the VID0 container: n_frames and per-frame
     # lengths from the fixed-layout header (hex()/substr nibble
