@@ -43,6 +43,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # end of their group.
     return {
         # ---- round-4 additions (newest first)
+        "ocr_confidence_histogram": x_ops.ocr_confidence_histogram,
         "video_scene_changes": m_ops.video_scene_changes,
         "entity_cooccurrence": n_ops.entity_cooccurrence,
         "audio_speech_segments": m_ops.audio_speech_segments,

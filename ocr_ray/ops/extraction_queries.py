@@ -1817,3 +1817,51 @@ def error_taxonomy(sf_dir: str) -> ray.data.Dataset:
         specs=[("n", "sum", "n")],
         finalize=fin,
     )
+
+
+def ocr_confidence_histogram(sf_dir: str) -> ray.data.Dataset:
+    """OCR quality control: corpus-wide histogram of per-word recognition
+    confidence over the OCR branch — the acceptance gauge an operator reads
+    before trusting an engine/config change (the reference surfaces
+    per-word ``x_wconf`` for exactly this purpose).
+
+    Scale shape: spans flatten per batch with a numpy repeat mask (no
+    per-row Python), each batch collapses to ≤ |distinct conf| partial
+    rows, and the only exchange is the tiny conf-keyed grouped sum.
+
+    Output: (confidence, n_words) ordered by confidence."""
+    import numpy as np
+
+    from .common import grouped_agg
+
+    out = extraction_output(sf_dir, columns=["spans", "error", "branch"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        spans_col = batch.column("spans")
+        if isinstance(spans_col, pa.ChunkedArray):
+            spans_col = spans_col.combine_chunks()
+        offsets = spans_col.offsets.to_numpy()
+        counts = np.diff(offsets)
+        ok = np.array(
+            [e is None and b == "ocr"
+             for e, b in zip(batch.column("error").to_pylist(),
+                             batch.column("branch").to_pylist())]
+        )
+        # flatten() honors the slice: len(conf) == counts.sum(), aligned
+        # with the per-row repeat of the keep mask
+        conf = spans_col.flatten().field("conf").to_numpy(zero_copy_only=False)
+        vals, n = np.unique(conf[np.repeat(ok, counts)], return_counts=True)
+        return pa.table(
+            {"confidence": pa.array(vals.astype("int64"), pa.int64()),
+             "n_words": pa.array(n.astype("int64"), pa.int64())}
+        )
+
+    def fin(df):
+        return df.sort_values("confidence").reset_index(drop=True)
+
+    return grouped_agg(
+        out.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        keys=["confidence"],
+        specs=[("n_words", "sum", "n_words")],
+        finalize=fin,
+    )

@@ -101,12 +101,14 @@ def ensure_artifacts(sf_dir: str) -> dict[str, str]:
         texts = flat.field("text").to_pylist()
         box_np = flat.field("box").flatten().to_numpy(zero_copy_only=False).reshape(-1, 4)
         b_np = flat.field("b").to_numpy(zero_copy_only=False)
+        conf_np = flat.field("conf").to_numpy(zero_copy_only=False)
         pages_np = flat.field("page").to_numpy(zero_copy_only=False)
         urls = batch.column("url").to_pylist()
         ok = pa.compute.is_null(batch.column("error")).to_pylist()
         branch = batch.column("branch").to_pylist()
         base = offsets[0]
-        cols = {"url": [], "page": [], "word": [], "l": [], "r": [], "b": []}
+        cols = {"url": [], "page": [], "word": [], "l": [], "r": [], "b": [],
+                "conf": []}
         for i, url in enumerate(urls):
             if not ok[i] or branch[i] != "ocr":
                 continue
@@ -117,13 +119,15 @@ def ensure_artifacts(sf_dir: str) -> dict[str, str]:
                 cols["l"].append(float(box_np[j, 0]))
                 cols["r"].append(float(box_np[j, 2]))
                 cols["b"].append(float(b_np[j]))
+                cols["conf"].append(int(conf_np[j]))
         return pa.table(
             {"url": pa.array(cols["url"], pa.string()),
              "page": pa.array(cols["page"], pa.int32()),
              "word": pa.array(cols["word"], pa.string()),
              "l": pa.array(cols["l"], pa.float64()),
              "r": pa.array(cols["r"], pa.float64()),
-             "b": pa.array(cols["b"], pa.float64())}
+             "b": pa.array(cols["b"], pa.float64()),
+             "conf": pa.array(cols["conf"], pa.int64())}
         )
 
     out.map_batches(spans_rows, batch_format="pyarrow").write_parquet(paths["ocr_spans"])

@@ -255,6 +255,7 @@ def extra_oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
     word_pages = f"{a['word_pages']}/*.parquet"
     page_texts = f"{a['page_texts']}/*.parquet"
     ocr_spans = f"{a['ocr_spans']}/*.parquet"
+
     summary = f"{a['summary']}/*.parquet"
     crlf = "chr(13) || chr(10)"
     langs = sorted(STOPWORDS)
@@ -1050,6 +1051,14 @@ def extra_oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         FROM stats s
         LEFT JOIN docs d ON s.url = d.url AND s.warc_ts = d.warc_ts
         ORDER BY s.url, s.warc_ts
+    """
+
+    # ------------------------------ artifact: ocr_confidence_histogram
+    sql["ocr_confidence_histogram"] = f"""
+        SELECT CAST(conf AS BIGINT) AS confidence,
+               CAST(COUNT(*) AS BIGINT) AS n_words
+        FROM read_parquet('{ocr_spans}')
+        GROUP BY 1 ORDER BY 1
     """
 
     # ------------------------------------ artifact: media_exact_dedup
