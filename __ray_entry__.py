@@ -43,6 +43,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # end of their group.
     return {
         # ---- round-4 additions (newest first)
+        "host_scc": g_ops.host_scc,
+        "label_propagation_classify": e_ops.label_propagation_classify,
         "ocr_confidence_histogram": x_ops.ocr_confidence_histogram,
         "video_scene_changes": m_ops.video_scene_changes,
         "entity_cooccurrence": n_ops.entity_cooccurrence,

@@ -1038,3 +1038,105 @@ def dim_truncation_recall(sf_dir: str):
         return from_pandas_clean(df)
 
     return out.repartition(1).map_batches(fin, batch_format="pyarrow")
+
+
+# ------------------------------------- semi-supervised label propagation
+
+LP_ROUNDS = 2
+
+
+def knn_edge_rows(sf_dir: str):
+    """Symmetrized mutual-kNN edges (src, dst) — the per-graph stage of
+    label_propagation_classify and its oracle artifact."""
+    pairs = mutual_knn_pairs(sf_dir)
+
+    def sym(batch: pa.Table) -> pa.Table:
+        a = batch.column("vec_a").combine_chunks()
+        b = batch.column("vec_b").combine_chunks()
+        return pa.table(
+            {"src": pa.concat_arrays([a, b]), "dst": pa.concat_arrays([b, a])}
+        )
+
+    return pairs.map_batches(sym, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def label_propagation_classify(sf_dir: str):
+    """Semi-supervised label propagation (Zhu & Ghahramani 2002, hard-label
+    variant) over the mutual-kNN graph: seed labels (vec_id %
+    KNN_SEED_MOD == 0) spread for LP_ROUNDS synchronous rounds; an
+    unlabeled node adopts the majority label of its labeled neighbors
+    (ties to the smallest label). Seeds never change.
+
+    Scale shape: fully distributed — per round ONE co-partitioned hash join
+    (labels ⋈ edges on src), a grouped (dst, label) count, a per-dst argmax
+    and a left-anti join against the already-labeled set; labels accumulate
+    by union. Nothing node-count-sized touches the driver. Rounds are a
+    fixed constant, unrolled identically in the SQL twin (the kmeans/BPE
+    unrolled-iteration oracle discipline).
+
+    Output: (vec_id, label, src) where src ∈ seed|round1|round2|none."""
+    from .common import choose_join_parts, from_pandas_clean, grouped_agg
+
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "label"])
+    edges = knn_edge_rows(sf_dir).materialize()
+    parts = choose_join_parts(sf_dir, "embeddings", floor=4)
+
+    def seed_rows(batch: pa.Table) -> pa.Table:
+        ids = _ids(batch)
+        keep = ids % KNN_SEED_MOD == 0
+        return pa.table(
+            {"vec_id": pa.array(ids[keep], pa.int64()),
+             "label": pa.compute.cast(
+                 batch.column("label").combine_chunks().filter(
+                     pa.array(keep)), pa.int64()),
+             "src": pa.array(["seed"] * int(keep.sum()), pa.string())}
+        )
+
+    labeled = ds.map_batches(
+        seed_rows, batch_format="pyarrow", zero_copy_batch=True).materialize()
+
+    for rnd in range(1, LP_ROUNDS + 1):
+        votes = labeled.select_columns(["vec_id", "label"]).join(
+            edges, join_type="inner", num_partitions=parts,
+            on=("vec_id",), right_on=("src",),
+        )
+        counts = grouped_agg(
+            votes.select_columns(["dst", "label"]),
+            keys=["dst", "label"], specs=[("n", "count", None)],
+        )
+
+        def argmax(df):
+            df = df.sort_values(["dst", "n", "label"],
+                                ascending=[True, False, True])
+            df = df.drop_duplicates("dst", keep="first")[["dst", "label"]]
+            return df.rename(columns={"dst": "vec_id"})
+
+        # per-dst majority: one more dst-keyed exchange so every dst's
+        # label counts meet in one group (never a driver-side pass)
+        winners = counts.groupby("dst").map_groups(
+            lambda df: argmax(df), batch_format="pandas",
+        ).map_batches(from_pandas_clean, batch_format="pandas")
+        fresh = winners.join(
+            labeled.select_columns(["vec_id"]),
+            join_type="left_anti", num_partitions=parts, on=("vec_id",),
+        )
+        tag = f"round{rnd}"
+        fresh = fresh.map_batches(
+            lambda b, _t=tag: b.append_column(
+                "src", pa.array([_t] * b.num_rows, pa.string())),
+            batch_format="pyarrow",
+        )
+        labeled = labeled.union(fresh).materialize()
+
+    out = ds.select_columns(["vec_id"]).join(
+        labeled, join_type="left_outer", num_partitions=parts, on=("vec_id",),
+    )
+
+    def fin(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["label"] = df["label"].fillna(-1).astype("int64")
+        df["src"] = df["src"].fillna("none")
+        df = df.sort_values("vec_id").reset_index(drop=True)
+        return from_pandas_clean(df[["vec_id", "label", "src"]])
+
+    return out.repartition(1).map_batches(fin, batch_format="pyarrow")

@@ -1099,3 +1099,137 @@ def host_components(sf_dir: str) -> ray.data.Dataset:
 
     return out.repartition(1).map_batches(
         lambda b: from_pandas_clean(fin(b.to_pandas())), batch_format="pyarrow")
+
+
+def _tarjan_scc(edges: list[tuple[str, str]]) -> dict[str, str]:
+    """Iterative Tarjan SCC over an adjacency list; returns {node →
+    min-node-in-SCC}. O(V+E), no recursion (host graphs are shallow but
+    Python's recursion limit is not a scale plan)."""
+    adj: dict[str, list[str]] = {}
+    nodes: set[str] = set()
+    for s, d in edges:
+        adj.setdefault(s, []).append(d)
+        nodes.add(s)
+        nodes.add(d)
+    index: dict[str, int] = {}
+    low: dict[str, int] = {}
+    on_stack: set[str] = set()
+    stack: list[str] = []
+    label: dict[str, str] = {}
+    counter = 0
+    for root in sorted(nodes):
+        if root in index:
+            continue
+        work: list[tuple[str, int]] = [(root, 0)]
+        while work:
+            node, pi = work[-1]
+            if pi == 0:
+                index[node] = low[node] = counter
+                counter += 1
+                stack.append(node)
+                on_stack.add(node)
+            advanced = False
+            children = adj.get(node, ())
+            for next_i in range(pi, len(children)):
+                child = children[next_i]
+                if child not in index:
+                    work[-1] = (node, next_i + 1)
+                    work.append((child, 0))
+                    advanced = True
+                    break
+                if child in on_stack:
+                    low[node] = min(low[node], index[child])
+            if advanced:
+                continue
+            work.pop()
+            if work:
+                parent = work[-1][0]
+                low[parent] = min(low[parent], low[node])
+            if low[node] == index[node]:
+                comp = []
+                while True:
+                    w = stack.pop()
+                    on_stack.discard(w)
+                    comp.append(w)
+                    if w == node:
+                        break
+                lab = min(comp)
+                for w in comp:
+                    label[w] = lab
+    return label
+
+
+def host_scc(sf_dir: str) -> ray.data.Dataset:
+    """Strongly connected components of the DIRECTED host link graph —
+    the mutual-reachability partition that separates genuine link
+    communities (cliques of cross-linking hosts) from one-way citation
+    flows, the structure PageRank's convergence and link-spam analyses
+    care about. Output: (host, scc_id, scc_size) for every host in the
+    link graph; scc_id = MIN host in the component (one-way-linked hosts
+    form singleton components).
+
+    Scale shape: the same dimension-side law as host_components — the
+    distinct directed edge list is site-count sized, Tarjan runs O(V+E)
+    on it once, and only the {host → scc} map broadcasts; the host spine
+    labels distributed. Oracle: DuckDB recursive transitive closure +
+    mutual-reachability reduction over the same link CTEs."""
+    from .common import distinct, from_pandas_clean, grouped_agg
+
+    rows = host_link_rows(sf_dir)
+
+    def directed(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df = df[df["src_host"] != df["dst_host"]]
+        return from_pandas_clean(
+            df.rename(columns={"src_host": "s", "dst_host": "d"})
+            [["s", "d"]].drop_duplicates()
+        )
+
+    edges_ds = distinct(
+        rows.map_batches(directed, batch_format="pyarrow", zero_copy_batch=True),
+        ["s", "d"],
+    )
+    edge_list = [(r["s"], r["d"]) for r in edges_ds.take_all()]
+    label = _tarjan_scc(edge_list)
+    map_ref = ray.put(label)
+
+    def node_rows(batch: pa.Table) -> pa.Table:
+        src = batch.column("src_host").combine_chunks()
+        dst = batch.column("dst_host").combine_chunks()
+        return pa.table({"host": pa.concat_arrays([src, dst])})
+
+    nodes = distinct(
+        rows.map_batches(node_rows, batch_format="pyarrow", zero_copy_batch=True),
+        ["host"],
+    )
+
+    def lab(batch: pa.Table) -> pa.Table:
+        m = ray.get(map_ref)
+        hosts = batch.column("host").to_pylist()
+        return pa.table(
+            {"host": batch.column("host"),
+             "scc_id": pa.array([m.get(h, h) for h in hosts], pa.string())}
+        )
+
+    labeled = nodes.map_batches(lab, batch_format="pyarrow", zero_copy_batch=True)
+    sizes = grouped_agg(
+        labeled.select_columns(["scc_id"]), keys=["scc_id"],
+        specs=[("scc_size", "count", None)],
+    )
+    size_map = {r["scc_id"]: int(r["scc_size"]) for r in sizes.take_all()}
+    size_ref = ray.put(size_map)
+
+    def attach(batch: pa.Table) -> pa.Table:
+        m = ray.get(size_ref)
+        ids = batch.column("scc_id").to_pylist()
+        return batch.append_column(
+            "scc_size", pa.array([m[c] for c in ids], pa.int64()))
+
+    out = labeled.map_batches(attach, batch_format="pyarrow", zero_copy_batch=True)
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        return df[["host", "scc_id", "scc_size"]].sort_values(
+            "host").reset_index(drop=True)
+
+    return out.repartition(1).map_batches(
+        lambda b: from_pandas_clean(fin(b.to_pandas())), batch_format="pyarrow")

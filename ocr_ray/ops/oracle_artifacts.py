@@ -67,6 +67,7 @@ def ensure_artifacts(sf_dir: str) -> dict[str, str]:
         "page_dhash": os.path.join(root, "page_dhash"),
         "doc_compress": os.path.join(root, "doc_compress"),
         "frame_lums": os.path.join(root, "frame_lums"),
+        "knn_edges": os.path.join(root, "knn_edges"),
         "planes": os.path.join(root, "planes.parquet"),
         "ivf": os.path.join(root, "ivf.parquet"),
         "ivf_probe": os.path.join(root, "ivf_probe.parquet"),
@@ -164,6 +165,12 @@ def ensure_artifacts(sf_dir: str) -> dict[str, str]:
     # -- per-sampled-frame integer luminance sums — video_scene_changes'
     # oracle LAGs over this dump (no inflate in SQL)
     mm.frame_lum_rows(sf_dir).write_parquet(paths["frame_lums"])
+
+    # -- symmetrized mutual-kNN edges — label_propagation_classify's
+    # oracle unrolls the propagation rounds over this dump
+    from .embeddings import knn_edge_rows
+
+    knn_edge_rows(sf_dir).write_parquet(paths["knn_edges"])
 
     # -- LSH plane bank
     from .embeddings import lsh_planes

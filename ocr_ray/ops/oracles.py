@@ -1053,6 +1053,46 @@ def extra_oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         ORDER BY s.url, s.warc_ts
     """
 
+    # --------------------------- artifact: label_propagation_classify
+    # LP_ROUNDS unrolled: round i votes from labels_{i-1} ⋈ edges, per-dst
+    # majority (n desc, label asc), fresh nodes only — the engine's exact
+    # synchronous update
+    from .embeddings import KNN_SEED_MOD, LP_ROUNDS
+
+    knn_edges = f"{a['knn_edges']}/*.parquet"
+    _lp_parts = [f"""
+        WITH e AS (SELECT src, dst FROM read_parquet('{knn_edges}')),
+        l0 AS (
+            SELECT vec_id, CAST(label AS BIGINT) AS label, 'seed' AS src
+            FROM embeddings WHERE vec_id % {KNN_SEED_MOD} = 0
+        )"""]
+    _prev = "l0"
+    for _i in range(1, LP_ROUNDS + 1):
+        _lp_parts.append(f""",
+        v{_i} AS (
+            SELECT e.dst, l.label, COUNT(*) AS n
+            FROM {_prev} l JOIN e ON e.src = l.vec_id
+            GROUP BY 1, 2
+        ),
+        w{_i} AS (
+            SELECT dst AS vec_id, label FROM v{_i}
+            QUALIFY row_number() OVER (
+                PARTITION BY dst ORDER BY n DESC, label) = 1
+        ),
+        n{_i} AS (
+            SELECT w.vec_id, w.label, 'round{_i}' AS src FROM w{_i} w
+            WHERE w.vec_id NOT IN (SELECT vec_id FROM {_prev})
+        ),
+        l{_i} AS (SELECT * FROM {_prev} UNION ALL SELECT * FROM n{_i})""")
+        _prev = f"l{_i}"
+    sql["label_propagation_classify"] = "".join(_lp_parts) + f"""
+        SELECT emb.vec_id,
+               COALESCE(r.label, -1) AS label,
+               COALESCE(r.src, 'none') AS src
+        FROM embeddings emb LEFT JOIN {_prev} r ON emb.vec_id = r.vec_id
+        ORDER BY emb.vec_id
+    """
+
     # ------------------------------ artifact: ocr_confidence_histogram
     sql["ocr_confidence_histogram"] = f"""
         SELECT CAST(conf AS BIGINT) AS confidence,
@@ -1249,6 +1289,38 @@ def extra_oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
     sql["host_link_graph"] = f"""
         WITH {link_ctes}
         SELECT * FROM edges ORDER BY src_host, dst_host
+    """
+
+    # ------------------------------------------------ corpus: host_scc
+    # directed transitive closure + mutual-reachability reduction
+    sql["host_scc"] = f"""
+        WITH RECURSIVE {link_ctes},
+        de AS (
+            SELECT DISTINCT src_host AS s, dst_host AS d
+            FROM links WHERE src_host <> dst_host
+        ),
+        nodes AS (
+            SELECT DISTINCT src_host AS h FROM links
+            UNION SELECT DISTINCT dst_host FROM links
+        ),
+        reach(a, b) AS (
+            SELECT s, d FROM de
+            UNION
+            SELECT r.a, de.d FROM reach r JOIN de ON de.s = r.b
+        ),
+        mutual AS (
+            SELECT r1.a AS node, r1.b AS peer
+            FROM reach r1 JOIN reach r2 ON r1.a = r2.b AND r1.b = r2.a
+        ),
+        scc AS (
+            SELECT n.h AS host,
+                   least(n.h, COALESCE(MIN(m.peer), n.h)) AS scc_id
+            FROM nodes n LEFT JOIN mutual m ON m.node = n.h
+            GROUP BY n.h
+        )
+        SELECT host, scc_id,
+               CAST(COUNT(*) OVER (PARTITION BY scc_id) AS BIGINT) AS scc_size
+        FROM scc ORDER BY host
     """
 
     # ------------------------------------------- corpus: host_components

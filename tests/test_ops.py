@@ -3584,3 +3584,18 @@ def test_error_taxonomy_rollup(ray_session):
     assert int(got["n"].sum()) == len(raw)
     for _, r in got.iterrows():
         assert exp[(r["branch"], r["error_class"])] == r["n"]
+
+
+def test_tarjan_scc_kernel():
+    from ocr_ray.ops.graph import _tarjan_scc
+
+    # two 2-cycles bridged one-way, plus a one-way tail
+    edges = [("a", "b"), ("b", "a"), ("b", "c"), ("c", "d"), ("d", "c"),
+             ("d", "e")]
+    lab = _tarjan_scc(edges)
+    assert lab["a"] == lab["b"] == "a"
+    assert lab["c"] == lab["d"] == "c"
+    assert lab["e"] == "e"
+    # a 3-cycle found regardless of DFS entry order
+    lab2 = _tarjan_scc([("z", "x"), ("x", "y"), ("y", "z")])
+    assert lab2 == {"x": "x", "y": "x", "z": "x"}
