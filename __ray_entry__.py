@@ -43,6 +43,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # end of their group.
     return {
         # ---- round-4 additions (newest first)
+        "block_word_counts": m_ops.block_word_counts,
+        "click_attribution": r_ops.click_attribution,
         "host_scc": g_ops.host_scc,
         "label_propagation_classify": e_ops.label_propagation_classify,
         "ocr_confidence_histogram": x_ops.ocr_confidence_histogram,
@@ -2826,6 +2828,26 @@ def _base_oracle_sql() -> dict[str, str]:
         QUALIFY row_number() OVER (
             PARTITION BY anchor_id ORDER BY dot DESC, neg_id) = 1
         ORDER BY anchor_id
+    """
+
+    # forward as-of: first click per view within the window, strict ts order
+    sql["click_attribution"] = f"""
+        WITH v AS (
+            SELECT event_id AS view_id, user_id, ts FROM events
+            WHERE event_type = 'view'
+        ),
+        c AS (
+            SELECT event_id AS click_id, user_id, ts FROM events
+            WHERE event_type = 'click'
+        )
+        SELECT view_id, click_id, v.user_id,
+               (epoch_us(c.ts) - epoch_us(v.ts)) // 1000000 AS gap_s
+        FROM v JOIN c ON c.user_id = v.user_id
+            AND c.ts > v.ts
+            AND epoch_us(c.ts) <= epoch_us(v.ts) + {r_ops.ATTR_WINDOW_S} * 1000000
+        QUALIFY row_number() OVER (
+            PARTITION BY view_id ORDER BY c.ts, click_id) = 1
+        ORDER BY view_id
     """
 
     # watermark-lag audit: arrival order = md5-prefix hash of event_id (the

@@ -800,3 +800,208 @@ def video_scene_changes(sf_dir: str) -> ray.data.Dataset:
         )
 
     return rows.groupby("vid_id").map_groups(deltas, batch_format="pyarrow")
+
+
+def _explode_images_ts(batch: pa.Table) -> pa.Table:
+    """_explode_images plus the warc_ts crawl discriminator — zoning keys
+    must separate re-crawled variants of the same url (their payloads, and
+    hence geometry, differ)."""
+    ts_type = batch.schema.field("warc_ts").type
+    out = []
+    for r in batch.to_pylist():
+        if route(r["html"]) != "ocr":
+            continue
+        try:
+            pages = explode_pages(r["html"])
+        except Exception:
+            continue
+        for page_no, page in enumerate(pages):
+            out.append({"url": r["url"], "warc_ts": r["warc_ts"],
+                        "page_no": page_no, "page_png": page})
+    return pa.Table.from_pylist(
+        out,
+        schema=pa.schema(
+            [pa.field("url", pa.string()), pa.field("warc_ts", ts_type),
+             pa.field("page_no", pa.int32()), pa.field("page_png", pa.binary())]
+        ),
+    )
+
+
+# ------------------------------------------- page zoning: words-in-blocks
+
+ZONE_SCHEMA = pa.schema(
+    [pa.field("url", pa.string()), pa.field("warc_ts", pa.string()),
+     pa.field("page_no", pa.int32()),
+     pa.field("block_idx", pa.int64()), pa.field("n_words", pa.int64())]
+)
+
+
+class PageZoneWorker:
+    """Actor-pool zoning stage: decode the page once, derive BOTH the
+    pixel-native layout blocks and the recognized word boxes, and assign
+    each word to the first (reading-order) block containing its center —
+    the within-page spatial join behind zone-aware text assembly (the
+    reference routes OCR per layout box the same way). Orphan words (no
+    containing block) count under block_idx = -1."""
+
+    def __init__(self):
+        from ..kernels import raster as _raster
+        from ..kernels.layout import cv_layout_boxes_pixels
+
+        self.raster = _raster
+        self.layout_boxes = cv_layout_boxes_pixels
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out: dict[tuple, int] = {}
+        for r in batch.to_pylist():
+            try:
+                img = self.raster.png_decode(r["page_png"])
+            except Exception:  # noqa: BLE001 — undecodable page: skip
+                continue
+            boxes = self.layout_boxes(img, page_w=_PAGE_W_T, page_h=_PAGE_H_T)
+            tree = self.raster.recognize_pixels(img)
+            for par in tree:
+                for line in par:
+                    for w in line:
+                        l, t, rr, b = w["box"]
+                        cx, cy = (l + rr) / 2.0, (t + b) / 2.0
+                        blk = -1
+                        for i, (bl, bt, br, bb) in enumerate(boxes):
+                            if bl <= cx <= br and bt <= cy <= bb:
+                                blk = i
+                                break
+                        k = (r["url"], str(r["warc_ts"]), r["page_no"], blk)
+                        out[k] = out.get(k, 0) + 1
+        return pa.Table.from_pylist(
+            [{"url": u, "warc_ts": t, "page_no": p, "block_idx": b,
+              "n_words": n}
+             for (u, t, p, b), n in out.items()],
+            schema=ZONE_SCHEMA,
+        )
+
+
+def page_zone_inputs(sf_dir: str) -> tuple[ray.data.Dataset, ray.data.Dataset]:
+    """(word centers, layout boxes) per OCR page — the dumped inputs of
+    block_word_counts' oracle (geometry derivation is pytest-pinned; the
+    containment join + rollup is what SQL recomputes)."""
+    ds = ray.data.read_parquet(
+        pages_corpus(sf_dir), columns=["url", "warc_ts", "html"])
+    pages = ds.map_batches(
+        _explode_images_ts, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+
+    class Centers:
+        def __init__(self):
+            from ..kernels import raster as _raster
+
+            self.raster = _raster
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            cols: dict[str, list] = {"url": [], "warc_ts": [], "page_no": [],
+                                     "wi": [], "cx": [], "cy": []}
+            for r in batch.to_pylist():
+                try:
+                    img = self.raster.png_decode(r["page_png"])
+                except Exception:  # noqa: BLE001
+                    continue
+                wi = 0
+                for par in self.raster.recognize_pixels(img):
+                    for line in par:
+                        for w in line:
+                            l, t, rr, b = w["box"]
+                            cols["url"].append(r["url"])
+                            cols["warc_ts"].append(str(r["warc_ts"]))
+                            cols["page_no"].append(r["page_no"])
+                            cols["wi"].append(wi)
+                            wi += 1
+                            cols["cx"].append((l + rr) / 2.0)
+                            cols["cy"].append((t + b) / 2.0)
+            return pa.table(
+                {"url": pa.array(cols["url"], pa.string()),
+                 "warc_ts": pa.array(cols["warc_ts"], pa.string()),
+                 "page_no": pa.array(cols["page_no"], pa.int32()),
+                 "wi": pa.array(cols["wi"], pa.int64()),
+                 "cx": pa.array(cols["cx"], pa.float64()),
+                 "cy": pa.array(cols["cy"], pa.float64())}
+            )
+
+    class Boxes:
+        def __init__(self):
+            from ..kernels import raster as _raster
+            from ..kernels.layout import cv_layout_boxes_pixels
+
+            self.raster = _raster
+            self.layout_boxes = cv_layout_boxes_pixels
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            cols: dict[str, list] = {
+                "url": [], "warc_ts": [], "page_no": [], "block_idx": [],
+                "l": [], "t": [], "r": [], "b": [],
+            }
+            for r in batch.to_pylist():
+                try:
+                    img = self.raster.png_decode(r["page_png"])
+                except Exception:  # noqa: BLE001
+                    continue
+                boxes = self.layout_boxes(
+                    img, page_w=_PAGE_W_T, page_h=_PAGE_H_T)
+                for i, (bl, bt, br, bb) in enumerate(boxes):
+                    cols["url"].append(r["url"])
+                    cols["warc_ts"].append(str(r["warc_ts"]))
+                    cols["page_no"].append(r["page_no"])
+                    cols["block_idx"].append(i)
+                    cols["l"].append(float(bl))
+                    cols["t"].append(float(bt))
+                    cols["r"].append(float(br))
+                    cols["b"].append(float(bb))
+            return pa.table(
+                {"url": pa.array(cols["url"], pa.string()),
+                 "warc_ts": pa.array(cols["warc_ts"], pa.string()),
+                 "page_no": pa.array(cols["page_no"], pa.int32()),
+                 "block_idx": pa.array(cols["block_idx"], pa.int64()),
+                 "l": pa.array(cols["l"], pa.float64()),
+                 "t": pa.array(cols["t"], pa.float64()),
+                 "r": pa.array(cols["r"], pa.float64()),
+                 "b": pa.array(cols["b"], pa.float64())}
+            )
+
+    centers = pages.map_batches(
+        Centers, batch_format="pyarrow", batch_size=32,
+        concurrency=small_pool(), num_cpus=1)
+    boxes = pages.map_batches(
+        Boxes, batch_format="pyarrow", batch_size=32,
+        concurrency=small_pool(), num_cpus=1)
+    return centers, boxes
+
+
+def block_word_counts(sf_dir: str) -> ray.data.Dataset:
+    """Word count per layout block per OCR page — the zoning rollup behind
+    zone-aware assembly and column-detection QC, on fully pixel-native
+    evidence (blocks from ink-corner clustering, words from template
+    recognition, containment by word-center).
+
+    Scale shape: one decode per page serves both geometry products inside
+    a single actor; pages are independent (never a shuffle); only
+    (url, page, block, count) rows leave. The SQL twin recomputes the
+    containment join + rollup from the dumped centers/boxes.
+
+    Output: (url, page_no, block_idx, n_words); orphans under -1."""
+    from .common import grouped_agg
+
+    ds = ray.data.read_parquet(
+        pages_corpus(sf_dir), columns=["url", "warc_ts", "html"])
+    pages = ds.map_batches(
+        _explode_images_ts, batch_format="pyarrow", zero_copy_batch=True)
+    rows = pages.map_batches(
+        PageZoneWorker, batch_format="pyarrow", batch_size=32,
+        concurrency=small_pool(), num_cpus=1)
+
+    def fin(df):
+        return df.sort_values(
+            ["url", "warc_ts", "page_no", "block_idx"]).reset_index(drop=True)
+
+    return grouped_agg(
+        rows, keys=["url", "warc_ts", "page_no", "block_idx"],
+        specs=[("n_words", "sum", "n_words")],
+        finalize=fin,
+    )

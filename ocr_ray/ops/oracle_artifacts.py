@@ -68,6 +68,8 @@ def ensure_artifacts(sf_dir: str) -> dict[str, str]:
         "doc_compress": os.path.join(root, "doc_compress"),
         "frame_lums": os.path.join(root, "frame_lums"),
         "knn_edges": os.path.join(root, "knn_edges"),
+        "word_centers": os.path.join(root, "word_centers"),
+        "layout_boxes": os.path.join(root, "layout_boxes"),
         "planes": os.path.join(root, "planes.parquet"),
         "ivf": os.path.join(root, "ivf.parquet"),
         "ivf_probe": os.path.join(root, "ivf_probe.parquet"),
@@ -171,6 +173,12 @@ def ensure_artifacts(sf_dir: str) -> dict[str, str]:
     from .embeddings import knn_edge_rows
 
     knn_edge_rows(sf_dir).write_parquet(paths["knn_edges"])
+
+    # -- per-page word centers + layout boxes — block_word_counts' oracle
+    # recomputes the containment join + rollup from these dumps
+    centers, boxes = mm.page_zone_inputs(sf_dir)
+    centers.write_parquet(paths["word_centers"])
+    boxes.write_parquet(paths["layout_boxes"])
 
     # -- LSH plane bank
     from .embeddings import lsh_planes

@@ -1093,6 +1093,30 @@ def extra_oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         ORDER BY emb.vec_id
     """
 
+    # ---------------------------------- artifact: block_word_counts
+    # containment join: first (min) reading-order block containing the
+    # word center; orphans under -1
+    word_centers = f"{a['word_centers']}/*.parquet"
+    layout_boxes = f"{a['layout_boxes']}/*.parquet"
+    sql["block_word_counts"] = f"""
+        WITH w AS (SELECT * FROM read_parquet('{word_centers}')),
+        bx AS (SELECT * FROM read_parquet('{layout_boxes}')),
+        assigned AS (
+            SELECT w.url, w.warc_ts, w.page_no,
+                   COALESCE(MIN(bx.block_idx), -1) AS block_idx
+            FROM w LEFT JOIN bx
+              ON bx.url = w.url AND bx.warc_ts = w.warc_ts
+             AND bx.page_no = w.page_no
+             AND bx.l <= w.cx AND w.cx <= bx.r
+             AND bx.t <= w.cy AND w.cy <= bx.b
+            GROUP BY w.url, w.warc_ts, w.page_no, w.wi
+        )
+        SELECT url, warc_ts, page_no, block_idx,
+               CAST(COUNT(*) AS BIGINT) AS n_words
+        FROM assigned GROUP BY 1, 2, 3, 4
+        ORDER BY url, warc_ts, page_no, block_idx
+    """
+
     # ------------------------------ artifact: ocr_confidence_histogram
     sql["ocr_confidence_histogram"] = f"""
         SELECT CAST(conf AS BIGINT) AS confidence,

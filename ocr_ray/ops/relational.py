@@ -3559,3 +3559,76 @@ def late_event_audit(sf_dir: str):
         specs=[("n_events", "sum", "n_events")],
         finalize=fin,
     )
+
+
+# ------------------------------------------ view→click attribution join
+
+ATTR_WINDOW_S = 1800
+ATTR_PARTS = 64
+
+
+def click_attribution(sf_dir: str):
+    """First-touch attribution: for every 'view' event, the FIRST 'click'
+    by the same user strictly after it and within ATTR_WINDOW_S — the
+    impression→conversion join every engagement pipeline runs (a windowed
+    as-of join in the forward direction).
+
+    Scale shape (the sessionization salted-partition law): only view/click
+    rows survive the pruned read; all events of a user co-locate via
+    ``user_id % ATTR_PARTS`` so the Python-call count is bounded by
+    ATTR_PARTS, not users; inside a part the match is one vectorized
+    searchsorted of view timestamps into the (ts, event_id)-sorted click
+    array per user run. Only matched pair rows leave the task.
+
+    Output: (view_id, click_id, user_id, gap_s) ordered by view_id."""
+    ds = read_table(sf_dir, "events",
+                    columns=["event_id", "user_id", "ts", "event_type"])
+
+    def prune(batch: pa.Table) -> pa.Table:
+        keep = pc.is_in(batch.column("event_type"),
+                        value_set=pa.array(["view", "click"]))
+        batch = batch.filter(keep)
+        uid = batch.column("user_id").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        return batch.append_column(
+            "part", pa.array(uid % ATTR_PARTS, pa.int64()))
+
+    keyed = ds.map_batches(prune, batch_format="pyarrow", zero_copy_batch=True)
+
+    def match_part(group: pa.Table) -> pa.Table:
+        df = group.to_pandas()
+        out = {"view_id": [], "click_id": [], "user_id": [], "gap_s": []}
+        for uid, sub in df.groupby("user_id"):
+            clicks = sub[sub["event_type"] == "click"].sort_values(
+                ["ts", "event_id"], kind="mergesort")
+            views = sub[sub["event_type"] == "view"]
+            if clicks.empty or views.empty:
+                continue
+            cts = clicks["ts"].astype("int64").to_numpy()
+            cid = clicks["event_id"].to_numpy()
+            vts = views["ts"].astype("int64").to_numpy()
+            vid = views["event_id"].to_numpy()
+            idx = np.searchsorted(cts, vts, side="right")
+            lim = vts + ATTR_WINDOW_S * 1_000_000
+            ok = (idx < len(cts))
+            hit = np.where(ok, np.minimum(idx, len(cts) - 1), 0)
+            ok &= cts[hit] <= lim
+            for k in np.flatnonzero(ok):
+                out["view_id"].append(int(vid[k]))
+                out["click_id"].append(int(cid[idx[k]]))
+                out["user_id"].append(int(uid))
+                out["gap_s"].append(int((cts[idx[k]] - vts[k]) // 1_000_000))
+        return pa.table(
+            {"view_id": pa.array(out["view_id"], pa.int64()),
+             "click_id": pa.array(out["click_id"], pa.int64()),
+             "user_id": pa.array(out["user_id"], pa.int64()),
+             "gap_s": pa.array(out["gap_s"], pa.int64())}
+        )
+
+    pairs = keyed.groupby("part").map_groups(match_part, batch_format="pyarrow")
+
+    def fin(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas().sort_values("view_id").reset_index(drop=True)
+        return from_pandas_clean(df)
+
+    return pairs.repartition(1).map_batches(fin, batch_format="pyarrow")
