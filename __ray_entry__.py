@@ -43,6 +43,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # end of their group.
     return {
         # ---- round-4 additions (newest first)
+        "bloom_semijoin_audit": r_ops.bloom_semijoin_audit,
         "block_word_counts": m_ops.block_word_counts,
         "click_attribution": r_ops.click_attribution,
         "host_scc": g_ops.host_scc,
@@ -2828,6 +2829,44 @@ def _base_oracle_sql() -> dict[str, str]:
         QUALIFY row_number() OVER (
             PARTITION BY anchor_id ORDER BY dot DESC, neg_id) = 1
         ORDER BY anchor_id
+    """
+
+    # Bloom semi-join audit: bit positions rebuilt via the md5 hash
+    # family; per-row pass = three inline membership tests ((l_orderkey,
+    # l_linenumber) is NOT unique in this corpus, so no row-identity
+    # grouping is possible — each physical row tests independently)
+    def _bh(key: str, i: int) -> str:
+        return (
+            f"('0x' || substr(md5(CAST({key} AS VARCHAR) || '|{i}'),"
+            f" 1, 16))::UBIGINT % {r_ops.BLOOM_M}"
+        )
+
+    _tests = " AND ".join(
+        f"({_bh('l_orderkey', i)}) IN (SELECT pos FROM bits)"
+        for i in range(r_ops.BLOOM_K)
+    )
+    sql["bloom_semijoin_audit"] = f"""
+        WITH urgent AS (
+            SELECT o_orderkey FROM orders
+            WHERE o_orderpriority = '{r_ops.BLOOM_PRIORITY}'
+        ),
+        bits AS (
+            SELECT DISTINCT
+                ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR) || '|'
+                     || CAST(i.i AS VARCHAR)), 1, 16))::UBIGINT
+                % {r_ops.BLOOM_M} AS pos
+            FROM urgent, (VALUES (0), (1), (2)) AS i(i)
+        ),
+        probe AS (
+            SELECT ({_tests}) AS pass,
+                   l_orderkey IN (SELECT o_orderkey FROM urgent) AS exact
+            FROM lineitem
+        )
+        SELECT CAST(COUNT(*) FILTER (WHERE exact) AS BIGINT) AS n_exact,
+               CAST(COUNT(*) FILTER (WHERE pass) AS BIGINT) AS n_bloom_pass,
+               CAST(COUNT(*) FILTER (WHERE pass) -
+                    COUNT(*) FILTER (WHERE exact) AS BIGINT) AS n_false_pos
+        FROM probe
     """
 
     # forward as-of: first click per view within the window, strict ts order
