@@ -43,6 +43,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # end of their group.
     return {
         # ---- round-4 additions (newest first)
+        "range_split_points": x_ops.range_split_points,
         "bloom_semijoin_audit": r_ops.bloom_semijoin_audit,
         "block_word_counts": m_ops.block_word_counts,
         "click_attribution": r_ops.click_attribution,

@@ -1865,3 +1865,72 @@ def ocr_confidence_histogram(sf_dir: str) -> ray.data.Dataset:
         specs=[("n_words", "sum", "n_words")],
         finalize=fin,
     )
+
+
+# --------------------------------------- range-partition planner primitive
+
+RANGE_BUCKETS = 8
+RANGE_SAMPLE_MOD = 100  # ~1% deterministic hash sample feeds the planner
+
+
+def range_split_points(sf_dir: str) -> "pa.Table":
+    """Equi-depth range partitioner: derive RANGE_BUCKETS split points for
+    the url key space from a deterministic hash sample, then count how many
+    corpus rows land in each range — the planning step behind
+    range-partitioned writes and merge-sorted outputs (what
+    ``repartition`` by key ranges needs before it can move a byte).
+
+    Scale shape: the sample (hash % RANGE_SAMPLE_MOD == 0) is the only
+    thing the driver sorts — size the mod so the sample is ~10^3-10^4 keys
+    regardless of corpus size; boundaries broadcast; per-batch bucket
+    assignment is one numpy searchsorted; counts collapse per batch before
+    the B-row exchange.
+
+    Output: (bucket, boundary_lo, n_rows); bucket 0's boundary_lo is ''."""
+    import numpy as np
+
+    from ..kernels.sketches import _stable_hash64
+    from .common import grouped_agg
+
+    ds = ray.data.read_parquet(pages_corpus(sf_dir), columns=["url"])
+
+    def sample(batch: pa.Table) -> pa.Table:
+        urls = [u for u in batch.column("url").to_pylist()
+                if _stable_hash64(u.encode()) % RANGE_SAMPLE_MOD == 0]
+        return pa.table({"url": pa.array(urls, pa.string())})
+
+    samp = sorted(
+        r["url"] for r in ds.map_batches(
+            sample, batch_format="pyarrow", zero_copy_batch=True).take_all()
+    )
+    n = len(samp)
+    bounds = [samp[i * n // RANGE_BUCKETS]
+              for i in range(1, RANGE_BUCKETS)] if n else []
+    bounds_arr = np.array(bounds, dtype=object)
+    b_ref = ray.put(bounds_arr)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        b = ray.get(b_ref)
+        urls = np.array(batch.column("url").to_pylist(), dtype=object)
+        # bucket = number of boundaries <= url
+        bucket = np.searchsorted(b, urls, side="right") if len(b) else \
+            np.zeros(len(urls), dtype=np.int64)
+        vals, cnt = np.unique(bucket, return_counts=True)
+        return pa.table(
+            {"bucket": pa.array(vals.astype("int64"), pa.int64()),
+             "n_rows": pa.array(cnt.astype("int64"), pa.int64())}
+        )
+
+    def fin(df):
+        df = df.sort_values("bucket").reset_index(drop=True)
+        df["boundary_lo"] = [
+            "" if b == 0 else bounds[b - 1] for b in df["bucket"]
+        ]
+        return df[["bucket", "boundary_lo", "n_rows"]]
+
+    return grouped_agg(
+        ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True),
+        keys=["bucket"],
+        specs=[("n_rows", "sum", "n_rows")],
+        finalize=fin,
+    )

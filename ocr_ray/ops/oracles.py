@@ -873,6 +873,40 @@ def extra_oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
     from .extraction_queries import TITLE_RE, pages_corpus
 
     corpus_glob = f"{pages_corpus(sf_dir)}/*.parquet"
+
+    # -------------------------------------- corpus: range_split_points
+    # same hash sample, same floor-index boundary picks, same
+    # count-of-boundaries-<= bucket rule
+    from .extraction_queries import RANGE_BUCKETS, RANGE_SAMPLE_MOD
+
+    _bvals = ", ".join(f"({i})" for i in range(1, RANGE_BUCKETS))
+    sql["range_split_points"] = f"""
+        WITH u AS (SELECT url FROM read_parquet('{corpus_glob}')),
+        samp AS (
+            SELECT url FROM u
+            WHERE {H64.format(expr='url')} % {RANGE_SAMPLE_MOD} = 0
+        ),
+        ranked AS (
+            SELECT url, row_number() OVER (ORDER BY url) AS rn,
+                   COUNT(*) OVER () AS n
+            FROM samp
+        ),
+        bnd AS (
+            SELECT i.i AS bi, r.url AS b_url
+            FROM ranked r JOIN (VALUES {_bvals}) AS i(i)
+              ON r.rn = (i.i * r.n) // {RANGE_BUCKETS} + 1
+        ),
+        assigned AS (
+            SELECT u.url,
+                   (SELECT COUNT(*) FROM bnd WHERE b_url <= u.url) AS bucket
+            FROM u
+        )
+        SELECT CAST(bucket AS BIGINT) AS bucket,
+               COALESCE((SELECT MIN(b_url) FROM bnd WHERE bi = bucket), '')
+                   AS boundary_lo,
+               CAST(COUNT(*) AS BIGINT) AS n_rows
+        FROM assigned GROUP BY bucket ORDER BY bucket
+    """
     sql["html_titles"] = f"""
         WITH h AS (
             SELECT url, warc_ts,
