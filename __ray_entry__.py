@@ -43,6 +43,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # end of their group.
     return {
         # ---- round-4 additions (newest first)
+        "scd2_url_history": x_ops.scd2_url_history,
+        "pareto_docs": d_ops.pareto_docs,
         "range_split_points": x_ops.range_split_points,
         "bloom_semijoin_audit": r_ops.bloom_semijoin_audit,
         "block_word_counts": m_ops.block_word_counts,
@@ -756,6 +758,36 @@ def _base_oracle_sql() -> dict[str, str]:
                    CASE WHEN COALESCE(p.n_tokens, 0) = 0 THEN 0.0
                         ELSE CAST(p.n_types AS DOUBLE) / p.n_tokens END AS ttr
             FROM documents d LEFT JOIN per p ON d.doc_id = p.doc_id
+        """,
+        # 2-D skyline on (n_tokens, ttr_milli), both maximize; exact-integer
+        # dominance (ttr_milli = 1000*n_types // n_tokens) so the frontier
+        # test is epsilon-free; the O(n^2) NOT EXISTS is affordable at
+        # oracle scale only — the engine runs the distributed local-prune +
+        # running-max merge
+        "pareto_docs": f"""
+            WITH toks AS (
+                SELECT doc_id, lower(translate(tok, {punct_sql}, '')) AS word
+                FROM (SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS tok
+                      FROM documents)
+            ),
+            per AS (
+                SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                       CAST((1000 * COUNT(DISTINCT word)) // COUNT(*) AS BIGINT)
+                           AS ttr_milli
+                FROM toks WHERE word <> '' GROUP BY doc_id
+            ),
+            m AS (
+                SELECT d.doc_id, COALESCE(p.n_tokens, 0) AS n_tokens,
+                       COALESCE(p.ttr_milli, 0) AS ttr_milli
+                FROM documents d LEFT JOIN per p ON d.doc_id = p.doc_id
+            )
+            SELECT a.doc_id, a.n_tokens, a.ttr_milli FROM m a
+            WHERE NOT EXISTS (
+                SELECT 1 FROM m b
+                WHERE b.n_tokens >= a.n_tokens AND b.ttr_milli >= a.ttr_milli
+                  AND (b.n_tokens > a.n_tokens OR b.ttr_milli > a.ttr_milli)
+            )
+            ORDER BY a.doc_id
         """,
         # Q10: same exact 1e-4-unit integer revenue contract as Q5/Q3;
         # ORDER BY the exact integer (not the derived double) then custkey,

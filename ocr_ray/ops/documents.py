@@ -4130,3 +4130,90 @@ def shard_shuffle_manifest(sf_dir: str):
         return from_pandas_clean(df)
 
     return out.repartition(1).map_batches(fin, batch_format="pyarrow")
+
+
+def _skyline_mask(x, y):
+    """Boolean mask of the 2-D maximize-maximize skyline: point i survives
+    iff NO other point has (x>=x_i, y>=y_i) with one strictly greater.
+    Duplicates of a skyline point all survive (neither dominates the
+    other). Vectorized O(n log n): sort unique x descending, per-x max-y,
+    exclusive running max gives M(x) = max{y : x' > x}; then
+    dominated = M(x_i) >= y_i OR same-x max-y > y_i."""
+    import numpy as np
+
+    n = len(x)
+    if n == 0:
+        return np.zeros(0, dtype=bool)
+    ux, inv = np.unique(x, return_inverse=True)  # ascending unique x
+    maxy = np.full(len(ux), np.iinfo(np.int64).min, dtype=np.int64)
+    np.maximum.at(maxy, inv, y)
+    # M[j] = max of maxy over ux strictly GREATER than ux[j] (exclusive
+    # suffix max in ascending order)
+    m = np.full(len(ux), np.iinfo(np.int64).min, dtype=np.int64)
+    if len(ux) > 1:
+        m[:-1] = np.maximum.accumulate(maxy[::-1])[::-1][1:]
+    dominated = (m[inv] >= y) | (maxy[inv] > y)
+    return ~dominated
+
+
+def pareto_docs(sf_dir: str):
+    """2-D skyline (Pareto frontier) over the corpus quality plane:
+    documents not dominated on (n_tokens ↑, ttr_milli ↑) — the docs no
+    other doc beats on BOTH length and lexical diversity (the two
+    anti-correlate, so the frontier is the length/diversity trade-off
+    curve a curation policy picks from).
+
+    Exact-integer dominance: ttr_milli = (1000·n_types) // n_tokens (0 for
+    empty docs), so engine and twin compare identical int64s — no float
+    epsilon at the frontier.
+
+    Scale shape: the classic distributed skyline — each block prunes its
+    own points with the SOUND local test (dominance is transitive: a point
+    dominated inside any block is dominated globally), so only per-block
+    frontier points cross the exchange; the final pass merges survivors in
+    ONE single-partition vectorized O(m log m) sort + running-max — never
+    the O(n²) NOT EXISTS the twin can afford at oracle scale. Survivor
+    volume is the sum of per-block frontier sizes (expected O(log B) per
+    block for anti-correlated dims), not corpus-sized.
+
+    Output: (doc_id, n_tokens, ttr_milli) — frontier rows only."""
+    import numpy as np
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def local_frontier(batch: pa.Table) -> pa.Table:
+        from ..kernels.textfn import _INDEX_DEL_TABLE
+
+        ids = batch.column("doc_id").to_numpy()
+        ntok = np.zeros(len(ids), dtype=np.int64)
+        ttrm = np.zeros(len(ids), dtype=np.int64)
+        for i, text in enumerate(batch.column("text").to_pylist()):
+            toks = [
+                t for t in
+                (w.translate(_INDEX_DEL_TABLE).lower() for w in text.split())
+                if t
+            ]
+            if toks:
+                ntok[i] = len(toks)
+                ttrm[i] = (1000 * len(set(toks))) // len(toks)
+        keep = _skyline_mask(ntok, ttrm)
+        return pa.table(
+            {"doc_id": pa.array(ids[keep], pa.int64()),
+             "n_tokens": pa.array(ntok[keep], pa.int64()),
+             "ttr_milli": pa.array(ttrm[keep], pa.int64())}
+        )
+
+    def merge_frontier(batch: pa.Table) -> pa.Table:
+        keep = _skyline_mask(
+            batch.column("n_tokens").to_numpy(),
+            batch.column("ttr_milli").to_numpy(),
+        )
+        df = batch.to_pandas()[keep].sort_values("doc_id").reset_index(drop=True)
+        return from_pandas_clean(df)
+
+    survivors = ds.map_batches(
+        local_frontier, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return survivors.repartition(1).map_batches(
+        merge_frontier, batch_format="pyarrow", batch_size=None
+    )

@@ -1510,6 +1510,78 @@ def recrawl_changes(sf_dir: str) -> ray.data.Dataset:
     return keyed.groupby("rpart").map_groups(per_part, batch_format="pyarrow")
 
 
+def scd2_url_history(sf_dir: str) -> ray.data.Dataset:
+    """Type-2 slowly-changing-dimension build over the crawl: one row per
+    (url, crawl) version carrying its validity interval — the warehouse
+    versioned-dimension product over the natural key (url) and event time
+    (warc_ts). :func:`recrawl_changes` answers "what changed last"; this
+    materializes the FULL version chain a downstream consumer joins
+    point-in-time facts against.
+
+    Scale shape: the same salted-url exchange as recrawl_changes and the
+    sink dedup (``crc32(url) % RECRAWL_PARTS`` — one partitioning key
+    reused across the suite); each part resolves all its urls with ONE
+    vectorized mergesort + shifted-run detection, and version numbers /
+    validity intervals fall out of arange/shift arithmetic — no per-url
+    Python. The exchange carries (url, warc_ts, text-length) scale rows
+    once; output rows == corpus rows.
+
+    Output: (url, version_no, warc_ts, valid_to, is_current, changed,
+    text_len). version_no is 1..n ascending by (warc_ts, text) — the exact
+    inverse of the sink's latest-wins total order, so version n is the row
+    the sink keeps; valid_to = next version's warc_ts (NULL while current);
+    changed = text differs from the previous version (False for v1)."""
+    import zlib
+
+    import numpy as np
+
+    ds = ray.data.read_parquet(
+        pages_corpus(sf_dir), columns=["url", "warc_ts", "text"]
+    )
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        urls = batch.column("url").to_pylist()
+        part = pa.array(
+            [zlib.crc32(u.encode()) % RECRAWL_PARTS for u in urls], pa.int64()
+        )
+        return batch.append_column("rpart", part)
+
+    keyed = ds.map_batches(add_part, batch_format="pyarrow", zero_copy_batch=True)
+
+    def per_part(group: pa.Table) -> pa.Table:
+        df = group.to_pandas().sort_values(
+            ["url", "warc_ts", "text"], kind="mergesort"
+        ).reset_index(drop=True)
+        n = len(df)
+        u = df["url"].to_numpy()
+        first_of_run = np.ones(n, dtype=bool)
+        first_of_run[1:] = u[1:] != u[:-1]
+        starts = np.flatnonzero(first_of_run)
+        sizes = np.diff(np.append(starts, n))
+        version_no = np.arange(n, dtype=np.int64) - np.repeat(starts, sizes) + 1
+        last_of_run = np.zeros(n, dtype=bool)
+        last_of_run[starts + sizes - 1] = True
+        ts = df["warc_ts"]
+        valid_to = ts.shift(-1)
+        valid_to[last_of_run] = None
+        texts = df["text"].to_numpy()
+        changed = np.zeros(n, dtype=bool)
+        if n > 1:
+            changed[1:] = (texts[1:] != texts[:-1]) & ~first_of_run[1:]
+        return pa.table(
+            {"url": pa.array(u, pa.string()),
+             "version_no": pa.array(version_no, pa.int64()),
+             "warc_ts": pa.Array.from_pandas(ts, type=pa.timestamp("us")),
+             "valid_to": pa.Array.from_pandas(valid_to, type=pa.timestamp("us")),
+             "is_current": pa.array(last_of_run),
+             "changed": pa.array(changed),
+             "text_len": pa.array(
+                 np.fromiter((len(t) for t in texts), np.int64, n), pa.int64())}
+        )
+
+    return keyed.groupby("rpart").map_groups(per_part, batch_format="pyarrow")
+
+
 DAILY_TOP_K = 10
 
 

@@ -2088,6 +2088,25 @@ def extra_oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         ORDER BY a.url
     """
 
+    # ---------------------------------------- corpus: scd2_url_history
+    # version_no ascends by (warc_ts, text) — the inverse of the sink's
+    # latest-wins total order; valid_to is the LEAD timestamp
+    sql["scd2_url_history"] = f"""
+        WITH v AS (
+            SELECT url, warc_ts, text,
+                   row_number() OVER w AS version_no,
+                   lead(warc_ts) OVER w AS valid_to,
+                   lag(text) OVER w AS prev_text
+            FROM read_parquet('{raw_glob}')
+            WINDOW w AS (PARTITION BY url ORDER BY warc_ts, text)
+        )
+        SELECT url, CAST(version_no AS BIGINT) AS version_no, warc_ts,
+               valid_to, valid_to IS NULL AS is_current,
+               COALESCE(text <> prev_text, FALSE) AS changed,
+               CAST(length(text) AS BIGINT) AS text_len
+        FROM v ORDER BY url, version_no
+    """
+
     # ---------------------------------------- corpus: daily_top_terms
     # shared index normalization; rank by (n DESC, word ASC) per day
     punct_sql_local = """'«»“”.,;:!?()[]{}"' || chr(39)"""

@@ -127,3 +127,28 @@ def test_minhash_vectorized_property(shingles):
     hashes = [sketches._stable_hash64(s) % M for s in shingles]
     want = [min(((a * h + b) % M) & maxh for h in hashes) for a, b in params]
     assert sketches.minhash_signature(set(shingles)) == want
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 8), st.integers(0, 8)), min_size=0, max_size=60
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_skyline_mask_matches_bruteforce(points):
+    """_skyline_mask (sorted running-max, O(n log n)) must agree with the
+    quadratic dominance definition the SQL twin runs, including duplicate
+    points (which never dominate each other) and axis ties."""
+    import numpy as np
+
+    from ocr_ray.ops.documents import _skyline_mask
+
+    x = np.array([p[0] for p in points], dtype=np.int64)
+    y = np.array([p[1] for p in points], dtype=np.int64)
+    got = _skyline_mask(x, y)
+    for i in range(len(points)):
+        dominated = any(
+            x[j] >= x[i] and y[j] >= y[i] and (x[j] > x[i] or y[j] > y[i])
+            for j in range(len(points))
+        )
+        assert got[i] == (not dominated), (i, points)
