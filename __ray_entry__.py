@@ -45,6 +45,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ---- round-4 additions (newest first)
         "scd2_url_history": x_ops.scd2_url_history,
         "pareto_docs": d_ops.pareto_docs,
+        "peak_concurrency": r_ops.peak_concurrency,
+        "postings_delta_stats": d_ops.postings_delta_stats,
         "range_split_points": x_ops.range_split_points,
         "bloom_semijoin_audit": r_ops.bloom_semijoin_audit,
         "block_word_counts": m_ops.block_word_counts,
@@ -758,6 +760,78 @@ def _base_oracle_sql() -> dict[str, str]:
                    CASE WHEN COALESCE(p.n_tokens, 0) = 0 THEN 0.0
                         ELSE CAST(p.n_types AS DOUBLE) / p.n_tokens END AS ttr
             FROM documents d LEFT JOIN per p ON d.doc_id = p.doc_id
+        """,
+        # delta+varint postings cost: byte count is the pure integer
+        # threshold chain (k bytes iff delta < 2^(7k)); first delta is the
+        # doc id itself (implicit previous id 0) — same contract as the
+        # engine's digitize
+        "postings_delta_stats": f"""
+            WITH toks AS (
+                SELECT doc_id, lower(translate(tok, {punct_sql}, '')) AS word
+                FROM (SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS tok
+                      FROM documents)
+            ),
+            posting AS (
+                SELECT DISTINCT word, doc_id FROM toks WHERE word <> ''
+            ),
+            d AS (
+                SELECT word,
+                       doc_id - COALESCE(lag(doc_id) OVER (
+                           PARTITION BY word ORDER BY doc_id), 0) AS delta
+                FROM posting
+            ),
+            b AS (
+                SELECT word,
+                       CASE WHEN delta < 128 THEN 1
+                            WHEN delta < 16384 THEN 2
+                            WHEN delta < 2097152 THEN 3
+                            WHEN delta < 268435456 THEN 4
+                            WHEN delta < 34359738368 THEN 5
+                            WHEN delta < 4398046511104 THEN 6
+                            WHEN delta < 562949953421312 THEN 7
+                            WHEN delta < 72057594037927936 THEN 8
+                            ELSE 9 END AS nb
+                FROM d
+            )
+            SELECT word, CAST(COUNT(*) AS BIGINT) AS df,
+                   CAST(8 * COUNT(*) AS BIGINT) AS raw_bytes,
+                   CAST(SUM(nb) AS BIGINT) AS varint_bytes
+            FROM b GROUP BY word ORDER BY word
+        """,
+        # sweep-line peak concurrency: half-open [ts, ts+30min) clipped at
+        # midnight; -1 endpoints sort before +1 at equal t (delta ASC), the
+        # same tie rule as the engine's lexsort; MAX of the running sum is
+        # tie-order-invariant within an equal-(t,delta) run
+        "peak_concurrency": """
+            WITH ev AS (
+                SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, ts,
+                       least(ts + INTERVAL 30 MINUTE,
+                             date_trunc('day', ts) + INTERVAL 1 DAY) AS te
+                FROM events
+            ),
+            pts AS (
+                SELECT event_type, day, ts AS t, 1 AS delta FROM ev
+                UNION ALL
+                SELECT event_type, day, te AS t, -1 AS delta FROM ev
+            ),
+            sweep AS (
+                SELECT event_type, day,
+                       SUM(delta) OVER (PARTITION BY event_type, day
+                           ORDER BY t, delta ROWS UNBOUNDED PRECEDING)
+                           AS running
+                FROM pts
+            ),
+            peak AS (
+                SELECT event_type, day,
+                       CAST(MAX(running) AS BIGINT) AS peak_concurrent
+                FROM sweep GROUP BY event_type, day
+            )
+            SELECT c.event_type, c.day,
+                   CAST(c.n_events AS BIGINT) AS n_events, p.peak_concurrent
+            FROM (SELECT event_type, day, COUNT(*) AS n_events
+                  FROM ev GROUP BY event_type, day) c
+            JOIN peak p USING (event_type, day)
+            ORDER BY c.event_type, c.day
         """,
         # 2-D skyline on (n_tokens, ttr_milli), both maximize; exact-integer
         # dominance (ttr_milli = 1000*n_types // n_tokens) so the frontier

@@ -4217,3 +4217,92 @@ def pareto_docs(sf_dir: str):
     return survivors.repartition(1).map_batches(
         merge_frontier, batch_format="pyarrow", batch_size=None
     )
+
+
+POSTINGS_PARTS = 64
+# varint group boundaries: byte k encodes values < 2^(7k); 9 bytes covers
+# the full non-negative int64 range (the 10th byte of a general varint64 is
+# only ever needed for negative two's-complement values)
+_VARINT_BOUNDS = [1 << (7 * k) for k in range(1, 9)]
+
+
+def postings_delta_stats(sf_dir: str):
+    """Inverted-index compression audit: per term, the byte cost of its
+    postings list stored as raw int64 doc ids vs delta+varint encoded —
+    the storage-planning signal an index builder reads before choosing a
+    codec (frequent terms compress ~8×: dense postings → tiny gaps → 1-2
+    byte varints; rare terms stay near 8 bytes/posting).
+
+    Exactness contract: varint byte counts are pure integer threshold
+    comparisons (k bytes iff delta < 2^(7k)), shared verbatim with the
+    twin's CASE chain — no floats anywhere. The first posting's delta is
+    the doc id itself (implicit previous id 0).
+
+    Scale shape: (term, doc_id) postings are emitted per doc inside
+    map_batches (a doc's distinct terms — already globally distinct, each
+    doc lives in exactly one batch, so no pre-exchange dedup pass is
+    needed); ONE exchange salted by crc32(term) % POSTINGS_PARTS
+    co-locates each term's postings; each part then runs a single
+    mergesort + run-detect + np.diff + digitize — per-part Python calls,
+    never per-term. Exchange volume == postings count, the same order as
+    the word_index family.
+
+    Output: (word, df, raw_bytes, varint_bytes) — one row per term."""
+    import zlib
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def postings(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        from ..kernels.textfn import _INDEX_DEL_TABLE
+
+        ids = batch.column("doc_id").to_pylist()
+        words, docs = [], []
+        for i, text in enumerate(batch.column("text").to_pylist()):
+            seen = {
+                t for t in
+                (w.translate(_INDEX_DEL_TABLE).lower() for w in text.split())
+                if t
+            }
+            words.extend(seen)
+            docs.extend([ids[i]] * len(seen))
+        part = np.array([zlib.crc32(w.encode()) % POSTINGS_PARTS for w in words],
+                        dtype=np.int64)
+        return pa.table(
+            {"word": pa.array(words, pa.string()),
+             "doc_id": pa.array(docs, pa.int64()),
+             "wpart": pa.array(part, pa.int64())}
+        )
+
+    pts = ds.map_batches(postings, batch_format="pyarrow", zero_copy_batch=True)
+
+    def per_part(group: pa.Table) -> pa.Table:
+        import numpy as np
+
+        df = group.to_pandas().sort_values(
+            ["word", "doc_id"], kind="mergesort"
+        ).reset_index(drop=True)
+        if not len(df):
+            return pa.Table.from_pylist([], schema=pa.schema(
+                [pa.field("word", pa.string()), pa.field("df", pa.int64()),
+                 pa.field("raw_bytes", pa.int64()),
+                 pa.field("varint_bytes", pa.int64())]))
+        w = df["word"].to_numpy()
+        d = df["doc_id"].to_numpy()
+        first = np.ones(len(df), dtype=bool)
+        first[1:] = w[1:] != w[:-1]
+        delta = np.empty(len(df), dtype=np.int64)
+        delta[0] = d[0]
+        delta[1:] = d[1:] - d[:-1]
+        delta[first] = d[first]  # run starts restart from implicit id 0
+        nbytes = np.digitize(delta, _VARINT_BOUNDS) + 1
+        out = pd.DataFrame({"word": w, "nb": nbytes}).groupby(
+            "word", as_index=False).agg(df=("nb", "size"), varint_bytes=("nb", "sum"))
+        out["raw_bytes"] = 8 * out["df"]
+        return from_pandas_clean(
+            out[["word", "df", "raw_bytes", "varint_bytes"]].astype(
+                {"df": "int64", "raw_bytes": "int64", "varint_bytes": "int64"})
+        )
+
+    return pts.groupby("wpart").map_groups(per_part, batch_format="pyarrow")

@@ -3715,3 +3715,66 @@ def bloom_semijoin_audit(sf_dir: str):
          "n_bloom_pass": pa.array([n_pass], pa.int64()),
          "n_false_pos": pa.array([n_pass - n_exact], pa.int64())}
     )
+
+
+CONCURRENCY_WINDOW_MIN = 30
+
+
+def peak_concurrency(sf_dir: str):
+    """Interval max-overlap sweep-line: each event opens a half-open
+    activity interval [ts, ts+30min) clipped at its day's midnight; per
+    (event_type, day), report the PEAK number of simultaneously open
+    intervals — the capacity-planning headline no plain groupby expresses
+    (the answer lives between rows, at the prefix-sum maximum of the
+    endpoint stream).
+
+    Scale shape: the endpoint expansion (2 rows per event: +1 at start,
+    −1 at clipped end) happens vectorized inside map_batches; only
+    (type, day, t, ±1) tuples cross ONE exchange keyed by the aggregation
+    key itself, and each group resolves with a single lexsort + cumsum +
+    max — no per-event Python, groups are (type × day)-grained so the
+    sweep parallelizes across the calendar. Day-clipping makes groups
+    independent (no interval spans two groups), which is exactly what
+    makes the sweep distributable without a serial global pass.
+
+    Tie semantics (half-open): at equal t, −1 sorts before +1, so an
+    interval ending at t never overlaps one starting at t.
+
+    Output: (event_type, day, n_events, peak_concurrent)."""
+    ds = read_table(sf_dir, "events", columns=["event_type", "ts"])
+
+    def endpoints(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        day = df["ts"].dt.strftime("%Y-%m-%d")
+        start = df["ts"]
+        end = (start + pd.Timedelta(minutes=CONCURRENCY_WINDOW_MIN)).clip(
+            upper=start.dt.normalize() + pd.Timedelta(days=1)
+        )
+        n = len(df)
+        return pa.table(
+            {"event_type": pa.array(
+                 pd.concat([df["event_type"], df["event_type"]]), pa.string()),
+             "day": pa.array(pd.concat([day, day]), pa.string()),
+             "t": pa.Array.from_pandas(
+                 pd.concat([start, end]), type=pa.timestamp("us")),
+             "delta": pa.array(
+                 np.concatenate([np.ones(n, np.int64), -np.ones(n, np.int64)]),
+                 pa.int64())}
+        )
+
+    pts = ds.map_batches(endpoints, batch_format="pyarrow", zero_copy_batch=True)
+
+    def sweep(group: pa.Table) -> pa.Table:
+        df = group.to_pandas()
+        order = np.lexsort((df["delta"].to_numpy(), df["t"].to_numpy()))
+        deltas = df["delta"].to_numpy()[order]
+        peak = int(np.cumsum(deltas).max())
+        return pa.table(
+            {"event_type": pa.array([df["event_type"].iloc[0]], pa.string()),
+             "day": pa.array([df["day"].iloc[0]], pa.string()),
+             "n_events": pa.array([int((deltas == 1).sum())], pa.int64()),
+             "peak_concurrent": pa.array([peak], pa.int64())}
+        )
+
+    return pts.groupby(["event_type", "day"]).map_groups(
+        sweep, batch_format="pyarrow")
