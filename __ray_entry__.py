@@ -43,6 +43,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # end of their group.
     return {
         # ---- round-4 additions (newest first)
+        "product_profit": r_ops.product_profit,
+        "benford_audit": r_ops.benford_audit,
         "scd2_url_history": x_ops.scd2_url_history,
         "pareto_docs": d_ops.pareto_docs,
         "peak_concurrency": r_ops.peak_concurrency,
@@ -760,6 +762,37 @@ def _base_oracle_sql() -> dict[str, str]:
                    CASE WHEN COALESCE(p.n_tokens, 0) = 0 THEN 0.0
                         ELSE CAST(p.n_types AS DOUBLE) / p.n_tokens END AS ttr
             FROM documents d LEFT JOIN per p ON d.doc_id = p.doc_id
+        """,
+        # Q9 adapted (no partsupp: supply cost := retail price); exact
+        # int64 profit in 1e-4 units on both sides, one float division at
+        # the end
+        "product_profit": """
+            SELECT n.n_name AS nation,
+                   CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+                   CAST(SUM(
+                       CAST(round(li.l_extendedprice * 100) AS BIGINT)
+                       * (100 - CAST(round(li.l_discount * 100) AS BIGINT))
+                       - CAST(round(p.p_retailprice * 100) AS BIGINT)
+                         * CAST(round(li.l_quantity) AS BIGINT) * 100
+                   ) AS DOUBLE) / 10000.0 AS sum_profit
+            FROM lineitem li
+            JOIN part p ON p.p_partkey = li.l_partkey AND p.p_type = 'LARGE'
+            JOIN supplier s ON s.s_suppkey = li.l_suppkey
+            JOIN nation n ON n.n_nationkey = s.s_nationkey
+            JOIN orders o ON o.o_orderkey = li.l_orderkey
+            GROUP BY nation, o_year
+            ORDER BY nation, o_year DESC
+        """,
+        # Benford first-digit audit: digit from floor(total) (exact in
+        # doubles) via string head — the engine reduces by integer
+        # division; both avoid log10 boundary ulps
+        "benford_audit": """
+            SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT)
+                               AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders,
+                   CAST(COUNT(*) AS DOUBLE)
+                       / (SELECT COUNT(*) FROM orders) AS share
+            FROM orders GROUP BY digit ORDER BY digit
         """,
         # delta+varint postings cost: byte count is the pure integer
         # threshold chain (k bytes iff delta < 2^(7k)); first delta is the

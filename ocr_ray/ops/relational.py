@@ -3778,3 +3778,169 @@ def peak_concurrency(sf_dir: str):
 
     return pts.groupby(["event_type", "day"]).map_groups(
         sweep, batch_format="pyarrow")
+
+
+Q9_TYPE = "LARGE"
+
+
+def product_profit(sf_dir: str):
+    """TPC-H Q9 shape (adapted — no partsupp table in this schema, so the
+    per-part supply cost is the part's retail price): profit on Q9_TYPE
+    parts per supplier nation per order year, profit = Σ price·(1−disc)
+    − retail·qty (reference parity target: the amount-per-nation/year
+    rollup of TPC-H Q9).
+
+    Scale shape: both dimension arms are ray.put ONCE — partkey→retail
+    cents for the qualifying type (a dict, part is small) and suppkey→
+    nation key; the lineitem scan filters to qualifying parts and
+    partial-aggregates exact int64 profit (1e-4 units: rev4 − retail_cents
+    ·qty·100) per (orderkey, nation) BEFORE the single co-partitioned hash
+    join with the 2-column (orderkey, year) orders stream; a tiny grouped
+    sum per (nation, year) finishes. The only all-to-all carries one row
+    per (order × nation), never a lineitem row.
+
+    Output: (nation, o_year, sum_profit) ordered by nation, o_year DESC."""
+    from .common import choose_join_parts
+
+    nations = {
+        r["n_nationkey"]: r["n_name"]
+        for r in read_table(sf_dir, "nation", columns=["n_nationkey", "n_name"]).take_all()
+    }
+    retail = {
+        r["p_partkey"]: int(round(r["p_retailprice"] * 100))
+        for r in read_table(sf_dir, "part", columns=["p_partkey", "p_type", "p_retailprice"])
+        .filter(lambda r: r["p_type"] == Q9_TYPE).take_all()
+    }
+    supp_nation = {
+        r["s_suppkey"]: r["s_nationkey"]
+        for r in read_table(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"]).take_all()
+    }
+    retail_ref, supp_ref = ray.put(retail), ray.put(supp_nation)
+
+    lineitem = read_table(
+        sf_dir, "lineitem",
+        columns=["l_orderkey", "l_partkey", "l_suppkey",
+                 "l_quantity", "l_extendedprice", "l_discount"],
+    )
+
+    def profit_partial(batch: pa.Table) -> pa.Table:
+        # sorted-key arrays → searchsorted lookups: no per-row Python on
+        # the fact scan (the dicts are plasma-cached; the array views are
+        # rebuilt per batch from the shared dict, O(|dim|) « O(batch))
+        rmap, smap = ray.get(retail_ref), ray.get(supp_ref)
+        rkeys = np.fromiter(rmap.keys(), dtype=np.int64, count=len(rmap))
+        rvals = np.fromiter(rmap.values(), dtype=np.int64, count=len(rmap))
+        order = np.argsort(rkeys)
+        rkeys, rvals = rkeys[order], rvals[order]
+        parts = batch.column("l_partkey").to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(rkeys, parts)
+        pos[pos >= len(rkeys)] = 0
+        keep = rkeys[pos] == parts
+        batch = batch.filter(pa.array(keep))
+        if batch.num_rows == 0:
+            return pa.table(
+                {"l_orderkey": pa.array([], pa.int64()),
+                 "nation_key": pa.array([], pa.int64()),
+                 "profit4": pa.array([], pa.int64())}
+            )
+        rcents = rvals[pos[keep]]
+        skeys = np.fromiter(smap.keys(), dtype=np.int64, count=len(smap))
+        svals = np.fromiter(smap.values(), dtype=np.int64, count=len(smap))
+        sorder = np.argsort(skeys)
+        skeys, svals = skeys[sorder], svals[sorder]
+        supp = batch.column("l_suppkey").to_numpy(zero_copy_only=False)
+        nk = svals[np.searchsorted(skeys, supp)]
+        qty = np.rint(
+            batch.column("l_quantity").to_numpy(zero_copy_only=False)
+        ).astype(np.int64)
+        rev4 = _rev4(batch).to_numpy(zero_copy_only=False)
+        df = pd.DataFrame(
+            {"l_orderkey": batch.column("l_orderkey").to_numpy(zero_copy_only=False),
+             "nation_key": nk,
+             "profit4": rev4 - rcents * qty * 100}
+        ).groupby(["l_orderkey", "nation_key"], as_index=False)["profit4"].sum()
+        return from_pandas_clean(df)
+
+    profit = grouped_agg(
+        lineitem.map_batches(profit_partial, batch_format="pyarrow", zero_copy_batch=True),
+        keys=["l_orderkey", "nation_key"],
+        specs=[("profit4", "sum", "profit4")],
+    )
+
+    orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_orderdate"])
+
+    def order_year(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {"o_orderkey": batch.column("o_orderkey"),
+             "o_year": pc.cast(pc.year(batch.column("o_orderdate")), pa.int64())}
+        )
+
+    orders = orders.map_batches(order_year, batch_format="pyarrow", zero_copy_batch=True)
+
+    joined = profit.join(
+        orders, join_type="inner",
+        num_partitions=choose_join_parts(sf_dir, "orders", "lineitem", floor=4),
+        on=("l_orderkey",), right_on=("o_orderkey",),
+    )
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        df["nation"] = df["nation_key"].map(nations)
+        # exact int / 10000.0 is the same double on both sides
+        df["sum_profit"] = df["profit4"].astype("float64") / 10000.0
+        return df.sort_values(
+            ["nation", "o_year"], ascending=[True, False]
+        ).reset_index(drop=True)[["nation", "o_year", "sum_profit"]]
+
+    return grouped_agg(
+        joined, keys=["nation_key", "o_year"],
+        specs=[("profit4", "sum", "profit4")],
+        finalize=fin,
+    )
+
+
+def benford_audit(sf_dir: str):
+    """Benford's-law first-digit audit over order totals — the classic
+    fraud/synthetic-data screen: the count and share of orders whose total
+    price starts with each significant digit 1–9 (natural multi-scale
+    amounts follow log10(1+1/d); flat or spiked digit profiles flag
+    generated or clipped value columns — exactly this corpus, whose
+    uniform totals are a textbook Benford violation the audit surfaces).
+
+    Exactness contract: the digit comes from floor(o_totalprice) (exact in
+    doubles) reduced by repeated integer division — no log10, whose
+    boundary ulps could disagree with the SQL twin's string cast. Shares
+    are one exact int/int division per digit in finalize.
+
+    Scale shape: a pruned single-column scan with per-batch digit
+    bincounts; only ≤9 partial rows per batch cross the one tiny exchange.
+
+    Output: (digit, n_orders, share) ordered by digit."""
+    ds = read_table(sf_dir, "orders", columns=["o_totalprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = np.floor(
+            batch.column("o_totalprice").to_numpy(zero_copy_only=False)
+        ).astype(np.int64)
+        # reduce to the leading digit: ~6 vectorized passes, no strings
+        while (v >= 10).any():
+            big = v >= 10
+            v[big] //= 10
+        counts = np.bincount(v, minlength=10)[1:10]
+        nz = np.nonzero(counts)[0]
+        return pa.table(
+            {"digit": pa.array((nz + 1).astype(np.int64), pa.int64()),
+             "n_orders": pa.array(counts[nz].astype(np.int64), pa.int64())}
+        )
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        total = int(df["n_orders"].sum())
+        df["share"] = df["n_orders"].astype("float64") / float(total)
+        return df.sort_values("digit").reset_index(drop=True)[
+            ["digit", "n_orders", "share"]]
+
+    return grouped_agg(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        keys=["digit"],
+        specs=[("n_orders", "sum", "n_orders")],
+        finalize=fin,
+    )
