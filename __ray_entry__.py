@@ -45,6 +45,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ---- round-4 additions (newest first)
         "product_profit": r_ops.product_profit,
         "benford_audit": r_ops.benford_audit,
+        "spearman_tokens_types": d_ops.spearman_tokens_types,
+        "host_clustering": g_ops.host_clustering,
         "scd2_url_history": x_ops.scd2_url_history,
         "pareto_docs": d_ops.pareto_docs,
         "peak_concurrency": r_ops.peak_concurrency,
@@ -793,6 +795,51 @@ def _base_oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) AS DOUBLE)
                        / (SELECT COUNT(*) FROM orders) AS share
             FROM orders GROUP BY digit ORDER BY digit
+        """,
+        # Spearman rho via doubled average ranks: every moment is an exact
+        # integer (HUGEINT sums here, Python bigints in the engine); the
+        # final expression is shared shape-for-shape — float(num) /
+        # (sqrt(float(dxx)) * sqrt(float(dyy)))
+        "spearman_tokens_types": f"""
+            WITH toks AS (
+                SELECT doc_id, lower(translate(tok, {punct_sql}, '')) AS word
+                FROM (SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS tok
+                      FROM documents)
+            ),
+            per0 AS (
+                SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS x,
+                       CAST(COUNT(DISTINCT word) AS BIGINT) AS y
+                FROM toks WHERE word <> '' GROUP BY doc_id
+            ),
+            per AS (
+                SELECT d.doc_id, COALESCE(p.x, 0) AS x, COALESCE(p.y, 0) AS y
+                FROM documents d LEFT JOIN per0 p USING (doc_id)
+            ),
+            xh AS (SELECT x AS v, CAST(COUNT(*) AS BIGINT) AS c FROM per GROUP BY x),
+            xr AS (SELECT v, 2 * (SUM(c) OVER (ORDER BY v) - c) + c + 1 AS r2 FROM xh),
+            yh AS (SELECT y AS v, CAST(COUNT(*) AS BIGINT) AS c FROM per GROUP BY y),
+            yr AS (SELECT v, 2 * (SUM(c) OVER (ORDER BY v) - c) + c + 1 AS r2 FROM yh),
+            r AS (
+                SELECT CAST(xr.r2 AS BIGINT) AS rx, CAST(yr.r2 AS BIGINT) AS ry
+                FROM per JOIN xr ON per.x = xr.v JOIN yr ON per.y = yr.v
+            ),
+            m AS (
+                SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+                       CAST(SUM(rx) AS HUGEINT) AS sx,
+                       CAST(SUM(ry) AS HUGEINT) AS sy,
+                       CAST(SUM(rx * rx) AS HUGEINT) AS sxx,
+                       CAST(SUM(ry * ry) AS HUGEINT) AS syy,
+                       CAST(SUM(rx * ry) AS HUGEINT) AS sxy
+                FROM r
+            )
+            SELECT CAST(n AS BIGINT) AS n_docs,
+                   CASE WHEN n * sxx - sx * sx = 0 OR n * syy - sy * sy = 0
+                        THEN 0.0
+                        ELSE CAST(n * sxy - sx * sy AS DOUBLE)
+                             / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                                * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+                   END AS spearman_rho
+            FROM m
         """,
         # delta+varint postings cost: byte count is the pure integer
         # threshold chain (k bytes iff delta < 2^(7k)); first delta is the

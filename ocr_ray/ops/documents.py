@@ -4306,3 +4306,104 @@ def postings_delta_stats(sf_dir: str):
         )
 
     return pts.groupby("wpart").map_groups(per_part, batch_format="pyarrow")
+
+
+def spearman_tokens_types(sf_dir: str):
+    """Global Spearman rank correlation between per-doc token count and
+    distinct-type count — the one-number Heaps'-law health check (organic
+    corpora correlate strongly; template floods break the monotone
+    length→vocabulary relationship and drag rho down).
+
+    Exactness contract: ties get average ranks; DOUBLED ranks
+    (r2 = 2·cum_before + count + 1) are integers, so every distributed
+    moment (Σr2, Σr2², Σr2x·r2y) is an exact int64 sum and the final rho
+    is computed from Python bigints in ONE expression shared shape-for-
+    shape with the SQL twin (float(num) / (sqrt(float(dxx)) ·
+    sqrt(float(dyy)))) — no accumulation-order float drift anywhere.
+
+    Scale shape: three passes, none re-parsing text twice — pass 1
+    tokenizes once and MATERIALIZES the tiny per-doc (x, y) ints (24
+    bytes/doc; the parse dominates the pipeline, re-running it would cost
+    more than spilling these rows at any corpus size); pass 2 builds the
+    two value histograms via combiner-collapsed grouped counts (distinct
+    token counts are bounded by max doc length — driver-safe); pass 3
+    broadcasts the two sorted rank arrays and reduces int64 moment
+    partials to one row.
+
+    Output: one row (n_docs, spearman_rho)."""
+    import math
+
+    import numpy as np
+
+    from .common import grouped_agg
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def per_doc(batch: pa.Table) -> pa.Table:
+        from ..kernels.textfn import _INDEX_DEL_TABLE
+
+        xs, ys = [], []
+        for text in batch.column("text").to_pylist():
+            toks = [
+                t for t in
+                (w.translate(_INDEX_DEL_TABLE).lower() for w in text.split())
+                if t
+            ]
+            xs.append(len(toks))
+            ys.append(len(set(toks)))
+        return pa.table(
+            {"x": pa.array(xs, pa.int64()), "y": pa.array(ys, pa.int64())}
+        )
+
+    stats = ds.map_batches(
+        per_doc, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+
+    def rank2_map(col: str) -> tuple:
+        hist = grouped_agg(stats, keys=[col], specs=[("c", "count", None)]).take_all()
+        hist.sort(key=lambda r: r[col])
+        vals = np.array([r[col] for r in hist], dtype=np.int64)
+        cnts = np.array([r["c"] for r in hist], dtype=np.int64)
+        before = np.concatenate(([0], np.cumsum(cnts)[:-1]))
+        return vals, 2 * before + cnts + 1  # doubled average rank: integer
+
+    xv, xr2 = rank2_map("x")
+    yv, yr2 = rank2_map("y")
+    ranks_ref = ray.put((xv, xr2, yv, yr2))
+
+    def moments(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        xv, xr2, yv, yr2 = ray.get(ranks_ref)
+        rx = xr2[np.searchsorted(xv, batch.column("x").to_numpy(zero_copy_only=False))]
+        ry = yr2[np.searchsorted(yv, batch.column("y").to_numpy(zero_copy_only=False))]
+        return pa.table(
+            {"n": pa.array([len(rx)], pa.int64()),
+             "sx": pa.array([int(rx.sum())], pa.int64()),
+             "sy": pa.array([int(ry.sum())], pa.int64()),
+             "sxx": pa.array([int((rx * rx).sum())], pa.int64()),
+             "syy": pa.array([int((ry * ry).sum())], pa.int64()),
+             "sxy": pa.array([int((rx * ry).sum())], pa.int64())}
+        )
+
+    partials = stats.map_batches(moments, batch_format="pyarrow", zero_copy_batch=True)
+
+    def fin(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        n = int(df["n"].sum())
+        sx, sy = int(df["sx"].sum()), int(df["sy"].sum())
+        sxx, syy, sxy = int(df["sxx"].sum()), int(df["syy"].sum()), int(df["sxy"].sum())
+        num = n * sxy - sx * sy          # Python bigints: exact
+        dxx = n * sxx - sx * sx
+        dyy = n * syy - sy * sy
+        rho = (
+            0.0 if dxx == 0 or dyy == 0
+            else float(num) / (math.sqrt(float(dxx)) * math.sqrt(float(dyy)))
+        )
+        return pa.table(
+            {"n_docs": pa.array([n], pa.int64()),
+             "spearman_rho": pa.array([rho], pa.float64())}
+        )
+
+    return partials.repartition(1).map_batches(
+        fin, batch_format="pyarrow", batch_size=None)

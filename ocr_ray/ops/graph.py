@@ -1233,3 +1233,63 @@ def host_scc(sf_dir: str) -> ray.data.Dataset:
 
     return out.repartition(1).map_batches(
         lambda b: from_pandas_clean(fin(b.to_pandas())), batch_format="pyarrow")
+
+
+def host_clustering(sf_dir: str) -> ray.data.Dataset:
+    """Per-host LOCAL CLUSTERING COEFFICIENT over the undirected distinct
+    host link graph: c(v) = 2·t(v) / (deg(v)·(deg(v)−1)) — the
+    link-farm/organic-neighborhood separator host_triangles motivates,
+    finished into the normalized 0–1 score (a farm hub has high degree,
+    near-zero closure; a community hub closes most of its wedges).
+
+    Scale shape: degrees come from ONE combiner-collapsed count over the
+    canonical edge list (each edge contributes to two hosts); triangle
+    participation reuses :func:`host_triangles`' two-join enumeration; the
+    two per-host rollups meet in a co-partitioned LEFT OUTER hash join on
+    host (hosts closing no triangle keep degree and get t = 0) — nothing
+    driver-side, both sides are per-host rows, never edges. The score is
+    one exact int→double division shared with the SQL twin.
+
+    Output: (host, degree, n_triangles, clustering) for every host with
+    ≥ 1 edge, ordered by host."""
+    from .common import choose_join_parts, from_pandas_clean, grouped_agg
+
+    edges = _canonical_edges(sf_dir)
+
+    def endpoints(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        out = pd.DataFrame(
+            {"host": pd.concat([df["a"], df["b"]], ignore_index=True)}
+        ).groupby("host", as_index=False).size().rename(columns={"size": "degree"})
+        return from_pandas_clean(out)
+
+    degrees = grouped_agg(
+        edges.map_batches(endpoints, batch_format="pyarrow", zero_copy_batch=True),
+        keys=["host"],
+        specs=[("degree", "sum", "degree")],
+    )
+
+    tris = host_triangles(sf_dir).rename_columns({"host": "t_host"})
+    parts = max(4, choose_join_parts(sf_dir, floor=4))
+    joined = degrees.join(
+        tris, join_type="left_outer", num_partitions=parts,
+        on=("host",), right_on=("t_host",),
+    )
+
+    def fin(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        df = batch.to_pandas()
+        t = df["n_triangles"].fillna(0).astype("int64")
+        d = df["degree"].astype("int64")
+        denom = d * (d - 1)
+        clustering = np.where(
+            denom > 0, (2.0 * t.to_numpy()) / denom.to_numpy(), 0.0)
+        out = pd.DataFrame(
+            {"host": df["host"], "degree": d, "n_triangles": t,
+             "clustering": clustering}
+        ).sort_values("host").reset_index(drop=True)
+        return from_pandas_clean(out)
+
+    return joined.repartition(1).map_batches(
+        fin, batch_format="pyarrow", batch_size=None)

@@ -1929,6 +1929,44 @@ def extra_oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         FROM corners GROUP BY host ORDER BY host
     """
 
+    # ---------------------------------------- corpus: host_clustering
+    # degrees from the canonical edge list, triangle corners as in
+    # host_triangles, c(v) = 2t/(d(d-1)) as one exact int->double division
+    sql["host_clustering"] = f"""
+        WITH {link_ctes},
+        und AS (
+            SELECT DISTINCT least(src_host, dst_host) AS a,
+                            greatest(src_host, dst_host) AS b
+            FROM links WHERE src_host <> dst_host
+        ),
+        deg AS (
+            SELECT host, CAST(COUNT(*) AS BIGINT) AS degree
+            FROM (SELECT a AS host FROM und UNION ALL SELECT b FROM und)
+            GROUP BY host
+        ),
+        tri AS (
+            SELECT e1.a AS x, e1.b AS y, e2.b AS z
+            FROM und e1
+            JOIN und e2 ON e1.a = e2.a AND e1.b < e2.b
+            JOIN und e3 ON e3.a = e1.b AND e3.b = e2.b
+        ),
+        tcnt AS (
+            SELECT host, CAST(COUNT(*) AS BIGINT) AS n_triangles
+            FROM (SELECT x AS host FROM tri
+                  UNION ALL SELECT y FROM tri
+                  UNION ALL SELECT z FROM tri)
+            GROUP BY host
+        )
+        SELECT d.host, d.degree,
+               COALESCE(t.n_triangles, 0) AS n_triangles,
+               CASE WHEN d.degree > 1
+                    THEN CAST(2 * COALESCE(t.n_triangles, 0) AS DOUBLE)
+                         / CAST(d.degree * (d.degree - 1) AS DOUBLE)
+                    ELSE 0.0 END AS clustering
+        FROM deg d LEFT JOIN tcnt t USING (host)
+        ORDER BY d.host
+    """
+
     # ---------------------------------------- corpus: k_core_hosts
     # EXACTLY KCORE_ROUNDS peels, unrolled (the suite's iteration-unrolled
     # oracle discipline) — round i keeps hosts whose round-(i-1) induced
