@@ -47,6 +47,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "benford_audit": r_ops.benford_audit,
         "spearman_tokens_types": d_ops.spearman_tokens_types,
         "host_clustering": g_ops.host_clustering,
+        "ks_source_drift": d_ops.ks_source_drift,
+        "cdc_chunk_dedup": d_ops.cdc_chunk_dedup,
         "scd2_url_history": x_ops.scd2_url_history,
         "pareto_docs": d_ops.pareto_docs,
         "peak_concurrency": r_ops.peak_concurrency,
@@ -795,6 +797,86 @@ def _base_oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) AS DOUBLE)
                        / (SELECT COUNT(*) FROM orders) AS share
             FROM orders GROUP BY digit ORDER BY digit
+        """,
+        # two-sample KS per source vs rest: D found over cross-multiplied
+        # integer step functions (float-free argmax), one exact int->double
+        # division at the end
+        "ks_source_drift": """
+            WITH lens AS (SELECT source, n_chars AS v FROM documents),
+            cnt AS (SELECT source, v, CAST(COUNT(*) AS BIGINT) AS c
+                    FROM lens GROUP BY source, v),
+            grid AS (
+                SELECT s.source, g.v
+                FROM (SELECT DISTINCT source FROM lens) s
+                CROSS JOIN (SELECT DISTINCT v FROM lens) g
+            ),
+            j AS (
+                SELECT grid.source, grid.v, COALESCE(cnt.c, 0) AS c
+                FROM grid LEFT JOIN cnt USING (source, v)
+            ),
+            cum AS (
+                SELECT source, v,
+                       SUM(c) OVER (PARTITION BY source ORDER BY v) AS scum
+                FROM j
+            ),
+            gcum AS (
+                SELECT v, SUM(c) OVER (ORDER BY v) AS gc
+                FROM (SELECT v, CAST(COUNT(*) AS BIGINT) AS c
+                      FROM lens GROUP BY v)
+            ),
+            ns AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n
+                   FROM lens GROUP BY source),
+            tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn FROM lens)
+            SELECT cum.source, ns.n AS n_docs,
+                   CAST(MAX(ABS(scum * (nn - n) - (gc - scum) * n))
+                        AS DOUBLE) / CAST(n * (nn - n) AS DOUBLE) AS ks_stat
+            FROM cum JOIN gcum USING (v) JOIN ns ON cum.source = ns.source
+            CROSS JOIN tot
+            GROUP BY cum.source, ns.n, tot.nn ORDER BY cum.source
+        """,
+        # CDC storage audit: the same 31-polynomial 8-char window hash as
+        # the engine (plain BIGINT, no modulus), chunk identity by string
+        # (engine: md5) — identical partitions absent collisions
+        "cdc_chunk_dedup": """
+            WITH pos AS (
+                SELECT d.doc_id, t.i AS e
+                FROM documents d,
+                     UNNEST(generate_series(8, length(d.text))) AS t(i)
+                WHERE (CAST(ord(substr(d.text, t.i - 7, 1)) AS BIGINT) * 27512614111
+                     + CAST(ord(substr(d.text, t.i - 6, 1)) AS BIGINT) * 887503681
+                     + CAST(ord(substr(d.text, t.i - 5, 1)) AS BIGINT) * 28629151
+                     + CAST(ord(substr(d.text, t.i - 4, 1)) AS BIGINT) * 923521
+                     + CAST(ord(substr(d.text, t.i - 3, 1)) AS BIGINT) * 29791
+                     + CAST(ord(substr(d.text, t.i - 2, 1)) AS BIGINT) * 961
+                     + CAST(ord(substr(d.text, t.i - 1, 1)) AS BIGINT) * 31
+                     + CAST(ord(substr(d.text, t.i, 1)) AS BIGINT)) % 64 = 0
+            ),
+            ends AS (
+                SELECT doc_id, e FROM pos
+                UNION
+                SELECT doc_id, length(text) AS e FROM documents
+                WHERE length(text) > 0
+            ),
+            ch AS (
+                SELECT doc_id,
+                       COALESCE(lag(e) OVER (
+                           PARTITION BY doc_id ORDER BY e), 0) + 1 AS s,
+                       e
+                FROM ends
+            ),
+            chunks AS (
+                SELECT substr(d.text, ch.s, ch.e - ch.s + 1) AS chunk
+                FROM ch JOIN documents d USING (doc_id)
+            ),
+            u AS (SELECT chunk, CAST(COUNT(*) AS BIGINT) AS cnt
+                  FROM chunks GROUP BY chunk)
+            SELECT CAST(SUM(cnt) AS BIGINT) AS n_chunks,
+                   CAST(COUNT(*) AS BIGINT) AS n_unique_chunks,
+                   CAST(SUM(length(chunk) * cnt) AS BIGINT) AS total_bytes,
+                   CAST(SUM(length(chunk)) AS BIGINT) AS unique_bytes,
+                   CAST(SUM(length(chunk)) AS DOUBLE)
+                       / CAST(SUM(length(chunk) * cnt) AS DOUBLE) AS dedup_ratio
+            FROM u
         """,
         # Spearman rho via doubled average ranks: every moment is an exact
         # integer (HUGEINT sums here, Python bigints in the engine); the

@@ -4407,3 +4407,174 @@ def spearman_tokens_types(sf_dir: str):
 
     return partials.repartition(1).map_batches(
         fin, batch_format="pyarrow", batch_size=None)
+
+
+def ks_source_drift(sf_dir: str):
+    """Two-sample Kolmogorov–Smirnov drift screen: for every source, the
+    KS statistic between ITS doc-length (n_chars) distribution and the
+    REST of the corpus — the standard one-number distribution-shift alarm
+    a crawl operator watches per feed (a source whose D jumps is sending
+    different-shaped documents than the fleet).
+
+    Exactness contract: D is found over cross-multiplied INTEGER step
+    functions — max |scum·(N−n_s) − (gcum−scum)·n_s| — so the argmax is
+    float-free; the reported statistic is one exact int→double division
+    shared with the SQL twin.
+
+    Scale shape: one combiner-collapsed (source, len) count rollup is the
+    only exchange; the global length curve (distinct lengths — bounded by
+    max doc length, not corpus size) is ray.put ONCE; each source's sweep
+    is a vectorized searchsorted + cumsum inside a per-source group task.
+    Nothing per-doc ever crosses the wire. (The int64 cross-multiply is
+    exact to ~3e9 docs per side; beyond that swap in object-dtype bigints
+    — the sweep is per-source and tiny either way.)
+
+    Output: (source, n_docs, ks_stat) ordered by source."""
+    import numpy as np
+
+    from .common import from_pandas_clean, grouped_agg
+
+    ds = read_table(sf_dir, "documents", columns=["source", "n_chars"])
+
+    counts = grouped_agg(
+        ds, keys=["source", "n_chars"], specs=[("c", "count", None)]
+    ).materialize()
+
+    # global length curve: tiny (distinct lengths), built FROM the rollup
+    glob: dict[int, int] = {}
+    for r in counts.take_all():
+        glob[r["n_chars"]] = glob.get(r["n_chars"], 0) + r["c"]
+    glens = np.array(sorted(glob), dtype=np.int64)
+    gcum = np.cumsum(np.array([glob[v] for v in glens.tolist()], dtype=np.int64))
+    total = int(gcum[-1]) if len(gcum) else 0
+    curve_ref = ray.put((glens, gcum, total))
+
+    def per_source(group: pa.Table) -> pa.Table:
+        import numpy as np
+
+        glens, gcum, total = ray.get(curve_ref)
+        df = group.to_pandas().sort_values("n_chars")
+        src = df["source"].iloc[0]
+        svals = df["n_chars"].to_numpy()
+        scnt = df["c"].to_numpy()
+        n_s = int(scnt.sum())
+        n_rest = total - n_s
+        # F_s evaluated at every global jump point: cum count of source
+        # lengths <= x, via searchsorted on the source's own jump points
+        scum_at = np.concatenate(([0], np.cumsum(scnt)))[
+            np.searchsorted(svals, glens, side="right")]
+        d_num = np.abs(scum_at * n_rest - (gcum - scum_at) * n_s).max() if total else 0
+        ks = float(int(d_num)) / float(n_s * n_rest) if n_s and n_rest else 0.0
+        return pa.table(
+            {"source": pa.array([src], pa.string()),
+             "n_docs": pa.array([n_s], pa.int64()),
+             "ks_stat": pa.array([ks], pa.float64())}
+        )
+
+    out = counts.groupby("source").map_groups(per_source, batch_format="pyarrow")
+
+    def fin(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas().sort_values("source").reset_index(drop=True)
+        return from_pandas_clean(df)
+
+    return out.repartition(1).map_batches(fin, batch_format="pyarrow", batch_size=None)
+
+
+# Rabin-style window weights 31^(7-j) for j=0..7: largest window hash is
+# 255·Σ31^k ≈ 7.2e12 — exact in int64 (and in the twin's BIGINT), no mod
+CDC_WINDOW = 8
+CDC_WEIGHTS = [31 ** (CDC_WINDOW - 1 - j) for j in range(CDC_WINDOW)]
+CDC_MASK = 64  # boundary iff window hash % 64 == 0 → ~64-byte avg chunks
+
+
+def cdc_chunk_dedup(sf_dir: str):
+    """Content-defined-chunking storage audit (the LBFS/borg/restic dedup
+    model): split every document at positions where the rolling 8-byte
+    polynomial hash ≡ 0 (mod 64), then report corpus-wide chunk-store
+    stats — how many chunks, how many survive dedup, and the byte ratio a
+    content-addressed store would achieve. CDC is THE dedup primitive that
+    survives insertions (fixed-size blocks shift; content-defined cuts
+    re-align), so the ratio here is the storage planner's real number.
+
+    Exactness contract: the window hash Σ byte_j·31^(7−j) is plain int64
+    (no modulus), shared verbatim with the twin's ord()-chain; chunk
+    identity is md5 (engine) vs the chunk string itself (SQL) — identical
+    partitions absent md5 collisions. ASCII corpus assumption: byte offsets
+    == char offsets (holds for the synth tables; real crawls would run the
+    same kernel on raw bytes and skip the SQL twin).
+
+    Scale shape: chunking is per-doc inside map_batches (8 vectorized
+    strided adds per doc, chunk slices after); ONE exchange carries
+    (md5, len) pairs — never chunk bytes — into a combiner-collapsed
+    per-unique count; a partial-sum tail reduces to one row. This is
+    media_exact_dedup's hash-only-exchange discipline applied to text
+    sub-blocks.
+
+    Output: one row (n_chunks, n_unique_chunks, total_bytes, unique_bytes,
+    dedup_ratio)."""
+    import hashlib
+
+    import numpy as np
+
+    from .common import grouped_agg
+
+    ds = read_table(sf_dir, "documents", columns=["text"])
+    weights = np.array(CDC_WEIGHTS, dtype=np.int64)
+
+    def chunk(batch: pa.Table) -> pa.Table:
+        hs, lens = [], []
+        for text in batch.column("text").to_pylist():
+            b = np.frombuffer(text.encode("utf-8"), dtype=np.uint8).astype(np.int64)
+            n = len(b)
+            if n == 0:
+                continue
+            if n >= CDC_WINDOW:
+                acc = np.zeros(n - CDC_WINDOW + 1, dtype=np.int64)
+                for j in range(CDC_WINDOW):
+                    acc += b[j: n - CDC_WINDOW + 1 + j] * weights[j]
+                ends = np.nonzero(acc % CDC_MASK == 0)[0] + CDC_WINDOW
+            else:
+                ends = np.array([], dtype=np.int64)
+            if len(ends) == 0 or ends[-1] != n:
+                ends = np.append(ends, n)
+            s = 0
+            for e in ends.tolist():
+                piece = text[s:e]
+                hs.append(hashlib.md5(piece.encode("utf-8")).hexdigest())
+                lens.append(e - s)
+                s = e
+        return pa.table(
+            {"h": pa.array(hs, pa.string()), "clen": pa.array(lens, pa.int64())}
+        )
+
+    chunks = ds.map_batches(chunk, batch_format="pyarrow", zero_copy_batch=True)
+
+    uniq = grouped_agg(chunks, keys=["h", "clen"], specs=[("cnt", "count", None)])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cnt = batch.column("cnt").to_numpy(zero_copy_only=False)
+        clen = batch.column("clen").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {"n_chunks": pa.array([int(cnt.sum())], pa.int64()),
+             "n_unique_chunks": pa.array([len(cnt)], pa.int64()),
+             "total_bytes": pa.array([int((clen * cnt).sum())], pa.int64()),
+             "unique_bytes": pa.array([int(clen.sum())], pa.int64())}
+        )
+
+    def fin(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas().sum()
+        total, unique = int(df["total_bytes"]), int(df["unique_bytes"])
+        return pa.table(
+            {"n_chunks": pa.array([int(df["n_chunks"])], pa.int64()),
+             "n_unique_chunks": pa.array([int(df["n_unique_chunks"])], pa.int64()),
+             "total_bytes": pa.array([total], pa.int64()),
+             "unique_bytes": pa.array([unique], pa.int64()),
+             "dedup_ratio": pa.array(
+                 [float(unique) / float(total) if total else 0.0], pa.float64())}
+        )
+
+    return (
+        uniq.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .repartition(1)
+        .map_batches(fin, batch_format="pyarrow", batch_size=None)
+    )
