@@ -48,6 +48,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spearman_tokens_types": d_ops.spearman_tokens_types,
         "host_clustering": g_ops.host_clustering,
         "ks_source_drift": d_ops.ks_source_drift,
+        "zorder_blocks": e_ops.zorder_blocks,
         "cdc_chunk_dedup": d_ops.cdc_chunk_dedup,
         "scd2_url_history": x_ops.scd2_url_history,
         "pareto_docs": d_ops.pareto_docs,
@@ -1491,6 +1492,49 @@ def _base_oracle_sql() -> dict[str, str]:
                   AND o.o_orderdate < TIMESTAMP '{r_ops.LAPSED_HI}'
             )
             GROUP BY n_name ORDER BY n_name
+        """,
+        # Z-order blocking: sq8-style global-range quantization (same float
+        # chain before floor -> bit-identical codes), Morton interleave as
+        # pure bit algebra, cohesion from exact integer sums
+        "zorder_blocks": """
+            WITH v AS (
+                SELECT vec_id, CAST(embedding[1] AS DOUBLE) AS x,
+                       CAST(embedding[2] AS DOUBLE) AS y
+                FROM embeddings
+            ),
+            mm AS (
+                SELECT min(x) AS xmin, max(x) AS xmax,
+                       min(y) AS ymin, max(y) AS ymax
+                FROM v
+            ),
+            q AS (
+                SELECT vec_id,
+                       CASE WHEN xmax = xmin THEN 0
+                            ELSE least(greatest(CAST(floor(
+                                (x - xmin) / ((xmax - xmin) / 255.0) + 0.5)
+                                AS BIGINT), 0), 255) END AS qx,
+                       CASE WHEN ymax = ymin THEN 0
+                            ELSE least(greatest(CAST(floor(
+                                (y - ymin) / ((ymax - ymin) / 255.0) + 0.5)
+                                AS BIGINT), 0), 255) END AS qy
+                FROM v CROSS JOIN mm
+            ),
+            z AS (
+                SELECT qx, qy,
+                       ((((qx >> 0) & 1) << 0) | (((qx >> 1) & 1) << 2) | (((qx >> 2) & 1) << 4) | (((qx >> 3) & 1) << 6) | (((qx >> 4) & 1) << 8) | (((qx >> 5) & 1) << 10) | (((qx >> 6) & 1) << 12) | (((qx >> 7) & 1) << 14)
+                        | (((qy >> 0) & 1) << 1) | (((qy >> 1) & 1) << 3) | (((qy >> 2) & 1) << 5) | (((qy >> 3) & 1) << 7) | (((qy >> 4) & 1) << 9) | (((qy >> 5) & 1) << 11) | (((qy >> 6) & 1) << 13) | (((qy >> 7) & 1) << 15)) AS zc
+                FROM q
+            ),
+            g AS (
+                SELECT zc >> 10 AS block, CAST(COUNT(*) AS BIGINT) AS n,
+                       SUM(qx) AS sx, SUM(qy) AS sy,
+                       SUM(qx * qx) AS sxx, SUM(qy * qy) AS syy
+                FROM z GROUP BY 1
+            )
+            SELECT CAST(block AS BIGINT) AS block, n AS n_vecs,
+                   CAST(n * (sxx + syy) - sx * sx - sy * sy AS DOUBLE)
+                       / CAST(n * n AS DOUBLE) AS cohesion
+            FROM g ORDER BY block
         """,
         # integer codes are bit-identical (same float chain before floor);
         # the MSE list-fold is guarded by round_even at 8

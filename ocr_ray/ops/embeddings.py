@@ -1140,3 +1140,96 @@ def label_propagation_classify(sf_dir: str):
         return from_pandas_clean(df[["vec_id", "label", "src"]])
 
     return out.repartition(1).map_batches(fin, batch_format="pyarrow")
+
+
+ZORDER_BITS = 8          # per-dim quantization width (SQ8 discipline)
+ZORDER_BLOCK_SHIFT = 10  # 16-bit Morton code >> 10 → 64 blocks
+
+
+def zorder_blocks(sf_dir: str):
+    """Z-order (Morton) space-filling-curve blocking over the first two
+    embedding dimensions — the locality-preserving PARTITIONING technique
+    (Delta/Iceberg Z-ordering, bit-interleaved grid files): quantize each
+    dim to 8 bits against its GLOBAL range, interleave the bits into a
+    16-bit Morton code, and roll up per curve block. Nearby vectors share
+    a block, so range/similarity scans touch few blocks; the per-block
+    cohesion number reported here is exactly what a layout optimizer reads
+    to decide whether the curve is doing its job.
+
+    Exactness contract: quantization is the sq8 float chain
+    (floor((x−min)/scale + 0.5), global per-dim min/max) shared
+    elementwise with the SQL twin, so codes match bit-for-bit; the Morton
+    interleave is pure integer bit algebra; block cohesion (total within-
+    block variance of the two quantized dims, biased form) is computed
+    from exact int64 sums as (n·(Σx²+Σy²) − (Σx)² − (Σy)²) / n² — one
+    int→double division per block.
+
+    Scale shape: pass 1 reduces per-batch (min, max) partials for the two
+    dims to one tiny row (broadcast back as plain floats); pass 2 is a
+    shuffle-free map to (block, partial moment) rows collapsed by a
+    combiner groupby over ≤ 64 keys. No vector ever crosses an exchange.
+
+    Output: (block, n_vecs, cohesion) ordered by block."""
+    from .common import grouped_agg
+
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def minmax(batch: pa.Table) -> pa.Table:
+        m = _matrix(batch)
+        return pa.table(
+            {"x_min": pa.array([float(m[:, 0].min())], pa.float64()),
+             "x_max": pa.array([float(m[:, 0].max())], pa.float64()),
+             "y_min": pa.array([float(m[:, 1].min())], pa.float64()),
+             "y_max": pa.array([float(m[:, 1].max())], pa.float64())}
+        )
+
+    mm = ds.map_batches(minmax, batch_format="pyarrow", zero_copy_batch=True).take_all()
+    x_min = min(r["x_min"] for r in mm)
+    x_max = max(r["x_max"] for r in mm)
+    y_min = min(r["y_min"] for r in mm)
+    y_max = max(r["y_max"] for r in mm)
+    levels = (1 << ZORDER_BITS) - 1  # 255
+
+    def quant(v: np.ndarray, lo: float, hi: float) -> np.ndarray:
+        scale = (hi - lo) / float(levels)
+        if scale == 0.0:
+            return np.zeros(len(v), dtype=np.int64)
+        q = np.floor((v - lo) / scale + 0.5).astype(np.int64)
+        return np.clip(q, 0, levels)
+
+    def per_block(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        m = _matrix(batch)
+        qx = quant(m[:, 0], x_min, x_max)
+        qy = quant(m[:, 1], y_min, y_max)
+        z = np.zeros(len(qx), dtype=np.int64)
+        for k in range(ZORDER_BITS):
+            z |= ((qx >> k) & 1) << (2 * k)
+            z |= ((qy >> k) & 1) << (2 * k + 1)
+        df = pd.DataFrame(
+            {"block": z >> ZORDER_BLOCK_SHIFT, "n_vecs": 1,
+             "sx": qx, "sy": qy, "sxx": qx * qx, "syy": qy * qy}
+        ).groupby("block", as_index=False).sum()
+        return from_pandas_clean(df)
+
+    agg = grouped_agg(
+        ds.map_batches(per_block, batch_format="pyarrow", zero_copy_batch=True),
+        keys=["block"],
+        specs=[("n_vecs", "sum", "n_vecs"), ("sx", "sum", "sx"),
+               ("sy", "sum", "sy"), ("sxx", "sum", "sxx"),
+               ("syy", "sum", "syy")],
+    )
+
+    def fin(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = batch.to_pandas()
+        n = df["n_vecs"].astype("int64")
+        num = n * (df["sxx"] + df["syy"]) - df["sx"] ** 2 - df["sy"] ** 2
+        df["cohesion"] = num.astype("float64") / (n * n).astype("float64")
+        out = df[["block", "n_vecs", "cohesion"]].sort_values(
+            "block").reset_index(drop=True)
+        return from_pandas_clean(out)
+
+    return agg.repartition(1).map_batches(fin, batch_format="pyarrow", batch_size=None)
