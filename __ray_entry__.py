@@ -49,6 +49,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_clustering": g_ops.host_clustering,
         "ks_source_drift": d_ops.ks_source_drift,
         "zorder_blocks": e_ops.zorder_blocks,
+        "khop_reach": g_ops.khop_reach,
+        "blockmax_index": d_ops.blockmax_index,
         "cdc_chunk_dedup": d_ops.cdc_chunk_dedup,
         "scd2_url_history": x_ops.scd2_url_history,
         "pareto_docs": d_ops.pareto_docs,
@@ -798,6 +800,29 @@ def _base_oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) AS DOUBLE)
                        / (SELECT COUNT(*) FROM orders) AS share
             FROM orders GROUP BY digit ORDER BY digit
+        """,
+        # block-max WAND metadata: postings blocked by row_number()//8 in
+        # doc-id order, (count, max tf) per block — pure integer
+        "blockmax_index": f"""
+            WITH toks AS (
+                SELECT doc_id, lower(translate(tok, {punct_sql}, '')) AS word
+                FROM (SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS tok
+                      FROM documents)
+            ),
+            tf AS (
+                SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS tf
+                FROM toks WHERE word <> '' GROUP BY doc_id, word
+            ),
+            b AS (
+                SELECT word, tf,
+                       CAST((row_number() OVER (
+                           PARTITION BY word ORDER BY doc_id) - 1)
+                           // {d_ops.BLOCKMAX_BLOCK} AS BIGINT) AS block_idx
+                FROM tf
+            )
+            SELECT word, block_idx, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   MAX(tf) AS max_tf
+            FROM b GROUP BY word, block_idx ORDER BY word, block_idx
         """,
         # two-sample KS per source vs rest: D found over cross-multiplied
         # integer step functions (float-free argmax), one exact int->double

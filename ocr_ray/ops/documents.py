@@ -4578,3 +4578,81 @@ def cdc_chunk_dedup(sf_dir: str):
         .repartition(1)
         .map_batches(fin, batch_format="pyarrow", batch_size=None)
     )
+
+
+BLOCKMAX_BLOCK = 8
+
+
+def blockmax_index(sf_dir: str):
+    """Block-max postings metadata (the Block-Max WAND / MaxScore pruning
+    structure): each term's doc-id-sorted postings are cut into fixed
+    blocks of BLOCKMAX_BLOCK entries and summarized by (doc count, max
+    term frequency) — the upper-bound table a top-k scorer reads to skip
+    whole blocks whose best possible score cannot enter the heap. This is
+    the index-side sibling of bm25_scores.
+
+    Scale shape: per-doc term frequencies are emitted inside map_batches
+    (each doc lives in one batch, so the tf rows are already final); ONE
+    exchange salted by crc32(term) co-locates each term's postings (the
+    postings_delta_stats partition discipline); each part runs a single
+    mergesort + run-detect + floor-divide to block ids and a vectorized
+    grouped max — per-part calls, never per-term. Exchange volume ==
+    postings count.
+
+    Output: (word, block_idx, n_docs, max_tf) ordered by word, block."""
+    import zlib
+
+    import numpy as np
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def tf_rows(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        from ..kernels.textfn import _INDEX_DEL_TABLE
+
+        ids = batch.column("doc_id").to_pylist()
+        words, docs, tfs = [], [], []
+        for i, text in enumerate(batch.column("text").to_pylist()):
+            c = Counter(
+                t for t in
+                (w.translate(_INDEX_DEL_TABLE).lower() for w in text.split())
+                if t
+            )
+            words.extend(c.keys())
+            docs.extend([ids[i]] * len(c))
+            tfs.extend(c.values())
+        part = np.array(
+            [zlib.crc32(w.encode()) % POSTINGS_PARTS for w in words],
+            dtype=np.int64)
+        return pa.table(
+            {"word": pa.array(words, pa.string()),
+             "doc_id": pa.array(docs, pa.int64()),
+             "tf": pa.array(tfs, pa.int64()),
+             "wpart": pa.array(part, pa.int64())}
+        )
+
+    pts = ds.map_batches(tf_rows, batch_format="pyarrow", zero_copy_batch=True)
+
+    def per_part(group: pa.Table) -> pa.Table:
+        import numpy as np
+
+        df = group.to_pandas().sort_values(
+            ["word", "doc_id"], kind="mergesort").reset_index(drop=True)
+        if not len(df):
+            return pa.Table.from_pylist([], schema=pa.schema(
+                [pa.field("word", pa.string()), pa.field("block_idx", pa.int64()),
+                 pa.field("n_docs", pa.int64()), pa.field("max_tf", pa.int64())]))
+        w = df["word"].to_numpy()
+        first = np.ones(len(df), dtype=bool)
+        first[1:] = w[1:] != w[:-1]
+        # position within the word's postings run, vectorized
+        idx = np.arange(len(df), dtype=np.int64)
+        run_start = np.maximum.accumulate(np.where(first, idx, 0))
+        df["block_idx"] = (idx - run_start) // BLOCKMAX_BLOCK
+        out = df.groupby(["word", "block_idx"], as_index=False).agg(
+            n_docs=("tf", "size"), max_tf=("tf", "max"))
+        return from_pandas_clean(out.astype(
+            {"block_idx": "int64", "n_docs": "int64", "max_tf": "int64"}))
+
+    return pts.groupby("wpart").map_groups(per_part, batch_format="pyarrow")

@@ -1293,3 +1293,68 @@ def host_clustering(sf_dir: str) -> ray.data.Dataset:
 
     return joined.repartition(1).map_batches(
         fin, batch_format="pyarrow", batch_size=None)
+
+
+KHOP_ROUNDS = 3
+
+
+def khop_reach(sf_dir: str) -> ray.data.Dataset:
+    """Bounded-depth BFS reach: every host within KHOP_ROUNDS undirected
+    hops of a deterministic seed (the lexicographically smallest host in
+    the link graph), with its hop distance — the blast-radius query a
+    crawl operator runs before retiring a host (what neighborhoods feed
+    it) and the canonical frontier-expansion pattern.
+
+    Scale shape: the edge list is materialized ONCE; each round broadcasts
+    the current frontier (ray.put, read zero-copy per task) and one
+    map_batches pass emits neighbor candidates which a combiner distinct
+    collapses before the driver merges them into the visited map — per
+    round only (new reach) rows move, never edges. Documented assumption:
+    the K-hop neighborhood of one seed fits the driver (it is a community,
+    not the graph); a whole-graph BFS would run the same rounds with the
+    distance map sharded, which is exactly :func:`host_components`' label
+    machinery.
+
+    Output: (host, hop) for hop ≤ KHOP_ROUNDS, ordered by hop, host."""
+    from .common import distinct, from_pandas_clean
+
+    edges = _canonical_edges(sf_dir).materialize()
+    seed_rows = edges.map_batches(
+        lambda b: pa.table({"m": pa.array(
+            [min(b.column("a").to_pylist())], pa.string())}),
+        batch_format="pyarrow", zero_copy_batch=True,
+    ).take_all()
+    if not seed_rows:
+        return ray.data.from_arrow(pa.table(
+            {"host": pa.array([], pa.string()), "hop": pa.array([], pa.int64())}))
+    seed = min(r["m"] for r in seed_rows)
+
+    visited: dict[str, int] = {seed: 0}
+    frontier = {seed}
+    for hop in range(1, KHOP_ROUNDS + 1):
+        fref = ray.put(frontier)
+
+        def neighbors(batch: pa.Table, _fref=fref) -> pa.Table:
+            fr = ray.get(_fref)
+            df = batch.to_pandas()
+            out = pd.concat([
+                df.loc[df["a"].isin(fr), "b"],
+                df.loc[df["b"].isin(fr), "a"],
+            ], ignore_index=True).drop_duplicates()
+            return from_pandas_clean(pd.DataFrame({"host": out}))
+
+        cand = distinct(
+            edges.map_batches(neighbors, batch_format="pyarrow", zero_copy_batch=True),
+            ["host"],
+        ).take_all()
+        frontier = {r["host"] for r in cand} - visited.keys()
+        if not frontier:
+            break
+        for h in frontier:
+            visited[h] = hop
+
+    rows = sorted(visited.items(), key=lambda kv: (kv[1], kv[0]))
+    return ray.data.from_arrow(pa.table(
+        {"host": pa.array([h for h, _ in rows], pa.string()),
+         "hop": pa.array([d for _, d in rows], pa.int64())}
+    ))

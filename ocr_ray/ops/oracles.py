@@ -1929,6 +1929,38 @@ def extra_oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         FROM corners GROUP BY host ORDER BY host
     """
 
+    # ---------------------------------------- corpus: khop_reach
+    # unrolled BFS rounds (the iteration-unrolled oracle discipline):
+    # round i = distinct neighbors of round i-1 minus everything seen
+    from .graph import KHOP_ROUNDS
+
+    _khop = [f"""
+        WITH {{link_ctes}},
+        und AS (
+            SELECT DISTINCT least(src_host, dst_host) AS a,
+                            greatest(src_host, dst_host) AS b
+            FROM links WHERE src_host <> dst_host
+        ),
+        bi AS MATERIALIZED (
+            SELECT a AS u, b AS v FROM und
+            UNION ALL SELECT b AS u, a AS v FROM und
+        ),
+        d0 AS MATERIALIZED (SELECT MIN(u) AS host, 0 AS hop FROM bi)"""]
+    for i in range(1, KHOP_ROUNDS + 1):
+        prev = " UNION ALL ".join(
+            f"SELECT host FROM d{j}" for j in range(i))
+        _khop.append(f""",
+        d{i} AS MATERIALIZED (
+            SELECT DISTINCT bi.v AS host, {i} AS hop
+            FROM bi JOIN d{i - 1} ON bi.u = d{i - 1}.host
+            WHERE bi.v NOT IN ({prev}))""")
+    _khop.append(f"""
+        SELECT host, CAST(hop AS BIGINT) AS hop
+        FROM ({" UNION ALL ".join(f"SELECT * FROM d{j}" for j in range(KHOP_ROUNDS + 1))})
+        ORDER BY hop, host
+    """)
+    sql["khop_reach"] = "".join(_khop).format(link_ctes=link_ctes)
+
     # ---------------------------------------- corpus: host_clustering
     # degrees from the canonical edge list, triangle corners as in
     # host_triangles, c(v) = 2t/(d(d-1)) as one exact int->double division
