@@ -50,6 +50,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ks_source_drift": d_ops.ks_source_drift,
         "zorder_blocks": e_ops.zorder_blocks,
         "khop_reach": g_ops.khop_reach,
+        "mmr_diverse_topk": e_ops.mmr_diverse_topk,
         "blockmax_index": d_ops.blockmax_index,
         "cdc_chunk_dedup": d_ops.cdc_chunk_dedup,
         "scd2_url_history": x_ops.scd2_url_history,
@@ -310,6 +311,63 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
     sql.update(extra_oracle_sql(sf_dir))
     return sql
 
+
+
+def _mmr_oracle_sql() -> str:
+    """mmr_diverse_topk unrolled: pick i re-ranks from state m_{i-1} with
+    the greedy MMR score, then m_i folds the new pick's similarity into
+    the running maxsim — the same K honest passes as the engine, in the
+    suite's iteration-unrolled oracle discipline (cf. _bpe_train_sql)."""
+    from ocr_ray.ops.embeddings import MMR_K, MMR_LAMBDA
+
+    def cos(a: str, b: str) -> str:
+        return (
+            f"list_sum(list_transform(list_zip({a}, {b}), "
+            f"x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) "
+            f"/ (sqrt(list_sum(list_transform({a}, x -> CAST(x AS DOUBLE) * x))) "
+            f"* sqrt(list_sum(list_transform({b}, x -> CAST(x AS DOUBLE) * x))))"
+        )
+
+    parts = [f"""
+        WITH mn AS (SELECT MIN(vec_id) AS mid FROM embeddings),
+        q AS (SELECT embedding AS qe FROM embeddings, mn WHERE vec_id = mid),
+        s0 AS MATERIALIZED (
+            SELECT e.vec_id, e.embedding, {cos('e.embedding', 'q.qe')} AS rel
+            FROM embeddings e CROSS JOIN q CROSS JOIN mn
+            WHERE e.vec_id <> mid),
+        p1 AS MATERIALIZED (
+            SELECT vec_id, rel AS score FROM s0
+            ORDER BY rel DESC, vec_id LIMIT 1),
+        v1 AS MATERIALIZED (
+            SELECT s0.embedding AS w FROM s0 JOIN p1 USING (vec_id)),
+        m1 AS MATERIALIZED (
+            SELECT s0.vec_id, s0.embedding, s0.rel,
+                   {cos('s0.embedding', 'v1.w')} AS maxsim
+            FROM s0 CROSS JOIN v1
+            WHERE s0.vec_id NOT IN (SELECT vec_id FROM p1))"""]
+    for i in range(2, MMR_K + 1):
+        pm = f"m{i - 1}"
+        parts.append(f""",
+        p{i} AS MATERIALIZED (
+            SELECT vec_id, {MMR_LAMBDA} * rel - 0.3 * maxsim AS score
+            FROM {pm} ORDER BY score DESC, vec_id LIMIT 1)""")
+        if i < MMR_K:
+            parts.append(f""",
+        v{i} AS MATERIALIZED (
+            SELECT {pm}.embedding AS w FROM {pm} JOIN p{i} USING (vec_id)),
+        m{i} AS MATERIALIZED (
+            SELECT t.vec_id, t.embedding, t.rel,
+                   greatest(t.maxsim, {cos('t.embedding', f'v{i}.w')}) AS maxsim
+            FROM {pm} t CROSS JOIN v{i}
+            WHERE t.vec_id NOT IN (SELECT vec_id FROM p{i}))""")
+    sel = " UNION ALL ".join(
+        f"SELECT {i} AS rank, vec_id, ROUND(score, 6) AS score FROM p{i}"
+        for i in range(1, MMR_K + 1))
+    parts.append(f"""
+        SELECT CAST(rank AS BIGINT) AS rank, vec_id, score
+        FROM ({sel}) ORDER BY rank
+    """)
+    return "".join(parts)
 
 def _bpe_train_sql() -> str:
     """bpe_train_merges unrolled: round i re-encodes from round i-1 with
@@ -2409,6 +2467,7 @@ def _base_oracle_sql() -> dict[str, str]:
                         x -> CAST(x AS DOUBLE) * x))), 4) AS l2_norm
             FROM embeddings ORDER BY vec_id
         """,
+        "mmr_diverse_topk": _mmr_oracle_sql(),
         "ann_brute_topk": """
             WITH q AS (
                 SELECT vec_id AS query_id, embedding AS qe

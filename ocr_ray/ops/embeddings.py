@@ -1233,3 +1233,114 @@ def zorder_blocks(sf_dir: str):
         return from_pandas_clean(out)
 
     return agg.repartition(1).map_batches(fin, batch_format="pyarrow", batch_size=None)
+
+
+MMR_K = 5
+MMR_LAMBDA = 0.7  # score = 0.7·rel − 0.3·maxsim (literals shared with SQL)
+
+
+def mmr_diverse_topk(sf_dir: str):
+    """Maximal Marginal Relevance diverse top-k (Carbonell & Goldstein):
+    greedily select MMR_K vectors maximizing λ·cos(q, v) − (1−λ)·max
+    cos(v, s) over already-selected s — the retrieval/RAG reranking step
+    that trades pure relevance for coverage, and the canonical example of
+    an ITERATIVE argmax a plain groupby cannot express. Query = the
+    embedding of the smallest vec_id (deterministic, no float reduction).
+
+    Determinism contract (shared with the unrolled SQL twin): round 1 is
+    argmax relevance; every argmax tiebreaks (score DESC, vec_id ASC);
+    scores are ranked raw and rounded to 6 decimals only at output —
+    the ann_brute_topk float discipline.
+
+    Scale shape: per-vector state (rel, running maxsim) lives in a
+    MATERIALIZED dataset the size of the input — never on the driver;
+    each of the K rounds is one broadcast-model map pass (the new pick's
+    vector via ray.put) plus a per-batch partial argmax reducing to one
+    row per block. K passes total, no shuffle at all — the same
+    iterative-refinement shape as kmeans_clusters.
+
+    Output: (rank, vec_id, score) for the K picks."""
+    import pyarrow.compute as pc
+
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    min_id = ds.min("vec_id")
+
+    qrows = ds.map_batches(
+        lambda b: b.filter(pc.equal(b.column("vec_id"), pa.scalar(min_id))),
+        batch_format="pyarrow", zero_copy_batch=True,
+    ).take_all()
+    qv = np.asarray(qrows[0]["embedding"], dtype=np.float64)
+    q_ref = ray.put(qv)
+
+    def init_state(batch: pa.Table) -> pa.Table:
+        q = ray.get(q_ref)
+        batch = batch.filter(
+            pc.not_equal(batch.column("vec_id"), pa.scalar(min_id)))
+        m = _matrix(batch)
+        rel = (m @ q) / (np.linalg.norm(m, axis=1) * np.linalg.norm(q))
+        return pa.table(
+            {"vec_id": batch.column("vec_id"),
+             "embedding": batch.column("embedding"),
+             "rel": pa.array(rel, pa.float64()),
+             "maxsim": pa.array(np.full(len(rel), -1.0), pa.float64())}
+        )
+
+    state = ds.map_batches(
+        init_state, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+
+    picks: list[tuple[int, int, float]] = []
+    for rnd in range(MMR_K):
+        first_round = rnd == 0
+
+        def partial_argmax(batch: pa.Table, _first=first_round) -> pa.Table:
+            rel = batch.column("rel").to_numpy(zero_copy_only=False)
+            ms = batch.column("maxsim").to_numpy(zero_copy_only=False)
+            ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+            score = rel if _first else MMR_LAMBDA * rel - 0.3 * ms
+            if not len(score):
+                return pa.table({"vec_id": pa.array([], pa.int64()),
+                                 "score": pa.array([], pa.float64())})
+            order = np.lexsort((ids, -score))
+            i = order[0]
+            return pa.table({"vec_id": pa.array([int(ids[i])], pa.int64()),
+                             "score": pa.array([float(score[i])], pa.float64())})
+
+        cands = state.map_batches(
+            partial_argmax, batch_format="pyarrow", zero_copy_batch=True
+        ).take_all()
+        best = min(cands, key=lambda r: (-r["score"], r["vec_id"]))
+        picks.append((rnd + 1, best["vec_id"], best["score"]))
+        if rnd == MMR_K - 1:
+            break
+
+        wrows = state.map_batches(
+            lambda b, _w=best["vec_id"]: b.filter(
+                pc.equal(b.column("vec_id"), pa.scalar(_w))),
+            batch_format="pyarrow", zero_copy_batch=True,
+        ).take_all()
+        w_ref = ray.put(np.asarray(wrows[0]["embedding"], dtype=np.float64))
+
+        def update(batch: pa.Table, _w=w_ref, _wid=best["vec_id"]) -> pa.Table:
+            w = ray.get(_w)
+            batch = batch.filter(
+                pc.not_equal(batch.column("vec_id"), pa.scalar(_wid)))
+            if batch.num_rows == 0:
+                return batch
+            m = _matrix(batch)
+            sim = (m @ w) / (np.linalg.norm(m, axis=1) * np.linalg.norm(w))
+            ms = np.maximum(
+                batch.column("maxsim").to_numpy(zero_copy_only=False), sim)
+            return batch.set_column(
+                batch.schema.get_field_index("maxsim"), "maxsim",
+                pa.array(ms, pa.float64()))
+
+        state = state.map_batches(
+            update, batch_format="pyarrow", zero_copy_batch=True
+        ).materialize()
+
+    return ray.data.from_arrow(pa.table(
+        {"rank": pa.array([p[0] for p in picks], pa.int64()),
+         "vec_id": pa.array([p[1] for p in picks], pa.int64()),
+         "score": pa.array([round(p[2], 6) for p in picks], pa.float64())}
+    ))
