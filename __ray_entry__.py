@@ -51,6 +51,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zorder_blocks": e_ops.zorder_blocks,
         "khop_reach": g_ops.khop_reach,
         "mmr_diverse_topk": e_ops.mmr_diverse_topk,
+        "zone_map_audit": d_ops.zone_map_audit,
+        "source_weighted_jaccard": d_ops.source_weighted_jaccard,
         "blockmax_index": d_ops.blockmax_index,
         "cdc_chunk_dedup": d_ops.cdc_chunk_dedup,
         "scd2_url_history": x_ops.scd2_url_history,
@@ -858,6 +860,54 @@ def _base_oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) AS DOUBLE)
                        / (SELECT COUNT(*) FROM orders) AS share
             FROM orders GROUP BY digit ORDER BY digit
+        """,
+        # zone-map pruning audit: pure integer min/max/count rollup per
+        # simulated row group, then a 3-class rollup
+        "zone_map_audit": f"""
+            WITH b AS (
+                SELECT doc_id // {d_ops.ZONE_BLOCK} AS block,
+                       min(n_chars) AS lo, max(n_chars) AS hi,
+                       CAST(COUNT(*) AS BIGINT) AS n_rows,
+                       CAST(SUM(CASE WHEN n_chars >= {d_ops.ZONE_PRED_MIN_CHARS}
+                                     THEN 1 ELSE 0 END) AS BIGINT) AS n_match
+                FROM documents GROUP BY 1
+            )
+            SELECT CASE WHEN hi < {d_ops.ZONE_PRED_MIN_CHARS} THEN 'skipped'
+                        WHEN lo >= {d_ops.ZONE_PRED_MIN_CHARS} THEN 'full'
+                        ELSE 'partial' END AS block_class,
+                   CAST(COUNT(*) AS BIGINT) AS n_blocks,
+                   CAST(SUM(n_rows) AS BIGINT) AS n_rows,
+                   CAST(SUM(n_match) AS BIGINT) AS n_matching_rows
+            FROM b GROUP BY 1 ORDER BY 1
+        """,
+        # weighted Jaccard via the sum-mass identity (union = Ta+Tb-shared);
+        # only shared words are paired, exact integers, one division
+        "source_weighted_jaccard": f"""
+            WITH toks AS (
+                SELECT source, lower(translate(tok, {punct_sql}, '')) AS word
+                FROM (SELECT source, unnest(regexp_extract_all(text, '\\S+')) AS tok
+                      FROM documents)
+            ),
+            tf AS (
+                SELECT source, word, CAST(COUNT(*) AS BIGINT) AS tf
+                FROM toks WHERE word <> '' GROUP BY source, word
+            ),
+            tot AS (SELECT source, CAST(SUM(tf) AS BIGINT) AS t
+                    FROM tf GROUP BY source),
+            sh AS (
+                SELECT a.source AS source_a, b.source AS source_b,
+                       CAST(SUM(least(a.tf, b.tf)) AS BIGINT) AS shared_mass
+                FROM tf a JOIN tf b ON a.word = b.word AND a.source < b.source
+                GROUP BY a.source, b.source
+            )
+            SELECT source_a, source_b, shared_mass,
+                   ta.t + tb.t - shared_mass AS union_mass,
+                   CAST(shared_mass AS DOUBLE)
+                       / CAST(ta.t + tb.t - shared_mass AS DOUBLE) AS w_jaccard
+            FROM sh
+            JOIN tot ta ON ta.source = sh.source_a
+            JOIN tot tb ON tb.source = sh.source_b
+            ORDER BY source_a, source_b
         """,
         # block-max WAND metadata: postings blocked by row_number()//8 in
         # doc-id order, (count, max tf) per block — pure integer

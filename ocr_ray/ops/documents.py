@@ -4656,3 +4656,164 @@ def blockmax_index(sf_dir: str):
             {"block_idx": "int64", "n_docs": "int64", "max_tf": "int64"}))
 
     return pts.groupby("wpart").map_groups(per_part, batch_format="pyarrow")
+
+
+ZONE_BLOCK = 100            # logical rows per zone (simulated row group)
+ZONE_PRED_MIN_CHARS = 400   # the audited predicate: n_chars >= this
+
+
+def zone_map_audit(sf_dir: str):
+    """Zone-map (min/max row-group statistics) pruning audit — the
+    prune-at-the-read planner's scorecard: simulate row groups of
+    ZONE_BLOCK docs in doc_id order, build each group's (min, max) zone
+    map over n_chars, and classify every group against the predicate
+    n_chars >= ZONE_PRED_MIN_CHARS as 'skipped' (max below: the reader
+    never opens it), 'full' (min above: no post-filter needed) or
+    'partial'. The class totals ARE the read-pruning win a 100-TB scan
+    gets from sorting/clustering on the predicate column — run it before
+    and after a Z-order rewrite and the delta is the layout's value.
+
+    Scale shape: one combiner-collapsed grouped min/max/count per block
+    (blocks may straddle batches; the exchange carries 5-int rows per
+    block), classification is a vectorized map over block rows, and a
+    second tiny 3-key rollup finishes. Pure integers end to end.
+
+    Output: (block_class, n_blocks, n_rows, n_matching_rows) ordered by
+    class."""
+    import numpy as np
+
+    from .common import from_pandas_clean, grouped_agg
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "n_chars"])
+
+    def per_block(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        nc = batch.column("n_chars").to_numpy(zero_copy_only=False)
+        df = pd.DataFrame(
+            {"block": ids // ZONE_BLOCK, "lo": nc, "hi": nc,
+             "n_rows": 1,
+             "n_match": (nc >= ZONE_PRED_MIN_CHARS).astype(np.int64)}
+        ).groupby("block", as_index=False).agg(
+            lo=("lo", "min"), hi=("hi", "max"),
+            n_rows=("n_rows", "sum"), n_match=("n_match", "sum"))
+        return from_pandas_clean(df)
+
+    blocks = grouped_agg(
+        ds.map_batches(per_block, batch_format="pyarrow", zero_copy_batch=True),
+        keys=["block"],
+        specs=[("lo", "min", "lo"), ("hi", "max", "hi"),
+               ("n_rows", "sum", "n_rows"), ("n_match", "sum", "n_match")],
+    )
+
+    def classify(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        cls = np.where(
+            df["hi"] < ZONE_PRED_MIN_CHARS, "skipped",
+            np.where(df["lo"] >= ZONE_PRED_MIN_CHARS, "full", "partial"))
+        out = pd.DataFrame(
+            {"block_class": cls, "n_blocks": 1,
+             "n_rows": df["n_rows"], "n_matching_rows": df["n_match"]}
+        ).groupby("block_class", as_index=False).sum()
+        return from_pandas_clean(out)
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values("block_class").reset_index(drop=True)
+
+    return grouped_agg(
+        blocks.map_batches(classify, batch_format="pyarrow"),
+        keys=["block_class"],
+        specs=[("n_blocks", "sum", "n_blocks"), ("n_rows", "sum", "n_rows"),
+               ("n_matching_rows", "sum", "n_matching_rows")],
+        finalize=fin,
+    )
+
+
+def source_weighted_jaccard(sf_dir: str):
+    """Pairwise WEIGHTED (multiset) Jaccard between source token-frequency
+    vectors: Σ_w min(tf_a, tf_b) / Σ_w max(tf_a, tf_b) — the
+    mass-sensitive twin of source_vocab_overlap's set version (two feeds
+    can share every word yet differ 10× in what they actually emphasize;
+    this is the number mixture planners diff feeds with).
+
+    Exactness contract: pure integer masses end to end via the identity
+    Σmax = T_a + T_b − Σmin (per word min+max = tf_a+tf_b, and a word on
+    one side only contributes its whole tf to max) — so only SHARED words
+    need pairing; one exact int→double division per pair at the end.
+
+    Scale shape: one (source, word, tf) rollup (vocabulary-bounded, the
+    c4/tfidf exchange); per-WORD groups cross their ≤|sources| rows to
+    emit (pair, min) partials — never a doc×doc or source×vocab blowup;
+    per-source totals ride the same rollup and broadcast as a dict.
+
+    Output: (source_a, source_b, shared_mass, union_mass, w_jaccard)
+    ordered by the pair."""
+    import itertools
+
+    import numpy as np
+
+    from .common import from_pandas_clean, grouped_agg
+
+    ds = read_table(sf_dir, "documents", columns=["source", "text"])
+
+    def tf_rows(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        from ..kernels.textfn import _INDEX_DEL_TABLE
+
+        srcs = batch.column("source").to_pylist()
+        agg: dict[tuple, int] = {}
+        for i, text in enumerate(batch.column("text").to_pylist()):
+            c = Counter(
+                t for t in
+                (w.translate(_INDEX_DEL_TABLE).lower() for w in text.split())
+                if t
+            )
+            for word, n in c.items():
+                key = (srcs[i], word)
+                agg[key] = agg.get(key, 0) + n
+        return pa.table(
+            {"source": pa.array([k[0] for k in agg], pa.string()),
+             "word": pa.array([k[1] for k in agg], pa.string()),
+             "tf": pa.array(list(agg.values()), pa.int64())}
+        )
+
+    tf = grouped_agg(
+        ds.map_batches(tf_rows, batch_format="pyarrow", zero_copy_batch=True),
+        keys=["source", "word"],
+        specs=[("tf", "sum", "tf")],
+    ).materialize()
+
+    totals = {
+        r["source"]: r["tf"]
+        for r in grouped_agg(tf, keys=["source"], specs=[("tf", "sum", "tf")]).take_all()
+    }
+
+    def per_word(group: pa.Table) -> pa.Table:
+        df = group.to_pandas().sort_values("source")
+        srcs = df["source"].tolist()
+        tfs = df["tf"].tolist()
+        a_l, b_l, m_l = [], [], []
+        for i, j in itertools.combinations(range(len(srcs)), 2):
+            a_l.append(srcs[i])
+            b_l.append(srcs[j])
+            m_l.append(min(tfs[i], tfs[j]))
+        return pa.table(
+            {"source_a": pa.array(a_l, pa.string()),
+             "source_b": pa.array(b_l, pa.string()),
+             "shared_mass": pa.array(m_l, pa.int64())}
+        )
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        ta = df["source_a"].map(totals).astype("int64")
+        tb = df["source_b"].map(totals).astype("int64")
+        df["union_mass"] = ta + tb - df["shared_mass"]
+        df["w_jaccard"] = (
+            df["shared_mass"].astype("float64") / df["union_mass"].astype("float64"))
+        return df.sort_values(["source_a", "source_b"]).reset_index(drop=True)
+
+    return grouped_agg(
+        tf.groupby("word").map_groups(per_word, batch_format="pyarrow"),
+        keys=["source_a", "source_b"],
+        specs=[("shared_mass", "sum", "shared_mass")],
+        finalize=fin,
+    )
