@@ -3599,3 +3599,134 @@ def test_tarjan_scc_kernel():
     # a 3-cycle found regardless of DFS entry order
     lab2 = _tarjan_scc([("z", "x"), ("x", "y"), ("y", "z")])
     assert lab2 == {"x": "x", "y": "x", "z": "x"}
+
+
+# ---------------------------------------------------------------- session 8
+
+
+def test_benford_shares_sum_to_one(ray_session):
+    from ocr_ray.ops.relational import benford_audit
+
+    df = _df(benford_audit(SF))
+    assert set(df["digit"]) <= set(range(1, 10))
+    assert abs(df["share"].sum() - 1.0) < 1e-12
+    import duckdb
+
+    n = duckdb.sql(
+        f"SELECT count(*) FROM read_parquet('{SF}/orders.parquet')"
+    ).fetchone()[0]
+    assert df["n_orders"].sum() == n
+
+
+def test_product_profit_covers_type_only(ray_session):
+    from ocr_ray.ops.relational import product_profit
+
+    df = _df(product_profit(SF))
+    assert set(df.columns) == {"nation", "o_year", "sum_profit"}
+    assert df[["nation", "o_year"]].duplicated().sum() == 0
+
+
+def test_spearman_bounds_and_sign(ray_session):
+    from ocr_ray.ops.documents import spearman_tokens_types
+
+    df = _df(spearman_tokens_types(SF))
+    assert len(df) == 1
+    rho = df["spearman_rho"].iloc[0]
+    assert -1.0 <= rho <= 1.0
+    # token count and type count grow together on organic-ish text
+    assert rho > 0.5
+
+
+def test_host_clustering_matches_triangles(ray_session):
+    from ocr_ray.ops.graph import host_clustering, host_triangles
+
+    cl = _df(host_clustering(SF))
+    tr = _df(host_triangles(SF))
+    assert ((cl["clustering"] >= 0) & (cl["clustering"] <= 1)).all()
+    merged = cl.merge(tr, on="host", how="outer", suffixes=("", "_t"))
+    got = merged["n_triangles"].fillna(0)
+    want = merged["n_triangles_t"].fillna(0)
+    assert (got == want).all()
+
+
+def test_cdc_chunks_conserve_bytes(ray_session):
+    from ocr_ray.ops.documents import cdc_chunk_dedup
+
+    df = _df(cdc_chunk_dedup(SF))
+    row = df.iloc[0]
+    assert row["n_unique_chunks"] <= row["n_chunks"]
+    assert row["unique_bytes"] <= row["total_bytes"]
+    import duckdb
+
+    total = duckdb.sql(
+        f"SELECT sum(length(text)) FROM read_parquet('{SF}/documents.parquet')"
+    ).fetchone()[0]
+    assert row["total_bytes"] == total  # chunking is a partition of the text
+
+
+def test_ks_source_drift_bounds(ray_session):
+    from ocr_ray.ops.documents import ks_source_drift
+
+    df = _df(ks_source_drift(SF))
+    assert ((df["ks_stat"] >= 0) & (df["ks_stat"] <= 1)).all()
+    assert df["source"].is_unique
+
+
+def test_zorder_blocks_cover_all_vectors(ray_session):
+    from ocr_ray.ops.embeddings import zorder_blocks
+
+    df = _df(zorder_blocks(SF))
+    assert df["n_vecs"].sum() == 500
+    assert df["block"].between(0, 63).all()
+    assert (df["cohesion"] >= 0).all()
+
+
+def test_khop_reach_structure(ray_session):
+    from ocr_ray.ops.graph import KHOP_ROUNDS, khop_reach
+
+    df = _df(khop_reach(SF))
+    assert (df["hop"] == 0).sum() == 1
+    assert df["hop"].between(0, KHOP_ROUNDS).all()
+    assert df["host"].is_unique
+
+
+def test_blockmax_block_sizes(ray_session):
+    from ocr_ray.ops.documents import BLOCKMAX_BLOCK, blockmax_index
+
+    df = _df(blockmax_index(SF))
+    assert df["n_docs"].between(1, BLOCKMAX_BLOCK).all()
+    assert (df["max_tf"] >= 1).all()
+    # every word has a block 0, and block ids are dense per word
+    g = df.groupby("word")["block_idx"]
+    assert (g.min() == 0).all()
+    assert (g.max() + 1 == g.count()).all()
+
+
+def test_mmr_selects_k_distinct(ray_session):
+    from ocr_ray.ops.embeddings import MMR_K, mmr_diverse_topk
+
+    df = _df(mmr_diverse_topk(SF))
+    assert list(df["rank"]) == list(range(1, MMR_K + 1))
+    assert df["vec_id"].is_unique
+    # greedy scores after round 1 are penalized, never above round-1 score
+    assert (df["score"].iloc[1:] <= df["score"].iloc[0] + 1e-9).all()
+
+
+def test_zone_map_audit_partition(ray_session):
+    from ocr_ray.ops.documents import zone_map_audit
+
+    df = _df(zone_map_audit(SF))
+    assert df["n_rows"].sum() == 500
+    skipped = df[df["block_class"] == "skipped"]
+    assert skipped.empty or (skipped["n_matching_rows"] == 0).all()
+    full = df[df["block_class"] == "full"]
+    assert full.empty or (full["n_rows"] == full["n_matching_rows"]).all()
+
+
+def test_source_weighted_jaccard_pairs(ray_session):
+    from ocr_ray.ops.documents import source_weighted_jaccard
+
+    df = _df(source_weighted_jaccard(SF))
+    assert ((df["w_jaccard"] > 0) & (df["w_jaccard"] <= 1)).all()
+    assert (df["source_a"] < df["source_b"]).all()
+    assert (df["shared_mass"] <= df["union_mass"]).all()
