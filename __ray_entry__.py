@@ -51,6 +51,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zorder_blocks": e_ops.zorder_blocks,
         "khop_reach": g_ops.khop_reach,
         "mmr_diverse_topk": e_ops.mmr_diverse_topk,
+        "hashed_bow_embeddings": d_ops.hashed_bow_embeddings,
+        "best_split_stump": d_ops.best_split_stump,
+        "contrastive_triplets": d_ops.contrastive_triplets,
         "zone_map_audit": d_ops.zone_map_audit,
         "source_weighted_jaccard": d_ops.source_weighted_jaccard,
         "blockmax_index": d_ops.blockmax_index,
@@ -860,6 +863,90 @@ def _base_oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) AS DOUBLE)
                        / (SELECT COUNT(*) FROM orders) AS share
             FROM orders GROUP BY digit ORDER BY digit
+        """,
+        # feature hashing: md5->u64 bucket/sign idiom shared verbatim;
+        # all-integer norms
+        "hashed_bow_embeddings": f"""
+            WITH toks AS (
+                SELECT doc_id, lower(translate(tok, {punct_sql}, '')) AS word
+                FROM (SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS tok
+                      FROM documents)
+            ),
+            tf AS (
+                SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS tf
+                FROM toks WHERE word <> '' GROUP BY doc_id, word
+            ),
+            hb AS (
+                SELECT doc_id,
+                       CAST(h % {d_ops.FEATHASH_DIM} AS BIGINT) AS bucket,
+                       CASE WHEN (h // {d_ops.FEATHASH_DIM}) % 2 = 0
+                            THEN tf ELSE -tf END AS val
+                FROM (SELECT doc_id, tf,
+                             ('0x' || substr(md5(word), 1, 16))::UBIGINT AS h
+                      FROM tf)
+            ),
+            vec AS (
+                SELECT doc_id, bucket, CAST(SUM(val) AS BIGINT) AS v
+                FROM hb GROUP BY doc_id, bucket
+            ),
+            per AS (
+                SELECT doc_id,
+                       CAST(COUNT(CASE WHEN v <> 0 THEN 1 END) AS BIGINT) AS nnz,
+                       CAST(SUM(ABS(v)) AS BIGINT) AS l1,
+                       CAST(SUM(v * v) AS BIGINT) AS norm2
+                FROM vec GROUP BY doc_id
+            )
+            SELECT d.doc_id, COALESCE(p.nnz, 0) AS nnz,
+                   COALESCE(p.l1, 0) AS l1, COALESCE(p.norm2, 0) AS norm2
+            FROM documents d LEFT JOIN per p USING (doc_id)
+        """,
+        # stump scan: correct(t) = pos<=t + neg>t, pure integers, smallest
+        # threshold wins ties
+        "best_split_stump": f"""
+            WITH pts AS (
+                SELECT n_chars AS v, CAST(COUNT(*) AS BIGINT) AS n,
+                       CAST(SUM(CASE WHEN lang = '{d_ops.STUMP_TARGET_LANG}'
+                                     THEN 1 ELSE 0 END) AS BIGINT) AS p
+                FROM documents GROUP BY n_chars
+            ),
+            tot AS (SELECT SUM(n) AS big_n, SUM(p) AS big_p FROM pts),
+            cum AS (
+                SELECT v, SUM(n) OVER (ORDER BY v) AS cn,
+                       SUM(p) OVER (ORDER BY v) AS cp
+                FROM pts
+            ),
+            sc AS (
+                SELECT v, cp + (big_n - cn) - (big_p - cp) AS correct,
+                       big_n
+                FROM cum CROSS JOIN tot
+            )
+            SELECT CAST(v AS BIGINT) AS threshold,
+                   CAST(correct AS BIGINT) AS n_correct,
+                   CAST(big_n AS BIGINT) AS n_docs,
+                   CAST(correct AS DOUBLE) / CAST(big_n AS DOUBLE) AS accuracy
+            FROM sc ORDER BY correct DESC, v LIMIT 1
+        """,
+        # deterministic triplets: cyclic same-source LEAD positive, half-
+        # corpus-away rank negative
+        "contrastive_triplets": """
+            WITH pos AS (
+                SELECT doc_id AS anchor_id,
+                       COALESCE(LEAD(doc_id) OVER (
+                                    PARTITION BY source ORDER BY doc_id),
+                                MIN(doc_id) OVER (PARTITION BY source))
+                           AS positive_id
+                FROM documents
+            ),
+            r AS (SELECT doc_id,
+                         row_number() OVER (ORDER BY doc_id) - 1 AS rnk
+                  FROM documents),
+            t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents)
+            SELECT p.anchor_id, p.positive_id, r2.doc_id AS negative_id
+            FROM pos p
+            JOIN r ON r.doc_id = p.anchor_id
+            CROSS JOIN t
+            JOIN r r2 ON r2.rnk = (r.rnk + n // 2) % n
+            ORDER BY p.anchor_id
         """,
         # zone-map pruning audit: pure integer min/max/count rollup per
         # simulated row group, then a 3-class rollup

@@ -4817,3 +4817,216 @@ def source_weighted_jaccard(sf_dir: str):
         specs=[("shared_mass", "sum", "shared_mass")],
         finalize=fin,
     )
+
+
+FEATHASH_DIM = 64
+
+
+def hashed_bow_embeddings(sf_dir: str):
+    """Feature-hashed bag-of-words vectors (Weinberger et al.'s hashing
+    trick — the zero-vocabulary featurizer a crawl-scale classifier or
+    clusterer runs before anything learned): each token tf lands in
+    bucket md5_u64(word) % FEATHASH_DIM with a hash-derived ±1 sign, so
+    the vector needs no vocabulary broadcast and collisions cancel in
+    expectation. Reported per doc: sparsity and the exact integer norms —
+    the QC numbers that decide whether the dimension is big enough.
+
+    Exactness contract: bucket and sign come from the engine/oracle-shared
+    md5→u64 idiom (stratified_sample's); components are integer tf sums,
+    so nnz, l1 and norm2 are pure int64.
+
+    Scale shape: entirely shuffle-free — each doc's vector is built and
+    reduced inside its batch; only the 4-int summary rows leave.
+
+    Output: (doc_id, nnz, l1, norm2), one row per doc."""
+    import hashlib
+
+    import numpy as np
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def per_doc(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        from ..kernels.textfn import _INDEX_DEL_TABLE
+
+        ids = batch.column("doc_id").to_pylist()
+        nnz_l, l1_l, n2_l = [], [], []
+        memo: dict[str, tuple[int, int]] = {}
+        for text in batch.column("text").to_pylist():
+            vec = np.zeros(FEATHASH_DIM, dtype=np.int64)
+            c = Counter(
+                t for t in
+                (w.translate(_INDEX_DEL_TABLE).lower() for w in text.split())
+                if t
+            )
+            for word, tf in c.items():
+                hit = memo.get(word)
+                if hit is None:
+                    h = int(hashlib.md5(word.encode()).hexdigest()[:16], 16)
+                    hit = (h % FEATHASH_DIM, 1 if (h // FEATHASH_DIM) % 2 == 0 else -1)
+                    memo[word] = hit
+                vec[hit[0]] += hit[1] * tf
+            nnz_l.append(int((vec != 0).sum()))
+            l1_l.append(int(np.abs(vec).sum()))
+            n2_l.append(int((vec * vec).sum()))
+        return pa.table(
+            {"doc_id": pa.array(ids, pa.int64()),
+             "nnz": pa.array(nnz_l, pa.int64()),
+             "l1": pa.array(l1_l, pa.int64()),
+             "norm2": pa.array(n2_l, pa.int64())}
+        )
+
+    return ds.map_batches(per_doc, batch_format="pyarrow", zero_copy_batch=True)
+
+
+STUMP_TARGET_LANG = "en"
+
+
+def best_split_stump(sf_dir: str):
+    """Optimal decision-stump threshold scan: the n_chars cut that best
+    predicts lang == STUMP_TARGET_LANG by exact ACCURACY (predict target
+    iff n_chars <= t) — the single-feature split primitive under every
+    tree learner and histogram-based GBM, reduced to its distributed
+    essence: a value histogram + one prefix-sum sweep, never a per-row
+    sort. Accuracy (not entropy/Gini) keeps the argmax float-free.
+
+    Exactness contract: correct(t) = pos≤t + neg>t is pure int64;
+    tiebreak = smallest threshold; one division at the end.
+
+    Scale shape: ONE combiner-collapsed (value → n, n_pos) histogram
+    crosses the exchange (bounded by distinct feature values, not docs);
+    the sweep is a vectorized cumsum over that tiny curve.
+
+    Output: one row (threshold, n_correct, n_docs, accuracy)."""
+    import numpy as np
+
+    from .common import grouped_agg
+
+    ds = read_table(sf_dir, "documents", columns=["lang", "n_chars"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {"v": batch.column("n_chars").to_numpy(zero_copy_only=False),
+             "n": 1,
+             "p": (np.asarray(batch.column("lang").to_pylist())
+                   == STUMP_TARGET_LANG).astype(np.int64)}
+        ).groupby("v", as_index=False).sum()
+        return from_pandas_clean(df)
+
+    hist = grouped_agg(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        keys=["v"],
+        specs=[("n", "sum", "n"), ("p", "sum", "p")],
+    )
+
+    def fin(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas().sort_values("v").reset_index(drop=True)
+        big_n = int(df["n"].sum())
+        big_p = int(df["p"].sum())
+        cn = df["n"].cumsum().to_numpy()
+        cp = df["p"].cumsum().to_numpy()
+        correct = cp + (big_n - cn) - (big_p - cp)
+        best = int(np.lexsort((df["v"].to_numpy(), -correct))[0])
+        n_correct = int(correct[best])
+        return pa.table(
+            {"threshold": pa.array([int(df["v"].iloc[best])], pa.int64()),
+             "n_correct": pa.array([n_correct], pa.int64()),
+             "n_docs": pa.array([big_n], pa.int64()),
+             "accuracy": pa.array(
+                 [float(n_correct) / float(big_n)], pa.float64())}
+        )
+
+    return hist.repartition(1).map_batches(fin, batch_format="pyarrow", batch_size=None)
+
+
+CONTRASTIVE_BUCKET = 4096  # block size for the rank (zipWithIndex) pass
+
+
+def contrastive_triplets(sf_dir: str):
+    """Deterministic contrastive-training triplet mining: per document an
+    (anchor, positive, negative) id triple — positive = the next doc of
+    the SAME source in doc_id order (cyclic, the same-origin heuristic
+    contrastive pretraining uses when no labels exist), negative = the doc
+    HALF THE CORPUS AWAY in global rank order (a structured hard-ish
+    negative that needs no RNG, so the oracle replays it exactly).
+
+    Scale shape: positives are one per-source group pass (sorted ids +
+    np.roll — groups are source-sized, the exchange key is source);
+    negatives reuse the global_doc_ids block-offset zipWithIndex (tiny
+    bucket histogram → broadcast offsets → local rank), then ONE
+    co-partitioned join on rank matches each anchor's (rank + N/2) mod N
+    to its negative id; a second join on anchor id zips the two arms.
+    No global sort, no N-sized driver state beyond the bucket histogram.
+
+    Output: (anchor_id, positive_id, negative_id) ordered by anchor."""
+    import numpy as np
+
+    from .common import choose_join_parts, from_pandas_clean, grouped_agg
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "source"])
+
+    def per_source(group: pa.Table) -> pa.Table:
+        ids = np.sort(np.asarray(group.column("doc_id").to_pylist(), dtype=np.int64))
+        return pa.table(
+            {"anchor_id": pa.array(ids, pa.int64()),
+             "positive_id": pa.array(np.roll(ids, -1), pa.int64())}
+        )
+
+    positives = ds.groupby("source").map_groups(per_source, batch_format="pyarrow")
+
+    # block-offset zipWithIndex over doc_id buckets (global_doc_ids shape)
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {"doc_id": batch.column("doc_id"),
+             "bucket": pc.divide(batch.column("doc_id"),
+                                 pa.scalar(CONTRASTIVE_BUCKET, pa.int64()))}
+        )
+
+    keyed = ds.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+    counts = grouped_agg(keyed, keys=["bucket"], specs=[("cnt", "count", None)])
+    h = pd.DataFrame(counts.take_all()).sort_values("bucket").reset_index(drop=True)
+    total = int(h["cnt"].sum())
+    h["offset"] = h["cnt"].cumsum().shift(1, fill_value=0).astype("int64")
+    offsets = {int(b): int(o) for b, o in zip(h["bucket"], h["offset"])}
+    off_ref = ray.put(offsets)
+
+    def rank_group(group: pa.Table) -> pa.Table:
+        off = ray.get(off_ref)
+        ids = np.sort(np.asarray(group.column("doc_id").to_pylist(), dtype=np.int64))
+        base = off[int(ids[0]) // CONTRASTIVE_BUCKET]
+        return pa.table(
+            {"doc_id": pa.array(ids, pa.int64()),
+             "rnk": pa.array(base + np.arange(len(ids), dtype=np.int64), pa.int64())}
+        )
+
+    ranks = keyed.groupby("bucket").map_groups(
+        rank_group, batch_format="pyarrow").materialize()
+
+    def neg_rank(batch: pa.Table) -> pa.Table:
+        r = batch.column("rnk").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {"anchor_id2": batch.column("doc_id"),
+             "nrnk": pa.array((r + total // 2) % total, pa.int64())}
+        )
+
+    anchors = ranks.map_batches(neg_rank, batch_format="pyarrow", zero_copy_batch=True)
+    parts = choose_join_parts(sf_dir, "documents", floor=4)
+    negatives = anchors.join(
+        ranks.rename_columns({"doc_id": "negative_id"}),
+        join_type="inner", num_partitions=parts, on=("nrnk",), right_on=("rnk",),
+    ).select_columns(["anchor_id2", "negative_id"])
+
+    joined = positives.join(
+        negatives, join_type="inner", num_partitions=parts,
+        on=("anchor_id",), right_on=("anchor_id2",),
+    )
+
+    def fin(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas().sort_values("anchor_id").reset_index(drop=True)
+        return from_pandas_clean(
+            df[["anchor_id", "positive_id", "negative_id"]])
+
+    return joined.repartition(1).map_batches(fin, batch_format="pyarrow", batch_size=None)

@@ -3730,3 +3730,34 @@ def test_source_weighted_jaccard_pairs(ray_session):
     assert ((df["w_jaccard"] > 0) & (df["w_jaccard"] <= 1)).all()
     assert (df["source_a"] < df["source_b"]).all()
     assert (df["shared_mass"] <= df["union_mass"]).all()
+
+
+def test_hashed_bow_norm_consistency(ray_session):
+    from ocr_ray.ops.documents import hashed_bow_embeddings
+
+    df = _df(hashed_bow_embeddings(SF))
+    assert len(df) == 500
+    # Cauchy-Schwarz-ish sanity: l1^2 >= norm2 when components are ints
+    assert (df["l1"] ** 2 >= df["norm2"]).all()
+    assert (df["nnz"] <= 64).all()
+
+
+def test_best_split_stump_beats_majority(ray_session):
+    from ocr_ray.ops.documents import best_split_stump
+
+    df = _df(best_split_stump(SF))
+    row = df.iloc[0]
+    assert 0.0 < row["accuracy"] <= 1.0
+    # the stump can always at least predict the majority class by putting
+    # the threshold at an extreme
+    assert row["n_correct"] >= row["n_docs"] // 2
+
+
+def test_contrastive_triplets_structure(ray_session):
+    from ocr_ray.ops.documents import contrastive_triplets
+
+    df = _df(contrastive_triplets(SF))
+    assert len(df) == 500
+    assert df["anchor_id"].is_unique
+    # negatives are a permutation of the corpus (rank shift is a bijection)
+    assert sorted(df["negative_id"]) == sorted(df["anchor_id"])
