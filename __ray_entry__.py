@@ -51,6 +51,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zorder_blocks": e_ops.zorder_blocks,
         "khop_reach": g_ops.khop_reach,
         "mmr_diverse_topk": e_ops.mmr_diverse_topk,
+        "crawl_budget_allocation": d_ops.crawl_budget_allocation,
+        "merkle_shard_hashes": d_ops.merkle_shard_hashes,
+        "bitmap_index_audit": d_ops.bitmap_index_audit,
         "hashed_bow_embeddings": d_ops.hashed_bow_embeddings,
         "best_split_stump": d_ops.best_split_stump,
         "contrastive_triplets": d_ops.contrastive_triplets,
@@ -863,6 +866,57 @@ def _base_oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) AS DOUBLE)
                        / (SELECT COUNT(*) FROM orders) AS share
             FROM orders GROUP BY digit ORDER BY digit
+        """,
+        # Hamilton largest-remainder apportionment: pure integers, ties by
+        # source name, sum(quota) == budget by construction
+        "crawl_budget_allocation": f"""
+            WITH c AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+                       FROM documents GROUP BY source),
+            t AS (SELECT SUM(n_docs) AS total FROM c),
+            b AS (
+                SELECT source, n_docs,
+                       ({d_ops.CRAWL_BUDGET} * n_docs) // total AS base,
+                       ({d_ops.CRAWL_BUDGET} * n_docs) % total AS rem
+                FROM c CROSS JOIN t
+            ),
+            l AS (SELECT SUM(base) AS sb FROM b),
+            rk AS (SELECT source,
+                          row_number() OVER (ORDER BY rem DESC, source) AS r
+                   FROM b)
+            SELECT b.source, b.n_docs,
+                   CAST(b.base + CASE WHEN rk.r <= {d_ops.CRAWL_BUDGET} - l.sb
+                                      THEN 1 ELSE 0 END AS BIGINT) AS quota
+            FROM b JOIN rk USING (source) CROSS JOIN l
+            ORDER BY b.source
+        """,
+        # Merkle leaves: md5 fold of per-doc md5s in doc_id order
+        "merkle_shard_hashes": f"""
+            WITH dh AS (
+                SELECT doc_id // {d_ops.MERKLE_SHARD_DOCS} AS shard, doc_id,
+                       md5(text) AS h
+                FROM documents
+            )
+            SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   md5(string_agg(h, '' ORDER BY doc_id)) AS leaf_hash
+            FROM dh GROUP BY shard ORDER BY shard
+        """,
+        # bitmap index: unique-bit SUM == OR, popcounts over AND
+        "bitmap_index_audit": f"""
+            WITH lb AS (
+                SELECT lang, doc_id // {d_ops.BITMAP_BLOCK} AS block,
+                       CAST(SUM(1::BIGINT << CAST(doc_id % {d_ops.BITMAP_BLOCK}
+                                AS INTEGER)) AS BIGINT) AS w,
+                       CAST(SUM(CASE WHEN n_chars >= {d_ops.ZONE_PRED_MIN_CHARS}
+                                THEN 1::BIGINT << CAST(doc_id % {d_ops.BITMAP_BLOCK}
+                                     AS INTEGER) ELSE 0 END) AS BIGINT) AS pw
+                FROM documents GROUP BY lang, block
+            ),
+            pb AS (SELECT block, CAST(SUM(pw) AS BIGINT) AS pall
+                   FROM lb GROUP BY block)
+            SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_blocks,
+                   CAST(SUM(bit_count(w)) AS BIGINT) AS n_docs,
+                   CAST(SUM(bit_count(w & pall)) AS BIGINT) AS n_matching
+            FROM lb JOIN pb USING (block) GROUP BY lang ORDER BY lang
         """,
         # feature hashing: md5->u64 bucket/sign idiom shared verbatim;
         # all-integer norms

@@ -5030,3 +5030,184 @@ def contrastive_triplets(sf_dir: str):
             df[["anchor_id", "positive_id", "negative_id"]])
 
     return joined.repartition(1).map_batches(fin, batch_format="pyarrow", batch_size=None)
+
+
+CRAWL_BUDGET = 10000
+
+
+def crawl_budget_allocation(sf_dir: str):
+    """Proportional crawl-budget apportionment (Hamilton's largest-
+    remainder method — the integer-exact way to split a global budget of
+    CRAWL_BUDGET fetch slots across sources by observed volume): quota =
+    floor(B·n_s/N) + 1 for the sources with the largest remainders until
+    the budget is spent. Largest-remainder is THE apportionment rule that
+    guarantees Σquota == B exactly — which float-rounded shares never do —
+    and the quota column is what a fetch scheduler actually consumes.
+
+    Exactness contract: remainders compared as integers (B·n_s mod N),
+    ties broken by source name ASC; everything int64 (B·n_s needs
+    ~log2(B)+log2(N) bits — fine to 1e12 docs with a 1e6 budget).
+
+    Scale shape: one combiner-collapsed per-source count (the only
+    exchange), then a driver-sized apportionment sweep over |sources|
+    rows.
+
+    Output: (source, n_docs, quota) ordered by source; Σquota == B."""
+    import numpy as np
+
+    from .common import from_pandas_clean, grouped_agg
+
+    ds = read_table(sf_dir, "documents", columns=["source"])
+    counts = grouped_agg(ds, keys=["source"], specs=[("n_docs", "count", None)])
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("source").reset_index(drop=True)
+        n = df["n_docs"].to_numpy().astype(np.int64)
+        total = int(n.sum())
+        base = (CRAWL_BUDGET * n) // total
+        rem = (CRAWL_BUDGET * n) % total
+        leftover = CRAWL_BUDGET - int(base.sum())
+        # largest remainder first, source name breaks ties (df is sorted)
+        order = np.lexsort((np.arange(len(n)), -rem))
+        quota = base.copy()
+        quota[order[:leftover]] += 1
+        df["quota"] = quota
+        return df[["source", "n_docs", "quota"]]
+
+    return grouped_agg(
+        counts, keys=["source"], specs=[("n_docs", "sum", "n_docs")], finalize=fin,
+    )
+
+
+MERKLE_SHARD_DOCS = 128
+
+
+def merkle_shard_hashes(sf_dir: str):
+    """Dataset-integrity Merkle leaves: the corpus is cut into shards of
+    MERKLE_SHARD_DOCS docs by doc_id and each shard's leaf hash is
+    md5(concat of per-doc md5(text) hex digests in doc_id order) — the
+    content-addressed fingerprint a dataset registry (or a resumable
+    re-crawl differ) compares shard-by-shard to find what changed without
+    moving data. Two corpora agree exactly where their leaf columns agree.
+
+    Scale shape: per-doc md5s are computed in the scan (32-byte rows are
+    the ONLY exchange, keyed by shard — the media_exact_dedup discipline);
+    each shard group sorts its ≤128 digests and folds them into one leaf.
+
+    Output: (shard, n_docs, leaf_hash) ordered by shard."""
+    import hashlib
+
+    from .common import from_pandas_clean
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def doc_hashes(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        hs = [hashlib.md5(t.encode("utf-8")).hexdigest()
+              for t in batch.column("text").to_pylist()]
+        return pa.table(
+            {"shard": pa.array([i // MERKLE_SHARD_DOCS for i in ids], pa.int64()),
+             "doc_id": pa.array(ids, pa.int64()),
+             "h": pa.array(hs, pa.string())}
+        )
+
+    rows = ds.map_batches(doc_hashes, batch_format="pyarrow", zero_copy_batch=True)
+
+    def leaf(group: pa.Table) -> pa.Table:
+        import hashlib as _hl
+
+        df = group.to_pandas().sort_values("doc_id")
+        leaf_hash = _hl.md5("".join(df["h"]).encode()).hexdigest()
+        return pa.table(
+            {"shard": pa.array([int(df["shard"].iloc[0])], pa.int64()),
+             "n_docs": pa.array([len(df)], pa.int64()),
+             "leaf_hash": pa.array([leaf_hash], pa.string())}
+        )
+
+    out = rows.groupby("shard").map_groups(leaf, batch_format="pyarrow")
+
+    def fin(batch: pa.Table) -> pa.Table:
+        return from_pandas_clean(
+            batch.to_pandas().sort_values("shard").reset_index(drop=True))
+
+    return out.repartition(1).map_batches(fin, batch_format="pyarrow", batch_size=None)
+
+
+BITMAP_BLOCK = 32  # doc ids per bitmap word (int64-safe: bits 0..31)
+
+
+def bitmap_index_audit(sf_dir: str):
+    """Bitmap secondary index audit (the Roaring/bitmap-index model every
+    warehouse uses for low-cardinality columns): build per-lang bitmaps
+    over doc_id blocks of BITMAP_BLOCK, AND them against the predicate
+    bitmap (n_chars >= ZONE_PRED_MIN_CHARS), and report per lang the
+    matching count recovered purely from bitwise algebra — the structure
+    that answers `lang = X AND pred` scans without touching rows.
+
+    Exactness trick: within a block every doc owns a UNIQUE bit, so the
+    grouped SUM of (1 << doc_id % 32) IS the bitwise OR — partial words
+    from different batches combine by plain addition, which is what lets
+    an ordinary sum-combiner exchange build a bitmap index distributedly.
+
+    Scale shape: two combiner-collapsed word tables (lang×block, block),
+    one co-partitioned LEFT join on block, vectorized popcounts, and a
+    per-lang rollup. Words, never doc lists, cross every exchange.
+
+    Output: (lang, n_blocks, n_docs, n_matching) ordered by lang."""
+    import numpy as np
+
+    from .common import choose_join_parts, from_pandas_clean, grouped_agg
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "lang", "n_chars"])
+
+    def words(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        nc = batch.column("n_chars").to_numpy(zero_copy_only=False)
+        bit = np.int64(1) << (ids % BITMAP_BLOCK)
+        df = pd.DataFrame(
+            {"lang": batch.column("lang").to_pylist(),
+             "block": ids // BITMAP_BLOCK,
+             "w": bit,
+             "pw": np.where(nc >= ZONE_PRED_MIN_CHARS, bit, 0)}
+        ).groupby(["lang", "block"], as_index=False).sum()
+        return from_pandas_clean(df)
+
+    lw = grouped_agg(
+        ds.map_batches(words, batch_format="pyarrow", zero_copy_batch=True),
+        keys=["lang", "block"],
+        specs=[("w", "sum", "w"), ("pw", "sum", "pw")],
+    ).materialize()
+
+    # predicate bitmap per block = sum of per-lang predicate words (langs
+    # partition each block's docs, so bits stay unique)
+    pb = grouped_agg(lw, keys=["block"], specs=[("pall", "sum", "pw")])
+
+    joined = lw.join(
+        pb.rename_columns({"block": "block2"}), join_type="inner",
+        num_partitions=choose_join_parts(sf_dir, "documents", floor=4),
+        on=("block",), right_on=("block2",),
+    )
+
+    def popcounts(batch: pa.Table) -> pa.Table:
+        w = batch.column("w").to_numpy(zero_copy_only=False).astype(np.uint64)
+        pall = batch.column("pall").to_numpy(zero_copy_only=False).astype(np.uint64)
+        def pc_(a):
+            return np.unpackbits(a.view(np.uint8).reshape(-1, 8), axis=1).sum(axis=1)
+        df = pd.DataFrame(
+            {"lang": batch.column("lang").to_pylist(),
+             "n_blocks": 1,
+             "n_docs": pc_(w).astype(np.int64),
+             "n_matching": pc_(w & pall).astype(np.int64)}
+        ).groupby("lang", as_index=False).sum()
+        return from_pandas_clean(df)
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values("lang").reset_index(drop=True)
+
+    return grouped_agg(
+        joined.map_batches(popcounts, batch_format="pyarrow"),
+        keys=["lang"],
+        specs=[("n_blocks", "sum", "n_blocks"), ("n_docs", "sum", "n_docs"),
+               ("n_matching", "sum", "n_matching")],
+        finalize=fin,
+    )

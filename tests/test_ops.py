@@ -3761,3 +3761,40 @@ def test_contrastive_triplets_structure(ray_session):
     assert df["anchor_id"].is_unique
     # negatives are a permutation of the corpus (rank shift is a bijection)
     assert sorted(df["negative_id"]) == sorted(df["anchor_id"])
+
+
+def test_crawl_budget_sums_exactly(ray_session):
+    from ocr_ray.ops.documents import CRAWL_BUDGET, crawl_budget_allocation
+
+    df = _df(crawl_budget_allocation(SF))
+    assert df["quota"].sum() == CRAWL_BUDGET
+    # proportionality within 1 slot of the exact share
+    total = df["n_docs"].sum()
+    exact = CRAWL_BUDGET * df["n_docs"] / total
+    assert ((df["quota"] - exact).abs() < 1.0).all()
+
+
+def test_merkle_leaves_detect_change(ray_session):
+    from ocr_ray.ops.documents import merkle_shard_hashes
+
+    a = _df(merkle_shard_hashes(SF))
+    b = _df(merkle_shard_hashes(SF))
+    assert a.equals(b)  # deterministic fingerprints
+    assert a["n_docs"].sum() == 500
+    assert a["leaf_hash"].is_unique
+
+
+def test_bitmap_index_matches_direct_count(ray_session):
+    import duckdb
+
+    from ocr_ray.ops.documents import ZONE_PRED_MIN_CHARS, bitmap_index_audit
+
+    df = _df(bitmap_index_audit(SF))
+    want = duckdb.sql(
+        f"SELECT lang, count(*) AS n FROM read_parquet('{SF}/documents.parquet') "
+        f"WHERE n_chars >= {ZONE_PRED_MIN_CHARS} GROUP BY lang"
+    ).df().set_index("lang")["n"]
+    got = df.set_index("lang")["n_matching"]
+    for lang, n in want.items():
+        assert got.get(lang, 0) == n
+    assert df["n_docs"].sum() == 500
