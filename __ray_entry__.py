@@ -51,6 +51,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zorder_blocks": e_ops.zorder_blocks,
         "khop_reach": g_ops.khop_reach,
         "mmr_diverse_topk": e_ops.mmr_diverse_topk,
+        "user_active_coverage": r_ops.user_active_coverage,
+        "curriculum_interleave": d_ops.curriculum_interleave,
         "crawl_budget_allocation": d_ops.crawl_budget_allocation,
         "merkle_shard_hashes": d_ops.merkle_shard_hashes,
         "bitmap_index_audit": d_ops.bitmap_index_audit,
@@ -866,6 +868,55 @@ def _base_oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) AS DOUBLE)
                        / (SELECT COUNT(*) FROM orders) AS share
             FROM orders GROUP BY digit ORDER BY digit
+        """,
+        # Klee interval union per user: sorted-runs island detection via
+        # running-max window; exact microsecond spans
+        "user_active_coverage": """
+            WITH ev AS (
+                SELECT user_id, ts AS s,
+                       least(ts + INTERVAL 30 MINUTE,
+                             date_trunc('day', ts) + INTERVAL 1 DAY) AS e
+                FROM events
+            ),
+            o AS (
+                SELECT user_id, s, e,
+                       MAX(e) OVER (PARTITION BY user_id ORDER BY s, e
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                           AS pmax
+                FROM ev
+            ),
+            isl AS (
+                SELECT user_id, s, e,
+                       SUM(CASE WHEN pmax IS NULL OR s > pmax THEN 1 ELSE 0 END)
+                           OVER (PARTITION BY user_id ORDER BY s, e
+                                 ROWS UNBOUNDED PRECEDING) AS gid
+                FROM o
+            ),
+            g AS (
+                SELECT user_id, gid, MIN(s) AS gs, MAX(e) AS ge,
+                       CAST(COUNT(*) AS BIGINT) AS ne
+                FROM isl GROUP BY user_id, gid
+            )
+            SELECT user_id, CAST(SUM(ne) AS BIGINT) AS n_events,
+                   CAST(COUNT(*) AS BIGINT) AS n_islands,
+                   CAST(SUM(epoch_us(ge) - epoch_us(gs)) AS BIGINT) AS covered_us
+            FROM g GROUP BY user_id ORDER BY user_id
+        """,
+        # round-robin-with-exhaustion order: the twin is the global sort
+        # the engine's closed form avoids — agreement proves the formula
+        "curriculum_interleave": """
+            WITH r AS (
+                SELECT doc_id, source,
+                       row_number() OVER (
+                           PARTITION BY source ORDER BY doc_id) - 1
+                           AS epoch_rank
+                FROM documents
+            )
+            SELECT doc_id, source, CAST(epoch_rank AS BIGINT) AS epoch_rank,
+                   CAST(row_number() OVER (
+                        ORDER BY epoch_rank, source, doc_id) - 1 AS BIGINT)
+                       AS global_pos
+            FROM r ORDER BY global_pos
         """,
         # Hamilton largest-remainder apportionment: pure integers, ties by
         # source name, sum(quota) == budget by construction

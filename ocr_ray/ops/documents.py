@@ -5211,3 +5211,64 @@ def bitmap_index_audit(sf_dir: str):
                ("n_matching", "sum", "n_matching")],
         finalize=fin,
     )
+
+
+def curriculum_interleave(sf_dir: str):
+    """Sort-free data-loader interleave order: the exact global position
+    of every document under round-robin-with-exhaustion over sources
+    (epoch r emits one doc from every source that still has > r docs, in
+    source-name order) — the deterministic mixing schedule a training
+    loader streams shards in, computed WITHOUT a global sort.
+
+    The whole point is the scale shape: global_pos is a closed form over
+    the per-source count histogram — pos = Σ_t min(n_t, r) + |{t < s :
+    n_t > r}| for a doc at within-source rank r of source s — so one tiny
+    count rollup broadcasts and every row computes its position locally
+    (two searchsorted lookups). A sort-based row_number would be an
+    all-to-all over the corpus; this is none. (The SQL twin IS that
+    row_number — the agreement proves the closed form.)
+
+    Output: (doc_id, source, epoch_rank, global_pos)."""
+    import numpy as np
+
+    from .common import from_pandas_clean, grouped_agg
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "source"])
+
+    counts = grouped_agg(ds, keys=["source"], specs=[("n", "count", None)]).take_all()
+    counts.sort(key=lambda r: r["source"])
+    names = [r["source"] for r in counts]
+    ns = np.array([r["n"] for r in counts], dtype=np.int64)
+    sc = np.sort(ns)                      # sorted counts for Σ min(n_t, r)
+    csum = np.concatenate(([0], np.cumsum(sc)))
+    # per source: sorted counts of name-predecessors, for |{t<s: n_t > r}|
+    pred = {names[k]: np.sort(ns[:k]) for k in range(len(names))}
+    k_of = {name: k for k, name in enumerate(names)}
+    model_ref = ray.put((sc, csum, pred, k_of))
+
+    def per_source_ranks(group: pa.Table) -> pa.Table:
+        import numpy as np
+
+        sc, csum, pred, k_of = ray.get(model_ref)
+        ids = np.sort(np.asarray(group.column("doc_id").to_pylist(), dtype=np.int64))
+        src = group.column("source")[0].as_py()
+        r = np.arange(len(ids), dtype=np.int64)
+        i = np.searchsorted(sc, r, side="right")
+        emitted_before = csum[i] + r * (len(sc) - i)     # Σ_t min(n_t, r)
+        p = pred[src]
+        k = k_of[src]
+        active_before = k - np.searchsorted(p, r, side="right")
+        return pa.table(
+            {"doc_id": pa.array(ids, pa.int64()),
+             "source": pa.array([src] * len(ids), pa.string()),
+             "epoch_rank": pa.array(r, pa.int64()),
+             "global_pos": pa.array(emitted_before + active_before, pa.int64())}
+        )
+
+    out = ds.groupby("source").map_groups(per_source_ranks, batch_format="pyarrow")
+
+    def fin(batch: pa.Table) -> pa.Table:
+        return from_pandas_clean(
+            batch.to_pandas().sort_values("global_pos").reset_index(drop=True))
+
+    return out.repartition(1).map_batches(fin, batch_format="pyarrow", batch_size=None)

@@ -3944,3 +3944,67 @@ def benford_audit(sf_dir: str):
         specs=[("n_orders", "sum", "n_orders")],
         finalize=fin,
     )
+
+
+def user_active_coverage(sf_dir: str):
+    """Interval-union measure per user (Klee's problem, the sibling of
+    peak_concurrency's max-overlap): each event opens [ts, ts+30min)
+    clipped at midnight; per user, merge overlapping intervals into
+    islands and report how much wall-clock the user was actually active —
+    the engagement denominator a session-quality metric divides by (raw
+    event counts double-count overlap; the union does not).
+
+    Tie/merge semantics (shared with the twin): intervals sorted by
+    (start, end); a new island starts strictly after the running max end,
+    so touching intervals ([a,b) then [b,c)) merge. covered_us is an
+    exact int64 sum of microsecond spans.
+
+    Scale shape: one exchange keyed by user_id (the aggregation key);
+    each group resolves with one lexsort + running max + flag cumsum —
+    vectorized per group, never per event.
+
+    Output: (user_id, n_events, n_islands, covered_us) ordered by user."""
+    ds = read_table(sf_dir, "events", columns=["user_id", "ts"])
+
+    def intervals(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        start = df["ts"]
+        end = (start + pd.Timedelta(minutes=CONCURRENCY_WINDOW_MIN)).clip(
+            upper=start.dt.normalize() + pd.Timedelta(days=1))
+        return pa.table(
+            {"user_id": pa.array(df["user_id"], pa.int64()),
+             "s": pa.Array.from_pandas(start, type=pa.timestamp("us")),
+             "e": pa.Array.from_pandas(end, type=pa.timestamp("us"))}
+        )
+
+    pts = ds.map_batches(intervals, batch_format="pyarrow", zero_copy_batch=True)
+
+    def per_user(group: pa.Table) -> pa.Table:
+        df = group.to_pandas()
+        s = df["s"].to_numpy().astype("datetime64[us]").view("int64")
+        e = df["e"].to_numpy().astype("datetime64[us]").view("int64")
+        order = np.lexsort((e, s))
+        s, e = s[order], e[order]
+        run_max = np.maximum.accumulate(e)
+        new_island = np.ones(len(s), dtype=bool)
+        new_island[1:] = s[1:] > run_max[:-1]
+        gid = np.cumsum(new_island) - 1
+        g = pd.DataFrame({"gid": gid, "s": s, "e": e}).groupby("gid").agg(
+            gs=("s", "min"), ge=("e", "max"))
+        covered = int((g["ge"] - g["gs"]).sum())
+        return pa.table(
+            {"user_id": pa.array([int(df["user_id"].iloc[0])], pa.int64()),
+             "n_events": pa.array([len(s)], pa.int64()),
+             "n_islands": pa.array([len(g)], pa.int64()),
+             "covered_us": pa.array([covered], pa.int64())}
+        )
+
+    out = pts.groupby("user_id").map_groups(per_user, batch_format="pyarrow")
+
+    def fin(batch: pa.Table) -> pa.Table:
+        from .common import from_pandas_clean
+
+        return from_pandas_clean(
+            batch.to_pandas().sort_values("user_id").reset_index(drop=True))
+
+    return out.repartition(1).map_batches(fin, batch_format="pyarrow", batch_size=None)

@@ -3798,3 +3798,24 @@ def test_bitmap_index_matches_direct_count(ray_session):
     for lang, n in want.items():
         assert got.get(lang, 0) == n
     assert df["n_docs"].sum() == 500
+
+
+def test_user_active_coverage_bounds(ray_session):
+    from ocr_ray.ops.relational import user_active_coverage
+
+    df = _df(user_active_coverage(SF))
+    # union length is bounded by islands x window and by events x window
+    win_us = 30 * 60 * 1_000_000
+    assert (df["covered_us"] <= df["n_events"] * win_us).all()
+    assert (df["covered_us"] >= df["n_islands"] * 1).all()
+    assert (df["n_islands"] <= df["n_events"]).all()
+
+
+def test_curriculum_interleave_is_permutation(ray_session):
+    from ocr_ray.ops.documents import curriculum_interleave
+
+    df = _df(curriculum_interleave(SF))
+    assert sorted(df["global_pos"]) == list(range(len(df)))
+    # within one epoch_rank, sources appear in name order
+    g = df.sort_values("global_pos").groupby("epoch_rank")["source"]
+    assert all(list(s) == sorted(s) for _, s in g)
