@@ -4487,6 +4487,31 @@ CDC_WEIGHTS = [31 ** (CDC_WINDOW - 1 - j) for j in range(CDC_WINDOW)]
 CDC_MASK = 64  # boundary iff window hash % 64 == 0 → ~64-byte avg chunks
 
 
+def cdc_chunk_ends(text: str):
+    """Chunk end offsets (1-based, exclusive slice ends) for one document
+    under the CDC contract above — the testable kernel behind
+    :func:`cdc_chunk_dedup` (its edit-locality property — an insertion
+    only disturbs chunks overlapping the edit window — is pinned by a
+    hypothesis test). Returns an int64 numpy array; empty text → empty."""
+    import numpy as np
+
+    b = np.frombuffer(text.encode("utf-8"), dtype=np.uint8).astype(np.int64)
+    n = len(b)
+    if n == 0:
+        return np.array([], dtype=np.int64)
+    if n >= CDC_WINDOW:
+        weights = np.array(CDC_WEIGHTS, dtype=np.int64)
+        acc = np.zeros(n - CDC_WINDOW + 1, dtype=np.int64)
+        for j in range(CDC_WINDOW):
+            acc += b[j: n - CDC_WINDOW + 1 + j] * weights[j]
+        ends = np.nonzero(acc % CDC_MASK == 0)[0] + CDC_WINDOW
+    else:
+        ends = np.array([], dtype=np.int64)
+    if len(ends) == 0 or ends[-1] != n:
+        ends = np.append(ends, n)
+    return ends
+
+
 def cdc_chunk_dedup(sf_dir: str):
     """Content-defined-chunking storage audit (the LBFS/borg/restic dedup
     model): split every document at positions where the rolling 8-byte
@@ -4519,24 +4544,13 @@ def cdc_chunk_dedup(sf_dir: str):
     from .common import grouped_agg
 
     ds = read_table(sf_dir, "documents", columns=["text"])
-    weights = np.array(CDC_WEIGHTS, dtype=np.int64)
 
     def chunk(batch: pa.Table) -> pa.Table:
         hs, lens = [], []
         for text in batch.column("text").to_pylist():
-            b = np.frombuffer(text.encode("utf-8"), dtype=np.uint8).astype(np.int64)
-            n = len(b)
-            if n == 0:
+            ends = cdc_chunk_ends(text)
+            if not len(ends):
                 continue
-            if n >= CDC_WINDOW:
-                acc = np.zeros(n - CDC_WINDOW + 1, dtype=np.int64)
-                for j in range(CDC_WINDOW):
-                    acc += b[j: n - CDC_WINDOW + 1 + j] * weights[j]
-                ends = np.nonzero(acc % CDC_MASK == 0)[0] + CDC_WINDOW
-            else:
-                ends = np.array([], dtype=np.int64)
-            if len(ends) == 0 or ends[-1] != n:
-                ends = np.append(ends, n)
             s = 0
             for e in ends.tolist():
                 piece = text[s:e]

@@ -152,3 +152,38 @@ def test_skyline_mask_matches_bruteforce(points):
             for j in range(len(points))
         )
         assert got[i] == (not dominated), (i, points)
+
+
+# ------------------------------------------------------------------ CDC
+
+_ascii_text = st.text(alphabet=string.printable[:95], min_size=0, max_size=400)
+
+
+@given(_ascii_text)
+@settings(max_examples=120, deadline=None)
+def test_cdc_ends_partition_text(text):
+    """Chunk ends are strictly increasing and partition the byte range."""
+    from ocr_ray.ops.documents import cdc_chunk_ends
+
+    ends = list(cdc_chunk_ends(text))
+    n = len(text.encode("utf-8"))
+    if n == 0:
+        assert ends == []
+        return
+    assert ends[-1] == n
+    assert all(a < b for a, b in zip(ends, ends[1:]))
+
+
+@given(_ascii_text, st.integers(0, 400), st.sampled_from("xyz@ "))
+@settings(max_examples=120, deadline=None)
+def test_cdc_edit_locality(text, pos, ch):
+    """THE content-defined property: inserting one char at `pos` leaves
+    every chunk boundary more than one window before the edit untouched
+    (fixed-size blocking would shift every later boundary instead)."""
+    from ocr_ray.ops.documents import CDC_WINDOW, cdc_chunk_ends
+
+    pos = min(pos, len(text))
+    edited = text[:pos] + ch + text[pos:]
+    before = {e for e in cdc_chunk_ends(text) if e <= pos - CDC_WINDOW}
+    after = {e for e in cdc_chunk_ends(edited) if e <= pos - CDC_WINDOW}
+    assert before == after
