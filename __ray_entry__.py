@@ -51,6 +51,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zorder_blocks": e_ops.zorder_blocks,
         "khop_reach": g_ops.khop_reach,
         "mmr_diverse_topk": e_ops.mmr_diverse_topk,
+        "bottomk_quantile_sketch": d_ops.bottomk_quantile_sketch,
         "user_active_coverage": r_ops.user_active_coverage,
         "curriculum_interleave": d_ops.curriculum_interleave,
         "crawl_budget_allocation": d_ops.crawl_budget_allocation,
@@ -868,6 +869,35 @@ def _base_oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) AS DOUBLE)
                        / (SELECT COUNT(*) FROM orders) AS share
             FROM orders GROUP BY digit ORDER BY digit
+        """,
+        # bottom-k mergeable sample (md5 priority) + lower-nearest-rank
+        # quantiles, exact audit inline — all integers
+        "bottomk_quantile_sketch": f"""
+            WITH pri AS (
+                SELECT n_chars,
+                       ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 16))
+                           ::UBIGINT AS h
+                FROM documents
+            ),
+            samp AS (SELECT n_chars FROM pri ORDER BY h LIMIT {d_ops.BOTTOMK_K}),
+            sv AS (SELECT n_chars AS v,
+                          row_number() OVER (ORDER BY n_chars) - 1 AS r,
+                          COUNT(*) OVER () AS k
+                   FROM samp),
+            ev AS (SELECT n_chars AS v,
+                          row_number() OVER (ORDER BY n_chars) - 1 AS r,
+                          COUNT(*) OVER () AS n
+                   FROM documents),
+            qs AS (SELECT unnest([50, 90, 99]) AS q)
+            SELECT CAST(q AS BIGINT) AS q,
+                   (SELECT v FROM sv WHERE r = (q * (k - 1)) // 100 LIMIT 1)
+                       AS est,
+                   (SELECT v FROM ev WHERE r = (q * (n - 1)) // 100 LIMIT 1)
+                       AS exact,
+                   ABS((SELECT v FROM sv WHERE r = (q * (k - 1)) // 100 LIMIT 1)
+                       - (SELECT v FROM ev WHERE r = (q * (n - 1)) // 100 LIMIT 1))
+                       AS abs_err
+            FROM qs ORDER BY q
         """,
         # Klee interval union per user: sorted-runs island detection via
         # running-max window; exact microsecond spans

@@ -5286,3 +5286,71 @@ def curriculum_interleave(sf_dir: str):
             batch.to_pandas().sort_values("global_pos").reset_index(drop=True))
 
     return out.repartition(1).map_batches(fin, batch_format="pyarrow", batch_size=None)
+
+
+BOTTOMK_K = 64
+BOTTOMK_QS = (50, 90, 99)
+
+
+def bottomk_quantile_sketch(sf_dir: str):
+    """Mergeable bottom-k quantile sketch with an honest error audit: a
+    uniform sample of BOTTOMK_K docs selected by smallest md5 priority
+    (bottom-k over a shared hash IS the classic mergeable distributed
+    sample — partial bottom-k's from any partitioning merge to the same
+    set), quantiles of n_chars estimated from the sample, and the EXACT
+    quantiles computed alongside so the row carries its own error — the
+    discipline approximate operators should ship with (cf. bloom_novelty's
+    exact false-positive audit).
+
+    Determinism contract: priority = md5_u64(doc_id) (the
+    stratified_sample idiom, replayed verbatim by the twin); quantile =
+    lower-nearest rank (idx = q·(n−1)//100); everything integer.
+
+    Scale shape: per-batch partial bottom-k (argpartition, k rows out per
+    block) merges on the driver — k·blocks rows, never the corpus; exact
+    ranks come from the combiner-collapsed value histogram (bounded by
+    distinct lengths), not a global sort.
+
+    Output: (q, est, exact, abs_err) for q in 50/90/99."""
+    import hashlib
+
+    import numpy as np
+
+    from .common import grouped_agg
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "n_chars"])
+
+    def bottomk(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        nc = batch.column("n_chars").to_numpy(zero_copy_only=False)
+        h = np.array(
+            [int(hashlib.md5(str(i).encode()).hexdigest()[:16], 16) for i in ids],
+            dtype=np.uint64)
+        take = min(BOTTOMK_K, len(h))
+        idx = np.argpartition(h, take - 1)[:take] if take else []
+        return pa.table(
+            {"h": pa.array(h[idx], pa.uint64()),
+             "v": pa.array(nc[idx].astype(np.int64), pa.int64())}
+        )
+
+    parts = ds.map_batches(bottomk, batch_format="pyarrow", zero_copy_batch=True).take_all()
+    parts.sort(key=lambda r: r["h"])
+    sample = np.array(sorted(r["v"] for r in parts[:BOTTOMK_K]), dtype=np.int64)
+
+    hist = grouped_agg(ds, keys=["n_chars"], specs=[("c", "count", None)]).take_all()
+    hist.sort(key=lambda r: r["n_chars"])
+    vals = np.array([r["n_chars"] for r in hist], dtype=np.int64)
+    cum = np.cumsum(np.array([r["c"] for r in hist], dtype=np.int64))
+    n = int(cum[-1])
+
+    rows = []
+    for q in BOTTOMK_QS:
+        est = int(sample[(q * (len(sample) - 1)) // 100])
+        exact = int(vals[np.searchsorted(cum, (q * (n - 1)) // 100, side="right")])
+        rows.append((q, est, exact, abs(est - exact)))
+    return ray.data.from_arrow(pa.table(
+        {"q": pa.array([r[0] for r in rows], pa.int64()),
+         "est": pa.array([r[1] for r in rows], pa.int64()),
+         "exact": pa.array([r[2] for r in rows], pa.int64()),
+         "abs_err": pa.array([r[3] for r in rows], pa.int64())}
+    ))

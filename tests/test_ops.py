@@ -3819,3 +3819,14 @@ def test_curriculum_interleave_is_permutation(ray_session):
     # within one epoch_rank, sources appear in name order
     g = df.sort_values("global_pos").groupby("epoch_rank")["source"]
     assert all(list(s) == sorted(s) for _, s in g)
+
+
+def test_bottomk_sketch_error_bound(ray_session):
+    from ocr_ray.ops.documents import bottomk_quantile_sketch
+
+    df = _df(bottomk_quantile_sketch(SF))
+    assert list(df["q"]) == [50, 90, 99]
+    assert (df["abs_err"] == (df["est"] - df["exact"]).abs()).all()
+    # a 64-sample over 500 docs should land within the body of the
+    # distribution — generous sanity bound, not a tight guarantee
+    assert (df["abs_err"] <= df["exact"]).all()
