@@ -51,6 +51,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zorder_blocks": e_ops.zorder_blocks,
         "khop_reach": g_ops.khop_reach,
         "mmr_diverse_topk": e_ops.mmr_diverse_topk,
+        "max_value_schedule": r_ops.max_value_schedule,
         "bottomk_quantile_sketch": d_ops.bottomk_quantile_sketch,
         "user_active_coverage": r_ops.user_active_coverage,
         "curriculum_interleave": d_ops.curriculum_interleave,
@@ -869,6 +870,44 @@ def _base_oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) AS DOUBLE)
                        / (SELECT COUNT(*) FROM orders) AS share
             FROM orders GROUP BY digit ORDER BY digit
+        """,
+        # weighted interval scheduling: list-carried DP in a recursive CTE
+        # (dp[i] = max(dp[i-1], v_i + dp[p_i]), arr is 1-based), lockstep
+        # per user; exact integer cents
+        "max_value_schedule": """
+            WITH RECURSIVE ev AS (
+                SELECT user_id, event_id, ts AS s,
+                       least(ts + INTERVAL 30 MINUTE,
+                             date_trunc('day', ts) + INTERVAL 1 DAY) AS e,
+                       CAST(round(value * 100) AS BIGINT) AS v
+                FROM events
+            ),
+            iv AS (
+                SELECT user_id, s, e, v,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY e, s, event_id) AS i
+                FROM ev
+            ),
+            cnt AS (SELECT user_id, MAX(i) AS m FROM iv GROUP BY user_id),
+            p AS (
+                SELECT a.user_id, a.i, a.v,
+                       COALESCE((SELECT MAX(b.i) FROM iv b
+                                 WHERE b.user_id = a.user_id AND b.e <= a.s),
+                                0) AS pi
+                FROM iv a
+            ),
+            dp AS (
+                SELECT user_id, 0 AS i, [CAST(0 AS BIGINT)] AS arr FROM cnt
+                UNION ALL
+                SELECT dp.user_id, dp.i + 1,
+                       list_append(dp.arr,
+                           greatest(dp.arr[dp.i + 1], p.v + dp.arr[p.pi + 1]))
+                FROM dp JOIN p ON p.user_id = dp.user_id AND p.i = dp.i + 1
+            )
+            SELECT dp.user_id, CAST(cnt.m AS BIGINT) AS n_events,
+                   dp.arr[cnt.m + 1] AS best_value_cents
+            FROM dp JOIN cnt ON cnt.user_id = dp.user_id AND dp.i = cnt.m
+            ORDER BY dp.user_id
         """,
         # bottom-k mergeable sample (md5 priority) + lower-nearest-rank
         # quantiles, exact audit inline — all integers

@@ -4008,3 +4008,71 @@ def user_active_coverage(sf_dir: str):
             batch.to_pandas().sort_values("user_id").reset_index(drop=True))
 
     return out.repartition(1).map_batches(fin, batch_format="pyarrow", batch_size=None)
+
+
+def max_value_schedule(sf_dir: str):
+    """Weighted interval scheduling per user (the textbook DP): each event
+    is an interval [ts, ts+30min) clipped at midnight carrying its value;
+    per user, the maximum total value of a NON-OVERLAPPING subset — the
+    yield-optimization shape (ad slots, compute reservations, crawl
+    politeness windows) that no windowed aggregate expresses, because the
+    optimum couples every interval to its latest-compatible predecessor.
+
+    DP contract (shared with the recursive-CTE twin): intervals sorted by
+    (end, start, event_id); p(i) = count of intervals ending ≤ start_i
+    (half-open: touching is compatible); dp[i] = max(dp[i−1], v_i +
+    dp[p(i)]); values in exact integer cents.
+
+    Scale shape: ONE exchange keyed by user_id; each group runs the
+    sequential DP over its own (sorted) intervals — the recurrence is
+    inherently order-dependent, so per-group sequential IS the correct
+    parallel grain (users are independent; the classic span-vs-work
+    tradeoff). searchsorted supplies all p(i) vectorized before the loop.
+
+    Output: (user_id, n_events, best_value_cents) ordered by user."""
+    ds = read_table(sf_dir, "events", columns=["event_id", "user_id", "ts", "value"])
+
+    def intervals(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        start = df["ts"]
+        end = (start + pd.Timedelta(minutes=CONCURRENCY_WINDOW_MIN)).clip(
+            upper=start.dt.normalize() + pd.Timedelta(days=1))
+        return pa.table(
+            {"user_id": pa.array(df["user_id"], pa.int64()),
+             "event_id": pa.array(df["event_id"], pa.int64()),
+             "s": pa.Array.from_pandas(start, type=pa.timestamp("us")),
+             "e": pa.Array.from_pandas(end, type=pa.timestamp("us")),
+             "v": pa.array(np.rint(df["value"].to_numpy() * 100).astype(np.int64),
+                           pa.int64())}
+        )
+
+    pts = ds.map_batches(intervals, batch_format="pyarrow", zero_copy_batch=True)
+
+    def per_user(group: pa.Table) -> pa.Table:
+        df = group.to_pandas()
+        s = df["s"].to_numpy().astype("datetime64[us]").view("int64")
+        e = df["e"].to_numpy().astype("datetime64[us]").view("int64")
+        v = df["v"].to_numpy()
+        eid = df["event_id"].to_numpy()
+        order = np.lexsort((eid, s, e))
+        s, e, v = s[order], e[order], v[order]
+        # p(i): how many intervals (in end order) end <= s_i
+        p = np.searchsorted(e, s, side="right")
+        dp = np.zeros(len(s) + 1, dtype=np.int64)
+        for i in range(1, len(s) + 1):
+            dp[i] = max(dp[i - 1], v[i - 1] + dp[p[i - 1]])
+        return pa.table(
+            {"user_id": pa.array([int(df["user_id"].iloc[0])], pa.int64()),
+             "n_events": pa.array([len(s)], pa.int64()),
+             "best_value_cents": pa.array([int(dp[-1])], pa.int64())}
+        )
+
+    out = pts.groupby("user_id").map_groups(per_user, batch_format="pyarrow")
+
+    def fin(batch: pa.Table) -> pa.Table:
+        from .common import from_pandas_clean
+
+        return from_pandas_clean(
+            batch.to_pandas().sort_values("user_id").reset_index(drop=True))
+
+    return out.repartition(1).map_batches(fin, batch_format="pyarrow", batch_size=None)

@@ -3830,3 +3830,20 @@ def test_bottomk_sketch_error_bound(ray_session):
     # a 64-sample over 500 docs should land within the body of the
     # distribution — generous sanity bound, not a tight guarantee
     assert (df["abs_err"] <= df["exact"]).all()
+
+
+def test_max_value_schedule_bounds(ray_session):
+    import duckdb
+
+    from ocr_ray.ops.relational import max_value_schedule
+
+    df = _df(max_value_schedule(SF))
+    # optimum is at most the sum of all values, at least the single best
+    per_user = duckdb.sql(
+        f"SELECT user_id, CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS tot, "
+        f"MAX(CAST(round(value*100) AS BIGINT)) AS best "
+        f"FROM read_parquet('{SF}/events.parquet') GROUP BY user_id"
+    ).df().set_index("user_id")
+    m = df.set_index("user_id")
+    assert (m["best_value_cents"] <= per_user["tot"]).all()
+    assert (m["best_value_cents"] >= per_user["best"]).all()
