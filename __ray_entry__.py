@@ -51,6 +51,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zorder_blocks": e_ops.zorder_blocks,
         "khop_reach": g_ops.khop_reach,
         "mmr_diverse_topk": e_ops.mmr_diverse_topk,
+        "source_cover_greedy": d_ops.source_cover_greedy,
         "max_value_schedule": r_ops.max_value_schedule,
         "bottomk_quantile_sketch": d_ops.bottomk_quantile_sketch,
         "user_active_coverage": r_ops.user_active_coverage,
@@ -324,6 +325,49 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
     return sql
 
 
+
+
+def _cover_oracle_sql(punct_sql: str) -> str:
+    """source_cover_greedy unrolled: round i scores every source against
+    covered set c_{i-1} and takes (count DESC, source ASC) — the same K
+    honest passes as the engine (iteration-unrolled oracle discipline)."""
+    from ocr_ray.ops.documents import COVER_K
+
+    parts = [f"""
+        WITH toks AS (
+            SELECT source, lower(translate(tok, {punct_sql}, '')) AS word
+            FROM (SELECT source, unnest(regexp_extract_all(text, '\\S+')) AS tok
+                  FROM documents)
+        ),
+        sw AS MATERIALIZED (
+            SELECT DISTINCT source, word FROM toks WHERE word <> ''
+        ),
+        w1 AS MATERIALIZED (
+            SELECT source, CAST(COUNT(*) AS BIGINT) AS c
+            FROM sw GROUP BY source ORDER BY c DESC, source LIMIT 1),
+        c1 AS MATERIALIZED (
+            SELECT DISTINCT word FROM sw
+            WHERE source = (SELECT source FROM w1))"""]
+    for i in range(2, COVER_K + 1):
+        parts.append(f""",
+        w{i} AS MATERIALIZED (
+            SELECT source, CAST(COUNT(*) AS BIGINT) AS c
+            FROM sw WHERE word NOT IN (SELECT word FROM c{i - 1})
+            GROUP BY source ORDER BY c DESC, source LIMIT 1),
+        c{i} AS MATERIALIZED (
+            SELECT word FROM c{i - 1}
+            UNION
+            SELECT word FROM sw WHERE source = (SELECT source FROM w{i}))""")
+    sel = " UNION ALL ".join(
+        f"SELECT {i} AS rank, source, c AS new_words, "
+        f"(SELECT CAST(COUNT(*) AS BIGINT) FROM c{i}) AS covered_total FROM w{i}"
+        for i in range(1, COVER_K + 1))
+    parts.append(f"""
+        SELECT CAST(rank AS BIGINT) AS rank, source,
+               CAST(new_words AS BIGINT) AS new_words, covered_total
+        FROM ({sel}) ORDER BY rank
+    """)
+    return "".join(parts)
 
 def _mmr_oracle_sql() -> str:
     """mmr_diverse_topk unrolled: pick i re-ranks from state m_{i-1} with
@@ -871,6 +915,7 @@ def _base_oracle_sql() -> dict[str, str]:
                        / (SELECT COUNT(*) FROM orders) AS share
             FROM orders GROUP BY digit ORDER BY digit
         """,
+        "source_cover_greedy": _cover_oracle_sql(punct_sql),
         # weighted interval scheduling: list-carried DP in a recursive CTE
         # (dp[i] = max(dp[i-1], v_i + dp[p_i]), arr is 1-based), lockstep
         # per user; exact integer cents

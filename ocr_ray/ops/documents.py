@@ -5354,3 +5354,93 @@ def bottomk_quantile_sketch(sf_dir: str):
          "exact": pa.array([r[2] for r in rows], pa.int64()),
          "abs_err": pa.array([r[3] for r in rows], pa.int64())}
     ))
+
+
+COVER_K = 5
+
+
+def source_cover_greedy(sf_dir: str):
+    """Greedy maximum-coverage source selection (the (1−1/e) classic):
+    pick COVER_K sources in the order that maximizes NEW vocabulary
+    covered at each step — the mixture-design question ("which feeds add
+    lexical diversity, which are redundant?") answered with the greedy
+    algorithm that is provably near-optimal for submodular coverage.
+
+    Determinism contract (shared with the unrolled twin): winner = max
+    uncovered-word count, ties by source name ASC; rounds are honest
+    recomputations against the covered set.
+
+    Scale shape: the (source, word) distinct rollup is built ONCE
+    (vocabulary-bounded); each round broadcasts the covered-word set
+    (dimension-sized, grows to |vocab|) and one map+grouped-count pass
+    scores every source — K passes, the same broadcast-model loop as
+    kmeans/MMR. Nothing per-doc after the first rollup.
+
+    Output: (rank, source, new_words, covered_total)."""
+    import numpy as np
+
+    from .common import distinct, grouped_agg
+
+    ds = read_table(sf_dir, "documents", columns=["source", "text"])
+
+    def sw_rows(batch: pa.Table) -> pa.Table:
+        from ..kernels.textfn import _INDEX_DEL_TABLE
+
+        srcs = batch.column("source").to_pylist()
+        pairs = set()
+        for i, text in enumerate(batch.column("text").to_pylist()):
+            for t in {w.translate(_INDEX_DEL_TABLE).lower() for w in text.split()}:
+                if t:
+                    pairs.add((srcs[i], t))
+        return pa.table(
+            {"source": pa.array([p[0] for p in pairs], pa.string()),
+             "word": pa.array([p[1] for p in pairs], pa.string())}
+        )
+
+    sw = distinct(
+        ds.map_batches(sw_rows, batch_format="pyarrow", zero_copy_batch=True),
+        ["source", "word"],
+    ).materialize()
+
+    covered: set[str] = set()
+    rows = []
+    for rank in range(1, COVER_K + 1):
+        cov_ref = ray.put(covered)
+
+        def scores(batch: pa.Table, _c=cov_ref) -> pa.Table:
+            cov = ray.get(_c)
+            df = batch.to_pandas()
+            df = df[~df["word"].isin(cov)]
+            out = df.groupby("source", as_index=False).size().rename(
+                columns={"size": "c"})
+            return from_pandas_clean(out)
+
+        cand = grouped_agg(
+            sw.map_batches(scores, batch_format="pyarrow", zero_copy_batch=True),
+            keys=["source"], specs=[("c", "sum", "c")],
+        ).take_all()
+        if not cand:
+            break
+        best = min(cand, key=lambda r: (-r["c"], r["source"]))
+
+        def winner_words(batch: pa.Table, _c=cov_ref, _s=best["source"]) -> pa.Table:
+            cov = ray.get(_c)
+            df = batch.to_pandas()
+            df = df[(df["source"] == _s) & ~df["word"].isin(cov)]
+            return from_pandas_clean(df[["word"]])
+
+        new = {
+            r["word"]
+            for r in sw.map_batches(
+                winner_words, batch_format="pyarrow", zero_copy_batch=True
+            ).take_all()
+        }
+        covered |= new
+        rows.append((rank, best["source"], len(new), len(covered)))
+
+    return ray.data.from_arrow(pa.table(
+        {"rank": pa.array([r[0] for r in rows], pa.int64()),
+         "source": pa.array([r[1] for r in rows], pa.string()),
+         "new_words": pa.array([r[2] for r in rows], pa.int64()),
+         "covered_total": pa.array([r[3] for r in rows], pa.int64())}
+    ))

@@ -3847,3 +3847,15 @@ def test_max_value_schedule_bounds(ray_session):
     m = df.set_index("user_id")
     assert (m["best_value_cents"] <= per_user["tot"]).all()
     assert (m["best_value_cents"] >= per_user["best"]).all()
+
+
+def test_source_cover_greedy_monotone(ray_session):
+    from ocr_ray.ops.documents import COVER_K, source_cover_greedy
+
+    df = _df(source_cover_greedy(SF))
+    # stops early when coverage saturates (sf0.001's vocab is one-source)
+    assert 1 <= len(df) <= COVER_K
+    assert df["source"].is_unique
+    # greedy gains are non-increasing (submodularity of coverage)
+    assert df["new_words"].is_monotonic_decreasing
+    assert (df["covered_total"] == df["new_words"].cumsum()).all()
