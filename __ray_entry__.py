@@ -51,6 +51,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zorder_blocks": e_ops.zorder_blocks,
         "khop_reach": g_ops.khop_reach,
         "mmr_diverse_topk": e_ops.mmr_diverse_topk,
+        "unique_prefix_lengths": d_ops.unique_prefix_lengths,
+        "event_burstiness": r_ops.event_burstiness,
         "source_cover_greedy": d_ops.source_cover_greedy,
         "max_value_schedule": r_ops.max_value_schedule,
         "bottomk_quantile_sketch": d_ops.bottomk_quantile_sketch,
@@ -914,6 +916,52 @@ def _base_oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) AS DOUBLE)
                        / (SELECT COUNT(*) FROM orders) AS share
             FROM orders GROUP BY digit ORDER BY digit
+        """,
+        # trie shortest-unique-prefix via sorted-neighbor LCP; LCP as MAX
+        # matching-prefix length over a lateral series (monotone, so MAX
+        # == run length)
+        "unique_prefix_lengths": f"""
+            WITH toks AS (
+                SELECT lower(translate(tok, {punct_sql}, '')) AS word
+                FROM (SELECT unnest(regexp_extract_all(text, '\\S+')) AS tok
+                      FROM documents)
+            ),
+            v AS (SELECT DISTINCT word FROM toks WHERE word <> ''),
+            nb AS (
+                SELECT word, lag(word) OVER (ORDER BY word) AS pw,
+                       lead(word) OVER (ORDER BY word) AS nw
+                FROM v
+            )
+            SELECT word,
+                   least(greatest(
+                       COALESCE((SELECT MAX(t.k)
+                                 FROM UNNEST(generate_series(1,
+                                      least(length(word), length(pw)))) AS t(k)
+                                 WHERE substr(word, 1, t.k) = substr(pw, 1, t.k)), 0),
+                       COALESCE((SELECT MAX(t.k)
+                                 FROM UNNEST(generate_series(1,
+                                      least(length(word), length(nw)))) AS t(k)
+                                 WHERE substr(word, 1, t.k) = substr(nw, 1, t.k)), 0)
+                   ) + 1, length(word)) AS prefix_len
+            FROM nb ORDER BY word
+        """,
+        # Fano factor from exact integer daily-count moments
+        "event_burstiness": """
+            WITH daily AS (
+                SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+                       CAST(COUNT(*) AS BIGINT) AS c
+                FROM events GROUP BY event_type, day
+            ),
+            m AS (
+                SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+                       CAST(SUM(c) AS BIGINT) AS n_events,
+                       CAST(SUM(c * c) AS BIGINT) AS s2
+                FROM daily GROUP BY event_type
+            )
+            SELECT event_type, n_days, n_events,
+                   CAST(n_days * s2 - n_events * n_events AS DOUBLE)
+                       / CAST(n_days * n_events AS DOUBLE) AS fano
+            FROM m ORDER BY event_type
         """,
         "source_cover_greedy": _cover_oracle_sql(punct_sql),
         # weighted interval scheduling: list-carried DP in a recursive CTE

@@ -5444,3 +5444,79 @@ def source_cover_greedy(sf_dir: str):
          "new_words": pa.array([r[2] for r in rows], pa.int64()),
          "covered_total": pa.array([r[3] for r in rows], pa.int64())}
     ))
+
+
+def unique_prefix_lengths(sf_dir: str):
+    """Shortest unique prefix per vocabulary word (the autocomplete/trie
+    primitive: how many characters disambiguate each word): for word w in
+    the corpus vocabulary, 1 + max(LCP(w, prev), LCP(w, next)) over the
+    SORTED vocabulary, capped at len(w) — the classic sorted-neighbors
+    reduction of the trie walk.
+
+    Scale shape: the exactness hinge is that words with different FIRST
+    characters share no prefix, so first-char groups are independent and
+    the neighbor scan never crosses the exchange boundary — partition by
+    word[0], sort inside each group, one vectorized padded-byte LCP per
+    adjacent pair. The only exchange is the vocabulary rollup itself.
+
+    Output: (word, prefix_len) for every distinct word, ordered by word."""
+    import numpy as np
+
+    from .common import distinct, from_pandas_clean
+
+    ds = read_table(sf_dir, "documents", columns=["text"])
+
+    def vocab_rows(batch: pa.Table) -> pa.Table:
+        from ..kernels.textfn import _INDEX_DEL_TABLE
+
+        words = set()
+        for text in batch.column("text").to_pylist():
+            words.update(
+                t for t in
+                (w.translate(_INDEX_DEL_TABLE).lower() for w in text.split())
+                if t
+            )
+        return pa.table(
+            {"word": pa.array(sorted(words), pa.string()),
+             "first": pa.array([w[0] for w in sorted(words)], pa.string())}
+        )
+
+    vocab = distinct(
+        ds.map_batches(vocab_rows, batch_format="pyarrow", zero_copy_batch=True),
+        ["word"], carry=["first"],
+    )
+
+    def per_group(group: pa.Table) -> pa.Table:
+        words = sorted(group.column("word").to_pylist())
+        n = len(words)
+        maxlen = max(len(w) for w in words)
+        mat = np.zeros((n, maxlen), dtype=np.uint8)
+        for i, w in enumerate(words):
+            b = np.frombuffer(w.encode("utf-8"), dtype=np.uint8)
+            mat[i, : len(b)] = b
+        lens = np.array([len(w) for w in words], dtype=np.int64)
+        if n > 1:
+            eq = (mat[1:] == mat[:-1]) & (mat[1:] != 0)
+            # LCP of adjacent pair = leading run of equal nonzero bytes
+            lcp_adj = np.where(
+                eq.all(axis=1), np.minimum(lens[1:], lens[:-1]),
+                eq.argmin(axis=1))
+            lcp = np.zeros(n, dtype=np.int64)
+            np.maximum(lcp[:-1], lcp_adj, out=lcp[:-1])
+            np.maximum(lcp[1:], lcp_adj, out=lcp[1:])
+        else:
+            lcp = np.zeros(n, dtype=np.int64)
+        plen = np.minimum(lcp + 1, lens)
+        return pa.table(
+            {"word": pa.array(words, pa.string()),
+             "prefix_len": pa.array(plen, pa.int64())}
+        )
+
+    out = vocab.groupby("first").map_groups(per_group, batch_format="pyarrow")
+
+    def fin(batch: pa.Table) -> pa.Table:
+        return from_pandas_clean(
+            batch.to_pandas().sort_values("word").reset_index(drop=True)
+            [["word", "prefix_len"]])
+
+    return out.repartition(1).map_batches(fin, batch_format="pyarrow", batch_size=None)

@@ -4076,3 +4076,55 @@ def max_value_schedule(sf_dir: str):
             batch.to_pandas().sort_values("user_id").reset_index(drop=True))
 
     return out.repartition(1).map_batches(fin, batch_format="pyarrow", batch_size=None)
+
+
+def event_burstiness(sf_dir: str):
+    """Per-type burstiness of daily event volume — the Fano factor
+    (variance/mean of daily counts; 1 = Poisson-like arrivals, ≫1 = bursty
+    campaign traffic, ≪1 = metronomic bots): the one-number arrival-process
+    screen a pipeline operator reads before trusting per-day capacity
+    plans.
+
+    Exactness contract: Fano = (n·Σc² − (Σc)²) / (n·Σc) over observed
+    days' integer daily counts (biased variance) — exact int64 moments,
+    ONE shared int→double division.
+
+    Scale shape: daily counts are a combiner-collapsed (type, day) rollup;
+    the moment pass runs over that tiny table. Days with zero events are
+    not observed rows and are excluded by construction (documented).
+
+    Output: (event_type, n_days, n_events, fano) ordered by type."""
+    from .common import from_pandas_clean, grouped_agg
+
+    ds = read_table(sf_dir, "events", columns=["event_type", "ts"])
+
+    def day_rows(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        out = pd.DataFrame(
+            {"event_type": df["event_type"],
+             "day": df["ts"].dt.strftime("%Y-%m-%d")}
+        ).groupby(["event_type", "day"], as_index=False).size().rename(
+            columns={"size": "c"})
+        return from_pandas_clean(out)
+
+    daily = grouped_agg(
+        ds.map_batches(day_rows, batch_format="pyarrow", zero_copy_batch=True),
+        keys=["event_type", "day"],
+        specs=[("c", "sum", "c")],
+    )
+
+    def fin_rows(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["s2"] = df["c"] * df["c"]
+        g = df.groupby("event_type", as_index=False).agg(
+            n_days=("c", "size"), n_events=("c", "sum"), s2=("s2", "sum"))
+        n = g["n_days"].astype("int64")
+        s1 = g["n_events"].astype("int64")
+        s2 = g["s2"].astype("int64")
+        g["fano"] = (n * s2 - s1 * s1).astype("float64") / (n * s1).astype("float64")
+        return from_pandas_clean(
+            g[["event_type", "n_days", "n_events", "fano"]].sort_values(
+                "event_type").reset_index(drop=True))
+
+    return daily.repartition(1).map_batches(
+        fin_rows, batch_format="pyarrow", batch_size=None)

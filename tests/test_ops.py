@@ -3859,3 +3859,25 @@ def test_source_cover_greedy_monotone(ray_session):
     # greedy gains are non-increasing (submodularity of coverage)
     assert df["new_words"].is_monotonic_decreasing
     assert (df["covered_total"] == df["new_words"].cumsum()).all()
+
+
+def test_unique_prefix_disambiguates(ray_session):
+    from ocr_ray.ops.documents import unique_prefix_lengths
+
+    df = _df(unique_prefix_lengths(SF))
+    assert df["word"].is_unique
+    assert (df["prefix_len"] >= 1).all()
+    assert (df["prefix_len"] <= df["word"].str.len()).all()
+    # the prefixes of maximal (full-word) length aside, every shortened
+    # prefix must be unique across the vocabulary
+    short = df[df["prefix_len"] < df["word"].str.len()]
+    prefixes = [w[:n] for w, n in zip(short["word"], short["prefix_len"])]
+    assert len(prefixes) == len(set(prefixes))
+
+
+def test_event_burstiness_positive(ray_session):
+    from ocr_ray.ops.relational import event_burstiness
+
+    df = _df(event_burstiness(SF))
+    assert (df["fano"] >= 0).all()
+    assert (df["n_events"] >= df["n_days"]).all()
