@@ -158,6 +158,63 @@ def length_percentiles(sf_dir: str):
     )
 
 
+def _column_or_empty(batch, name: str, typ) -> "pa.Array":
+    """Column by name, or a typed empty array when the block carries no
+    schema. Ray Data's groupby/distinct aggregates can emit zero-row
+    blocks with NO schema under some partition layouts; a downstream
+    Dataset.join then fails key resolution ("No match ... for key field
+    reference") on those blocks. Routing every block of a join side
+    through a canonicalizer built on this keeps the schema total.
+    (Found as a reproducible sf0.001 failure of training_corpus.)"""
+    if name in batch.schema.names:
+        return batch.column(name)
+    return pa.array([], typ)
+
+
+def _dedup_join_sets(sf_dir: str):
+    """(winners, drops) join sides for the training-data funnel, with
+    TOTAL schemas: winners = exact-dedup keeper ids as (keep_doc,
+    is_winner=1); drops = distinct MinHash-LSH doc_b ids as (drop_doc,
+    dropped=1). Shared by training_corpus and corpus_funnel."""
+    from .common import distinct
+
+    def winners_canon(b: pa.Table) -> pa.Table:
+        ids = _column_or_empty(b, "keep_id", pa.int64())
+        return pa.table(
+            {"keep_doc": ids,
+             "is_winner": pa.array([1] * len(ids), pa.int8())}
+        )
+
+    winners = exact_dedup(sf_dir).map_batches(
+        winners_canon, batch_format="pyarrow", zero_copy_batch=True)
+
+    def pair_canon(b: pa.Table) -> pa.Table:
+        return pa.table({"drop_doc": _column_or_empty(b, "doc_b", pa.int64())})
+
+    def drops_canon(b: pa.Table) -> pa.Table:
+        ids = _column_or_empty(b, "drop_doc", pa.int64())
+        return pa.table(
+            {"drop_doc": ids, "dropped": pa.array([1] * len(ids), pa.int8())}
+        )
+
+    from .common import choose_join_parts
+
+    # Ray Data SKIPS map_batches on zero-row blocks, so the canonicalizer
+    # never sees them and schema-less empties reach the join, which then
+    # fails key resolution. distinct() over a sparse pair list produces
+    # exactly such blocks at small SF; repartition concatenates them into
+    # schemaful ones. The drop list is dup-pair-sized, so this extra
+    # exchange is small by construction.
+    drops = distinct(
+        minhash_dup_pairs(sf_dir).map_batches(
+            pair_canon, batch_format="pyarrow", zero_copy_batch=True),
+        ["drop_doc"],
+    ).map_batches(
+        drops_canon, batch_format="pyarrow", zero_copy_batch=True
+    ).repartition(choose_join_parts(sf_dir, "documents", floor=4))
+    return winners, drops
+
+
 def exact_dedup(sf_dir: str):
     """Exact text dedup: md5(text) groups → keep min doc_id + copy count
     (the D1 analogue on the documents table)."""
@@ -571,22 +628,7 @@ def training_corpus(sf_dir: str):
 
     feats_ds = docs.map_batches(feats, batch_format="pyarrow", zero_copy_batch=True)
 
-    winners = exact_dedup(sf_dir).map_batches(
-        lambda b: pa.table({"keep_doc": b.column("keep_id")}),
-        batch_format="pyarrow", zero_copy_batch=True,
-    )
-    drops = distinct(
-        minhash_dup_pairs(sf_dir).map_batches(
-            lambda b: pa.table({"drop_doc": b.column("doc_b")}),
-            batch_format="pyarrow", zero_copy_batch=True,
-        ),
-        ["drop_doc"],
-    ).map_batches(
-        lambda b: b.append_column(
-            "dropped", pa.array([1] * b.num_rows, pa.int8())
-        ),
-        batch_format="pyarrow",
-    )
+    winners, drops = _dedup_join_sets(sf_dir)
 
     parts = choose_join_parts(sf_dir, "documents", floor=8)
     kept = feats_ds.join(
@@ -5520,3 +5562,90 @@ def unique_prefix_lengths(sf_dir: str):
             [["word", "prefix_len"]])
 
     return out.repartition(1).map_batches(fin, batch_format="pyarrow", batch_size=None)
+
+
+FUNNEL_STAGES = ("0_raw", "1_exact_dedup", "2_near_dedup", "3_quality", "4_lang")
+
+
+def corpus_funnel(sf_dir: str):
+    """Per-stage survivor accounting for the training-data selection chain
+    (the observability view every production data pipeline publishes next
+    to its output): docs and tokens remaining after each stage of the
+    :func:`training_corpus` funnel — raw → exact-dedup winners → minus
+    near-dup drops → quality ≥ τ → language allowlist. The deltas between
+    rows are the per-stage cost, which is what gets debated when a filter
+    is accused of eating the corpus.
+
+    Scale shape: ONE pass computes per-doc features; the winner and drop
+    sets come from the already-bucketed dedup operators and join back by
+    doc_id hash (training_corpus's exact join plan); stage membership is
+    then five vectorized booleans summed per batch — the funnel costs one
+    extra aggregate over the pipeline it observes, not five re-runs.
+
+    Output: (stage, n_docs, n_tokens), one row per stage."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from .common import choose_join_parts, distinct, from_pandas_clean, grouped_agg
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "lang", "text"])
+
+    def feats(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        scores, n_tokens = [], []
+        for t in texts:
+            f = textstats.quality_features(t)
+            scores.append(f["quality_score"])
+            n_tokens.append(textstats.token_count_ws(t))
+        return pa.table(
+            {"doc_id": batch.column("doc_id"),
+             "lang": batch.column("lang"),
+             "n_tokens": pa.array(n_tokens, pa.int64()),
+             "score_raw": pa.array(scores, pa.float64())}
+        )
+
+    feats_ds = docs.map_batches(feats, batch_format="pyarrow", zero_copy_batch=True)
+
+    winners, drops = _dedup_join_sets(sf_dir)
+
+    parts = choose_join_parts(sf_dir, "documents", floor=8)
+    marked = feats_ds.join(
+        winners, join_type="left_outer", num_partitions=parts,
+        on=("doc_id",), right_on=("keep_doc",),
+    ).join(
+        drops, join_type="left_outer", num_partitions=parts,
+        on=("doc_id",), right_on=("drop_doc",),
+    )
+
+    def stage_partials(batch: pa.Table) -> pa.Table:
+        w = pc.is_valid(batch.column("is_winner")).to_numpy(zero_copy_only=False)
+        nd = pc.is_null(batch.column("dropped")).to_numpy(zero_copy_only=False)
+        q = (batch.column("score_raw").to_numpy(zero_copy_only=False)
+             >= TRAINING_MIN_QUALITY)
+        lg = pc.is_in(batch.column("lang"),
+                      value_set=pa.array(TRAINING_LANGS)).to_numpy(
+            zero_copy_only=False)
+        tok = batch.column("n_tokens").to_numpy(zero_copy_only=False)
+        flags = {
+            "0_raw": np.ones(len(tok), dtype=bool),
+            "1_exact_dedup": w,
+            "2_near_dedup": w & nd,
+            "3_quality": w & nd & q,
+            "4_lang": w & nd & q & lg,
+        }
+        return pa.table(
+            {"stage": pa.array(list(flags), pa.string()),
+             "n_docs": pa.array([int(m.sum()) for m in flags.values()], pa.int64()),
+             "n_tokens": pa.array([int(tok[m].sum()) for m in flags.values()],
+                                  pa.int64())}
+        )
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values("stage").reset_index(drop=True)
+
+    return grouped_agg(
+        marked.map_batches(stage_partials, batch_format="pyarrow"),
+        keys=["stage"],
+        specs=[("n_docs", "sum", "n_docs"), ("n_tokens", "sum", "n_tokens")],
+        finalize=fin,
+    )

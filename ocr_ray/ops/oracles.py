@@ -348,6 +348,49 @@ def extra_oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         ORDER BY g.doc_id
     """
 
+    # ------------------------------------------- direct: corpus_funnel
+    # stage-wise survivor counts of the training_corpus chain, same CTEs
+    sql["corpus_funnel"] = f"""
+        WITH {_sketch_ctes()},
+        {_quality_ctes(union_words)},
+        winners AS (
+            SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+        ),
+        drops AS (SELECT DISTINCT doc_b AS doc_id FROM minhash_pairs),
+        tok AS (
+            SELECT doc_id, lang,
+                   CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n
+            FROM documents
+        ),
+        s1 AS (SELECT doc_id FROM winners),
+        s2 AS (SELECT doc_id FROM s1
+               WHERE doc_id NOT IN (SELECT doc_id FROM drops)),
+        s3 AS (SELECT g.doc_id FROM g JOIN s2 ON s2.doc_id = g.doc_id
+               WHERE ({QUALITY_SCORE_EXPR}) >= {TRAINING_MIN_QUALITY}),
+        s4 AS (SELECT tok.doc_id FROM tok JOIN s3 ON s3.doc_id = tok.doc_id
+               WHERE tok.lang IN ({langs_list}))
+        SELECT stage, n_docs, n_tokens FROM (
+            SELECT '0_raw' AS stage, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(n) AS BIGINT) AS n_tokens FROM tok
+            UNION ALL
+            SELECT '1_exact_dedup', CAST(COUNT(*) AS BIGINT),
+                   CAST(SUM(tok.n) AS BIGINT)
+            FROM s1 JOIN tok ON tok.doc_id = s1.doc_id
+            UNION ALL
+            SELECT '2_near_dedup', CAST(COUNT(*) AS BIGINT),
+                   CAST(SUM(tok.n) AS BIGINT)
+            FROM s2 JOIN tok ON tok.doc_id = s2.doc_id
+            UNION ALL
+            SELECT '3_quality', CAST(COUNT(*) AS BIGINT),
+                   CAST(SUM(tok.n) AS BIGINT)
+            FROM s3 JOIN tok ON tok.doc_id = s3.doc_id
+            UNION ALL
+            SELECT '4_lang', CAST(COUNT(*) AS BIGINT),
+                   CAST(SUM(tok.n) AS BIGINT)
+            FROM s4 JOIN tok ON tok.doc_id = s4.doc_id
+        ) ORDER BY stage
+    """
+
     # --------------------------------------------- direct: minhash_dup_pairs
     sql["minhash_dup_pairs"] = f"""
         WITH {_sketch_ctes()}

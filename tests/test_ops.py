@@ -3881,3 +3881,13 @@ def test_event_burstiness_positive(ray_session):
     df = _df(event_burstiness(SF))
     assert (df["fano"] >= 0).all()
     assert (df["n_events"] >= df["n_days"]).all()
+
+
+def test_corpus_funnel_monotone(ray_session):
+    from ocr_ray.ops.documents import corpus_funnel, training_corpus
+
+    df = _df(corpus_funnel(SF)).sort_values("stage")
+    assert df["n_docs"].is_monotonic_decreasing
+    assert df["n_tokens"].is_monotonic_decreasing
+    # the funnel's last stage IS the training_corpus row count
+    assert df["n_docs"].iloc[-1] == len(_df(training_corpus(SF)))
