@@ -30,7 +30,14 @@ def to_pandas(obj) -> pd.DataFrame:
     import ray.data
 
     if isinstance(obj, ray.data.Dataset):
-        return pd.DataFrame(obj.take_all())
+        rows = obj.take_all()
+        if not rows:
+            # keep the schema on empty results (take_all drops it) so the
+            # column comparison stays meaningful at tiny SFs
+            schema = obj.schema()
+            names = schema.names if schema is not None else []
+            return pd.DataFrame(columns=names)
+        return pd.DataFrame(rows)
     if isinstance(obj, pa.Table):
         return obj.to_pandas()
     return obj
