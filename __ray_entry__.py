@@ -51,6 +51,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zorder_blocks": e_ops.zorder_blocks,
         "khop_reach": g_ops.khop_reach,
         "mmr_diverse_topk": e_ops.mmr_diverse_topk,
+        "rich_club_coefficients": g_ops.rich_club_coefficients,
         "corpus_funnel": d_ops.corpus_funnel,
         "unique_prefix_lengths": d_ops.unique_prefix_lengths,
         "event_burstiness": r_ops.event_burstiness,

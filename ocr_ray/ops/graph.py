@@ -1358,3 +1358,79 @@ def khop_reach(sf_dir: str) -> ray.data.Dataset:
         {"host": pa.array([h for h, _ in rows], pa.string()),
          "hop": pa.array([d for _, d in rows], pa.int64())}
     ))
+
+
+RICH_CLUB_KS = (2, 4, 8)
+
+
+def rich_club_coefficients(sf_dir: str) -> ray.data.Dataset:
+    """Rich-club coefficients of the host link graph: for each degree
+    threshold k, the edge density among hosts of degree > k — φ(k) =
+    2·E_k / (N_k·(N_k−1)). A rising φ(k) means the hubs preferentially
+    interlink (the 'rich club' that makes link-spam networks and CDN
+    constellations stand out against organically-grown link graphs);
+    combined with host_clustering and host_degree_powerlaw it completes
+    the topology screen.
+
+    Scale shape: degrees are one combiner rollup broadcast as a dict;
+    ONE pass over the edge list computes each edge's endpoint-min degree
+    and bins it against ALL thresholds simultaneously (no per-k passes);
+    the φ math runs over |RICH_CLUB_KS| rows. Exact integers, one
+    division per row.
+
+    Output: (k, n_nodes, n_edges, phi) ordered by k."""
+    import numpy as np
+
+    from .common import from_pandas_clean, grouped_agg
+
+    edges = _canonical_edges(sf_dir).materialize()
+
+    def endpoints(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        out = pd.DataFrame(
+            {"host": pd.concat([df["a"], df["b"]], ignore_index=True)}
+        ).groupby("host", as_index=False).size().rename(columns={"size": "degree"})
+        return from_pandas_clean(out)
+
+    deg_rows = grouped_agg(
+        edges.map_batches(endpoints, batch_format="pyarrow", zero_copy_batch=True),
+        keys=["host"], specs=[("degree", "sum", "degree")],
+    ).take_all()
+    degrees = {r["host"]: r["degree"] for r in deg_rows}
+    deg_ref = ray.put(degrees)
+
+    def edge_bins(batch: pa.Table, _d=deg_ref) -> pa.Table:
+        d = ray.get(_d)
+        df = batch.to_pandas()
+        mindeg = np.minimum(
+            df["a"].map(d).to_numpy(dtype=np.int64),
+            df["b"].map(d).to_numpy(dtype=np.int64))
+        return pa.table(
+            {"k": pa.array(list(RICH_CLUB_KS) * 1, pa.int64()),
+             "n_edges": pa.array(
+                 [int((mindeg > k).sum()) for k in RICH_CLUB_KS], pa.int64())}
+        )
+
+    counts = grouped_agg(
+        edges.map_batches(edge_bins, batch_format="pyarrow", zero_copy_batch=True),
+        keys=["k"], specs=[("n_edges", "sum", "n_edges")],
+    )
+
+    deg_vals = np.array(sorted(degrees.values()), dtype=np.int64)
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("k").reset_index(drop=True)
+        n_nodes = [
+            int((deg_vals > k).sum()) for k in df["k"]
+        ]
+        df["n_nodes"] = n_nodes
+        denom = df["n_nodes"] * (df["n_nodes"] - 1)
+        df["phi"] = np.where(
+            denom > 0,
+            (2.0 * df["n_edges"].to_numpy()) / denom.to_numpy(dtype=np.float64),
+            0.0)
+        return df[["k", "n_nodes", "n_edges", "phi"]]
+
+    return grouped_agg(
+        counts, keys=["k"], specs=[("n_edges", "sum", "n_edges")], finalize=fin,
+    )

@@ -1972,6 +1972,44 @@ def extra_oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         FROM corners GROUP BY host ORDER BY host
     """
 
+    # ---------------------------------------- corpus: rich_club_coefficients
+    from .graph import RICH_CLUB_KS
+
+    _ks_list = ", ".join(str(k) for k in RICH_CLUB_KS)
+    sql["rich_club_coefficients"] = f"""
+        WITH {link_ctes},
+        und AS (
+            SELECT DISTINCT least(src_host, dst_host) AS a,
+                            greatest(src_host, dst_host) AS b
+            FROM links WHERE src_host <> dst_host
+        ),
+        deg AS (
+            SELECT host, CAST(COUNT(*) AS BIGINT) AS degree
+            FROM (SELECT a AS host FROM und UNION ALL SELECT b FROM und)
+            GROUP BY host
+        ),
+        ed AS (
+            SELECT least(da.degree, db.degree) AS mindeg
+            FROM und
+            JOIN deg da ON da.host = und.a
+            JOIN deg db ON db.host = und.b
+        ),
+        per AS (
+            SELECT k,
+                   (SELECT CAST(COUNT(*) AS BIGINT) FROM deg
+                    WHERE degree > k) AS n_nodes,
+                   (SELECT CAST(COUNT(*) AS BIGINT) FROM ed
+                    WHERE mindeg > k) AS n_edges
+            FROM (SELECT unnest([{_ks_list}]) AS k)
+        )
+        SELECT CAST(k AS BIGINT) AS k, n_nodes, n_edges,
+               CASE WHEN n_nodes > 1
+                    THEN CAST(2 * n_edges AS DOUBLE)
+                         / CAST(n_nodes * (n_nodes - 1) AS DOUBLE)
+                    ELSE 0.0 END AS phi
+        FROM per ORDER BY k
+    """
+
     # ---------------------------------------- corpus: khop_reach
     # unrolled BFS rounds (the iteration-unrolled oracle discipline):
     # round i = distinct neighbors of round i-1 minus everything seen

@@ -3891,3 +3891,13 @@ def test_corpus_funnel_monotone(ray_session):
     assert df["n_tokens"].is_monotonic_decreasing
     # the funnel's last stage IS the training_corpus row count
     assert df["n_docs"].iloc[-1] == len(_df(training_corpus(SF)))
+
+
+def test_rich_club_monotone_shrink(ray_session):
+    from ocr_ray.ops.graph import rich_club_coefficients
+
+    df = _df(rich_club_coefficients(SF)).sort_values("k")
+    # higher thresholds keep fewer nodes and fewer qualifying edges
+    assert df["n_nodes"].is_monotonic_decreasing
+    assert df["n_edges"].is_monotonic_decreasing
+    assert ((df["phi"] >= 0) & (df["phi"] <= 1)).all()
