@@ -51,6 +51,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zorder_blocks": e_ops.zorder_blocks,
         "khop_reach": g_ops.khop_reach,
         "mmr_diverse_topk": e_ops.mmr_diverse_topk,
+        "pareto_concentration": r_ops.pareto_concentration,
         "rich_club_coefficients": g_ops.rich_club_coefficients,
         "corpus_funnel": d_ops.corpus_funnel,
         "unique_prefix_lengths": d_ops.unique_prefix_lengths,
@@ -1003,6 +1004,33 @@ def _base_oracle_sql() -> dict[str, str]:
                    dp.arr[cnt.m + 1] AS best_value_cents
             FROM dp JOIN cnt ON cnt.user_id = dp.user_id AND dp.i = cnt.m
             ORDER BY dp.user_id
+        """,
+        # 80/20 concentration: cents-exact cumsum crossing, cross-
+        # multiplied integer test, (revenue DESC, custkey) order
+        "pareto_concentration": f"""
+            WITH pc AS (
+                SELECT o_custkey,
+                       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+                            AS BIGINT) AS cents
+                FROM orders GROUP BY o_custkey
+            ),
+            t AS (SELECT CAST(SUM(cents) AS BIGINT) AS total,
+                         CAST(COUNT(*) AS BIGINT) AS n FROM pc),
+            c AS (
+                SELECT cents,
+                       SUM(cents) OVER (ORDER BY cents DESC, o_custkey
+                           ROWS UNBOUNDED PRECEDING) AS cum,
+                       row_number() OVER (ORDER BY cents DESC, o_custkey) AS m
+                FROM pc
+            )
+            SELECT CAST(MIN(m) AS BIGINT) AS n_top_customers,
+                   t.n AS n_customers,
+                   CAST((SELECT MIN(cum) FROM c, t
+                         WHERE cum * 100 >= {r_ops.PARETO_TARGET_PCT} * total)
+                        AS DOUBLE) / CAST(t.total AS DOUBLE) AS revenue_share
+            FROM c CROSS JOIN t
+            WHERE cum * 100 >= {r_ops.PARETO_TARGET_PCT} * t.total
+            GROUP BY t.n, t.total
         """,
         # bottom-k mergeable sample (md5 priority) + lower-nearest-rank
         # quantiles, exact audit inline — all integers

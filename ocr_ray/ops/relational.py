@@ -4128,3 +4128,59 @@ def event_burstiness(sf_dir: str):
 
     return daily.repartition(1).map_batches(
         fin_rows, batch_format="pyarrow", batch_size=None)
+
+
+PARETO_TARGET_PCT = 80
+
+
+def pareto_concentration(sf_dir: str):
+    """Revenue concentration point (the '80/20' audit): the SMALLEST
+    number of customers whose summed order revenue reaches
+    PARETO_TARGET_PCT% of the total, customers taken in (revenue DESC,
+    custkey ASC) order — the one-number concentration readout next to
+    source_gini's curve-shape coefficient.
+
+    Exactness contract: revenue in integer cents; the crossing test is
+    cum·100 >= target·total (cross-multiplied ints, no percentage
+    floats); share reported as one exact int→double division.
+
+    Scale shape: per-customer revenue is a combiner-collapsed rollup;
+    the concentration sweep runs over the DESCENDING-sorted per-customer
+    cents on the driver — customer-dimension-sized, the same driver
+    budget as the nations/offsets maps used elsewhere. (At a truly
+    unbounded customer count the same sweep runs over a cents-value
+    histogram; the synth dimension makes that indirection pointless.)
+
+    Output: one row (n_top_customers, n_customers, revenue_share)."""
+    import numpy as np
+
+    from .common import grouped_agg
+
+    orders = read_table(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {"o_custkey": batch.column("o_custkey").to_numpy(zero_copy_only=False),
+             "cents": np.rint(
+                 batch.column("o_totalprice").to_numpy(zero_copy_only=False) * 100
+             ).astype(np.int64)}
+        ).groupby("o_custkey", as_index=False)["cents"].sum()
+        return from_pandas_clean(df)
+
+    per_cust = grouped_agg(
+        orders.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        keys=["o_custkey"], specs=[("cents", "sum", "cents")],
+    ).take_all()
+
+    per_cust.sort(key=lambda r: (-r["cents"], r["o_custkey"]))
+    cents = np.array([r["cents"] for r in per_cust], dtype=np.int64)
+    total = int(cents.sum())
+    cum = np.cumsum(cents)
+    # smallest m with cum[m-1]*100 >= target*total (exact integers)
+    m = int(np.searchsorted(cum * 100, PARETO_TARGET_PCT * total, side="left")) + 1
+    share = float(int(cum[m - 1])) / float(total) if total else 0.0
+    return ray.data.from_arrow(pa.table(
+        {"n_top_customers": pa.array([m], pa.int64()),
+         "n_customers": pa.array([len(cents)], pa.int64()),
+         "revenue_share": pa.array([share], pa.float64())}
+    ))

@@ -3901,3 +3901,12 @@ def test_rich_club_monotone_shrink(ray_session):
     assert df["n_nodes"].is_monotonic_decreasing
     assert df["n_edges"].is_monotonic_decreasing
     assert ((df["phi"] >= 0) & (df["phi"] <= 1)).all()
+
+
+def test_pareto_concentration_crossing(ray_session):
+    from ocr_ray.ops.relational import PARETO_TARGET_PCT, pareto_concentration
+
+    df = _df(pareto_concentration(SF))
+    row = df.iloc[0]
+    assert 1 <= row["n_top_customers"] <= row["n_customers"]
+    assert row["revenue_share"] * 100 >= PARETO_TARGET_PCT
