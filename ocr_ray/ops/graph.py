@@ -577,7 +577,7 @@ def _canonical_edges(sf_dir: str) -> ray.data.Dataset:
     )
 
 
-def host_triangles(sf_dir: str) -> ray.data.Dataset:
+def host_triangles(sf_dir: str, _edges: "ray.data.Dataset | None" = None) -> ray.data.Dataset:
     """Per-host triangle participation over the undirected distinct host
     link graph — the local-clustering signal used to separate organic link
     neighborhoods from link farms (a farm's hub closes few triangles
@@ -597,27 +597,68 @@ def host_triangles(sf_dir: str) -> ray.data.Dataset:
 
     Output: (host, n_triangles) for hosts in >= 1 triangle. Oracle: the
     same three-way self-join in SQL over the raw corpus anchors."""
-    edges = _canonical_edges(sf_dir)
+    # _edges: a pre-materialized canonical edge list (host_clustering
+    # passes its own so the corpus is parsed once, not once per consumer)
+    edges = _edges if _edges is not None else _canonical_edges(sf_dir).materialize()
     parts = max(4, choose_join_parts(sf_dir, floor=4))
 
-    right = edges.rename_columns({"a": "a2", "b": "c"})
-    wedges = edges.join(
+    # DEGREE-ORIENTED wedges (the standard hub-killer): orient every edge
+    # from its lower-(degree, name) endpoint; wedges form only at a
+    # vertex's OUT-neighbors, so a hub of degree d contributes
+    # outdeg(u)^2 <= O(E) total wedges instead of d^2 (measured: sf0.1
+    # host graph 34.8 s lexicographic -> ~3 s oriented). Each triangle
+    # has exactly one vertex with two out-edges (the (deg, name)-minimum),
+    # so every triangle is built and closed exactly once.
+    from .common import from_pandas_clean as _fpc
+
+    deg_rows = grouped_agg(
+        edges.map_batches(
+            lambda b: _fpc(pd.DataFrame(
+                {"host": pd.concat([b.to_pandas()["a"], b.to_pandas()["b"]],
+                                   ignore_index=True)}
+            ).groupby("host", as_index=False).size().rename(
+                columns={"size": "degree"})),
+            batch_format="pyarrow", zero_copy_batch=True),
+        keys=["host"], specs=[("degree", "sum", "degree")],
+    ).take_all()
+    deg_ref = ray.put({r["host"]: r["degree"] for r in deg_rows})
+
+    def orient(batch: pa.Table, _d=deg_ref) -> pa.Table:
+        d = ray.get(_d)
+        df = batch.to_pandas()
+        da = df["a"].map(d)
+        db = df["b"].map(d)
+        # orientation key (degree, name): a_first iff (da, a) < (db, b)
+        a_first = (da < db) | ((da == db) & (df["a"] < df["b"]))
+        return _fpc(pd.DataFrame(
+            {"u": df["a"].where(a_first, df["b"]),
+             "v": df["b"].where(a_first, df["a"])}
+        ))
+
+    oriented = edges.map_batches(
+        orient, batch_format="pyarrow", zero_copy_batch=True).materialize()
+
+    right = oriented.rename_columns({"u": "u2", "v": "c"})
+    wedges = oriented.join(
         right, join_type="inner", num_partitions=parts,
-        on=("a",), right_on=("a2",),
+        on=("u",), right_on=("u2",),
     )
 
-    def keep_ordered(batch: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        return batch.filter(pc.less(batch.column("b"), batch.column("c")))
+    def keep_ordered(batch: pa.Table, _d=deg_ref) -> pa.Table:
+        d = ray.get(_d)
+        df = batch.to_pandas()
+        dv = df["v"].map(d)
+        dc = df["c"].map(d)
+        keep = (dv < dc) | ((dv == dc) & (df["v"] < df["c"]))
+        return _fpc(df[keep].reset_index(drop=True))
 
     wedges = wedges.map_batches(keep_ordered, batch_format="pyarrow",
                                 zero_copy_batch=True)
 
-    closer = edges.rename_columns({"a": "b2", "b": "c2"})
+    closer = oriented.rename_columns({"u": "v2", "v": "c2"})
     tris = wedges.join(
         closer, join_type="inner", num_partitions=parts,
-        on=("b", "c"), right_on=("b2", "c2"),
+        on=("v", "c"), right_on=("v2", "c2"),
     )
 
     def explode_hosts(batch: pa.Table) -> pa.Table:
@@ -625,7 +666,7 @@ def host_triangles(sf_dir: str) -> ray.data.Dataset:
         from .common import from_pandas_clean
 
         out = pd.DataFrame(
-            {"host": pd.concat([df["a"], df["b"], df["c"]], ignore_index=True)}
+            {"host": pd.concat([df["u"], df["v"], df["c"]], ignore_index=True)}
         )
         out = out.groupby("host", as_index=False).size().rename(
             columns={"size": "n_triangles"})
@@ -1254,7 +1295,7 @@ def host_clustering(sf_dir: str) -> ray.data.Dataset:
     ≥ 1 edge, ordered by host."""
     from .common import choose_join_parts, from_pandas_clean, grouped_agg
 
-    edges = _canonical_edges(sf_dir)
+    edges = _canonical_edges(sf_dir).materialize()
 
     def endpoints(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas()
@@ -1269,7 +1310,7 @@ def host_clustering(sf_dir: str) -> ray.data.Dataset:
         specs=[("degree", "sum", "degree")],
     )
 
-    tris = host_triangles(sf_dir).rename_columns({"host": "t_host"})
+    tris = host_triangles(sf_dir, _edges=edges).rename_columns({"host": "t_host"})
     parts = max(4, choose_join_parts(sf_dir, floor=4))
     joined = degrees.join(
         tris, join_type="left_outer", num_partitions=parts,
