@@ -43,6 +43,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # end of their group.
     return {
         # ---- round-4 additions (newest first)
+        "cheapest_supplier_per_part": r_ops.cheapest_supplier_per_part,
+        "cusum_changepoints": r_ops.cusum_changepoints,
+        "zipf_fit": d_ops.zipf_fit,
+        "edit1_pairs": d_ops.edit1_pairs,
+        "winnowing_fingerprints": d_ops.winnowing_fingerprints,
+        "adamic_adar_links": g_ops.adamic_adar_links,
         "product_profit": r_ops.product_profit,
         "benford_audit": r_ops.benford_audit,
         "spearman_tokens_types": d_ops.spearman_tokens_types,
@@ -3880,5 +3886,106 @@ def _base_oracle_sql() -> dict[str, str]:
         SELECT query_id, CAST(n_hits AS BIGINT) AS n_hits,
                CAST(n_hits AS DOUBLE) / {e_ops.TRUNC_K} AS recall
         FROM hits ORDER BY query_id
+    """
+    # Q2-adapted cheapest supplier: exact unit price (cents·10)//qty, argmin
+    # with lowest-suppkey tiebreak via row_number (the engine's packed Min
+    # is the same lexicographic order)
+    sql["cheapest_supplier_per_part"] = """
+        WITH u AS (
+            SELECT l_partkey, l_suppkey,
+                   (CAST(round(l_extendedprice * 100) AS BIGINT) * 10)
+                   // CAST(round(l_quantity) AS BIGINT) AS um
+            FROM lineitem
+        ),
+        r AS (
+            SELECT l_partkey, l_suppkey, um,
+                   row_number() OVER (PARTITION BY l_partkey
+                                      ORDER BY um, l_suppkey) AS rn
+            FROM u
+        )
+        SELECT r.l_partkey AS p_partkey, r.l_suppkey AS s_suppkey,
+               s.s_name, n.n_name AS nation,
+               CAST(r.um AS DOUBLE) / 1000.0 AS unit_price
+        FROM r
+        JOIN supplier s ON s.s_suppkey = r.l_suppkey
+        JOIN nation n ON n.n_nationkey = s.s_nationkey
+        WHERE rn = 1 ORDER BY p_partkey
+    """
+    # CUSUM closed form: P = cumsum(n·x − total), S = P − min(0, running
+    # min P); alarm and the scan stay in exact integers, one division at
+    # the end (identical to the engine's finalize)
+    sql["cusum_changepoints"] = f"""
+        WITH daily AS (
+            SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+                   CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS c
+            FROM events GROUP BY event_type, day
+        ),
+        m AS (
+            SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(c) AS BIGINT) AS total
+            FROM daily GROUP BY event_type
+        ),
+        p AS (
+            SELECT d.event_type, d.day, m.n, m.total,
+                   CAST(SUM(m.n * d.c - m.total) OVER (
+                       PARTITION BY d.event_type ORDER BY d.day
+                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS pf
+            FROM daily d JOIN m USING (event_type)
+        ),
+        s AS (
+            SELECT event_type, day, n, total,
+                   pf - least(CAST(0 AS BIGINT), MIN(pf) OVER (
+                       PARTITION BY event_type ORDER BY day
+                       ROWS UNBOUNDED PRECEDING)) AS sv
+            FROM p
+        )
+        SELECT event_type, day,
+               CAST(sv AS DOUBLE) / (n * 100.0) AS cusum,
+               (sv * 100 > total * {r_ops.CUSUM_ALARM_PCT}) AS alarm
+        FROM s ORDER BY event_type, day
+    """
+    # Zipf fit: quantized log2 points (token_entropy's no-half-boundary
+    # argument), HUGEINT moments, the identical float slope/intercept
+    # expressions
+    sql["zipf_fit"] = f"""
+        WITH toks AS (
+            SELECT lang, lower(translate(tok, {punct_sql}, '')) AS word
+            FROM (SELECT lang, unnest(regexp_extract_all(text, '\\S+')) AS tok
+                  FROM documents)
+        ),
+        cnt AS (
+            SELECT lang, word, CAST(COUNT(*) AS BIGINT) AS c
+            FROM toks WHERE word <> '' GROUP BY lang, word
+        ),
+        r AS (
+            SELECT lang, c,
+                   row_number() OVER (PARTITION BY lang
+                                      ORDER BY c DESC, word) AS rnk
+            FROM cnt
+        ),
+        t AS (
+            SELECT lang,
+                   CAST(round(log2(rnk) * {d_ops.ENTROPY_QLOG_SCALE})
+                        AS BIGINT) AS x,
+                   CAST(round(log2(c) * {d_ops.ENTROPY_QLOG_SCALE})
+                        AS BIGINT) AS y
+            FROM r WHERE rnk <= {d_ops.ZIPF_TOP_N}
+        ),
+        m AS (
+            SELECT lang, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+                   SUM(x * x) AS sxx, SUM(x * y) AS sxy
+            FROM t GROUP BY lang
+        ),
+        sl AS (
+            SELECT lang, n, sx, sy,
+                   CASE WHEN n * sxx - sx * sx = 0 THEN 0.0
+                        ELSE CAST(n * sxy - sx * sy AS DOUBLE)
+                             / CAST(n * sxx - sx * sx AS DOUBLE) END AS slope
+            FROM m
+        )
+        SELECT lang, CAST(n AS BIGINT) AS n_top, slope,
+               (CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE))
+                   / CAST(n AS DOUBLE) AS intercept
+        FROM sl ORDER BY lang
     """
     return sql

@@ -5649,3 +5649,256 @@ def corpus_funnel(sf_dir: str):
         specs=[("n_docs", "sum", "n_docs"), ("n_tokens", "sum", "n_tokens")],
         finalize=fin,
     )
+
+
+# ------------------------------------------------- Zipf rank-frequency fit
+
+ZIPF_TOP_N = 200
+
+
+def zipf_fit(sf_dir: str):
+    """Per-language Zipf's-law fit: OLS slope/intercept of log2(count) vs
+    log2(rank) over the top ZIPF_TOP_N words (word_frequency's index
+    normalization; rank by (count DESC, word)). A healthy natural-language
+    corpus fits slope ≈ −1; a slope far off flags template/boilerplate
+    skew — the corpus-level twin of the per-doc repetition signals.
+
+    Exactness contract: the token_entropy quantization argument — x =
+    round(log2(rank)·2^20) and y = round(log2(count)·2^20) are exact ints
+    (log2 of an integer is integer or irrational, so no round-half
+    boundary exists); moments are unbounded-int sums (HUGEINT in SQL,
+    Python int here — n·Σxy overflows int64 by design); slope and
+    intercept are the identical float expressions on both sides.
+
+    Scale shape: per-batch (lang, word) partial counts collapse before the
+    one vocabulary-sized exchange; ranking and the 200-point OLS run in
+    the single-task finalize over the vocab frame (the unigram_logprob
+    driver budget). Output: (lang, n_top, slope, intercept) by lang."""
+    import math
+
+    from ..kernels.textfn import _INDEX_DEL_TABLE
+
+    ds = read_table(sf_dir, "documents", columns=["lang", "text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        counts: dict[tuple[str, str], int] = {}
+        langs = batch.column("lang").to_pylist()
+        for lang, text in zip(langs, batch.column("text").to_pylist()):
+            for tok in text.split():
+                tok = tok.translate(_INDEX_DEL_TABLE).lower()
+                if tok:
+                    counts[(lang, tok)] = counts.get((lang, tok), 0) + 1
+        return pa.table(
+            {"lang": pa.array([k[0] for k in counts], pa.string()),
+             "word": pa.array([k[1] for k in counts], pa.string()),
+             "n": pa.array(list(counts.values()), pa.int64())}
+        )
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for lang, g in df.sort_values(
+                ["n", "word"], ascending=[False, True]).groupby("lang", sort=True):
+            top = g.head(ZIPF_TOP_N)
+            # python ints: n·Σxy exceeds int64 at this quantization scale
+            xs = [round(math.log2(r) * ENTROPY_QLOG_SCALE)
+                  for r in range(1, len(top) + 1)]
+            ys = [round(math.log2(int(c)) * ENTROPY_QLOG_SCALE)
+                  for c in top["n"]]
+            n = len(xs)
+            sx, sy = sum(xs), sum(ys)
+            sxx = sum(x * x for x in xs)
+            sxy = sum(x * y for x, y in zip(xs, ys))
+            den = n * sxx - sx * sx
+            slope = float(n * sxy - sx * sy) / float(den) if den else 0.0
+            intercept = (float(sy) - slope * float(sx)) / float(n)
+            rows.append({"lang": lang, "n_top": n,
+                         "slope": slope, "intercept": intercept})
+        return pd.DataFrame(rows).sort_values("lang").reset_index(drop=True)
+
+    return grouped_agg(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        keys=["lang", "word"],
+        specs=[("n", "sum", "n")],
+        finalize=fin,
+    )
+
+
+# --------------------------------------- edit-distance-1 vocabulary pairs
+
+# Frequent-vocab gate keeps the candidate universe (and the oracle's
+# verify join) bounded; ASCII-only [a-z0-9]+ so the SQL levenshtein and the
+# Python verifier agree on "one character" for every admitted word.
+EDIT1_MIN_COUNT = 5
+EDIT1_MIN_LEN = 4
+EDIT1_WORD_RE = re.compile(r"^[a-z0-9]+$")
+
+
+def _is_edit1(a: str, b: str) -> bool:
+    """Exact edit-distance == 1 (candidates from a deletion-neighborhood
+    join are <= distance 2, so a cheap verify is still required)."""
+    la, lb = len(a), len(b)
+    if a == b or abs(la - lb) > 1:
+        return False
+    if la == lb:
+        return sum(x != y for x, y in zip(a, b)) == 1
+    if la > lb:
+        a, b, la = b, a, lb
+    i = 0
+    while i < la and a[i] == b[i]:
+        i += 1
+    return a[i:] == b[i + 1:]
+
+
+def edit1_pairs(sf_dir: str):
+    """Word pairs at edit distance exactly 1 over the EXTRACTED pages
+    corpus vocabulary (the word-index stage's words) — the OCR-noise /
+    typo-variant miner: confusion candidates for spell-normalization maps,
+    mined where near-miss token variants actually occur.
+
+    Algorithm: deletion-neighborhood blocking (the classic SymSpell-style
+    candidate generation) — each admitted word emits its identity key plus
+    one key per single-character deletion; any insert/delete/substitute
+    neighbor pair shares >= 1 key, so candidates form inside key groups
+    only (never all-pairs over the vocabulary), then an exact verifier
+    keeps true distance-1 pairs and a distinct collapses multi-key hits.
+
+    Scale shape: the corpus collapses to vocabulary-sized counts first
+    (one grouped sum over the word-index rows); keys/word <= max word
+    length; key groups get the standard deterministic member cap. Oracle
+    class: artifact-backed — the word-count dump is the shared upstream,
+    and DuckDB re-verifies the blocking+match stage with its own
+    levenshtein over the bounded filtered-vocabulary cross join.
+
+    Output: (word_a, word_b) with word_a < word_b, ordered."""
+    from .common import cap_bucket_members, distinct
+    from .extraction_queries import word_index_pages
+
+    wp = word_index_pages(sf_dir)
+
+    vocab = grouped_agg(
+        wp.map_batches(
+            lambda b: b.select(["word", "count"]),
+            batch_format="pyarrow", zero_copy_batch=True),
+        keys=["word"],
+        specs=[("n", "sum", "count")],
+    )
+
+    def keys_of(batch: pa.Table) -> pa.Table:
+        ks: list[str] = []
+        ws: list[str] = []
+        words = batch.column("word").to_pylist()
+        ns = batch.column("n").to_pylist()
+        for w, n in zip(words, ns):
+            if n < EDIT1_MIN_COUNT or len(w) < EDIT1_MIN_LEN:
+                continue
+            if not EDIT1_WORD_RE.match(w):
+                continue
+            ks.append(w)
+            ws.append(w)
+            for i in range(len(w)):
+                ks.append(w[:i] + w[i + 1:])
+                ws.append(w)
+        return pa.table({"k": pa.array(ks, pa.string()),
+                         "word": pa.array(ws, pa.string())})
+
+    keyed = vocab.map_batches(keys_of, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+    def bucket_pairs(group: pa.Table) -> pa.Table:
+        words = sorted(set(group.column("word").to_pylist()))
+        keep = cap_bucket_members(
+            len(words), "edit1_pairs",
+            group.column("k")[0].as_py() if group.num_rows else None)
+        words = words[:keep]
+        a_out: list[str] = []
+        b_out: list[str] = []
+        for i in range(len(words)):
+            for j in range(i + 1, len(words)):
+                if _is_edit1(words[i], words[j]):
+                    a_out.append(words[i])
+                    b_out.append(words[j])
+        return pa.table({"word_a": pa.array(a_out, pa.string()),
+                         "word_b": pa.array(b_out, pa.string())})
+
+    pairs = keyed.groupby("k").map_groups(bucket_pairs, batch_format="pyarrow")
+    # zero-row seed keeps the schema visible when no pair exists (an
+    # all-unique corpus tier must still present (word_a, word_b) columns)
+    seed = ray.data.from_arrow(pa.table(
+        {"word_a": pa.array([], pa.string()),
+         "word_b": pa.array([], pa.string())}))
+    out = distinct(seed.union(pairs), ["word_a", "word_b"])
+    return out.sort(["word_a", "word_b"])
+
+
+# ------------------------------------------- Schleimer winnowing (MOSS)
+
+# Raw \S+ tokens (positions are 1-based gram starts in that sequence);
+# k-gram hashes are the suite's signed md5-prefix key so the SQL twin hashes
+# byte-identically. The doc_id % WINNOW_DOC_MOD gate bounds the oracle's
+# window-verify join; the engine applies the same gate (documented cap).
+WINNOW_K = 4
+WINNOW_W = 4
+WINNOW_DOC_MOD = 8
+
+
+def winnow_select(hashes: list[int], w: int) -> list[tuple[int, int]]:
+    """Winnowing window-min selection: for every full w-window pick the
+    minimum hash, RIGHTMOST position on ties (the Schleimer et al. robust
+    variant), dedup adjacent windows that picked the same gram. Returns
+    sorted (1-based position, hash) pairs; one vectorized numpy pass."""
+    import numpy as np
+
+    hs = np.asarray(hashes, dtype=np.int64)
+    if len(hs) < w:
+        return []
+    wins = np.lib.stride_tricks.sliding_window_view(hs, w)
+    # argmin on the REVERSED window = rightmost minimum original pos
+    right_off = w - 1 - np.argmin(wins[:, ::-1], axis=1)
+    sel_pos = np.arange(len(wins)) + right_off
+    return sorted({(int(p) + 1, int(hs[p])) for p in sel_pos})
+
+
+def winnowing_fingerprints(sf_dir: str):
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken 2003,
+    the MOSS scheme): hash every WINNOW_K-token gram, slide a WINNOW_W-gram
+    window, and record the window minimum — rightmost occurrence on ties —
+    as a (position, hash) fingerprint; adjacent windows picking the same
+    gram collapse. Guarantees any shared run of K+W-1 tokens between two
+    docs shares a fingerprint, with ~2/(W+1) selection density — the
+    position-robust middle ground between fingerprints' fixed stride and
+    full shingling.
+
+    Scale shape: pure per-document map (shuffle-free); the sliding-window
+    min is one vectorized numpy pass per doc (rightmost-tie via reversed
+    argmin); only (doc_id, pos, fp) ints leave the stage.
+
+    Output: (doc_id, pos, fp) distinct, ordered by (doc_id, pos)."""
+    from .extraction_queries import line_hash64
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def f(batch: pa.Table) -> pa.Table:
+        ids_out: list[int] = []
+        pos_out: list[int] = []
+        fp_out: list[int] = []
+        ids = batch.column("doc_id").to_pylist()
+        for doc_id, text in zip(ids, batch.column("text").to_pylist()):
+            if doc_id % WINNOW_DOC_MOD:
+                continue
+            toks = text.split()
+            n_grams = len(toks) - WINNOW_K + 1
+            if n_grams < WINNOW_W:
+                continue
+            hs = [line_hash64(" ".join(toks[i:i + WINNOW_K]))
+                  for i in range(n_grams)]
+            for p, h in winnow_select(hs, WINNOW_W):
+                ids_out.append(doc_id)
+                pos_out.append(p)
+                fp_out.append(h)
+        return pa.table(
+            {"doc_id": pa.array(ids_out, pa.int64()),
+             "pos": pa.array(pos_out, pa.int64()),
+             "fp": pa.array(fp_out, pa.int64())}
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)

@@ -2393,5 +2393,113 @@ def extra_oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         FROM s
     """
 
+    # ---------------------------------------- documents: winnowing
+    # grams + window-min with rightmost tie: for each full window the
+    # selected gram is MAX(pos) among grams equal to the window min — the
+    # verify join is bounded by the engine's doc_id % MOD gate
+    from .documents import WINNOW_DOC_MOD, WINNOW_K, WINNOW_W
+
+    _gram = H64S.format(
+        expr=f"array_to_string(list_slice(l, i, i + {WINNOW_K - 1}), ' ')")
+    sql["winnowing_fingerprints"] = f"""
+        WITH d AS (
+            SELECT doc_id, regexp_extract_all(text, '\\S+') AS l
+            FROM documents WHERE doc_id % {WINNOW_DOC_MOD} = 0
+        ),
+        g AS (
+            SELECT doc_id, CAST(i AS BIGINT) AS pos, {_gram} AS h
+            FROM (SELECT doc_id, l,
+                         unnest(generate_series(1, len(l) - {WINNOW_K} + 1))
+                             AS i
+                  FROM d WHERE len(l) >= {WINNOW_K + WINNOW_W - 1})
+        ),
+        wm AS (
+            SELECT doc_id, pos, h,
+                   MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN CURRENT ROW
+                       AND {WINNOW_W - 1} FOLLOWING) AS wmin,
+                   COUNT(*) OVER (PARTITION BY doc_id) AS ng
+            FROM g
+        ),
+        sel AS (
+            SELECT w.doc_id, MAX(g2.pos) AS pos, w.wmin AS fp
+            FROM wm w JOIN g g2
+              ON g2.doc_id = w.doc_id
+             AND g2.pos BETWEEN w.pos AND w.pos + {WINNOW_W - 1}
+             AND g2.h = w.wmin
+            WHERE w.pos <= w.ng - {WINNOW_W} + 1
+            GROUP BY w.doc_id, w.pos, w.wmin
+        )
+        SELECT DISTINCT doc_id, pos, fp FROM sel ORDER BY doc_id, pos
+    """
+
+    # ---------------------------------------- artifact: edit1_pairs
+    # vocabulary counts from the word-index dump; the blocking+match stage
+    # is re-verified with DuckDB's own levenshtein over the bounded
+    # filtered-vocabulary cross join
+    from .documents import EDIT1_MIN_COUNT, EDIT1_MIN_LEN
+
+    sql["edit1_pairs"] = f"""
+        WITH cnt AS (
+            SELECT word, CAST(SUM(count) AS BIGINT) AS c
+            FROM read_parquet('{word_pages}')
+            GROUP BY word
+        ),
+        v AS (
+            SELECT word FROM cnt
+            WHERE c >= {EDIT1_MIN_COUNT}
+              AND length(word) >= {EDIT1_MIN_LEN}
+              AND regexp_full_match(word, '[a-z0-9]+')
+        )
+        SELECT a.word AS word_a, b.word AS word_b
+        FROM v a, v b
+        WHERE a.word < b.word
+          AND abs(length(a.word) - length(b.word)) <= 1
+          AND levenshtein(a.word, b.word) = 1
+        ORDER BY word_a, word_b
+    """
+
+    # ---------------------------------------- corpus: adamic_adar_links
+    # wedge pairs through each center z weighted by the quantized inverse
+    # log-degree (no round-half boundary, see ops.graph.AA_QSCALE), summed
+    # exactly; existing edges excluded, n_common gate mirrored
+    from .graph import AA_MIN_COMMON, AA_QSCALE
+
+    sql["adamic_adar_links"] = f"""
+        WITH {link_ctes},
+        und AS (
+            SELECT DISTINCT least(src_host, dst_host) AS a,
+                            greatest(src_host, dst_host) AS b
+            FROM links WHERE src_host <> dst_host
+        ),
+        bi AS (
+            SELECT a AS z, b AS nb FROM und
+            UNION ALL SELECT b AS z, a AS nb FROM und
+        ),
+        deg AS (
+            SELECT z, CAST(COUNT(*) AS BIGINT) AS degree,
+                   CAST(round({AA_QSCALE} / log2(COUNT(*))) AS BIGINT) AS w
+            FROM bi GROUP BY z HAVING COUNT(*) >= 2
+        ),
+        wedges AS (
+            SELECT n1.nb AS host_a, n2.nb AS host_b, deg.w
+            FROM bi n1
+            JOIN bi n2 ON n1.z = n2.z AND n1.nb < n2.nb
+            JOIN deg ON deg.z = n1.z
+        ),
+        scored AS (
+            SELECT host_a, host_b, CAST(SUM(w) AS BIGINT) AS aa_scaled,
+                   CAST(COUNT(*) AS BIGINT) AS n_common
+            FROM wedges GROUP BY host_a, host_b
+        )
+        SELECT host_a, host_b, n_common,
+               CAST(aa_scaled AS DOUBLE) / {float(AA_QSCALE)} AS aa_score
+        FROM scored s
+        WHERE n_common >= {AA_MIN_COMMON}
+          AND NOT EXISTS (SELECT 1 FROM und
+                          WHERE und.a = s.host_a AND und.b = s.host_b)
+        ORDER BY host_a, host_b
+    """
+
     sql.update(golden_oracles(sf_dir))
     return sql

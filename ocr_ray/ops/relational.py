@@ -4184,3 +4184,151 @@ def pareto_concentration(sf_dir: str):
          "n_customers": pa.array([len(cents)], pa.int64()),
          "revenue_share": pa.array([share], pa.float64())}
     ))
+
+
+# ----------------------------------- Q2-flavored cheapest supplier argmin
+
+# (unit_milli, suppkey) packed into ONE int64 so the per-part argmin is a
+# single grouped Min (the dedup_winners composite-key discipline): packed =
+# unit_milli << 21 | suppkey. unit_milli = price in 0.1-cent units per
+# quantity unit (exact integer division), bounded by 2^42; suppkey must fit
+# 21 bits (2.1M — far above the synthetic dimension; a larger supplier
+# universe needs a wider packing and the encoder raises loudly).
+SUPPKEY_BITS = 21
+
+
+def cheapest_supplier_per_part(sf_dir: str):
+    """Per-part cheapest shipping supplier (TPC-H Q2's min-cost-supplier
+    shape, adapted: the schema carries no partsupp, so the observed unit
+    price l_extendedprice / l_quantity over shipped lineitems plays the
+    supplycost role).
+
+    Exactness contract: unit price quantized as (cents·10) // qty — an
+    exact integer division both engines perform identically (all values
+    positive); the (unit, suppkey) argmin is a grouped Min over the packed
+    composite, so ties break to the lowest suppkey deterministically.
+
+    Scale shape: per-batch partials collapse to one row per (part, block)
+    before the part-keyed exchange (part-dimension sized, never
+    lineitem-sized); supplier->name and nation->name are broadcast-sized
+    dimension maps applied in the single-task finalize.
+
+    Output: (p_partkey, s_suppkey, s_name, nation, unit_price) ordered by
+    p_partkey."""
+    sup = {
+        r["s_suppkey"]: (r["s_name"], r["s_nationkey"])
+        for r in read_table(
+            sf_dir, "supplier",
+            columns=["s_suppkey", "s_name", "s_nationkey"]).take_all()
+    }
+    nations = {
+        r["n_nationkey"]: r["n_name"]
+        for r in read_table(sf_dir, "nation",
+                            columns=["n_nationkey", "n_name"]).take_all()
+    }
+    li = read_table(
+        sf_dir, "lineitem",
+        columns=["l_partkey", "l_suppkey", "l_quantity", "l_extendedprice"],
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cents = np.rint(
+            batch.column("l_extendedprice").to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        qty = np.rint(
+            batch.column("l_quantity").to_numpy(zero_copy_only=False)
+        ).astype(np.int64)
+        supp = batch.column("l_suppkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        um = (cents * 10) // qty
+        if int(um.max(initial=0)) >= (1 << (63 - SUPPKEY_BITS)) or int(
+                supp.max(initial=0)) >= (1 << SUPPKEY_BITS):
+            raise ValueError("cheapest_supplier_per_part: packing overflow "
+                             "(widen SUPPKEY_BITS for this universe)")
+        packed = (um << SUPPKEY_BITS) | supp
+        df = pd.DataFrame(
+            {"p_partkey": batch.column("l_partkey").to_numpy(zero_copy_only=False),
+             "packed": packed}
+        ).groupby("p_partkey", as_index=False)["packed"].min()
+        return from_pandas_clean(df)
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        packed = df["packed"].to_numpy()
+        um = packed >> SUPPKEY_BITS
+        supp = packed & ((1 << SUPPKEY_BITS) - 1)
+        out = pd.DataFrame({
+            "p_partkey": df["p_partkey"],
+            "s_suppkey": supp,
+            "s_name": [sup[k][0] for k in supp],
+            "nation": [nations[sup[k][1]] for k in supp],
+            "unit_price": um.astype("float64") / 1000.0,
+        })
+        return out.sort_values("p_partkey").reset_index(drop=True)
+
+    return grouped_agg(
+        li.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        keys=["p_partkey"],
+        specs=[("packed", "min", "packed")],
+        finalize=fin,
+    )
+
+
+# --------------------------------------------- CUSUM drift changepoints
+
+# Alarm when the positive CUSUM exceeds CUSUM_ALARM_PCT% of one mean day's
+# revenue — the cross-multiplied integer test S·100 > pct·total.
+CUSUM_ALARM_PCT = 20
+
+
+def cusum_changepoints(sf_dir: str):
+    """Per-event-type CUSUM drift detector over daily revenue (Page 1954):
+    S_i = max(0, S_{i-1} + x_i − mean). Computed exactly via the prefix
+    closed form — with D_i = n·x_i − total (all exact ints, the n-scaling
+    clears the mean's division), P = cumsum(D), S_i = P_i − min(0,
+    min_{j≤i} P_j); the recursion and the closed form are identical by
+    induction, and every comparison stays in integers.
+
+    Scale shape: the only exchange is the (type, day)-keyed grouped sum of
+    per-batch integer partials; the scan runs on the driver over the tiny
+    (days × types) frame — the same post-aggregate budget as
+    pareto_concentration. Alarm test is cross-multiplied ints; the reported
+    cusum is ONE int→double division (S / (n·100)), identical in SQL.
+
+    Output: (event_type, day, cusum, alarm) ordered by (event_type, day)."""
+
+    ev = read_table(sf_dir, "events", columns=["event_type", "ts", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "event_type": batch.column("event_type").to_pandas(),
+            "day": pc.strftime(batch.column("ts"), format="%Y-%m-%d").to_pandas(),
+            "c": np.rint(
+                batch.column("value").to_numpy(zero_copy_only=False) * 100
+            ).astype(np.int64),
+        }).groupby(["event_type", "day"], as_index=False)["c"].sum()
+        return from_pandas_clean(df)
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for etype, g in df.sort_values(["event_type", "day"]).groupby(
+                "event_type", sort=True):
+            c = [int(v) for v in g["c"]]  # python ints: n·x − total is exact
+            n, total = len(c), sum(c)
+            run, lo, s = 0, 0, []
+            for x in c:
+                run += n * x - total
+                lo = min(lo, run)
+                s.append(run - lo)
+            for day, sv in zip(g["day"], s):
+                rows.append({
+                    "event_type": etype, "day": day,
+                    "cusum": float(sv) / (n * 100.0),
+                    "alarm": sv * 100 > CUSUM_ALARM_PCT * total,
+                })
+        return pd.DataFrame(rows)
+
+    return grouped_agg(
+        ev.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        keys=["event_type", "day"],
+        specs=[("c", "sum", "c")],
+        finalize=fin,
+    )

@@ -1,0 +1,124 @@
+"""Structural unit tests for the session-9 operator wave (no Ray):
+edit-distance verifier, winnowing selection, CUSUM closed form, quantized
+Zipf OLS, Adamic-Adar hand-check, and the Q2 argmin packing order."""
+
+from __future__ import annotations
+
+import math
+import random
+
+from ocr_ray.ops.documents import (
+    ENTROPY_QLOG_SCALE,
+    _is_edit1,
+    winnow_select,
+)
+from ocr_ray.ops.graph import AA_QSCALE
+from ocr_ray.ops.relational import SUPPKEY_BITS
+
+
+def _levenshtein(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                           prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def test_is_edit1_matches_dp_levenshtein():
+    rng = random.Random(7)
+    alphabet = "abcd"
+    words = ["".join(rng.choice(alphabet) for _ in range(rng.randint(1, 6)))
+             for _ in range(120)]
+    for a in words:
+        for b in words:
+            assert _is_edit1(a, b) == (_levenshtein(a, b) == 1), (a, b)
+
+
+def test_winnow_select_rightmost_tie_and_dedup():
+    # windows of 4 over [5,3,3,7,1,1,2]: min ties pick the RIGHTMOST pos,
+    # adjacent windows picking the same gram collapse to one fingerprint
+    assert winnow_select([5, 3, 3, 7, 1, 1, 2], 4) == [(3, 3), (5, 1), (6, 1)]
+    # fewer grams than the window -> no fingerprints
+    assert winnow_select([1, 2, 3], 4) == []
+
+
+def test_winnow_select_matches_naive_reference():
+    rng = random.Random(11)
+    for _ in range(50):
+        hs = [rng.randint(-5, 5) for _ in range(rng.randint(4, 40))]
+        w = rng.randint(2, 6)
+        naive = set()
+        for j in range(len(hs) - w + 1):
+            win = hs[j:j + w]
+            m = min(win)
+            pos = j + max(i for i, v in enumerate(win) if v == m)
+            naive.add((pos + 1, m))
+        assert winnow_select(hs, w) == sorted(naive)
+
+
+def test_winnow_shared_run_guarantee():
+    # any K+W-1-gram shared run between two docs shares >= 1 fingerprint
+    rng = random.Random(3)
+    w = 4
+    shared = [rng.randint(-10**6, 10**6) for _ in range(12)]
+    a = [rng.randint(-10**6, 10**6) for _ in range(9)] + shared
+    b = shared + [rng.randint(-10**6, 10**6) for _ in range(7)]
+    fa = {h for _, h in winnow_select(a, w)}
+    fb = {h for _, h in winnow_select(b, w)}
+    assert fa & fb & set(shared)
+
+
+def test_cusum_closed_form_equals_recursion():
+    rng = random.Random(5)
+    for _ in range(30):
+        xs = [rng.randint(0, 500) for _ in range(rng.randint(1, 40))]
+        n, total = len(xs), sum(xs)
+        # engine closed form: P - min(0, running min P)
+        run, lo, closed = 0, 0, []
+        for x in xs:
+            run += n * x - total
+            lo = min(lo, run)
+            closed.append(run - lo)
+        # textbook recursion S_i = max(0, S_{i-1} + n·x_i − total)
+        s, rec = 0, []
+        for x in xs:
+            s = max(0, s + n * x - total)
+            rec.append(s)
+        assert closed == rec
+
+
+def test_zipf_quantized_ols_recovers_exact_line():
+    # counts following count = 2^16 / rank exactly give slope −1 after the
+    # log2 quantization (every point lands on the lattice exactly)
+    n = 64
+    xs = [round(math.log2(r) * ENTROPY_QLOG_SCALE) for r in range(1, n + 1)]
+    ys = [round(math.log2((1 << 16) / r) * ENTROPY_QLOG_SCALE)
+          for r in range(1, n + 1)]
+    sx, sy = sum(xs), sum(ys)
+    sxx = sum(x * x for x in xs)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    slope = float(n * sxy - sx * sy) / float(n * sxx - sx * sx)
+    assert abs(slope + 1.0) < 1e-9
+    intercept = (float(sy) - slope * float(sx)) / float(n)
+    assert abs(intercept - 16.0 * ENTROPY_QLOG_SCALE) < 2.0
+
+
+def test_adamic_adar_weight_has_no_round_half_boundary():
+    # power-of-two degrees give exact integer quotients; a .5 boundary
+    # would need 2^21/k odd, impossible for k <= 2^20 (see ops.graph)
+    for d in range(2, 4096):
+        q = AA_QSCALE / math.log2(d)
+        assert abs(q - math.floor(q) - 0.5) > 1e-9
+
+
+def test_cheapest_supplier_packing_is_lexicographic():
+    rng = random.Random(9)
+    pairs = [(rng.randint(0, 10**8), rng.randint(1, (1 << SUPPKEY_BITS) - 1))
+             for _ in range(500)]
+    packed = [(um << SUPPKEY_BITS) | sk for um, sk in pairs]
+    best = min(packed)
+    um, sk = best >> SUPPKEY_BITS, best & ((1 << SUPPKEY_BITS) - 1)
+    assert (um, sk) == min(pairs)
