@@ -43,6 +43,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # end of their group.
     return {
         # ---- round-4 additions (newest first)
+        "value_moments": r_ops.value_moments,
+        "value_mad": r_ops.value_mad,
+        "host_assortativity": g_ops.host_assortativity,
+        "host_reciprocity": g_ops.host_reciprocity,
+        "parts_never_shipped": r_ops.parts_never_shipped,
         "cheapest_supplier_per_part": r_ops.cheapest_supplier_per_part,
         "cusum_changepoints": r_ops.cusum_changepoints,
         "zipf_fit": d_ops.zipf_fit,
@@ -3943,6 +3948,89 @@ def _base_oracle_sql() -> dict[str, str]:
                CAST(sv AS DOUBLE) / (n * 100.0) AS cusum,
                (sv * 100 > total * {r_ops.CUSUM_ALARM_PCT}) AS alarm
         FROM s ORDER BY event_type, day
+    """
+    # dollar-quantized skew/kurtosis: exact HUGEINT central-moment
+    # numerators, the identical float expression chain (see op docstring)
+    sql["value_moments"] = """
+        WITH q AS (
+            SELECT event_type,
+                   CAST(round(value * 100) AS BIGINT) // 100 AS x
+            FROM events
+        ),
+        m AS (
+            SELECT event_type, CAST(COUNT(*) AS HUGEINT) AS n,
+                   CAST(SUM(x) AS HUGEINT) AS s1,
+                   CAST(SUM(x * x) AS HUGEINT) AS s2,
+                   CAST(SUM(x * x * x) AS HUGEINT) AS s3,
+                   CAST(SUM(x * x * x * x) AS HUGEINT) AS s4
+            FROM q GROUP BY event_type
+        ),
+        c AS (
+            SELECT event_type, n, s1,
+                   n * s2 - s1 * s1 AS num2,
+                   n * n * s3 - 3 * n * s1 * s2 + 2 * s1 * s1 * s1 AS num3,
+                   n * n * n * s4 - 4 * n * n * s1 * s3
+                       + 6 * n * s1 * s1 * s2 - 3 * s1 * s1 * s1 * s1 AS num4
+            FROM m
+        ),
+        d AS (
+            SELECT event_type, n, s1, num2, num3, num4,
+                   CAST(num2 AS DOUBLE) / CAST(n * n AS DOUBLE) AS m2
+            FROM c
+        )
+        SELECT event_type, CAST(n AS BIGINT) AS n_events,
+               CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mean_value,
+               CASE WHEN num2 > 0 THEN
+                    (CAST(num3 AS DOUBLE) / CAST(n * n * n AS DOUBLE))
+                    / pow(m2, 1.5) ELSE 0.0 END AS skewness,
+               CASE WHEN num2 > 0 THEN
+                    (CAST(num4 AS DOUBLE) / CAST(n * n * n * n AS DOUBLE))
+                    / (m2 * m2) - 3.0 ELSE 0.0 END AS kurtosis
+        FROM d ORDER BY event_type
+    """
+    # exact MAD: both medians are lower-nearest-rank picks (smallest value
+    # with cumulative count >= (n+1)//2) over the cents histogram
+    sql["value_mad"] = """
+        WITH h AS (
+            SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v,
+                   CAST(COUNT(*) AS BIGINT) AS c
+            FROM events GROUP BY event_type, v
+        ),
+        n AS (SELECT event_type, CAST(SUM(c) AS BIGINT) AS n FROM h
+              GROUP BY event_type),
+        cum AS (
+            SELECT h.event_type, h.v, n.n,
+                   SUM(h.c) OVER (PARTITION BY h.event_type ORDER BY h.v
+                       ROWS UNBOUNDED PRECEDING) AS cc
+            FROM h JOIN n USING (event_type)
+        ),
+        med AS (
+            SELECT event_type, MIN(v) AS med FROM cum
+            WHERE cc >= (n + 1) // 2 GROUP BY event_type
+        ),
+        dev AS (
+            SELECT h.event_type, abs(h.v - med.med) AS d,
+                   CAST(SUM(h.c) AS BIGINT) AS c
+            FROM h JOIN med USING (event_type) GROUP BY h.event_type, d
+        ),
+        dcum AS (
+            SELECT dev.event_type, dev.d, n.n,
+                   SUM(dev.c) OVER (PARTITION BY dev.event_type ORDER BY dev.d
+                       ROWS UNBOUNDED PRECEDING) AS cc
+            FROM dev JOIN n USING (event_type)
+        )
+        SELECT m.event_type, n.n AS n_events, m.med AS median_cents,
+               (SELECT MIN(d) FROM dcum
+                WHERE dcum.event_type = m.event_type
+                  AND cc >= (n.n + 1) // 2) AS mad_cents
+        FROM med m JOIN n USING (event_type) ORDER BY event_type
+    """
+    # dimension anti-join: parts with no shipped lineitem
+    sql["parts_never_shipped"] = """
+        SELECT p_partkey, p_brand, p_type, p_retailprice
+        FROM part
+        WHERE p_partkey NOT IN (SELECT DISTINCT l_partkey FROM lineitem)
+        ORDER BY p_partkey
     """
     # Zipf fit: quantized log2 points (token_entropy's no-half-boundary
     # argument), HUGEINT moments, the identical float slope/intercept

@@ -5821,13 +5821,14 @@ def edit1_pairs(sf_dir: str):
                          "word_b": pa.array(b_out, pa.string())})
 
     pairs = keyed.groupby("k").map_groups(bucket_pairs, batch_format="pyarrow")
-    # zero-row seed keeps the schema visible when no pair exists (an
-    # all-unique corpus tier must still present (word_a, word_b) columns)
+    out = distinct(pairs, ["word_a", "word_b"]).sort(["word_a", "word_b"])
+    # zero-row seed appended AFTER the sort: a sort/aggregate chain over an
+    # all-empty dataset yields no blocks and a None schema, which the
+    # correctness gate reads as a schema mismatch on an all-unique tier
     seed = ray.data.from_arrow(pa.table(
         {"word_a": pa.array([], pa.string()),
          "word_b": pa.array([], pa.string())}))
-    out = distinct(seed.union(pairs), ["word_a", "word_b"])
-    return out.sort(["word_a", "word_b"])
+    return out.union(seed)
 
 
 # ------------------------------------------- Schleimer winnowing (MOSS)

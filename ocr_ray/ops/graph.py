@@ -1575,3 +1575,131 @@ def adamic_adar_links(sf_dir: str) -> ray.data.Dataset:
     return joined.map_batches(
         fin, batch_format="pyarrow", zero_copy_batch=True
     ).sort(["host_a", "host_b"])
+
+
+# ---------------------------------------- degree assortativity / symmetry
+
+
+def host_assortativity(sf_dir: str) -> ray.data.Dataset:
+    """Degree assortativity of the undirected host link graph (Newman
+    2002): the Pearson correlation of endpoint degrees over every edge,
+    counted in both orientations. Positive r = hubs link hubs (organic
+    cores); strongly negative r = hub-and-spoke link farms — one number
+    next to host_degree_powerlaw's exponent and the rich-club curve.
+
+    Exactness contract: degrees are exact ints; the five moments over the
+    2E endpoint pairs are exact integer sums (unbounded int here, HUGEINT
+    in SQL); r is the identical float expression (one division over two
+    sqrt's of exact ints).
+
+    Scale shape: degrees come from one grouped count; each edge is scored
+    by a broadcast degree map (host-dimension sized) in a shuffle-free
+    pass; the moments collapse via per-batch partials to one tiny row.
+
+    Output: one row (n_edges, r_assortativity)."""
+    from .common import from_pandas_clean
+
+    edges = _canonical_edges(sf_dir).materialize()
+
+    deg_rows = grouped_agg(
+        edges.map_batches(
+            lambda b: from_pandas_clean(pd.DataFrame(
+                {"host": pd.concat([b.to_pandas()["a"], b.to_pandas()["b"]],
+                                   ignore_index=True)}
+            ).groupby("host", as_index=False).size().rename(
+                columns={"size": "degree"})),
+            batch_format="pyarrow", zero_copy_batch=True),
+        keys=["host"], specs=[("degree", "sum", "degree")],
+    ).take_all()
+    deg_ref = ray.put({r["host"]: r["degree"] for r in deg_rows})
+
+    def partial(batch: pa.Table, _d=deg_ref) -> pa.Table:
+        d = ray.get(_d)
+        df = batch.to_pandas()
+        da = df["a"].map(d).astype("int64")
+        db = df["b"].map(d).astype("int64")
+        # both orientations: Σk and Σj coincide, so track one side's sums
+        k = pd.concat([da, db], ignore_index=True)
+        j = pd.concat([db, da], ignore_index=True)
+        return pa.table({
+            "m": pa.array([len(k)], pa.int64()),
+            "sk": pa.array([int(k.sum())], pa.int64()),
+            "skk": pa.array([int((k * k).sum())], pa.int64()),
+            "skj": pa.array([int((k * j).sum())], pa.int64()),
+        })
+
+    sums = edges.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True).take_all()
+    m = sum(r["m"] for r in sums)
+    sk = sum(r["sk"] for r in sums)
+    skk = sum(r["skk"] for r in sums)
+    skj = sum(r["skj"] for r in sums)
+    # by both-orientation symmetry Σk = Σj and Σk² = Σj², so the two
+    # sqrt factors coincide and r reduces to ONE exact int→double division
+    num = m * skj - sk * sk
+    den = m * skk - sk * sk
+    r_val = float(num) / float(den) if den > 0 else 0.0
+    return ray.data.from_arrow(pa.table(
+        {"n_edges": pa.array([m // 2], pa.int64()),
+         "r_assortativity": pa.array([r_val], pa.float64())}
+    ))
+
+
+def host_reciprocity(sf_dir: str) -> ray.data.Dataset:
+    """Per-host link reciprocity over the DIRECTED distinct host link
+    graph: how many of a host's distinct outlinks point back — near-1
+    reciprocity at high degree is the mutual-backlink ring signature
+    (paid cross-linking), near-0 is organic citation.
+
+    Scale shape: distinct directed edges via one combiner distinct; the
+    reciprocation probe is a co-partitioned self-join on the reversed key
+    (never a broadcast of E); per-host counts collapse by grouped sum.
+    The fraction is one exact int→double division.
+
+    Output: (host, n_out, n_reciprocated, reciprocity) ordered by host."""
+    from .common import distinct, from_pandas_clean
+
+    rows = host_link_rows(sf_dir)
+
+    def canon(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df = df[df["src_host"] != df["dst_host"]]
+        return from_pandas_clean(
+            df[["src_host", "dst_host"]].drop_duplicates())
+
+    de = distinct(
+        rows.map_batches(canon, batch_format="pyarrow", zero_copy_batch=True),
+        ["src_host", "dst_host"],
+    ).materialize()
+    parts = max(4, choose_join_parts(sf_dir, floor=4))
+
+    rev = de.map_batches(
+        lambda b: pa.table({"src_host": b.column("dst_host"),
+                            "dst_host": b.column("src_host"),
+                            "back": pa.array([1] * b.num_rows, pa.int64())}),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    joined = de.join(rev, join_type="left_outer", num_partitions=parts,
+                     on=("src_host", "dst_host"))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        out = df.groupby("src_host", as_index=False).agg(
+            n_out=("dst_host", "size"),
+            n_reciprocated=("back", "count"),
+        )
+        return from_pandas_clean(out)
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        df["reciprocity"] = (df["n_reciprocated"].astype("float64")
+                             / df["n_out"].astype("float64"))
+        df = df.rename(columns={"src_host": "host"})
+        return df.sort_values("host").reset_index(drop=True)
+
+    return grouped_agg(
+        joined.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        keys=["src_host"],
+        specs=[("n_out", "sum", "n_out"),
+               ("n_reciprocated", "sum", "n_reciprocated")],
+        finalize=fin,
+    )

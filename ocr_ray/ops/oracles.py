@@ -2501,5 +2501,61 @@ def extra_oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         ORDER BY host_a, host_b
     """
 
+    # ---------------------------------------- corpus: host_assortativity
+    # endpoint-degree Pearson over both orientations; by symmetry the two
+    # sqrt factors coincide, so r is one exact int->double division
+    sql["host_assortativity"] = f"""
+        WITH {link_ctes},
+        und AS (
+            SELECT DISTINCT least(src_host, dst_host) AS a,
+                            greatest(src_host, dst_host) AS b
+            FROM links WHERE src_host <> dst_host
+        ),
+        deg AS (
+            SELECT host, CAST(COUNT(*) AS BIGINT) AS degree
+            FROM (SELECT a AS host FROM und UNION ALL SELECT b FROM und)
+            GROUP BY host
+        ),
+        pairs AS (
+            SELECT da.degree AS k, db.degree AS j
+            FROM und JOIN deg da ON da.host = und.a
+                     JOIN deg db ON db.host = und.b
+            UNION ALL
+            SELECT db.degree AS k, da.degree AS j
+            FROM und JOIN deg da ON da.host = und.a
+                     JOIN deg db ON db.host = und.b
+        ),
+        m AS (
+            SELECT CAST(COUNT(*) AS HUGEINT) AS m,
+                   CAST(SUM(k) AS HUGEINT) AS sk,
+                   CAST(SUM(k * k) AS HUGEINT) AS skk,
+                   CAST(SUM(k * j) AS HUGEINT) AS skj
+            FROM pairs
+        )
+        SELECT CAST(m // 2 AS BIGINT) AS n_edges,
+               CASE WHEN m * skk - sk * sk > 0 THEN
+                    CAST(m * skj - sk * sk AS DOUBLE)
+                    / CAST(m * skk - sk * sk AS DOUBLE)
+               ELSE 0.0 END AS r_assortativity
+        FROM m
+    """
+
+    # ---------------------------------------- corpus: host_reciprocity
+    sql["host_reciprocity"] = f"""
+        WITH {link_ctes},
+        de AS (
+            SELECT DISTINCT src_host, dst_host FROM links
+            WHERE src_host <> dst_host
+        )
+        SELECT d.src_host AS host,
+               CAST(COUNT(*) AS BIGINT) AS n_out,
+               CAST(COUNT(r.src_host) AS BIGINT) AS n_reciprocated,
+               CAST(COUNT(r.src_host) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+                   AS reciprocity
+        FROM de d
+        LEFT JOIN de r ON r.src_host = d.dst_host AND r.dst_host = d.src_host
+        GROUP BY d.src_host ORDER BY host
+    """
+
     sql.update(golden_oracles(sf_dir))
     return sql

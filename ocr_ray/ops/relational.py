@@ -4332,3 +4332,185 @@ def cusum_changepoints(sf_dir: str):
         specs=[("c", "sum", "c")],
         finalize=fin,
     )
+
+
+# ---------------------------------------- exact higher-moment statistics
+
+# Dollar-quantized values (cents // 100) bound Σx⁴ partials to int64: x ≤
+# ~10^3 ⟹ x⁴ ≤ 10^12, safe to ~9·10^6 rows per type at int64 — far above
+# the test tiers; the finalize raises loudly near the bound (beyond it,
+# split hi/lo accumulators, the dedup_winners packing discipline).
+MOMENT_S4_GUARD = 1 << 62
+
+
+def value_moments(sf_dir: str):
+    """Per-event-type skewness and excess kurtosis of the (dollar-
+    quantized) value distribution — the tail-shape audit next to
+    daily_event_anomalies' z-scores: heavy-tailed event types need
+    different outlier gates than symmetric ones.
+
+    Exactness contract: x = cents // 100 (exact floor both sides); the
+    four raw power sums are exact int64; the central-moment numerators
+    n²s3−3ns1s2+2s1³ and n³s4−4n²s1s3+6ns1²s2−3s1⁴ are unbounded-int
+    (HUGEINT in SQL, Python int here); skew/kurtosis are the identical
+    float expression chains over those exact integers.
+
+    Scale shape: per-batch integer partials collapse per type before the
+    tiny exchange; the moment algebra runs once over the per-type frame.
+
+    Output: (event_type, n_events, mean_value, skewness, kurtosis)."""
+    ev = read_table(sf_dir, "events", columns=["event_type", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cents = np.rint(
+            batch.column("value").to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        x = cents // 100
+        if x.size and int(x.max()) > 20_000:
+            # numpy int64 wraps silently: x⁴ partials need x ≤ ~2·10^4
+            raise ValueError("value_moments: value out of quantization "
+                             "range for int64 power sums")
+        df = pd.DataFrame({
+            "event_type": batch.column("event_type").to_pandas(),
+            "n": 1, "s1": x, "s2": x * x, "s3": x ** 3, "s4": x ** 4,
+        }).groupby("event_type", as_index=False).sum()
+        return from_pandas_clean(df)
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for r in df.sort_values("event_type").itertuples():
+            n, s1, s2, s3, s4 = (int(r.n), int(r.s1), int(r.s2),
+                                 int(r.s3), int(r.s4))
+            if s4 > MOMENT_S4_GUARD:
+                raise ValueError("value_moments: Σx⁴ near int64 bound — "
+                                 "split accumulators required at this scale")
+            num2 = n * s2 - s1 * s1
+            num3 = n * n * s3 - 3 * n * s1 * s2 + 2 * s1 ** 3
+            num4 = (n ** 3 * s4 - 4 * n * n * s1 * s3
+                    + 6 * n * s1 * s1 * s2 - 3 * s1 ** 4)
+            m2 = float(num2) / float(n * n)
+            skew = ((float(num3) / float(n ** 3)) / m2 ** 1.5
+                    if num2 > 0 else 0.0)
+            kurt = ((float(num4) / float(n ** 4)) / (m2 * m2) - 3.0
+                    if num2 > 0 else 0.0)
+            rows.append({
+                "event_type": r.event_type, "n_events": n,
+                "mean_value": float(s1) / float(n),
+                "skewness": skew, "kurtosis": kurt,
+            })
+        return pd.DataFrame(rows)
+
+    return grouped_agg(
+        ev.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        keys=["event_type"],
+        specs=[("n", "sum", "n"), ("s1", "sum", "s1"), ("s2", "sum", "s2"),
+               ("s3", "sum", "s3"), ("s4", "sum", "s4")],
+        finalize=fin,
+    )
+
+
+def value_mad(sf_dir: str):
+    """Per-event-type median absolute deviation of value cents — the
+    robust spread statistic (outlier-immune, unlike value_moments'
+    variance-family measures), computed EXACTLY and scale-safely from one
+    value histogram: per-batch (type, cents) counts collapse into a
+    distinct-value-sized exchange; both medians are lower-nearest-rank
+    picks (smallest v with cum ≥ (n+1)//2) over that histogram — the
+    deviation histogram is derived from the value histogram on the
+    driver, so the data is scanned ONCE (the length_percentiles
+    discipline, keyed by type).
+
+    Output: (event_type, n_events, median_cents, mad_cents)."""
+    ev = read_table(sf_dir, "events", columns=["event_type", "value"])
+
+    def hist(batch: pa.Table) -> pa.Table:
+        cents = np.rint(
+            batch.column("value").to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        df = pd.DataFrame({
+            "event_type": batch.column("event_type").to_pandas(), "v": cents,
+        }).groupby(["event_type", "v"], as_index=False).size().rename(
+            columns={"size": "c"})
+        return from_pandas_clean(df)
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for etype, g in df.sort_values(["event_type", "v"]).groupby(
+                "event_type", sort=True):
+            vs = g["v"].to_numpy()
+            cs = g["c"].to_numpy()
+            n = int(cs.sum())
+            rank = (n + 1) // 2
+            cum = np.cumsum(cs)
+            med = int(vs[np.searchsorted(cum, rank, side="left")])
+            dev = pd.DataFrame({"d": np.abs(vs - med), "c": cs}).groupby(
+                "d", as_index=False)["c"].sum().sort_values("d")
+            dcum = np.cumsum(dev["c"].to_numpy())
+            mad = int(dev["d"].to_numpy()[
+                np.searchsorted(dcum, rank, side="left")])
+            rows.append({"event_type": etype, "n_events": n,
+                         "median_cents": med, "mad_cents": mad})
+        return pd.DataFrame(rows)
+
+    return grouped_agg(
+        ev.map_batches(hist, batch_format="pyarrow", zero_copy_batch=True),
+        keys=["event_type", "v"],
+        specs=[("c", "sum", "c")],
+        finalize=fin,
+    )
+
+
+def parts_never_shipped(sf_dir: str):
+    """Dimension rows with no facts: parts that never appear in lineitem
+    (the reverse direction of referential_audit's fact→dimension checks) —
+    the dead-inventory anti-join.
+
+    Scale shape: the shipped-partkey side collapses to a distinct
+    dimension-sized key set (combiner distinct) BEFORE the co-partitioned
+    LEFT OUTER join against part; only keys cross the exchange, and the
+    join is part-dimension sized on both inputs.
+
+    Output: (p_partkey, p_brand, p_type, p_retailprice) ordered."""
+    from .common import choose_join_parts
+
+    part = read_table(
+        sf_dir, "part",
+        columns=["p_partkey", "p_brand", "p_type", "p_retailprice"])
+    shipped = distinct(
+        read_table(sf_dir, "lineitem", columns=["l_partkey"]).map_batches(
+            lambda b: b.group_by(["l_partkey"]).aggregate([]),
+            batch_format="pyarrow", zero_copy_batch=True),
+        ["l_partkey"],
+    ).map_batches(
+        lambda b: pa.table({"p_partkey": b.column("l_partkey"),
+                            "seen": pa.array([1] * b.num_rows, pa.int64())}),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    parts = max(4, choose_join_parts(sf_dir, "part", "lineitem"))
+    joined = part.join(shipped, join_type="left_outer",
+                       num_partitions=parts, on=("p_partkey",))
+
+    def fin(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df = df[df["seen"].isna()]
+        # typed arrays, not from_pandas: an empty pandas frame degrades
+        # string columns to null type and poisons the union's schema unify
+        return pa.table({
+            "p_partkey": pa.array(df["p_partkey"].tolist(), pa.int64()),
+            "p_brand": pa.array(df["p_brand"].tolist(), pa.string()),
+            "p_type": pa.array(df["p_type"].tolist(), pa.string()),
+            "p_retailprice": pa.array(
+                df["p_retailprice"].tolist(), pa.float64()),
+        })
+
+    # zero-row seed appended AFTER the sort: a sort over an all-empty
+    # dataset yields no blocks and a None schema, which the correctness
+    # gate reads as a schema mismatch on tiers where every part shipped
+    seed = ray.data.from_arrow(pa.table(
+        {"p_partkey": pa.array([], pa.int64()),
+         "p_brand": pa.array([], pa.string()),
+         "p_type": pa.array([], pa.string()),
+         "p_retailprice": pa.array([], pa.float64())}))
+    out = joined.map_batches(
+        fin, batch_format="pyarrow", zero_copy_batch=True).sort("p_partkey")
+    return out.union(seed)

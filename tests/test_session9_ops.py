@@ -122,3 +122,51 @@ def test_cheapest_supplier_packing_is_lexicographic():
     best = min(packed)
     um, sk = best >> SUPPKEY_BITS, best & ((1 << SUPPKEY_BITS) - 1)
     assert (um, sk) == min(pairs)
+
+
+def test_value_moments_algebra_matches_float_reference():
+    rng = random.Random(13)
+    xs = [rng.randint(0, 900) for _ in range(500)]
+    n, s1 = len(xs), sum(xs)
+    s2 = sum(x * x for x in xs)
+    s3 = sum(x ** 3 for x in xs)
+    s4 = sum(x ** 4 for x in xs)
+    num2 = n * s2 - s1 * s1
+    num3 = n * n * s3 - 3 * n * s1 * s2 + 2 * s1 ** 3
+    num4 = n ** 3 * s4 - 4 * n * n * s1 * s3 + 6 * n * s1 * s1 * s2 - 3 * s1 ** 4
+    m2 = float(num2) / float(n * n)
+    skew = (float(num3) / float(n ** 3)) / m2 ** 1.5
+    kurt = (float(num4) / float(n ** 4)) / (m2 * m2) - 3.0
+    mu = s1 / n
+    m2f = sum((x - mu) ** 2 for x in xs) / n
+    m3f = sum((x - mu) ** 3 for x in xs) / n
+    m4f = sum((x - mu) ** 4 for x in xs) / n
+    assert abs(skew - m3f / m2f ** 1.5) < 1e-9
+    assert abs(kurt - (m4f / m2f ** 2 - 3.0)) < 1e-9
+
+
+def test_mad_nearest_rank_matches_direct():
+    rng = random.Random(17)
+    for _ in range(40):
+        xs = [rng.randint(-50, 50) for _ in range(rng.randint(1, 99))]
+        n = len(xs)
+        rank = (n + 1) // 2
+        med = sorted(xs)[rank - 1]  # lower-nearest-rank median
+        mad = sorted(abs(x - med) for x in xs)[rank - 1]
+        # histogram route (the engine's): cumulative counts over values
+        import collections
+        h = collections.Counter(xs)
+        cum = 0
+        for v in sorted(h):
+            cum += h[v]
+            if cum >= rank:
+                med_h = v
+                break
+        d = collections.Counter(abs(x - med_h) for x in xs)
+        cum = 0
+        for v in sorted(d):
+            cum += d[v]
+            if cum >= rank:
+                mad_h = v
+                break
+        assert (med_h, mad_h) == (med, mad)
