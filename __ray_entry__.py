@@ -43,6 +43,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # end of their group.
     return {
         # ---- round-4 additions (newest first)
+        "ink_components": m_ops.ink_components,
         "value_moments": r_ops.value_moments,
         "value_mad": r_ops.value_mad,
         "host_assortativity": g_ops.host_assortativity,

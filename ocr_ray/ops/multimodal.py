@@ -1005,3 +1005,168 @@ def block_word_counts(sf_dir: str) -> ray.data.Dataset:
         specs=[("n_words", "sum", "n_words")],
         finalize=fin,
     )
+
+
+# -------------------------------------- ink connected-component labeling
+
+# Page gate bounds the oracle's recursive-CTE closure (and is part of the
+# query's definition, not a silent cap): only urls with crc32(url) %
+# INK_DOC_MOD == 0 are labeled. Ink = pixel < raster.BACKGROUND, the
+# corner_points convention.
+INK_DOC_MOD = 16
+
+
+class InkRunWorker:
+    """Actor-pool stage: page PNG → horizontal ink runs (page_key, run_id,
+    y, x0, x1). run_id is the row-major scan index — deterministic, so the
+    dump and any rerun agree byte-for-byte."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import zlib
+
+        cols: dict[str, list] = {"page_key": [], "run_id": [],
+                                 "y": [], "x0": [], "x1": []}
+        urls = batch.column("url").to_pylist()
+        tss = batch.column("warc_ts").to_pylist()
+        pages = batch.column("page_no").to_pylist()
+        for url, ts, page_no, png in zip(urls, tss, pages,
+                                         batch.column("page_png").to_pylist()):
+            if zlib.crc32(url.encode()) % INK_DOC_MOD:
+                continue
+            try:
+                img = raster.png_decode(png)
+            except Exception:  # noqa: BLE001 — undecodable page: skip
+                continue
+            ink = img < raster.BACKGROUND
+            # warc_ts in the key: re-crawled urls are DISTINCT pages (the
+            # _explode_images_ts discipline — colliding keys would overlay
+            # two crawls' runs under one labeling)
+            key = f"{url}@{ts}#{page_no}"
+            rid = 0
+            for y in range(ink.shape[0]):
+                row = ink[y]
+                if not row.any():
+                    continue
+                # run boundaries from the 0-padded diff: starts at +1
+                # transitions, ends at -1 transitions (exclusive)
+                d = np.flatnonzero(np.diff(
+                    np.concatenate(([0], row.view(np.int8), [0]))))
+                for x0, x1 in zip(d[::2], d[1::2]):
+                    cols["page_key"].append(key)
+                    cols["run_id"].append(rid)
+                    cols["y"].append(int(y))
+                    cols["x0"].append(int(x0))
+                    cols["x1"].append(int(x1) - 1)
+                    rid += 1
+        return pa.table(
+            {"page_key": pa.array(cols["page_key"], pa.string()),
+             "run_id": pa.array(cols["run_id"], pa.int64()),
+             "y": pa.array(cols["y"], pa.int64()),
+             "x0": pa.array(cols["x0"], pa.int64()),
+             "x1": pa.array(cols["x1"], pa.int64())}
+        )
+
+
+def ink_run_rows(sf_dir: str) -> ray.data.Dataset:
+    """Per gated OCR-branch page: horizontal ink runs over the DECODED
+    pixels — the per-record stage of ink_components and its oracle
+    artifact (the oracle recomputes the CONNECTIVITY independently from
+    these runs with a recursive min-label closure in SQL)."""
+    ds = ray.data.read_parquet(
+        pages_corpus(sf_dir), columns=["url", "warc_ts", "html"])
+    ds = ds.map_batches(_explode_images_ts, batch_format="pyarrow",
+                        zero_copy_batch=True)
+    return ds.map_batches(
+        InkRunWorker,
+        batch_format="pyarrow",
+        batch_size=32,
+        concurrency=small_pool(),
+        num_cpus=1,
+    )
+
+
+def label_runs(runs: list[tuple[int, int, int, int]]) -> list[int]:
+    """4-connected component labels for row-major (run_id-ordered) ink
+    runs (y, x0, x1, run_id triples as produced by InkRunWorker): classic
+    run-based two-pass union-find; two runs connect iff on adjacent rows
+    with overlapping column spans. Returns the component id (min run_id
+    in the component) per run, in input order."""
+    parent = list(range(len(runs)))
+
+    def find(i: int) -> int:
+        while parent[i] != i:
+            parent[i] = parent[parent[i]]
+            i = parent[i]
+        return i
+
+    def union(i: int, j: int) -> None:
+        ri, rj = find(i), find(j)
+        if ri != rj:
+            if ri > rj:
+                ri, rj = rj, ri
+            parent[rj] = ri
+
+    # rows are contiguous in run_id order; two-pointer over adjacent rows
+    from collections import defaultdict
+
+    by_row: dict[int, list[int]] = defaultdict(list)
+    for idx, (y, _x0, _x1, _rid) in enumerate(runs):
+        by_row[y].append(idx)
+    for y, idxs in by_row.items():
+        nxt = by_row.get(y + 1)
+        if not nxt:
+            continue
+        # interval-intersection merge: both rows ascend in x0 (run_id is
+        # row-major), advance whichever run ends first
+        i = j = 0
+        while i < len(idxs) and j < len(nxt):
+            _, ax0, ax1, _ = runs[idxs[i]]
+            _, bx0, bx1, _ = runs[nxt[j]]
+            if ax1 >= bx0 and bx1 >= ax0:
+                union(idxs[i], nxt[j])
+            if ax1 <= bx1:
+                i += 1
+            else:
+                j += 1
+    # canonical label = min run_id in the component (root after
+    # min-directed unions)
+    return [runs[find(i)][3] for i in range(len(runs))]
+
+
+def ink_components(sf_dir: str) -> ray.data.Dataset:
+    """Connected ink components per gated OCR page — the glyph/blob count
+    a layout engine sanity-checks segmentation against (a page whose
+    component count collapses to 1 is a scan artifact; thousands of
+    1-pixel components are noise).
+
+    Scale shape: pixels collapse to run rows inside the decode actor pool
+    (never cross an exchange); labeling is per-page union-find over the
+    page's runs inside map_groups — each group is one page, bounded by
+    page area. The SQL oracle recomputes connectivity INDEPENDENTLY: a
+    run-adjacency self-join plus a recursive min-label closure over the
+    dumped runs.
+
+    Output: (page_key, n_runs, n_components, largest_px) per gated page,
+    ordered by page_key."""
+
+    rows = ink_run_rows(sf_dir)
+
+    def per_page(group: pa.Table) -> pa.Table:
+        df = group.to_pandas().sort_values("run_id")
+        runs = list(zip(df["y"].astype(int), df["x0"].astype(int),
+                        df["x1"].astype(int), df["run_id"].astype(int)))
+        labels = label_runs(runs)
+        from collections import defaultdict
+
+        size: dict[int, int] = defaultdict(int)
+        for (y, x0, x1, _rid), lab in zip(runs, labels):
+            size[lab] += x1 - x0 + 1
+        return pa.table(
+            {"page_key": pa.array([df["page_key"].iloc[0]], pa.string()),
+             "n_runs": pa.array([len(runs)], pa.int64()),
+             "n_components": pa.array([len(size)], pa.int64()),
+             "largest_px": pa.array([max(size.values())], pa.int64())}
+        )
+
+    return rows.groupby("page_key").map_groups(
+        per_page, batch_format="pyarrow").sort("page_key")

@@ -65,6 +65,7 @@ def ensure_artifacts(sf_dir: str) -> dict[str, str]:
         "media_hashes": os.path.join(root, "media_hashes"),
         "crops": os.path.join(root, "crops"),
         "page_dhash": os.path.join(root, "page_dhash"),
+        "ink_runs": os.path.join(root, "ink_runs"),
         "doc_compress": os.path.join(root, "doc_compress"),
         "frame_lums": os.path.join(root, "frame_lums"),
         "knn_edges": os.path.join(root, "knn_edges"),
@@ -157,6 +158,11 @@ def ensure_artifacts(sf_dir: str) -> dict[str, str]:
     # -- per-page perceptual dHash rows — image_dhash_dups' oracle
     # recomputes the band bucketing + capped pair verification from this
     mm.page_dhash_rows(sf_dir).write_parquet(paths["page_dhash"])
+
+    # -- per-page horizontal ink runs — ink_components' oracle recomputes
+    # the CONNECTIVITY from this dump (run-adjacency join + recursive
+    # min-label closure; the pixel decode itself has no SQL form)
+    mm.ink_run_rows(sf_dir).write_parquet(paths["ink_runs"])
 
     # -- per-doc zlib sizes — compression_ratio_stats' oracle recomputes
     # the per-source rollup from this dump (zlib has no SQL form)

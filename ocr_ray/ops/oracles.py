@@ -2557,5 +2557,54 @@ def extra_oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         GROUP BY d.src_host ORDER BY host
     """
 
+    # ---------------------------------------- artifact: ink_components
+    # independent connectivity recomputation: 4-adjacency edges from a
+    # run self-join (next row, overlapping spans), component id = min
+    # run_id via a recursive min-label closure (pairs pruned to
+    # comp < run_id — a larger label can never improve the MIN, and the
+    # smallest label still transits through higher-id runs)
+    ink_runs = f"{a['ink_runs']}/*.parquet"
+    sql["ink_components"] = f"""
+        WITH RECURSIVE r AS (
+            SELECT page_key, run_id, y, x0, x1
+            FROM read_parquet('{ink_runs}')
+        ),
+        e0 AS (
+            SELECT a.page_key, a.run_id AS ra, b.run_id AS rb
+            FROM r a JOIN r b
+              ON b.page_key = a.page_key AND b.y = a.y + 1
+             AND b.x0 <= a.x1 AND b.x1 >= a.x0
+        ),
+        e AS (
+            SELECT page_key, ra, rb FROM e0
+            UNION ALL SELECT page_key, rb AS ra, ra AS rb FROM e0
+        ),
+        lab AS (
+            SELECT page_key, run_id, run_id AS comp FROM r
+            UNION
+            SELECT e.page_key, e.ra AS run_id, lab.comp
+            FROM lab JOIN e
+              ON lab.page_key = e.page_key AND lab.run_id = e.rb
+            WHERE lab.comp < e.ra
+        ),
+        comp AS (
+            SELECT page_key, run_id, MIN(comp) AS comp
+            FROM lab GROUP BY page_key, run_id
+        ),
+        sized AS (
+            SELECT c.page_key, c.comp,
+                   CAST(SUM(r.x1 - r.x0 + 1) AS BIGINT) AS px
+            FROM comp c JOIN r ON r.page_key = c.page_key
+                            AND r.run_id = c.run_id
+            GROUP BY c.page_key, c.comp
+        )
+        SELECT page_key,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM r
+                WHERE r.page_key = s.page_key) AS n_runs,
+               CAST(COUNT(*) AS BIGINT) AS n_components,
+               CAST(MAX(px) AS BIGINT) AS largest_px
+        FROM sized s GROUP BY page_key ORDER BY page_key
+    """
+
     sql.update(golden_oracles(sf_dir))
     return sql

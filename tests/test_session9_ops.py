@@ -170,3 +170,51 @@ def test_mad_nearest_rank_matches_direct():
                 mad_h = v
                 break
         assert (med_h, mad_h) == (med, mad)
+
+
+def test_label_runs_matches_flood_fill():
+    import numpy as np
+
+    from ocr_ray.ops.multimodal import label_runs
+
+    def brute(ink):
+        h, w = ink.shape
+        seen = np.zeros_like(ink, dtype=bool)
+        sizes = []
+        for y in range(h):
+            for x in range(w):
+                if ink[y, x] and not seen[y, x]:
+                    stack = [(y, x)]
+                    seen[y, x] = True
+                    s = 0
+                    while stack:
+                        cy, cx = stack.pop()
+                        s += 1
+                        for dy, dx in ((1, 0), (-1, 0), (0, 1), (0, -1)):
+                            ny, nx = cy + dy, cx + dx
+                            if (0 <= ny < h and 0 <= nx < w
+                                    and ink[ny, nx] and not seen[ny, nx]):
+                                seen[ny, nx] = True
+                                stack.append((ny, nx))
+                    sizes.append(s)
+        return len(sizes), max(sizes, default=0)
+
+    rng = random.Random(21)
+    for _ in range(150):
+        h, w = rng.randint(1, 12), rng.randint(1, 12)
+        ink = np.array([[rng.random() < 0.45 for _ in range(w)]
+                        for _ in range(h)])
+        runs = []
+        rid = 0
+        for y in range(h):
+            d = np.flatnonzero(np.diff(np.concatenate(
+                ([0], ink[y].view(np.int8), [0]))))
+            for x0, x1 in zip(d[::2], d[1::2]):
+                runs.append((y, int(x0), int(x1) - 1, rid))
+                rid += 1
+        labels = label_runs(runs)
+        import collections
+        size = collections.defaultdict(int)
+        for (y, x0, x1, _), lab in zip(runs, labels):
+            size[lab] += x1 - x0 + 1
+        assert (len(size), max(size.values(), default=0)) == brute(ink)
