@@ -43,6 +43,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # end of their group.
     return {
         # ---- round-4 additions (newest first)
+        "q10_returned_customers": r_ops.q10_returned_customers,
+        "shard_compaction_plan": r_ops.shard_compaction_plan,
+        "markov_stationary": r_ops.markov_stationary,
         "ink_components": m_ops.ink_components,
         "value_moments": r_ops.value_moments,
         "value_mad": r_ops.value_mad,
@@ -52,7 +55,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cheapest_supplier_per_part": r_ops.cheapest_supplier_per_part,
         "cusum_changepoints": r_ops.cusum_changepoints,
         "zipf_fit": d_ops.zipf_fit,
-        "edit1_pairs": d_ops.edit1_pairs,
         "winnowing_fingerprints": d_ops.winnowing_fingerprints,
         "adamic_adar_links": g_ops.adamic_adar_links,
         "product_profit": r_ops.product_profit,
@@ -229,6 +231,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fuzzy_search": x_ops.fuzzy_search,
         "semdedup_prune": e_ops.semdedup_prune,
         "perplexity_buckets": d_ops.perplexity_buckets,
+        # long-runner (full word-index recompute): last in its group
+        "edit1_pairs": d_ops.edit1_pairs,
         # ---- round 2-4 suite: corpus hygiene, graph, raster, NER (not yet
         # in a driver CORRECTNESS snapshot as of r03)
         "pii_scrub": x_ops.pii_scrub,
@@ -574,6 +578,52 @@ def _kmeans_quality_sql() -> str:
         JOIN v USING (vec_id)
         JOIN c{k} c ON c.cid = b.cid
         GROUP BY b.cid ORDER BY cluster"""
+
+
+def _markov_stationary_sql() -> str:
+    """markov_stationary unrolled: each round's mass-flow CTE performs the
+    identical per-term quantized floor division (v·c)//r summed exactly,
+    with the dangling-type self-loop — the same K honest rounds as
+    ops.relational.markov_power_iterate (iteration-unrolled discipline)."""
+    scale = r_ops.MARKOV_SCALE
+    parts = [f"""
+        WITH seq AS (
+            SELECT user_id, event_type,
+                   lead(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+            FROM events
+        ),
+        c AS MATERIALIZED (
+            SELECT event_type AS i, nxt AS j, CAST(COUNT(*) AS BIGINT) AS n
+            FROM seq WHERE nxt IS NOT NULL GROUP BY 1, 2
+        ),
+        r AS MATERIALIZED (
+            SELECT i, CAST(SUM(n) AS BIGINT) AS tot FROM c GROUP BY i
+        ),
+        ty AS MATERIALIZED (SELECT DISTINCT event_type AS t FROM events),
+        v0 AS MATERIALIZED (
+            SELECT t, CAST({scale} // (SELECT COUNT(*) FROM ty) AS BIGINT)
+                AS v
+            FROM ty)"""]
+    for k in range(1, r_ops.MARKOV_POWER_ROUNDS + 1):
+        p = f"v{k - 1}"
+        parts.append(f""",
+        v{k} AS MATERIALIZED (
+            SELECT ty.t,
+                   COALESCE((SELECT CAST(SUM((p.v * c.n) // r.tot) AS BIGINT)
+                             FROM {p} p JOIN c ON c.i = p.t
+                             JOIN r ON r.i = p.t
+                             WHERE c.j = ty.t), 0)
+                   + COALESCE((SELECT p.v FROM {p} p
+                               WHERE p.t = ty.t
+                                 AND p.t NOT IN (SELECT i FROM r)), 0) AS v
+            FROM ty)""")
+    parts.append(f"""
+        SELECT t AS event_type,
+               CAST(v AS DOUBLE) / {float(scale)} AS stationary
+        FROM v{r_ops.MARKOV_POWER_ROUNDS} ORDER BY event_type
+    """)
+    return "".join(parts)
 
 
 def _base_oracle_sql() -> dict[str, str]:
@@ -4026,6 +4076,55 @@ def _base_oracle_sql() -> dict[str, str]:
                   AND cc >= (n.n + 1) // 2) AS mad_cents
         FROM med m JOIN n USING (event_type) ORDER BY event_type
     """
+    # Q10 shape: returned revenue per customer, exact 1e-4 ints to the end
+    sql["q10_returned_customers"] = f"""
+        WITH rev AS (
+            SELECT l_orderkey,
+                   SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+                       * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                       AS rev4
+            FROM lineitem WHERE l_returnflag = 'R' GROUP BY l_orderkey
+        ),
+        pc AS (
+            SELECT o.o_custkey, CAST(SUM(rev4) AS BIGINT) AS rev4
+            FROM rev JOIN orders o ON o.o_orderkey = rev.l_orderkey
+            GROUP BY o.o_custkey
+        )
+        SELECT c.c_custkey, c.c_name, n.n_name AS nation,
+               CAST(rev4 AS DOUBLE) / 10000.0 AS revenue
+        FROM pc
+        JOIN customer c ON c.c_custkey = pc.o_custkey
+        JOIN nation n ON n.n_nationkey = c.c_nationkey
+        ORDER BY rev4 DESC, c.c_custkey LIMIT {r_ops.Q10_TOP_K}
+    """
+    # greedy sequential compaction replayed as a lockstep recursive CTE
+    # (st row i = accumulator state AFTER file i; a file's group is the
+    # state BEFORE it, i.e. row i-1's)
+    sql["shard_compaction_plan"] = f"""
+        WITH RECURSIVE f AS (
+            SELECT doc_id // {r_ops.COMPACT_DOCS_PER_FILE} AS file_id,
+                   CAST(SUM(n_chars) AS BIGINT) AS bytes
+            FROM documents GROUP BY 1
+        ),
+        o AS (
+            SELECT file_id, bytes,
+                   row_number() OVER (ORDER BY file_id) AS i
+            FROM f
+        ),
+        st AS (
+            SELECT 0 AS i, CAST(0 AS BIGINT) AS gid, CAST(0 AS BIGINT) AS cum
+            UNION ALL
+            SELECT o.i,
+                   CASE WHEN st.cum + o.bytes >= {r_ops.COMPACT_TARGET_CHARS}
+                        THEN st.gid + 1 ELSE st.gid END,
+                   CASE WHEN st.cum + o.bytes >= {r_ops.COMPACT_TARGET_CHARS}
+                        THEN CAST(0 AS BIGINT) ELSE st.cum + o.bytes END
+            FROM st JOIN o ON o.i = st.i + 1
+        )
+        SELECT o.file_id, o.bytes, st.gid AS group_id
+        FROM o JOIN st ON st.i = o.i - 1
+        ORDER BY o.file_id
+    """
     # dimension anti-join: parts with no shipped lineitem
     sql["parts_never_shipped"] = """
         SELECT p_partkey, p_brand, p_type, p_retailprice
@@ -4033,6 +4132,7 @@ def _base_oracle_sql() -> dict[str, str]:
         WHERE p_partkey NOT IN (SELECT DISTINCT l_partkey FROM lineitem)
         ORDER BY p_partkey
     """
+    sql["markov_stationary"] = _markov_stationary_sql()
     # Zipf fit: quantized log2 points (token_entropy's no-half-boundary
     # argument), HUGEINT moments, the identical float slope/intercept
     # expressions

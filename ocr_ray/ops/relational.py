@@ -4465,44 +4465,36 @@ def parts_never_shipped(sf_dir: str):
     (the reverse direction of referential_audit's fact→dimension checks) —
     the dead-inventory anti-join.
 
-    Scale shape: the shipped-partkey side collapses to a distinct
-    dimension-sized key set (combiner distinct) BEFORE the co-partitioned
-    LEFT OUTER join against part; only keys cross the exchange, and the
-    join is part-dimension sized on both inputs.
+    Scale shape: a broadcast-hash ANTI-join — the shipped-partkey side is
+    bounded by the part DIMENSION (distinct keys ≤ |part|), so it
+    collapses via per-block distinct, ships once with ray.put, and the
+    part scan filters against it shuffle-free (the J1 discipline; a
+    co-partitioned join here pays an exchange to move a dimension-sized
+    set, measured 4x slower at sf0.01).
 
     Output: (p_partkey, p_brand, p_type, p_retailprice) ordered."""
-    from .common import choose_join_parts
-
-    part = read_table(
-        sf_dir, "part",
-        columns=["p_partkey", "p_brand", "p_type", "p_retailprice"])
-    shipped = distinct(
+    shipped_rows = distinct(
         read_table(sf_dir, "lineitem", columns=["l_partkey"]).map_batches(
             lambda b: b.group_by(["l_partkey"]).aggregate([]),
             batch_format="pyarrow", zero_copy_batch=True),
         ["l_partkey"],
-    ).map_batches(
-        lambda b: pa.table({"p_partkey": b.column("l_partkey"),
-                            "seen": pa.array([1] * b.num_rows, pa.int64())}),
-        batch_format="pyarrow", zero_copy_batch=True,
-    )
-    parts = max(4, choose_join_parts(sf_dir, "part", "lineitem"))
-    joined = part.join(shipped, join_type="left_outer",
-                       num_partitions=parts, on=("p_partkey",))
+    ).take_all()
+    shipped_ref = ray.put(frozenset(r["l_partkey"] for r in shipped_rows))
 
-    def fin(batch: pa.Table) -> pa.Table:
-        df = batch.to_pandas()
-        df = df[df["seen"].isna()]
-        # typed arrays, not from_pandas: an empty pandas frame degrades
-        # string columns to null type and poisons the union's schema unify
-        return pa.table({
-            "p_partkey": pa.array(df["p_partkey"].tolist(), pa.int64()),
-            "p_brand": pa.array(df["p_brand"].tolist(), pa.string()),
-            "p_type": pa.array(df["p_type"].tolist(), pa.string()),
-            "p_retailprice": pa.array(
-                df["p_retailprice"].tolist(), pa.float64()),
-        })
+    part = read_table(
+        sf_dir, "part",
+        columns=["p_partkey", "p_brand", "p_type", "p_retailprice"])
 
+    def fin(batch: pa.Table, _s=shipped_ref) -> pa.Table:
+        shipped = ray.get(_s)
+        keep = pa.array(
+            [k not in shipped for k in batch.column("p_partkey").to_pylist()],
+            pa.bool_(),
+        )
+        return batch.filter(keep)
+
+    out = part.map_batches(
+        fin, batch_format="pyarrow", zero_copy_batch=True).sort("p_partkey")
     # zero-row seed appended AFTER the sort: a sort over an all-empty
     # dataset yields no blocks and a None schema, which the correctness
     # gate reads as a schema mismatch on tiers where every part shipped
@@ -4511,6 +4503,203 @@ def parts_never_shipped(sf_dir: str):
          "p_brand": pa.array([], pa.string()),
          "p_type": pa.array([], pa.string()),
          "p_retailprice": pa.array([], pa.float64())}))
-    out = joined.map_batches(
-        fin, batch_format="pyarrow", zero_copy_batch=True).sort("p_partkey")
     return out.union(seed)
+
+
+# ------------------------------------------------- Q10 returned-revenue
+
+Q10_TOP_K = 20
+
+
+def q10_returned_customers(sf_dir: str):
+    """Top customers by revenue lost to returned items (TPC-H Q10's
+    shape, widened from one quarter to the full window): lineitems with
+    l_returnflag = 'R', revenue rolled up per customer, top Q10_TOP_K by
+    (revenue DESC, custkey).
+
+    Scale shape: the returned lineitems collapse to per-(orderkey, block)
+    integer partials before ONE co-partitioned join against orders
+    (fact-to-fact on orderkey — orders is NOT broadcastable at crawl
+    scale); the per-customer rollup is a second grouped sum;
+    customer/nation names are broadcast dimensions applied in the
+    single-task finalize. Revenue stays exact 1e-4 ints until one final
+    division.
+
+    Output: (c_custkey, c_name, nation, revenue) ordered by revenue DESC,
+    custkey."""
+    from .common import choose_join_parts
+
+    cust = {
+        r["c_custkey"]: (r["c_name"], r["c_nationkey"])
+        for r in read_table(sf_dir, "customer",
+                            columns=["c_custkey", "c_name", "c_nationkey"]
+                            ).take_all()
+    }
+    nations = {
+        r["n_nationkey"]: r["n_name"]
+        for r in read_table(sf_dir, "nation",
+                            columns=["n_nationkey", "n_name"]).take_all()
+    }
+
+    li = read_table(
+        sf_dir, "lineitem",
+        columns=["l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"],
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        mask = pc.equal(batch.column("l_returnflag"), "R")
+        batch = batch.filter(mask)
+        df = pd.DataFrame({
+            "l_orderkey": batch.column("l_orderkey").to_numpy(zero_copy_only=False),
+            "rev4": _rev4(batch).to_pandas().to_numpy(),
+        }).groupby("l_orderkey", as_index=False)["rev4"].sum()
+        return from_pandas_clean(df)
+
+    per_order = grouped_agg(
+        li.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        keys=["l_orderkey"], specs=[("rev4", "sum", "rev4")],
+    )
+    orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    parts = max(4, choose_join_parts(sf_dir, "lineitem", "orders"))
+    joined = per_order.join(
+        orders, join_type="inner", num_partitions=parts,
+        on=("l_orderkey",), right_on=("o_orderkey",),
+    )
+
+    def cust_partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas().groupby("o_custkey", as_index=False)["rev4"].sum()
+        return from_pandas_clean(df)
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["rev4", "o_custkey"],
+                            ascending=[False, True]).head(Q10_TOP_K)
+        out = pd.DataFrame({
+            "c_custkey": df["o_custkey"],
+            "c_name": [cust[k][0] for k in df["o_custkey"]],
+            "nation": [nations[cust[k][1]] for k in df["o_custkey"]],
+            "revenue": df["rev4"].astype("float64") / 10000.0,
+        })
+        return out.reset_index(drop=True)
+
+    return grouped_agg(
+        joined.map_batches(cust_partial, batch_format="pyarrow",
+                           zero_copy_batch=True),
+        keys=["o_custkey"], specs=[("rev4", "sum", "rev4")],
+        finalize=fin,
+    )
+
+
+# -------------------------------------------- small-files compaction plan
+
+COMPACT_DOCS_PER_FILE = 10
+COMPACT_TARGET_CHARS = 40_000
+
+
+def shard_compaction_plan(sf_dir: str):
+    """Small-files compaction planner: documents roll up into fixed
+    doc-id-bucketed "files" (doc_id // COMPACT_DOCS_PER_FILE), and the
+    planner assigns files, in file order, to output groups by greedy
+    sequential coalescing — a group closes as soon as its accumulated
+    bytes reach COMPACT_TARGET_CHARS. The everyday lakehouse maintenance
+    op (Iceberg/Delta compaction) expressed over the corpus.
+
+    Exactness: sizes are exact int sums; the greedy scan is a lockstep
+    recursion replayed by the SQL oracle as a recursive CTE (the
+    max_value_schedule discipline) — the plan is bit-identical by
+    construction, no floats anywhere.
+
+    Scale shape: the corpus collapses to file-bucket sizes via one grouped
+    sum (file-count-sized); the scan runs on the driver over that tiny
+    frame. (A truly unbounded file list plans per key-range partition and
+    concatenates — the boundary files per range are the only cross-range
+    coupling.)
+
+    Output: (file_id, bytes, group_id) ordered by file_id."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "n_chars"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({
+            "file_id": ids // COMPACT_DOCS_PER_FILE,
+            "bytes": batch.column("n_chars").to_numpy(zero_copy_only=False),
+        }).groupby("file_id", as_index=False)["bytes"].sum()
+        return from_pandas_clean(df)
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("file_id").reset_index(drop=True)
+        gids = []
+        gid, cum = 0, 0
+        for b in df["bytes"]:
+            gids.append(gid)
+            cum += int(b)
+            if cum >= COMPACT_TARGET_CHARS:
+                gid += 1
+                cum = 0
+        df["group_id"] = pd.Series(gids, dtype="int64")
+        return df[["file_id", "bytes", "group_id"]]
+
+    return grouped_agg(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        keys=["file_id"], specs=[("bytes", "sum", "bytes")],
+        finalize=fin,
+    )
+
+
+# --------------------------------------- Markov stationary distribution
+
+# Quantized power iteration: the probability vector is carried as exact
+# int64 mass out of MARKOV_SCALE, each round's flow is the per-term floor
+# division (v·c)//r summed exactly — deterministic and order-free, so the
+# unrolled SQL twin reproduces it bit-for-bit. Dangling types keep their
+# mass (self-loop rule).
+MARKOV_SCALE = 1 << 40
+MARKOV_POWER_ROUNDS = 8
+
+
+def markov_power_iterate(
+    types: list[str],
+    counts: dict[tuple[str, str], int],
+    rounds: int = MARKOV_POWER_ROUNDS,
+) -> dict[str, int]:
+    """The quantized iteration shared by the engine (and mirrored, term
+    for term, by the unrolled oracle CTEs): v0 = MARKOV_SCALE // T per
+    type; v'[j] = Σ_i (v[i]·c[i,j]) // r[i] + (v[j] if r[j] == 0)."""
+    totals: dict[str, int] = {}
+    for (i, _j), n in counts.items():
+        totals[i] = totals.get(i, 0) + n
+    v = {t: MARKOV_SCALE // len(types) for t in types}
+    for _ in range(rounds):
+        nxt = {t: 0 for t in types}
+        for (i, j), n in counts.items():
+            nxt[j] += (v[i] * n) // totals[i]
+        for t in types:
+            if t not in totals:
+                nxt[t] += v[t]
+        v = nxt
+    return v
+
+
+def markov_stationary(sf_dir: str):
+    """Stationary distribution of the per-user event-type Markov chain
+    (power iteration over markov_transitions' counts) — where a user's
+    session mix converges, the one-vector summary a traffic model
+    simulates from.
+
+    Scale shape: the transition counts are the distributed part
+    (markov_transitions' salted-partition pair scan); the chain itself is
+    |types|² — the iteration runs on the driver in exact quantized
+    integer arithmetic (see markov_power_iterate) and the SQL oracle
+    unrolls the same rounds as CTEs. One int→double division reports the
+    probability.
+
+    Output: (event_type, stationary) ordered by event_type."""
+    rows = markov_transitions(sf_dir).take_all()
+    counts = {(r["from_type"], r["to_type"]): int(r["n"]) for r in rows}
+    types = sorted(read_table(sf_dir, "events", columns=["event_type"])
+                   .unique("event_type"))
+    v = markov_power_iterate(types, counts)
+    return ray.data.from_arrow(pa.table({
+        "event_type": pa.array(types, pa.string()),
+        "stationary": pa.array(
+            [v[t] / float(MARKOV_SCALE) for t in types], pa.float64()),
+    }))

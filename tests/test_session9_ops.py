@@ -218,3 +218,43 @@ def test_label_runs_matches_flood_fill():
         for (y, x0, x1, _), lab in zip(runs, labels):
             size[lab] += x1 - x0 + 1
         assert (len(size), max(size.values(), default=0)) == brute(ink)
+
+
+def test_markov_power_iterate_conserves_and_converges():
+    from ocr_ray.ops.relational import MARKOV_SCALE, markov_power_iterate
+
+    # two-state chain with known stationary (2/3, 1/3): P = [[.5,.5],[1,0]]
+    counts = {("a", "a"): 1, ("a", "b"): 1, ("b", "a"): 2}
+    v = markov_power_iterate(["a", "b"], counts, rounds=40)
+    total = sum(v.values())
+    # floor divisions only ever LOSE mass, and only a few units per round
+    assert MARKOV_SCALE - total < 40 * 4
+    assert abs(v["a"] / MARKOV_SCALE - 2 / 3) < 1e-3
+    assert abs(v["b"] / MARKOV_SCALE - 1 / 3) < 1e-3
+    # dangling type keeps its mass via the self-loop rule
+    v2 = markov_power_iterate(["a", "b", "z"], counts, rounds=5)
+    assert v2["z"] == MARKOV_SCALE // 3
+
+
+def test_compaction_greedy_groups_are_contiguous_and_capped():
+    from ocr_ray.ops.relational import COMPACT_TARGET_CHARS
+
+    rng = random.Random(23)
+    sizes = [rng.randint(1000, 30000) for _ in range(60)]
+    gid, cum, gids = 0, 0, []
+    for b in sizes:
+        gids.append(gid)
+        cum += b
+        if cum >= COMPACT_TARGET_CHARS:
+            gid, cum = gid + 1, 0
+    # groups are contiguous ascending
+    assert gids == sorted(gids)
+    # every CLOSED group reached the target; all groups below target
+    # before their closing file
+    import collections
+    per = collections.defaultdict(list)
+    for g, b in zip(gids, sizes):
+        per[g].append(b)
+    for g in range(gid):  # all but the (possibly open) last group
+        assert sum(per[g]) >= COMPACT_TARGET_CHARS
+        assert sum(per[g][:-1]) < COMPACT_TARGET_CHARS
