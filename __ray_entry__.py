@@ -43,6 +43,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # end of their group.
     return {
         # ---- round-4 additions (newest first)
+        "trustrank_hosts": g_ops.trustrank_hosts,
+        "winnow_dup_pairs": d_ops.winnow_dup_pairs,
         "q10_returned_customers": r_ops.q10_returned_customers,
         "shard_compaction_plan": r_ops.shard_compaction_plan,
         "markov_stationary": r_ops.markov_stationary,

@@ -5903,3 +5903,59 @@ def winnowing_fingerprints(sf_dir: str):
         )
 
     return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ------------------------------------------- winnowing dup-pair rollup
+
+WINNOW_PAIR_MIN = 2
+
+
+def winnow_dup_pairs(sf_dir: str):
+    """Near-duplicate doc pairs by shared winnowing fingerprints (the MOSS
+    match step over :func:`winnowing_fingerprints`): two docs sharing >=
+    WINNOW_PAIR_MIN distinct selected fingerprints overlap in at least
+    that many K+W-1-token runs — the position-robust complement to
+    minhash's set-similarity screen.
+
+    Scale shape: (doc_id, fp) rows distinct-collapse first (positions
+    drop out — a fingerprint shared twice within one doc counts once);
+    pairs form per fingerprint group under the standard deterministic
+    member cap; the per-pair rollup is a grouped sum. Only int pairs
+    cross the exchanges.
+
+    Output: (doc_a, doc_b, n_shared) with doc_a < doc_b, ordered."""
+    from .common import cap_bucket_members, distinct
+
+    rows = winnowing_fingerprints(sf_dir)
+    df = distinct(
+        rows.map_batches(lambda b: b.select(["doc_id", "fp"]),
+                         batch_format="pyarrow", zero_copy_batch=True),
+        ["doc_id", "fp"],
+    )
+
+    def bucket_pairs(group: pa.Table) -> pa.Table:
+        ids = sorted(group.column("doc_id").to_pylist())
+        keep = cap_bucket_members(
+            len(ids), "winnow_dup_pairs",
+            group.column("fp")[0].as_py() if group.num_rows else None)
+        ids = ids[:keep]
+        a_out: list[int] = []
+        b_out: list[int] = []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                a_out.append(ids[i])
+                b_out.append(ids[j])
+        return pa.table({"doc_a": pa.array(a_out, pa.int64()),
+                         "doc_b": pa.array(b_out, pa.int64()),
+                         "one": pa.array([1] * len(a_out), pa.int64())})
+
+    pairs = df.groupby("fp").map_groups(bucket_pairs, batch_format="pyarrow")
+
+    def fin(frame: pd.DataFrame) -> pd.DataFrame:
+        frame = frame[frame["n_shared"] >= WINNOW_PAIR_MIN]
+        return frame.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+
+    return grouped_agg(
+        pairs, keys=["doc_a", "doc_b"],
+        specs=[("n_shared", "sum", "one")], finalize=fin,
+    )

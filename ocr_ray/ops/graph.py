@@ -1703,3 +1703,72 @@ def host_reciprocity(sf_dir: str) -> ray.data.Dataset:
                ("n_reciprocated", "sum", "n_reciprocated")],
         finalize=fin,
     )
+
+
+# ------------------------------------------------- TrustRank (seeded PR)
+
+# Quantized personalized PageRank: rank mass is exact int64 out of
+# TRUST_SCALE; per-edge flow is (v·w)//outw, damping is (85·flow)//100,
+# teleport goes ONLY to the seed set — every operation is integer, so the
+# unrolled SQL twin reproduces the rounds bit-for-bit (no round-6
+# float-summation absorption needed, unlike pagerank_hosts).
+TRUST_SCALE = 1 << 40
+TRUST_ITERS = 6
+TRUST_SEEDS = 4  # lexicographically-lowest host names (declared seed rule)
+TRUST_DAMP_PCT = 85
+
+
+def trustrank_power_iterate(
+    edges: list[tuple[str, str, int]],
+    hosts: list[str],
+    rounds: int = TRUST_ITERS,
+) -> dict[str, int]:
+    """The quantized TrustRank rounds shared by the engine and mirrored
+    term-for-term by the unrolled oracle CTEs. Dangling mass is dropped
+    (the pagerank_hosts simple-variant declaration)."""
+    seeds = sorted(hosts)[:TRUST_SEEDS]
+    tele = ((100 - TRUST_DAMP_PCT) * (TRUST_SCALE // len(seeds))) // 100
+    outw: dict[str, int] = {}
+    for s, _d, w in edges:
+        outw[s] = outw.get(s, 0) + w
+    v = {h: (TRUST_SCALE // len(seeds) if h in seeds else 0) for h in hosts}
+    for _ in range(rounds):
+        flow = {h: 0 for h in hosts}
+        for s, d, w in edges:
+            flow[d] += (v[s] * w) // outw[s]
+        v = {h: (TRUST_DAMP_PCT * flow[h]) // 100
+             + (tele if h in seeds else 0) for h in hosts}
+    return v
+
+
+def trustrank_hosts(sf_dir: str) -> ray.data.Dataset:
+    """TrustRank over the weighted host link graph (Gyöngyi, Garcia-Molina
+    & Pedersen 2004): PageRank whose teleport is restricted to a trusted
+    seed set, so rank decays with link distance from the seeds — the
+    classic link-spam demotion signal next to pagerank_hosts' neutral
+    centrality. Seeds: the TRUST_SEEDS lexicographically-lowest hosts
+    (deterministic stand-in for a human-audited whitelist).
+
+    Scale shape: the graph is the already-aggregated HOST dimension
+    (combiner-collapsed by host_link_graph, never page-level); below the
+    pagerank single-pass cap the rounds run on the driver over the edge
+    array (per-round Ray job overhead dwarfs the math — the
+    _pagerank_single_pass law); a larger graph takes the distributed
+    join-per-round shape pagerank_hosts already implements, which this
+    variant guards with a loud cap error rather than silently collecting.
+
+    Output: (host, trust) ordered by host; one division at the end."""
+    rows = host_link_graph(sf_dir).take_all()
+    if len(rows) > PR_SINGLE_PASS_EDGE_CAP:
+        raise ValueError(
+            "trustrank_hosts: edge count above the single-pass cap — route "
+            "through the pagerank_hosts distributed iteration shape")
+    edges = [(r["src_host"], r["dst_host"], int(r["n_links"])) for r in rows]
+    hosts = sorted({r["src_host"] for r in rows}
+                   | {r["dst_host"] for r in rows})
+    v = trustrank_power_iterate(edges, hosts)
+    return ray.data.from_arrow(pa.table({
+        "host": pa.array(hosts, pa.string()),
+        "trust": pa.array([v[h] / float(TRUST_SCALE) for h in hosts],
+                          pa.float64()),
+    }))

@@ -2433,6 +2433,22 @@ def extra_oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         SELECT DISTINCT doc_id, pos, fp FROM sel ORDER BY doc_id, pos
     """
 
+    # ---------------------------------------- documents: winnow_dup_pairs
+    # same selection chain; pairs share a fingerprint VALUE (positions
+    # dropped by the distinct), rolled up per doc pair
+    from .documents import WINNOW_PAIR_MIN
+
+    _winnow_head = sql["winnowing_fingerprints"][
+        : sql["winnowing_fingerprints"].rindex("SELECT DISTINCT")]
+    sql["winnow_dup_pairs"] = _winnow_head + f""",
+        sel2 AS (SELECT DISTINCT doc_id, fp FROM sel)
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(COUNT(*) AS BIGINT) AS n_shared
+        FROM sel2 a JOIN sel2 b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        GROUP BY doc_a, doc_b HAVING COUNT(*) >= {WINNOW_PAIR_MIN}
+        ORDER BY doc_a, doc_b
+    """
+
     # ---------------------------------------- artifact: edit1_pairs
     # vocabulary counts from the word-index dump; the blocking+match stage
     # is re-verified with DuckDB's own levenshtein over the bounded
@@ -2605,6 +2621,61 @@ def extra_oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
                CAST(MAX(px) AS BIGINT) AS largest_px
         FROM sized s GROUP BY page_key ORDER BY page_key
     """
+
+    # ---------------------------------------- corpus: trustrank_hosts
+    # quantized seeded-PageRank rounds unrolled (the iteration-unrolled
+    # discipline): per-edge flow (v·w)//outw, damping (85·flow)//100,
+    # teleport only to the seed set — every term the exact integer twin
+    # of ops.graph.trustrank_power_iterate
+    from .graph import TRUST_DAMP_PCT, TRUST_ITERS, TRUST_SCALE, TRUST_SEEDS
+
+    _tr = [f"""
+        WITH {link_ctes},
+        hosts AS MATERIALIZED (
+            SELECT DISTINCT host FROM (
+                SELECT src_host AS host FROM edges
+                UNION ALL SELECT dst_host FROM edges)
+        ),
+        seeds AS MATERIALIZED (
+            SELECT host FROM hosts ORDER BY host LIMIT {TRUST_SEEDS}
+        ),
+        sc AS MATERIALIZED (
+            SELECT CAST({TRUST_SCALE} // COUNT(*) AS BIGINT) AS init,
+                   CAST(((100 - {TRUST_DAMP_PCT})
+                         * ({TRUST_SCALE} // COUNT(*))) // 100 AS BIGINT)
+                       AS tele
+            FROM seeds
+        ),
+        ow AS MATERIALIZED (
+            SELECT src_host, CAST(SUM(n_links) AS BIGINT) AS outw
+            FROM edges GROUP BY src_host
+        ),
+        v0 AS MATERIALIZED (
+            SELECT h.host,
+                   CASE WHEN h.host IN (SELECT host FROM seeds)
+                        THEN (SELECT init FROM sc) ELSE CAST(0 AS BIGINT) END
+                       AS v
+            FROM hosts h)"""]
+    for k in range(1, TRUST_ITERS + 1):
+        _tr.append(f""",
+        v{k} AS MATERIALIZED (
+            SELECT h.host,
+                   ({TRUST_DAMP_PCT} * COALESCE(
+                       (SELECT CAST(SUM((p.v * e.n_links) // ow.outw)
+                                    AS BIGINT)
+                        FROM v{k - 1} p
+                        JOIN edges e ON e.src_host = p.host
+                        JOIN ow ON ow.src_host = p.host
+                        WHERE e.dst_host = h.host), 0)) // 100
+                   + CASE WHEN h.host IN (SELECT host FROM seeds)
+                          THEN (SELECT tele FROM sc)
+                          ELSE CAST(0 AS BIGINT) END AS v
+            FROM hosts h)""")
+    _tr.append(f"""
+        SELECT host, CAST(v AS DOUBLE) / {float(TRUST_SCALE)} AS trust
+        FROM v{TRUST_ITERS} ORDER BY host
+    """)
+    sql["trustrank_hosts"] = "".join(_tr)
 
     sql.update(golden_oracles(sf_dir))
     return sql

@@ -258,3 +258,26 @@ def test_compaction_greedy_groups_are_contiguous_and_capped():
     for g in range(gid):  # all but the (possibly open) last group
         assert sum(per[g]) >= COMPACT_TARGET_CHARS
         assert sum(per[g][:-1]) < COMPACT_TARGET_CHARS
+
+
+def test_trustrank_concentrates_on_seed_neighborhood():
+    from ocr_ray.ops.graph import (
+        TRUST_SCALE, TRUST_SEEDS, trustrank_power_iterate,
+    )
+
+    # star A: seeds a0..a3 link hub h; isolated far pair x->y gets no
+    # teleport and only decaying pass-through mass
+    hosts = ["a0", "a1", "a2", "a3", "h", "x", "y"]
+    edges = [("a0", "h", 1), ("a1", "h", 1), ("a2", "h", 1),
+             ("a3", "h", 1), ("x", "y", 1)]
+    v = trustrank_power_iterate(edges, hosts)
+    assert sorted(hosts)[:TRUST_SEEDS] == ["a0", "a1", "a2", "a3"]
+    # hub receives damped seed mass; the disconnected pair decays to ~0
+    assert v["h"] > TRUST_SCALE // 10
+    assert v["y"] == 0 and v["x"] == 0
+    # seeds keep their teleport floor
+    tele = ((100 - 85) * (TRUST_SCALE // 4)) // 100
+    for s in ("a0", "a1", "a2", "a3"):
+        assert v[s] >= tele
+    # deterministic
+    assert v == trustrank_power_iterate(edges, hosts)
