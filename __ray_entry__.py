@@ -43,6 +43,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # end of their group.
     return {
         # ---- round-4 additions (newest first)
+        "bpe_fertility": d_ops.bpe_fertility,
         "trustrank_hosts": g_ops.trustrank_hosts,
         "winnow_dup_pairs": d_ops.winnow_dup_pairs,
         "q10_returned_customers": r_ops.q10_returned_customers,
@@ -4135,6 +4136,34 @@ def _base_oracle_sql() -> dict[str, str]:
         ORDER BY p_partkey
     """
     sql["markov_stationary"] = _markov_stationary_sql()
+    # tokenizer fertility: the bpe_apply_merges encode chain, token count
+    # = '(' occurrences, exact int sums per lang, two final divisions
+    sql["bpe_fertility"] = f"""
+        WITH enc AS (
+            SELECT lang,
+                   CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT)
+                       AS w,
+                   CAST(length({_bpe_replace_chain()})
+                        - length(replace({_bpe_replace_chain()}, '(', ''))
+                        AS BIGINT) AS t,
+                   CAST(length(array_to_string(
+                        regexp_extract_all(text, '\\S+'), '')) AS BIGINT)
+                       AS c
+            FROM documents
+        ),
+        m AS (
+            SELECT lang, CAST(SUM(w) AS BIGINT) AS n_words,
+                   CAST(SUM(t) AS BIGINT) AS n_tokens,
+                   CAST(SUM(c) AS BIGINT) AS n_chars
+            FROM enc GROUP BY lang
+        )
+        SELECT lang, n_words, n_tokens, n_chars,
+               CAST(n_tokens AS DOUBLE) / CAST(n_words AS DOUBLE)
+                   AS tokens_per_word,
+               CAST(n_chars AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+                   AS chars_per_token
+        FROM m ORDER BY lang
+    """
     # Zipf fit: quantized log2 points (token_entropy's no-half-boundary
     # argument), HUGEINT moments, the identical float slope/intercept
     # expressions

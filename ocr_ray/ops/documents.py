@@ -5959,3 +5959,58 @@ def winnow_dup_pairs(sf_dir: str):
         pairs, keys=["doc_a", "doc_b"],
         specs=[("n_shared", "sum", "one")], finalize=fin,
     )
+
+
+def bpe_fertility(sf_dir: str):
+    """Per-language tokenizer fertility of the fixed BPE merge table:
+    tokens-per-word and chars-per-token after encoding — the metric that
+    prices each language's share of a token budget (a high-fertility
+    language eats more sequence length per word, so mixture weights and
+    max-length choices hang off this number).
+
+    Exactness: word/token/char counts are exact int sums (the
+    bpe_apply_merges encode semantics, shared verbatim with the SQL
+    replace chain); each ratio is ONE int→double division. Chars count
+    the raw \\S+ token characters (delimiters excluded), identical on
+    both sides.
+
+    Scale shape: shuffle-free encode map → per-batch (lang, counts)
+    partials → one language-sized grouped sum.
+
+    Output: (lang, n_words, n_tokens, n_chars, tokens_per_word,
+    chars_per_token) ordered by lang."""
+    ds = read_table(sf_dir, "documents", columns=["lang", "text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        agg: dict[str, list[int]] = {}
+        langs = batch.column("lang").to_pylist()
+        for lang, text in zip(langs, batch.column("text").to_pylist()):
+            toks = text.split()
+            s = "".join(f"({t})" for t in toks)
+            for x, y in BPE_MERGES:
+                s = s.replace(f"({x})({y})", f"({x}+{y})")
+            a = agg.setdefault(lang, [0, 0, 0])
+            a[0] += len(toks)
+            a[1] += s.count("(")
+            a[2] += sum(len(t) for t in toks)
+        return pa.table(
+            {"lang": pa.array(list(agg), pa.string()),
+             "n_words": pa.array([v[0] for v in agg.values()], pa.int64()),
+             "n_tokens": pa.array([v[1] for v in agg.values()], pa.int64()),
+             "n_chars": pa.array([v[2] for v in agg.values()], pa.int64())}
+        )
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        df["tokens_per_word"] = (df["n_tokens"].astype("float64")
+                                 / df["n_words"].astype("float64"))
+        df["chars_per_token"] = (df["n_chars"].astype("float64")
+                                 / df["n_tokens"].astype("float64"))
+        return df.sort_values("lang").reset_index(drop=True)
+
+    return grouped_agg(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        keys=["lang"],
+        specs=[("n_words", "sum", "n_words"), ("n_tokens", "sum", "n_tokens"),
+               ("n_chars", "sum", "n_chars")],
+        finalize=fin,
+    )
