@@ -43,6 +43,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # end of their group.
     return {
         # ---- round-4 additions (newest first)
+        "host_bowtie": g_ops.host_bowtie,
+        "video_keyframes": m_ops.video_keyframes,
         "bpe_fertility": d_ops.bpe_fertility,
         "trustrank_hosts": g_ops.trustrank_hosts,
         "winnow_dup_pairs": d_ops.winnow_dup_pairs,

@@ -1772,3 +1772,110 @@ def trustrank_hosts(sf_dir: str) -> ray.data.Dataset:
         "trust": pa.array([v[h] / float(TRUST_SCALE) for h in hosts],
                           pa.float64()),
     }))
+
+
+# ------------------------------------------------- bowtie decomposition
+
+
+def host_bowtie(sf_dir: str) -> ray.data.Dataset:
+    """Bowtie decomposition of the directed host link graph (Broder et
+    al. 2000, "Graph structure in the Web"): every host classified as
+    CORE (the largest SCC), IN (reaches the core, not in it), OUT
+    (reached from the core, not in it), or OTHER (tendrils, tubes and
+    disconnected mass — declared as one class so both engines apply the
+    same four-way rule). The macro-shape audit of a crawl: a healthy
+    broad crawl shows all four regions; a single-seed crawl collapses
+    into CORE+OUT.
+
+    Scale shape: the host_scc dimension-side law — distinct directed
+    edges are site-count sized; Tarjan plus two BFS sweeps (forward from
+    the core, backward over reversed edges) run once on the driver over
+    that edge list; only the {host → class} map broadcasts and the host
+    spine labels distributed. Largest SCC ties break to the MIN scc_id
+    (deterministic; mirrored by the oracle's (size DESC, scc_id) pick).
+
+    Output: (host, scc_id, bowtie_class) ordered by host."""
+    from collections import deque
+
+    from .common import distinct, from_pandas_clean
+
+    rows = host_link_rows(sf_dir)
+
+    def directed(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df = df[df["src_host"] != df["dst_host"]]
+        return from_pandas_clean(
+            df.rename(columns={"src_host": "s", "dst_host": "d"})
+            [["s", "d"]].drop_duplicates()
+        )
+
+    edges_ds = distinct(
+        rows.map_batches(directed, batch_format="pyarrow", zero_copy_batch=True),
+        ["s", "d"],
+    )
+    edge_list = [(r["s"], r["d"]) for r in edges_ds.take_all()]
+    label = _tarjan_scc(edge_list)
+
+    nodes_all = {s for s, _ in edge_list} | {d for _, d in edge_list}
+    scc_of = {h: label.get(h, h) for h in nodes_all}
+    sizes: dict[str, int] = {}
+    for h, c in scc_of.items():
+        sizes[c] = sizes.get(c, 0) + 1
+    core_id = min((c for c in sizes),
+                  key=lambda c: (-sizes[c], c))
+    core = {h for h, c in scc_of.items() if c == core_id}
+
+    fwd: dict[str, list[str]] = {}
+    bwd: dict[str, list[str]] = {}
+    for s, d in edge_list:
+        fwd.setdefault(s, []).append(d)
+        bwd.setdefault(d, []).append(s)
+
+    def sweep(adj: dict[str, list[str]]) -> set[str]:
+        seen = set(core)
+        q = deque(core)
+        while q:
+            u = q.popleft()
+            for v in adj.get(u, ()):
+                if v not in seen:
+                    seen.add(v)
+                    q.append(v)
+        return seen
+
+    reached_out = sweep(fwd)     # core ∪ OUT
+    reaches_core = sweep(bwd)    # core ∪ IN
+
+    cls = {}
+    for h in nodes_all:
+        if h in core:
+            cls[h] = "CORE"
+        elif h in reaches_core:
+            cls[h] = "IN"
+        elif h in reached_out:
+            cls[h] = "OUT"
+        else:
+            cls[h] = "OTHER"
+    cls_ref = ray.put((scc_of, cls))
+
+    def node_rows(batch: pa.Table) -> pa.Table:
+        src = batch.column("src_host").combine_chunks()
+        dst = batch.column("dst_host").combine_chunks()
+        return pa.table({"host": pa.concat_arrays([src, dst])})
+
+    nodes = distinct(
+        rows.map_batches(node_rows, batch_format="pyarrow", zero_copy_batch=True),
+        ["host"],
+    )
+
+    def lab(batch: pa.Table) -> pa.Table:
+        scc_m, cls_m = ray.get(cls_ref)
+        hosts = batch.column("host").to_pylist()
+        return pa.table(
+            {"host": batch.column("host"),
+             "scc_id": pa.array([scc_m.get(h, h) for h in hosts], pa.string()),
+             "bowtie_class": pa.array(
+                 [cls_m.get(h, "OTHER") for h in hosts], pa.string())}
+        )
+
+    return nodes.map_batches(
+        lab, batch_format="pyarrow", zero_copy_batch=True).sort("host")

@@ -1170,3 +1170,63 @@ def ink_components(sf_dir: str) -> ray.data.Dataset:
 
     return rows.groupby("page_key").map_groups(
         per_page, batch_format="pyarrow").sort("page_key")
+
+
+def video_keyframes(sf_dir: str) -> ray.data.Dataset:
+    """Keyframe selection over the sampled frame stream: frames split
+    into scenes at the video_scene_changes cut points (a frame whose
+    luminance jump from its predecessor reaches SCENE_CUT_MLUM starts a
+    new scene), and each scene contributes its MIDDLE sampled frame
+    (lower ordinal median — the standard position-based keyframe rule,
+    exact and resolution-free). The thumbnail/dedup representative
+    every video curation pipeline extracts per shot.
+
+    Scale shape: frames group per vid_id (bounded by one video's
+    length); scene ids are one vectorized cumsum of cut flags; only one
+    row per scene leaves the task. The SQL twin LAGs + window-sums over
+    the dumped per-frame integer sums.
+
+    Output: (vid_id, scene_id, n_frames, key_frame_idx, key_mlum)
+    ordered by (vid_id, scene_id)."""
+    rows = frame_lum_rows(sf_dir)
+
+    def keyframes(group: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = group.to_pandas().sort_values("frame_idx")
+        mlum = (df["lum_sum"].to_numpy() * 1000) // df["n_pix"].to_numpy()
+        idx = df["frame_idx"].to_numpy()
+        if len(idx) == 0:
+            return pa.table(
+                {"vid_id": pa.array([], pa.int64()),
+                 "scene_id": pa.array([], pa.int64()),
+                 "n_frames": pa.array([], pa.int64()),
+                 "key_frame_idx": pa.array([], pa.int64()),
+                 "key_mlum": pa.array([], pa.int64())}
+            )
+        cut = np.zeros(len(idx), dtype=np.int64)
+        if len(idx) > 1:
+            cut[1:] = (np.abs(np.diff(mlum)) >= SCENE_CUT_MLUM).astype(np.int64)
+        scene = np.cumsum(cut)
+        vid = int(df["vid_id"].iloc[0])
+        out: dict[str, list[int]] = {k: [] for k in
+                                     ("scene_id", "n_frames",
+                                      "key_frame_idx", "key_mlum")}
+        for sc in np.unique(scene):
+            sel = np.flatnonzero(scene == sc)
+            k = sel[(len(sel) + 1) // 2 - 1]  # lower ordinal median
+            out["scene_id"].append(int(sc))
+            out["n_frames"].append(len(sel))
+            out["key_frame_idx"].append(int(idx[k]))
+            out["key_mlum"].append(int(mlum[k]))
+        n = len(out["scene_id"])
+        return pa.table(
+            {"vid_id": pa.array([vid] * n, pa.int64()),
+             "scene_id": pa.array(out["scene_id"], pa.int64()),
+             "n_frames": pa.array(out["n_frames"], pa.int64()),
+             "key_frame_idx": pa.array(out["key_frame_idx"], pa.int64()),
+             "key_mlum": pa.array(out["key_mlum"], pa.int64())}
+        )
+
+    return rows.groupby("vid_id").map_groups(
+        keyframes, batch_format="pyarrow").sort(["vid_id", "scene_id"])

@@ -2677,5 +2677,90 @@ def extra_oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
     """)
     sql["trustrank_hosts"] = "".join(_tr)
 
+    # ---------------------------------------- corpus: host_bowtie
+    # host_scc's closure reused: CORE = largest SCC ((size DESC, scc_id)
+    # pick), IN reaches a core member, OUT is reached from one, OTHER =
+    # tendrils/tubes/disconnected as one declared class
+    sql["host_bowtie"] = f"""
+        WITH RECURSIVE {link_ctes},
+        de AS (
+            SELECT DISTINCT src_host AS s, dst_host AS d
+            FROM links WHERE src_host <> dst_host
+        ),
+        nodes AS (
+            SELECT DISTINCT src_host AS h FROM links
+            UNION SELECT DISTINCT dst_host FROM links
+        ),
+        reach(a, b) AS (
+            SELECT s, d FROM de
+            UNION
+            SELECT r.a, de.d FROM reach r JOIN de ON de.s = r.b
+        ),
+        mutual AS (
+            SELECT r1.a AS node, r1.b AS peer
+            FROM reach r1 JOIN reach r2 ON r1.a = r2.b AND r1.b = r2.a
+        ),
+        scc AS (
+            SELECT n.h AS host,
+                   least(n.h, COALESCE(MIN(m.peer), n.h)) AS scc_id
+            FROM nodes n LEFT JOIN mutual m ON m.node = n.h
+            GROUP BY n.h
+        ),
+        core AS (
+            SELECT scc_id FROM scc GROUP BY scc_id
+            ORDER BY COUNT(*) DESC, scc_id LIMIT 1
+        ),
+        cm AS (SELECT host FROM scc WHERE scc_id = (SELECT scc_id FROM core))
+        SELECT s.host, s.scc_id,
+               CASE WHEN s.scc_id = (SELECT scc_id FROM core) THEN 'CORE'
+                    WHEN EXISTS (SELECT 1 FROM reach r JOIN cm
+                                 ON r.b = cm.host WHERE r.a = s.host)
+                        THEN 'IN'
+                    WHEN EXISTS (SELECT 1 FROM reach r JOIN cm
+                                 ON r.a = cm.host WHERE r.b = s.host)
+                        THEN 'OUT'
+                    ELSE 'OTHER' END AS bowtie_class
+        FROM scc s ORDER BY s.host
+    """
+
+    # ---------------------------------------- artifact: video_keyframes
+    # scene ids from a window-sum of LAG-based cut flags over the frame
+    # dump; the keyframe is the lower-ordinal-median frame per scene
+    from .multimodal import SCENE_CUT_MLUM
+
+    frame_lums = f"{a['frame_lums']}/*.parquet"
+    sql["video_keyframes"] = f"""
+        WITH f AS (
+            SELECT vid_id, frame_idx,
+                   CAST(lum_sum * 1000 // n_pix AS BIGINT) AS mlum
+            FROM read_parquet('{frame_lums}')
+        ),
+        d AS (
+            SELECT vid_id, frame_idx, mlum,
+                   CASE WHEN lag(mlum) OVER w IS NULL THEN 0
+                        WHEN abs(mlum - lag(mlum) OVER w)
+                             >= {SCENE_CUT_MLUM} THEN 1
+                        ELSE 0 END AS cut
+            FROM f WINDOW w AS (PARTITION BY vid_id ORDER BY frame_idx)
+        ),
+        s AS (
+            SELECT vid_id, frame_idx, mlum,
+                   CAST(SUM(cut) OVER (PARTITION BY vid_id ORDER BY frame_idx
+                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS scene_id
+            FROM d
+        ),
+        r AS (
+            SELECT vid_id, scene_id, frame_idx, mlum,
+                   row_number() OVER (PARTITION BY vid_id, scene_id
+                                      ORDER BY frame_idx) AS rn,
+                   COUNT(*) OVER (PARTITION BY vid_id, scene_id) AS cnt
+            FROM s
+        )
+        SELECT vid_id, scene_id, CAST(cnt AS BIGINT) AS n_frames,
+               frame_idx AS key_frame_idx, mlum AS key_mlum
+        FROM r WHERE rn = (cnt + 1) // 2
+        ORDER BY vid_id, scene_id
+    """
+
     sql.update(golden_oracles(sf_dir))
     return sql

@@ -281,3 +281,13 @@ def test_trustrank_concentrates_on_seed_neighborhood():
         assert v[s] >= tele
     # deterministic
     assert v == trustrank_power_iterate(edges, hosts)
+
+
+def test_lower_ordinal_median_rule():
+    # the video_keyframes pick: element at position (n+1)//2 (1-based) ==
+    # index (n+1)//2 - 1; verify parity with SQL's rn = (cnt+1)//2
+    for n in range(1, 12):
+        sel = list(range(100, 100 + n))
+        k = sel[(n + 1) // 2 - 1]
+        rn_pick = [v for i, v in enumerate(sel, 1) if i == (n + 1) // 2]
+        assert [k] == rn_pick
