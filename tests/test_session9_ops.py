@@ -291,3 +291,17 @@ def test_lower_ordinal_median_rule():
         k = sel[(n + 1) // 2 - 1]
         rn_pick = [v for i, v in enumerate(sel, 1) if i == (n + 1) // 2]
         assert [k] == rn_pick
+
+
+def test_empty_result_keeps_schema(ray_session):
+    # the correctness gate reads schema() off empty results; a sort over
+    # an all-empty dataset loses it unless the typed zero-row seed is
+    # unioned AFTER the sort (sf0.001 ships every part, so this result
+    # is genuinely empty)
+    from ocr_ray.ops.relational import parts_never_shipped
+
+    ds = parts_never_shipped("/root/testdata/sf0.001")
+    schema = ds.schema()
+    assert schema is not None and schema.names == [
+        "p_partkey", "p_brand", "p_type", "p_retailprice"]
+    assert ds.count() == 0
