@@ -43,6 +43,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # end of their group.
     return {
         # ---- round-4 additions (newest first)
+        "vocab_coverage": d_ops.vocab_coverage,
+        "hostname_entropy": x_ops.hostname_entropy,
+        "title_dup_groups": x_ops.title_dup_groups,
         "host_bowtie": g_ops.host_bowtie,
         "video_keyframes": m_ops.video_keyframes,
         "bpe_fertility": d_ops.bpe_fertility,
@@ -4138,6 +4141,45 @@ def _base_oracle_sql() -> dict[str, str]:
         ORDER BY p_partkey
     """
     sql["markov_stationary"] = _markov_stationary_sql()
+    # coverage crossings: cross-multiplied integer tests on the
+    # (count DESC, word) cumulative order, one division for the share
+    _pcts = ", ".join(str(p) for p in d_ops.VOCAB_COVERAGE_PCTS)
+    sql["vocab_coverage"] = f"""
+        WITH toks AS (
+            SELECT lang, lower(translate(tok, {punct_sql}, '')) AS word
+            FROM (SELECT lang, unnest(regexp_extract_all(text, '\\S+')) AS tok
+                  FROM documents)
+        ),
+        cnt AS (
+            SELECT lang, word, CAST(COUNT(*) AS BIGINT) AS c
+            FROM toks WHERE word <> '' GROUP BY lang, word
+        ),
+        t AS (SELECT lang, CAST(SUM(c) AS BIGINT) AS total FROM cnt
+              GROUP BY lang),
+        r AS (
+            SELECT lang, word, c,
+                   CAST(SUM(c) OVER (PARTITION BY lang
+                       ORDER BY c DESC, word ROWS UNBOUNDED PRECEDING)
+                       AS BIGINT) AS cum,
+                   row_number() OVER (PARTITION BY lang
+                       ORDER BY c DESC, word) AS rn
+            FROM cnt
+        ),
+        x AS (
+            SELECT r.lang, p.pct, CAST(MIN(r.rn) AS BIGINT) AS k_words
+            FROM r JOIN t USING (lang)
+            CROSS JOIN (SELECT unnest([{_pcts}]) AS pct) p
+            WHERE r.cum * 100 >= p.pct * t.total
+            GROUP BY r.lang, p.pct
+        )
+        SELECT x.lang, CAST(x.pct AS BIGINT) AS pct, x.k_words,
+               CAST(r.cum AS DOUBLE) / CAST(t.total AS DOUBLE)
+                   AS covered_share
+        FROM x
+        JOIN r ON r.lang = x.lang AND r.rn = x.k_words
+        JOIN t ON t.lang = x.lang
+        ORDER BY x.lang, x.pct
+    """
     # tokenizer fertility: the bpe_apply_merges encode chain, token count
     # = '(' occurrences, exact int sums per lang, two final divisions
     sql["bpe_fertility"] = f"""

@@ -6014,3 +6014,69 @@ def bpe_fertility(sf_dir: str):
                ("n_chars", "sum", "n_chars")],
         finalize=fin,
     )
+
+
+# ------------------------------------------------ vocabulary coverage
+
+VOCAB_COVERAGE_PCTS = (50, 90, 99)
+
+
+def vocab_coverage(sf_dir: str):
+    """Vocabulary coverage curve readout: per language, the smallest k
+    such that the k most frequent words cover >= P% of all token
+    occurrences, for P in VOCAB_COVERAGE_PCTS — the number that sizes a
+    fixed vocabulary (or prices OOV rates) per language.
+
+    Exactness: counts are exact ints; each crossing is the
+    pareto_concentration cross-multiplied test (cum·100 >= pct·total) on
+    the (count DESC, word) order — no percentage floats anywhere; the
+    reported coverage share is one int→double division.
+
+    Scale shape: one vocabulary-sized grouped sum; the crossing sweep
+    runs in the single-task finalize over the per-lang count vectors
+    (unigram_logprob's driver budget).
+
+    Output: (lang, pct, k_words, covered_share) ordered by (lang, pct)."""
+    import numpy as np
+
+    from ..kernels.textfn import _INDEX_DEL_TABLE
+
+    ds = read_table(sf_dir, "documents", columns=["lang", "text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        counts: dict[tuple[str, str], int] = {}
+        langs = batch.column("lang").to_pylist()
+        for lang, text in zip(langs, batch.column("text").to_pylist()):
+            for tok in text.split():
+                tok = tok.translate(_INDEX_DEL_TABLE).lower()
+                if tok:
+                    counts[(lang, tok)] = counts.get((lang, tok), 0) + 1
+        return pa.table(
+            {"lang": pa.array([k[0] for k in counts], pa.string()),
+             "word": pa.array([k[1] for k in counts], pa.string()),
+             "n": pa.array(list(counts.values()), pa.int64())}
+        )
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for lang, g in df.groupby("lang", sort=True):
+            c = g.sort_values(["n", "word"], ascending=[False, True])[
+                "n"].to_numpy()
+            total = int(c.sum())
+            cum = np.cumsum(c)
+            for pct in VOCAB_COVERAGE_PCTS:
+                k = int(np.searchsorted(cum * 100, pct * total,
+                                        side="left")) + 1
+                rows.append({
+                    "lang": lang, "pct": pct, "k_words": k,
+                    "covered_share": float(int(cum[k - 1])) / float(total),
+                })
+        return pd.DataFrame(rows).sort_values(
+            ["lang", "pct"]).reset_index(drop=True)
+
+    return grouped_agg(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        keys=["lang", "word"],
+        specs=[("n", "sum", "n")],
+        finalize=fin,
+    )

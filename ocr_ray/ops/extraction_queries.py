@@ -2006,3 +2006,137 @@ def range_split_points(sf_dir: str) -> "pa.Table":
         specs=[("n_rows", "sum", "n_rows")],
         finalize=fin,
     )
+
+
+# ------------------------------------------------ hostname entropy screen
+
+# DGA-style screen: character-distribution entropy of the registrable
+# host label. Same exact quantization as token_entropy (round(log2(c)·2^20)
+# is never a round-half boundary for integer c); the flag threshold is a
+# cross-multiplied integer test against ENTROPY_FLAG_MILLIBITS.
+HOSTNAME_ENTROPY_QSCALE = 1 << 20
+ENTROPY_FLAG_MILLIBITS = 3000  # flag hosts above 3.0 bits/char
+
+
+def hostname_entropy(sf_dir: str) -> ray.data.Dataset:
+    """Per-host character entropy of the host name — the classic
+    algorithmically-generated-domain (DGA) screen: template hosts sit
+    near the corpus norm, high-entropy random-looking labels flag for
+    blocklist review before their content enters a training mix.
+
+    Exactness: H = log2(L) − (Σ c·q(c)) / (L·S) with q(c) =
+    round(log2(c)·S) exact ints (the token_entropy argument); the flag is
+    the cross-multiplied integer test H_milli > threshold computed from
+    the same quantized terms on both sides — the ONE float division is
+    the reported entropy itself.
+
+    Scale shape: hosts are a distinct dimension (one combiner distinct
+    over urls); the per-host character histogram is a pure map.
+
+    Output: (host, n_chars, entropy_bits, flagged) ordered by host."""
+    import math
+    import re as _re
+
+    from collections import Counter
+
+    from .common import distinct
+
+    ds = _pages_pruned(sf_dir, ["url"])
+    host_re = _re.compile(URL_PARSE_RE)
+
+    def hosts_of(batch: pa.Table) -> pa.Table:
+        hs = []
+        for url in batch.column("url").to_pylist():
+            m = host_re.search(url)
+            if m:
+                hs.append(m.group(1).lower())
+        return pa.table({"host": pa.array(hs, pa.string())})
+
+    hosts = distinct(
+        ds.map_batches(hosts_of, batch_format="pyarrow", zero_copy_batch=True),
+        ["host"],
+    )
+
+    S = HOSTNAME_ENTROPY_QSCALE
+
+    def score(batch: pa.Table) -> pa.Table:
+        names = batch.column("host").to_pylist()
+        ent: list[float] = []
+        flags: list[bool] = []
+        lens: list[int] = []
+        for h in names:
+            counts = Counter(h)
+            n = len(h)
+            s = sum(c * round(math.log2(c) * S) for c in counts.values()
+                    if c > 1)
+            # H·(n·S·1000) > thresh·(n·S) cross-multiplied:
+            # (log2(n)·n·S − s)·1000 > thresh·n·S with log2(n) quantized
+            qn = round(math.log2(n) * S) if n else 0
+            num = qn * n - s
+            ent.append(float(num) / float(n * S) if n else 0.0)
+            flags.append(num * 1000 > ENTROPY_FLAG_MILLIBITS * n * S)
+            lens.append(n)
+        return pa.table(
+            {"host": batch.column("host"),
+             "n_chars": pa.array(lens, pa.int64()),
+             "entropy_bits": pa.array(ent, pa.float64()),
+             "flagged": pa.array(flags, pa.bool_())}
+        )
+
+    return hosts.map_batches(
+        score, batch_format="pyarrow", zero_copy_batch=True).sort("host")
+
+
+def title_dup_groups(sf_dir: str) -> ray.data.Dataset:
+    """Title-level duplicate clusters: distinct urls sharing the same
+    normalized <title> (strip + casefold-lower) — the cheapest cross-host
+    dup screen a crawl pipeline runs before any content hashing (mirror
+    detection at metadata cost; scraped-news syndication shows up here
+    first).
+
+    Scale shape: (title_norm, url) pairs distinct-collapse via one
+    combiner pass (title strings are short; the exchange is
+    page-metadata sized, never content sized); the group rollup is a
+    grouped count + Min. Groups below 2 urls drop in the finalize.
+
+    Output: (title_norm, n_urls, keep_url) for groups with >= 2 urls,
+    ordered by title_norm."""
+    import re as _re
+
+    from .common import distinct, grouped_agg
+
+    title_re = _re.compile(TITLE_RE)
+    ds = _pages_pruned(sf_dir, ["url", "html"])
+
+    def rows(batch: pa.Table) -> pa.Table:
+        urls = batch.column("url").to_pylist()
+        titles: list[str] = []
+        out_urls: list[str] = []
+        for url, data in zip(urls, batch.column("html").to_pylist()):
+            if data[:9] != b"<!DOCTYPE":
+                continue
+            m = title_re.search(data.decode("utf-8", errors="replace"))
+            if not m:
+                continue
+            t = m.group(1).strip().lower()
+            if t:
+                titles.append(t)
+                out_urls.append(url)
+        return pa.table({"title_norm": pa.array(titles, pa.string()),
+                         "url": pa.array(out_urls, pa.string())})
+
+    pairs = distinct(
+        ds.map_batches(rows, batch_format="pyarrow", zero_copy_batch=True),
+        ["title_norm", "url"],
+    )
+
+    def fin(df):
+        df = df[df["n_urls"] >= 2]
+        return df.sort_values("title_norm").reset_index(drop=True)
+
+    return grouped_agg(
+        pairs,
+        keys=["title_norm"],
+        specs=[("n_urls", "count", None), ("keep_url", "min", "url")],
+        finalize=fin,
+    )

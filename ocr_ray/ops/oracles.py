@@ -2762,5 +2762,70 @@ def extra_oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         ORDER BY vid_id, scene_id
     """
 
+    # ---------------------------------------- corpus: hostname_entropy
+    # token_entropy's quantization over host-name characters; the flag is
+    # the cross-multiplied integer test num·1000 > thresh·n·S
+    from .extraction_queries import (
+        ENTROPY_FLAG_MILLIBITS, HOSTNAME_ENTROPY_QSCALE,
+        URL_PARSE_RE as _UPRE,
+    )
+
+    _hs = HOSTNAME_ENTROPY_QSCALE
+    sql["hostname_entropy"] = f"""
+        WITH u AS (
+            SELECT DISTINCT lower(regexp_extract(url, '{_UPRE}', 1)) AS host
+            FROM read_parquet('{corpus_glob}')
+            WHERE regexp_matches(url, '{_UPRE}')
+        ),
+        cc AS (
+            SELECT host, ch, CAST(COUNT(*) AS BIGINT) AS c
+            FROM (SELECT host, unnest(regexp_extract_all(host, '.')) AS ch
+                  FROM u)
+            GROUP BY host, ch
+        ),
+        s AS (
+            SELECT host, CAST(SUM(c) AS BIGINT) AS n,
+                   CAST(SUM(CASE WHEN c > 1 THEN
+                       c * CAST(round(log2(c) * {_hs}) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS qs
+            FROM cc GROUP BY host
+        ),
+        e AS (
+            SELECT host, n,
+                   CAST(round(log2(n) * {_hs}) AS BIGINT) * n - qs AS num
+            FROM s
+        )
+        SELECT host, n AS n_chars,
+               CAST(num AS DOUBLE) / CAST(n * {_hs} AS DOUBLE)
+                   AS entropy_bits,
+               (num * 1000 > {ENTROPY_FLAG_MILLIBITS} * n * {_hs})
+                   AS flagged
+        FROM e ORDER BY host
+    """
+
+    # ---------------------------------------- corpus: title_dup_groups
+    from .extraction_queries import TITLE_RE as _TRE
+
+    _ws_chars = "' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)"
+    _tnorm = f"lower(trim(regexp_extract(doc, '{_TRE}', 1), {_ws_chars}))"
+    sql["title_dup_groups"] = f"""
+        WITH h AS (
+            SELECT url,
+                   CASE WHEN substr(html::VARCHAR, 1, 9) = '<!DOCTYPE'
+                        THEN decode(html) ELSE NULL END AS doc
+            FROM read_parquet('{corpus_glob}')
+        ),
+        p AS (
+            SELECT DISTINCT {_tnorm} AS title_norm, url
+            FROM h
+            WHERE doc IS NOT NULL AND regexp_matches(doc, '{_TRE}')
+              AND {_tnorm} <> ''
+        )
+        SELECT title_norm, CAST(COUNT(*) AS BIGINT) AS n_urls,
+               MIN(url) AS keep_url
+        FROM p GROUP BY title_norm HAVING COUNT(*) >= 2
+        ORDER BY title_norm
+    """
+
     sql.update(golden_oracles(sf_dir))
     return sql
