@@ -5728,8 +5728,13 @@ def zipf_fit(sf_dir: str):
 # Frequent-vocab gate keeps the candidate universe (and the oracle's
 # verify join) bounded; ASCII-only [a-z0-9]+ so the SQL levenshtein and the
 # Python verifier agree on "one character" for every admitted word.
-EDIT1_MIN_COUNT = 5
-EDIT1_MIN_LEN = 4
+# count >= 20 keeps the recurring vocabulary and drops the synthetic
+# long tail: at the sf0.01 tier this is ~1.1k words / ~1.9k pairs (oracle
+# verify join ~1 s) vs 39k words / 136k pairs at count >= 5 (23 s) — the
+# pairs beyond the gate are digit/gibberish variants, noise for a
+# spell-normalization map anyway.
+EDIT1_MIN_COUNT = 20
+EDIT1_MIN_LEN = 5
 EDIT1_WORD_RE = re.compile(r"^[a-z0-9]+$")
 
 
