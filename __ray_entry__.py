@@ -635,6 +635,8 @@ def _markov_stationary_sql() -> str:
 
 
 def _base_oracle_sql() -> dict[str, str]:
+    from ocr_ray.ops.oracles import _bucket_cap
+
     punct_sql = """'«»“”.,;:!?()[]{}"' || chr(39)"""
     # shared per-doc token-entropy CTE chain (token_entropy +
     # token_budget_select): exact-integer quantized c·log2(c) sums
@@ -3068,17 +3070,47 @@ def _base_oracle_sql() -> dict[str, str]:
         ORDER BY doc_id, rank
     """
 
-    # PPJoin ground truth: the prefix filter is EXACT, so the oracle is the
-    # plain all-pairs token-set Jaccard at the same integer threshold
+    # PPJoin ground truth: the prefix filter itself is EXACT (any pair with
+    # Jaccard >= tau shares a prefix token), so the oracle is the all-pairs
+    # token-set Jaccard at the same integer threshold — RESTRICTED to pairs
+    # reachable through a <=cap prefix bucket, mirroring the engine's
+    # deterministic cap_bucket_members truncation (sorted-by-doc_id prefix
+    # per token) so a skewed corpus can't produce a one-sided divergence.
+    _pp_num, _pp_den = d_ops.PPJOIN_TAU_NUM, d_ops.PPJOIN_TAU_DEN
     sql["ppjoin_pairs"] = f"""
         WITH toks AS (
             SELECT DISTINCT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS w
             FROM documents
         ),
         sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM toks GROUP BY 1),
+        dfreq AS (
+            SELECT w, CAST(COUNT(*) AS BIGINT) AS df FROM toks GROUP BY 1
+        ),
+        -- engine prefix: tokens sorted by (df, tok) per doc, first
+        -- L = sz - ceil(tau*sz) + 1 kept (documents.ppjoin_pairs.prefixes)
+        pref AS (
+            SELECT t.doc_id, t.w
+            FROM toks t JOIN dfreq d USING (w) JOIN sz USING (doc_id)
+            QUALIFY row_number() OVER (PARTITION BY t.doc_id
+                                       ORDER BY d.df, t.w)
+                    <= sz.n - (({_pp_num} * sz.n + {_pp_den} - 1)
+                               // {_pp_den}) + 1
+        ),
+        -- engine parity: per-token sorted-prefix cap (cap_bucket_members)
+        prefcap AS (
+            SELECT doc_id, w FROM pref
+            QUALIFY row_number() OVER (PARTITION BY w ORDER BY doc_id)
+                    <= {_bucket_cap()}
+        ),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+            FROM prefcap a JOIN prefcap b
+              ON a.w = b.w AND a.doc_id < b.doc_id
+        ),
         inter AS (
             SELECT a.doc_id AS da, b.doc_id AS db, CAST(COUNT(*) AS BIGINT) AS i
             FROM toks a JOIN toks b ON a.w = b.w AND a.doc_id < b.doc_id
+            JOIN cand c ON c.da = a.doc_id AND c.db = b.doc_id
             GROUP BY 1, 2
         )
         SELECT da AS doc_a, db AS doc_b,
@@ -3087,8 +3119,8 @@ def _base_oracle_sql() -> dict[str, str]:
         FROM inter
         JOIN sz sa ON da = sa.doc_id
         JOIN sz sb ON db = sb.doc_id
-        WHERE {d_ops.PPJOIN_TAU_DEN} * i
-              >= {d_ops.PPJOIN_TAU_NUM} * (sa.n + sb.n - i)
+        WHERE {_pp_den} * i
+              >= {_pp_num} * (sa.n + sb.n - i)
         ORDER BY doc_a, doc_b
     """
 

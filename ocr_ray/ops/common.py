@@ -126,6 +126,39 @@ def distinct(ds: ray.data.Dataset, keys: list[str], carry: list[str] | None = No
     return out
 
 
+def small_table(obj, schema: pa.Schema) -> pa.Table:
+    """Materialize a KNOWN-SMALL result as a typed pyarrow Table.
+
+    Queries that can legally return ZERO rows (anti-joins, thresholded
+    pair miners, changepoint/crossing detectors) must not hand back a
+    Dataset: an empty Dataset's ``take_all()`` is a plain ``[]`` and every
+    downstream conversion — the driver's correctness gate included — loses
+    the column names and types, which reads as a schema mismatch even when
+    both sides agree on "no rows" (CORRECTNESS_r04: winnow_dup_pairs,
+    parts_never_shipped). A materialized Table carries its schema
+    unconditionally, through any conversion.
+
+    ``schema`` is the DECLARED output contract; the rows are selected and
+    cast to it so pandas-object dtypes from an empty finalize frame (or a
+    null-typed empty Arrow column) can never leak. Only use this on
+    results that are aggregate-small by construction — it collects the
+    whole result onto the caller."""
+    if isinstance(obj, ray.data.Dataset):
+        tables = [t for t in ray.get(obj.to_arrow_refs()) if t.num_rows > 0]
+        if not tables:
+            return schema.empty_table()
+        tbl = pa.concat_tables(tables, promote_options="permissive")
+    elif isinstance(obj, pd.DataFrame):
+        if len(obj) == 0:
+            return schema.empty_table()
+        tbl = from_pandas_clean(obj)
+    else:
+        tbl = obj
+        if tbl.num_rows == 0:
+            return schema.empty_table()
+    return tbl.select(schema.names).cast(schema).replace_schema_metadata(None)
+
+
 def small_pool(cap: int = 4) -> int:
     """Actor-pool size for secondary stages: half the CPUs, capped, and
     never the whole cluster (a pool == total CPUs starves the other stages
@@ -188,16 +221,30 @@ def choose_join_parts(sf_dir: str, *tables: str, floor: int = 4) -> int:
 BUCKET_MEMBER_CAP = 4096
 
 
-def cap_bucket_members(n: int, label: str, key=None, cap: int | None = None) -> int:
+def cap_bucket_members(
+    n: int, label: str, key=None, cap: int | None = None, strict: bool = False
+) -> int:
     """Return how many members of an n-member bucket to keep; log truncation.
 
     Callers sort members by their id column first so the kept prefix is
     deterministic across runs and partitionings. ``cap`` defaults to the
-    module constant AT CALL TIME so tests can shrink it."""
+    module constant AT CALL TIME so tests can shrink it.
+
+    ``strict=True`` raises instead of truncating — for ops whose buckets
+    are STRUCTURALLY bounded far below the cap (e.g. edit1_pairs, where a
+    deletion key of length L admits at most 37*(L+1)+1 vocabulary words),
+    so a >cap bucket means a broken invariant, not a hot key, and the
+    exact uncapped oracle must never silently diverge."""
     if cap is None:
         cap = BUCKET_MEMBER_CAP
     if n <= cap:
         return n
+    if strict:
+        raise ValueError(
+            f"{label}: bucket {key!r} has {n} members > cap {cap}, but this "
+            f"op's buckets are structurally bounded below the cap — "
+            f"invariant broken, refusing to silently truncate"
+        )
     import logging
 
     logging.getLogger("ocr_ray.lsh").warning(

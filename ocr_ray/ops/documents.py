@@ -5811,9 +5811,14 @@ def edit1_pairs(sf_dir: str):
 
     def bucket_pairs(group: pa.Table) -> pa.Table:
         words = sorted(set(group.column("word").to_pylist()))
+        # strict: a deletion key of length L admits at most 37*(L+1)+1
+        # distinct [a-z0-9]+ words (the key itself + one insertion at each
+        # position), so a >cap bucket is a broken invariant, not a hot key
+        # — and the oracle's exact levenshtein cross-join stays uncapped.
         keep = cap_bucket_members(
             len(words), "edit1_pairs",
-            group.column("k")[0].as_py() if group.num_rows else None)
+            group.column("k")[0].as_py() if group.num_rows else None,
+            strict=True)
         words = words[:keep]
         a_out: list[str] = []
         b_out: list[str] = []
@@ -5827,13 +5832,14 @@ def edit1_pairs(sf_dir: str):
 
     pairs = keyed.groupby("k").map_groups(bucket_pairs, batch_format="pyarrow")
     out = distinct(pairs, ["word_a", "word_b"]).sort(["word_a", "word_b"])
-    # zero-row seed appended AFTER the sort: a sort/aggregate chain over an
-    # all-empty dataset yields no blocks and a None schema, which the
-    # correctness gate reads as a schema mismatch on an all-unique tier
-    seed = ray.data.from_arrow(pa.table(
-        {"word_a": pa.array([], pa.string()),
-         "word_b": pa.array([], pa.string())}))
-    return out.union(seed)
+    # materialized + typed: legally 0 rows on an all-unique tier, and only
+    # a pa.Table keeps its schema through the driver's conversion (the
+    # CORRECTNESS_r04 lesson from winnow_dup_pairs — a zero-row seed union
+    # is invisible to a gate that never consults Dataset.schema()).
+    from .common import small_table
+
+    return small_table(out, pa.schema(
+        [("word_a", pa.string()), ("word_b", pa.string())]))
 
 
 # ------------------------------------------- Schleimer winnowing (MOSS)
@@ -5915,7 +5921,7 @@ def winnowing_fingerprints(sf_dir: str):
 WINNOW_PAIR_MIN = 2
 
 
-def winnow_dup_pairs(sf_dir: str):
+def winnow_dup_pairs(sf_dir: str, bucket_cap: int | None = None):
     """Near-duplicate doc pairs by shared winnowing fingerprints (the MOSS
     match step over :func:`winnowing_fingerprints`): two docs sharing >=
     WINNOW_PAIR_MIN distinct selected fingerprints overlap in at least
@@ -5940,9 +5946,12 @@ def winnow_dup_pairs(sf_dir: str):
 
     def bucket_pairs(group: pa.Table) -> pa.Table:
         ids = sorted(group.column("doc_id").to_pylist())
+        # explicit cap rides the closure into the workers (a monkeypatched
+        # module constant would not) — test hook, defaults to the module cap
         keep = cap_bucket_members(
             len(ids), "winnow_dup_pairs",
-            group.column("fp")[0].as_py() if group.num_rows else None)
+            group.column("fp")[0].as_py() if group.num_rows else None,
+            cap=bucket_cap)
         ids = ids[:keep]
         a_out: list[int] = []
         b_out: list[int] = []
@@ -5960,10 +5969,17 @@ def winnow_dup_pairs(sf_dir: str):
         frame = frame[frame["n_shared"] >= WINNOW_PAIR_MIN]
         return frame.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
 
-    return grouped_agg(
+    out = grouped_agg(
         pairs, keys=["doc_a", "doc_b"],
         specs=[("n_shared", "sum", "one")], finalize=fin,
     )
+    # materialized + typed: WINNOW_PAIR_MIN thresholding makes 0 rows legal
+    # (CORRECTNESS_r04 schema fail) — see edit1_pairs for the rationale.
+    from .common import small_table
+
+    return small_table(out, pa.schema(
+        [("doc_a", pa.int64()), ("doc_b", pa.int64()),
+         ("n_shared", pa.int64())]))
 
 
 def bpe_fertility(sf_dir: str):

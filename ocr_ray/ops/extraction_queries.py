@@ -2115,10 +2115,17 @@ def title_dup_groups(sf_dir: str) -> ray.data.Dataset:
         for url, data in zip(urls, batch.column("html").to_pylist()):
             if data[:9] != b"<!DOCTYPE":
                 continue
+            # decode policy: the synthetic corpus is valid UTF-8 by
+            # construction; errors='replace' keeps a malformed real-world
+            # page from killing the stage (the oracle's decode() would
+            # throw there — a corpus assumption, documented not hidden)
             m = title_re.search(data.decode("utf-8", errors="replace"))
             if not m:
                 continue
-            t = m.group(1).strip().lower()
+            # trim EXACTLY the SQL trim()'s six-char ASCII set — Python
+            # str.strip() also eats NBSP & friends and diverges from the
+            # oracle on titles edged with Unicode whitespace (r05 ADVICE)
+            t = m.group(1).strip(" \t\n\r\v\f").lower()
             if t:
                 titles.append(t)
                 out_urls.append(url)

@@ -53,9 +53,40 @@ def _artifact_dir(sf_dir: str) -> str:
 
 
 def ensure_artifacts(sf_dir: str) -> dict[str, str]:
-    """Create (once) and return the artifact paths for this tier."""
+    """Create (once) and return the artifact paths for this tier.
+
+    Concurrency-safe: the build runs in a process-private staging dir and
+    lands via one atomic ``os.rename``, so two processes racing (a sweep
+    and an ad-hoc oracle build — the round-5 edit1_pairs corruption, where
+    both appended parquet files into the same word_pages/ and doubled
+    every count) can never interleave writes; the loser discards its
+    staging copy."""
     root = _artifact_dir(sf_dir)
-    paths = {
+    done_marker = os.path.join(root, "_DONE")
+    if os.path.exists(done_marker):
+        return _artifact_paths(root)
+    if os.path.isdir(root):
+        # a marker-less root can only be a pre-staging leftover (crashed
+        # or interleaved build) — it is corrupt by definition, drop it
+        import shutil
+
+        shutil.rmtree(root, ignore_errors=True)
+    stage = f"{root}.building.{os.getpid()}"
+    _build_artifacts(sf_dir, stage)
+    with open(os.path.join(stage, "_DONE"), "w") as f:
+        f.write("ok")
+    try:
+        os.rename(stage, root)
+    except OSError:
+        # another builder renamed first; its artifacts are complete
+        import shutil
+
+        shutil.rmtree(stage, ignore_errors=True)
+    return _artifact_paths(root)
+
+
+def _artifact_paths(root: str) -> dict[str, str]:
+    return {
         "prededup": os.path.join(root, "prededup"),
         "word_pages": os.path.join(root, "word_pages"),
         "page_texts": os.path.join(root, "page_texts"),
@@ -75,9 +106,12 @@ def ensure_artifacts(sf_dir: str) -> dict[str, str]:
         "ivf": os.path.join(root, "ivf.parquet"),
         "ivf_probe": os.path.join(root, "ivf_probe.parquet"),
     }
-    done_marker = os.path.join(root, "_DONE")
-    if os.path.exists(done_marker):
-        return paths
+
+
+def _build_artifacts(sf_dir: str, root: str) -> None:
+    """Write every artifact into ``root`` (a staging dir — see
+    ensure_artifacts for the atomic landing)."""
+    paths = _artifact_paths(root)
     os.makedirs(root, exist_ok=True)
 
     from . import extraction_queries as xq
@@ -232,7 +266,3 @@ def ensure_artifacts(sf_dir: str) -> dict[str, str]:
         ),
         os.path.join(root, "ivf_probe.parquet"),
     )
-
-    with open(done_marker, "w") as f:
-        f.write("ok")
-    return paths

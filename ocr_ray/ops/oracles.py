@@ -2393,12 +2393,23 @@ def extra_oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         FROM s
     """
 
-    # ---------------------------------------- documents: winnowing
-    # grams + window-min with rightmost tie: for each full window the
-    # selected gram is MAX(pos) among grams equal to the window min — the
-    # verify join is bounded by the engine's doc_id % MOD gate
+    sql.update(winnow_oracle_sql())
+    return _finish_extra_oracle_sql(sql, a, word_pages, corpus_glob,
+                                    link_ctes, sf_dir)
+
+
+def winnow_oracle_sql() -> dict[str, str]:
+    """Winnowing oracle SQL over the ``documents`` view only (no artifact
+    paths) — factored out of :func:`extra_oracle_sql` so tests can run it
+    against a tmp corpus with a shrunk bucket cap (the pair SQL reads the
+    cap at CALL time via :func:`_bucket_cap`, matching the engine).
+
+    grams + window-min with rightmost tie: for each full window the
+    selected gram is MAX(pos) among grams equal to the window min — the
+    verify join is bounded by the engine's doc_id % MOD gate."""
     from .documents import WINNOW_DOC_MOD, WINNOW_K, WINNOW_W
 
+    sql: dict[str, str] = {}
     _gram = H64S.format(
         expr=f"array_to_string(list_slice(l, i, i + {WINNOW_K - 1}), ' ')")
     sql["winnowing_fingerprints"] = f"""
@@ -2441,14 +2452,27 @@ def extra_oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
     _winnow_head = sql["winnowing_fingerprints"][
         : sql["winnowing_fingerprints"].rindex("SELECT DISTINCT")]
     sql["winnow_dup_pairs"] = _winnow_head + f""",
-        sel2 AS (SELECT DISTINCT doc_id, fp FROM sel)
+        sel2 AS (SELECT DISTINCT doc_id, fp FROM sel),
+        -- engine parity: per-fingerprint sorted-prefix cap (cap_bucket_members)
+        selcap AS (
+            SELECT doc_id, fp FROM sel2
+            QUALIFY row_number() OVER (PARTITION BY fp ORDER BY doc_id)
+                    <= {_bucket_cap()}
+        )
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                CAST(COUNT(*) AS BIGINT) AS n_shared
-        FROM sel2 a JOIN sel2 b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        FROM selcap a JOIN selcap b ON a.fp = b.fp AND a.doc_id < b.doc_id
         GROUP BY doc_a, doc_b HAVING COUNT(*) >= {WINNOW_PAIR_MIN}
         ORDER BY doc_a, doc_b
     """
+    return sql
 
+
+def _finish_extra_oracle_sql(sql: dict[str, str], a: dict[str, str],
+                             word_pages: str, corpus_glob: str,
+                             link_ctes: str, sf_dir: str) -> dict[str, str]:
+    """Continuation of :func:`extra_oracle_sql` (split around the factored
+    winnow block; same builder, same closure inputs)."""
     # ---------------------------------------- artifact: edit1_pairs
     # vocabulary counts from the word-index dump; the blocking+match stage
     # is re-verified with DuckDB's own levenshtein over the bounded
@@ -2497,10 +2521,18 @@ def extra_oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
                    CAST(round({AA_QSCALE} / log2(COUNT(*))) AS BIGINT) AS w
             FROM bi GROUP BY z HAVING COUNT(*) >= 2
         ),
+        -- engine parity: pairing runs over the sorted-prefix of each
+        -- center's neighbor list (cap_bucket_members); the weight keeps
+        -- the TRUE degree from deg, exactly as the engine does
+        bicap AS (
+            SELECT z, nb FROM bi
+            QUALIFY row_number() OVER (PARTITION BY z ORDER BY nb)
+                    <= {_bucket_cap()}
+        ),
         wedges AS (
             SELECT n1.nb AS host_a, n2.nb AS host_b, deg.w
-            FROM bi n1
-            JOIN bi n2 ON n1.z = n2.z AND n1.nb < n2.nb
+            FROM bicap n1
+            JOIN bicap n2 ON n1.z = n2.z AND n1.nb < n2.nb
             JOIN deg ON deg.z = n1.z
         ),
         scored AS (

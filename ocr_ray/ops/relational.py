@@ -4336,11 +4336,18 @@ def cusum_changepoints(sf_dir: str):
 
 # ---------------------------------------- exact higher-moment statistics
 
-# Dollar-quantized values (cents // 100) bound Σx⁴ partials to int64: x ≤
-# ~10^3 ⟹ x⁴ ≤ 10^12, safe to ~9·10^6 rows per type at int64 — far above
-# the test tiers; the finalize raises loudly near the bound (beyond it,
-# split hi/lo accumulators, the dedup_winners packing discipline).
-MOMENT_S4_GUARD = 1 << 62
+# Dollar-quantized values (cents // 100): |x| ≤ 2·10^4 keeps x⁴ ≤ 1.6e17
+# ELEMENTWISE-exact in int64; the SUMS travel as base-2³¹ (hi, lo) limb
+# pairs, each provably wrap-free (lo < 2³¹ per row; hi ≤ x⁴ >> 31), so no
+# batch size or partial count can silently wrap a power sum — the finalize
+# reconstructs the exact Python-int totals and raises loudly near the
+# representable bound instead of computing garbage.
+# With s3/s4 limbed, the binding int64 constraint is the PLAIN s2 column:
+# (Σx²)² ≤ n·Σx⁴ (power mean), so s2 is provably exact while n·S4 ≤ 2¹²⁴
+# (keeps s2 ≤ 2⁶², a 2× margin under int64) — checked in finalize against
+# the exact limb-reconstructed S4 before s2 is trusted.
+MOMENT_NS4_GUARD = 1 << 124
+_MOMENT_MASK = (1 << 31) - 1
 
 
 def value_moments(sf_dir: str):
@@ -4350,7 +4357,10 @@ def value_moments(sf_dir: str):
     different outlier gates than symmetric ones.
 
     Exactness contract: x = cents // 100 (exact floor both sides); the
-    four raw power sums are exact int64; the central-moment numerators
+    four raw power sums are exact — s1/s2 as int64 (provably in-range
+    under the finalize guard), s3/s4 as base-2³¹ limb pairs immune to
+    int64 wrap at ANY admitted batch/corpus size; the central-moment
+    numerators
     n²s3−3ns1s2+2s1³ and n³s4−4n²s1s3+6ns1²s2−3s1⁴ are unbounded-int
     (HUGEINT in SQL, Python int here); skew/kurtosis are the identical
     float expression chains over those exact integers.
@@ -4366,24 +4376,54 @@ def value_moments(sf_dir: str):
             batch.column("value").to_numpy(zero_copy_only=False) * 100
         ).astype(np.int64)
         x = cents // 100
-        if x.size and int(x.max()) > 20_000:
-            # numpy int64 wraps silently: x⁴ partials need x ≤ ~2·10^4
+        if x.size and int(np.abs(x).max()) > 20_000:
+            # |x| (not x.max(): large-magnitude NEGATIVES wrap x³/x⁴ too —
+            # the round-4 ADVICE hole) must keep x⁴ ≤ 1.6e17 elementwise
             raise ValueError("value_moments: value out of quantization "
                              "range for int64 power sums")
+        # x³/x⁴ ship as base-2³¹ limb pairs: a single batch of ≥58 rows at
+        # |x|=20000 wraps a plain int64 Σx⁴ (ADVICE r04), and a wrapped
+        # partial can sneak under the finalize guard. Per-limb sums are
+        # provably wrap-free for any batch ≤ 2³¹ rows (lo < 2³¹ each; hi
+        # ≤ x⁴>>31 ≈ 7.5e7 each); the group carry re-normalizes so the
+        # emitted pair is exactly (S >> 31, S & mask) of the exact sum.
+        x3 = x * x * x
+        x4 = x3 * x  # |x3| ≤ 8e12, x4 ≤ 1.6e17: elementwise-exact int64
         df = pd.DataFrame({
             "event_type": batch.column("event_type").to_pandas(),
-            "n": 1, "s1": x, "s2": x * x, "s3": x ** 3, "s4": x ** 4,
+            "pc": 1, "n": 1, "s1": x, "s2": x * x,
+            "s3_hi": x3 >> 31, "s3_lo": x3 & _MOMENT_MASK,
+            "s4_hi": x4 >> 31, "s4_lo": x4 & _MOMENT_MASK,
         }).groupby("event_type", as_index=False).sum()
+        df["pc"] = 1  # one partial ROW per (type, batch) after the collapse
+        for c in ("s3", "s4"):
+            lo = df[f"{c}_lo"].to_numpy()
+            df[f"{c}_hi"] = df[f"{c}_hi"].to_numpy() + (lo >> 31)
+            df[f"{c}_lo"] = lo & _MOMENT_MASK
         return from_pandas_clean(df)
 
     def fin(df: pd.DataFrame) -> pd.DataFrame:
         rows = []
         for r in df.sort_values("event_type").itertuples():
-            n, s1, s2, s3, s4 = (int(r.n), int(r.s1), int(r.s2),
-                                 int(r.s3), int(r.s4))
-            if s4 > MOMENT_S4_GUARD:
-                raise ValueError("value_moments: Σx⁴ near int64 bound — "
-                                 "split accumulators required at this scale")
+            n, s1, s2 = int(r.n), int(r.s1), int(r.s2)
+            # wrap-proof bounds, checked BEFORE trusting any reconstruction:
+            # P ≤ 2³¹ partials keeps Σlo ≤ 2⁶²; n ≤ 1e11 keeps Σhi ≤ 7.5e18
+            # (ΣS4 ≤ n·(2e4)⁴ = 1.6e28, >>31 fits int64). Beyond either, the
+            # limb sums themselves could wrap, so raise instead of computing.
+            if int(r.pc) > (1 << 31) or n > 100_000_000_000:
+                raise ValueError("value_moments: partial-count/row bounds "
+                                 "exceeded — wider accumulators required "
+                                 "at this scale")
+            s3 = (int(r.s3_hi) << 31) + int(r.s3_lo)
+            s4 = (int(r.s4_hi) << 31) + int(r.s4_lo)
+            if n * s4 > MOMENT_NS4_GUARD:
+                # within the guard, the plain-column sums fit int64 by the
+                # power-mean chain (s2 ≤ √(n·s4) ≤ 2⁶², |s1| ≤ √(n·s2)),
+                # and the s3 limb magnitudes stay bounded via |Σx³| ≤
+                # √(s2·s4) — so every emitted value above is exact
+                raise ValueError("value_moments: n·Σx⁴ past the s2 int64 "
+                                 "exactness bound — split accumulators "
+                                 "required at this scale")
             num2 = n * s2 - s1 * s1
             num3 = n * n * s3 - 3 * n * s1 * s2 + 2 * s1 ** 3
             num4 = (n ** 3 * s4 - 4 * n * n * s1 * s3
@@ -4403,8 +4443,10 @@ def value_moments(sf_dir: str):
     return grouped_agg(
         ev.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
         keys=["event_type"],
-        specs=[("n", "sum", "n"), ("s1", "sum", "s1"), ("s2", "sum", "s2"),
-               ("s3", "sum", "s3"), ("s4", "sum", "s4")],
+        specs=[("pc", "sum", "pc"), ("n", "sum", "n"), ("s1", "sum", "s1"),
+               ("s2", "sum", "s2"),
+               ("s3_hi", "sum", "s3_hi"), ("s3_lo", "sum", "s3_lo"),
+               ("s4_hi", "sum", "s4_hi"), ("s4_lo", "sum", "s4_lo")],
         finalize=fin,
     )
 
@@ -4495,15 +4537,16 @@ def parts_never_shipped(sf_dir: str):
 
     out = part.map_batches(
         fin, batch_format="pyarrow", zero_copy_batch=True).sort("p_partkey")
-    # zero-row seed appended AFTER the sort: a sort over an all-empty
-    # dataset yields no blocks and a None schema, which the correctness
-    # gate reads as a schema mismatch on tiers where every part shipped
-    seed = ray.data.from_arrow(pa.table(
-        {"p_partkey": pa.array([], pa.int64()),
-         "p_brand": pa.array([], pa.string()),
-         "p_type": pa.array([], pa.string()),
-         "p_retailprice": pa.array([], pa.float64())}))
-    return out.union(seed)
+    # materialized + typed: on tiers where every part shipped this is
+    # legally 0 rows, and only a pa.Table keeps its schema through the
+    # driver's conversion (CORRECTNESS_r04 schema fail — a zero-row seed
+    # union was not enough, the gate never consults Dataset.schema()).
+    # The dtypes come from the INPUT file, not hand-typing.
+    from .common import clean_read_schema, small_table
+
+    return small_table(out, clean_read_schema(
+        f"{sf_dir}/part.parquet",
+        ["p_partkey", "p_brand", "p_type", "p_retailprice"]))
 
 
 # ------------------------------------------------- Q10 returned-revenue

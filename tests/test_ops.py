@@ -9,6 +9,12 @@ SF = "/root/testdata/sf0.001"
 
 
 def _df(ds) -> pd.DataFrame:
+    import pyarrow as _pa
+
+    if isinstance(ds, _pa.Table):
+        return ds.to_pandas()
+    if isinstance(ds, pd.DataFrame):
+        return ds
     return pd.DataFrame(ds.take_all())
 
 
@@ -746,6 +752,96 @@ def test_minhash_bucket_cap_parity_with_oracle(ray_session, tmp_path):
     assert (oracle["doc_b"].to_numpy() == pairs["doc_b"].to_numpy()).all()
     assert (oracle["est_jaccard"].to_numpy()
             == pairs["est_jaccard"].to_numpy()).all()
+
+
+def test_winnow_cap_mirrored_in_oracle(ray_session, tmp_path, monkeypatch):
+    """Forced >cap fingerprint bucket: 8 identical docs (all passing the
+    doc_id % WINNOW_DOC_MOD gate) share every selected fingerprint; with
+    the cap shrunk to 3 BOTH sides must pair only the first 3 doc_ids
+    (C(3,2)=3 pairs), so the gate passes by construction on skewed corpora
+    — the round-4 ADVICE one-sidedness, closed on the oracle side too."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ocr_ray.ops import common
+    from ocr_ray.ops.documents import WINNOW_DOC_MOD, winnow_dup_pairs
+    from ocr_ray.ops.oracles import winnow_oracle_sql
+
+    # engine cap travels by explicit parameter (a monkeypatched module
+    # constant never reaches the Ray workers); the oracle SQL reads the
+    # module cap at build time, so patch it for that side
+    monkeypatch.setattr(common, "BUCKET_MEMBER_CAP", 3)
+    text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = pa.Table.from_pylist(
+        [{"doc_id": i * WINNOW_DOC_MOD, "text": text} for i in range(8)]
+        + [{"doc_id": WINNOW_DOC_MOD * 100,
+            "text": "totally different content words appear here now ok"}]
+    )
+    pq.write_table(docs, str(tmp_path / "documents.parquet"))
+
+    pairs = _df(winnow_dup_pairs(str(tmp_path), bucket_cap=3))
+    assert len(pairs) == 3  # C(3,2): truncation fired on the engine side
+    assert set(pairs["doc_a"]).union(pairs["doc_b"]) == {
+        0, WINNOW_DOC_MOD, 2 * WINNOW_DOC_MOD}
+
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet')"
+    )
+    # built AFTER the monkeypatch: the SQL embeds the cap at call time
+    oracle = con.sql(winnow_oracle_sql()["winnow_dup_pairs"]).df()
+    assert len(oracle) == 3
+    for col in ("doc_a", "doc_b", "n_shared"):
+        assert (oracle[col].to_numpy() == pairs[col].to_numpy()).all(), col
+
+
+def test_value_moments_limb_sums_survive_extreme_batch(ray_session, tmp_path):
+    """The round-4 ADVICE overflow: >=58 rows at |x|=20000 in one batch
+    wrapped the plain int64 Σx⁴ partial (and negative x evaded the old
+    x.max() admission check entirely). The base-2³¹ limb accumulators must
+    reproduce the exact Python-int moments for exactly that input."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ocr_ray.ops.relational import value_moments
+
+    vals = [20000.0] * 100 + [-20000.0] * 60
+    pq.write_table(
+        pa.table({"event_type": pa.array(["x"] * len(vals)),
+                  "value": pa.array(vals, pa.float64())}),
+        str(tmp_path / "events.parquet"))
+
+    df = _df(value_moments(str(tmp_path)))
+    assert len(df) == 1
+
+    xs = [20000] * 100 + [-20000] * 60
+    n = len(xs)
+    s1, s2 = sum(xs), sum(v * v for v in xs)
+    s3, s4 = sum(v ** 3 for v in xs), sum(v ** 4 for v in xs)
+    num2 = n * s2 - s1 * s1
+    num3 = n * n * s3 - 3 * n * s1 * s2 + 2 * s1 ** 3
+    num4 = n ** 3 * s4 - 4 * n * n * s1 * s3 + 6 * n * s1 * s1 * s2 - 3 * s1 ** 4
+    m2 = float(num2) / float(n * n)
+    r = df.iloc[0]
+    assert int(r["n_events"]) == n
+    assert r["mean_value"] == float(s1) / n
+    assert r["skewness"] == (float(num3) / float(n ** 3)) / m2 ** 1.5
+    assert r["kurtosis"] == (float(num4) / float(n ** 4)) / (m2 * m2) - 3.0
+
+
+def test_cap_strict_mode_raises_not_truncates():
+    """Ops with structurally-bounded buckets (edit1_pairs) must fail loudly
+    on a >cap bucket instead of silently diverging from their exact
+    uncapped oracle."""
+    import pytest as _pytest
+
+    from ocr_ray.ops.common import cap_bucket_members
+
+    assert cap_bucket_members(10, "x", cap=16, strict=True) == 10
+    with _pytest.raises(ValueError, match="invariant broken"):
+        cap_bucket_members(100, "x", key="k", cap=16, strict=True)
 
 
 def test_fuzzy_search_matches_and_doc_filter(ray_session):
