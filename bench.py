@@ -97,6 +97,50 @@ def run_flagship(sf_dir: str, out_tag: str) -> dict:
     }
 
 
+def wait_ray_teardown(max_wait: float = 90.0) -> None:
+    """Block until the previous run's ray processes are fully gone —
+    measured: starting the next session while ~30 workers of the prior
+    one are still exiting halves its throughput."""
+    deadline = time.time() + max_wait
+    while time.time() < deadline:
+        probe = subprocess.run(
+            ["pgrep", "-f", "raylet|ray::|plasma_store|default_worker.py"],
+            capture_output=True, text=True,
+        )
+        if probe.returncode != 0:
+            break
+        time.sleep(2)
+    time.sleep(5)
+
+
+def wait_disk_settle(min_mbps: float = 250.0, max_wait: float = 240.0) -> None:
+    """Block until the device's write-token bucket has refilled.
+
+    Measured: the hypervisor throttles sustained writes from ~400 MB/s
+    down to ~110 MB/s and refills within ~30 s of idle. Each flagship
+    run writes ~1.2 GB, so whatever is TIMED next on a drained bucket
+    samples garbage (observed: identical binaries scoring 0.83 with a
+    fresh bucket and 0.65 with a drained one; BENCH_r04 charged the
+    flagship's writeback to pricing_summary/daily_active_users at 3×)."""
+    probe_path = "/tmp/.graft_disk_probe"
+    deadline = time.time() + max_wait
+    while time.time() < deadline:
+        t0 = time.time()
+        subprocess.run(
+            ["dd", "if=/dev/zero", f"of={probe_path}", "bs=1M", "count=256",
+             "conv=fdatasync"],
+            capture_output=True,
+        )
+        mbps = 256.0 / max(time.time() - t0, 1e-6)
+        try:
+            os.remove(probe_path)
+        except OSError:
+            pass
+        if mbps >= min_mbps:
+            return
+        time.sleep(20)
+
+
 BENCH_QUERIES = [
     "pricing_summary",
     "daily_active_users",
@@ -154,6 +198,12 @@ def main() -> None:
 
         extraction_output(SF_DIR, columns=["url"]).count()
 
+        # settle the device before ANY per-query timing: the flagship +
+        # extraction-cache writeback above just drained the hypervisor's
+        # write-token bucket, and BENCH_r04 showed the first queries in
+        # this loop absorbing that drag at 3× their settled wall time
+        wait_disk_settle(max_wait=120.0)
+
         qs = entrymod.queries()
         for name in BENCH_QUERIES:
             t0 = time.time()
@@ -170,6 +220,10 @@ def main() -> None:
                 n = -1
             result["queries"][name] = round(time.time() - t0, 2)
             print(f"{name}: {result['queries'][name]}s ({n} rows)", file=sys.stderr)
+            if result["queries"][name] > 5.0:
+                # a long query may itself have spilled/written; don't let
+                # its tail bill the next one
+                wait_disk_settle(max_wait=90.0)
 
     result["value"] = round(sum(result["queries"].values()), 2)
     print(json.dumps(result))
@@ -208,48 +262,6 @@ def run_scaling() -> None:
 
     pages_dir_for(SCALING_ROWS)
     ray.shutdown()
-
-    def wait_ray_teardown(max_wait: float = 90.0) -> None:
-        """Block until the previous run's ray processes are fully gone —
-        measured: starting the next session while ~30 workers of the prior
-        one are still exiting halves its throughput."""
-        deadline = time.time() + max_wait
-        while time.time() < deadline:
-            probe = subprocess.run(
-                ["pgrep", "-f", "raylet|ray::|plasma_store|default_worker.py"],
-                capture_output=True, text=True,
-            )
-            if probe.returncode != 0:
-                break
-            time.sleep(2)
-        time.sleep(5)
-
-    def wait_disk_settle(min_mbps: float = 250.0, max_wait: float = 240.0) -> None:
-        """Block until the device's write-token bucket has refilled.
-
-        Measured: the hypervisor throttles sustained writes from ~400 MB/s
-        down to ~110 MB/s and refills within ~30 s of idle. Each flagship
-        run writes ~1.2 GB, so whichever configuration runs LAST in a naive
-        loop samples a drained bucket and its efficiency number is garbage
-        (observed: identical binaries scoring 0.83 with a fresh bucket and
-        0.65 with a drained one)."""
-        probe_path = "/tmp/.graft_disk_probe"
-        deadline = time.time() + max_wait
-        while time.time() < deadline:
-            t0 = time.time()
-            subprocess.run(
-                ["dd", "if=/dev/zero", f"of={probe_path}", "bs=1M", "count=256",
-                 "conv=fdatasync"],
-                capture_output=True,
-            )
-            mbps = 256.0 / max(time.time() - t0, 1e-6)
-            try:
-                os.remove(probe_path)
-            except OSError:
-                pass
-            if mbps >= min_mbps:
-                return
-            time.sleep(20)
 
     have_taskset = shutil.which("taskset") is not None
     reps = int(os.environ.get("GRAFT_SCALING_REPS", "2"))

@@ -1759,6 +1759,9 @@ def extra_oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         GROUP BY h.url, h.entity_type
         ORDER BY h.url, h.entity_type
     """
+    # the remote-adapter path must land the identical result (the fake
+    # service applies the same rule table; the transport adds nothing)
+    sql["doc_entities_remote"] = sql["doc_entities"]
 
     # ----------------------------------- artifact: entity_cooccurrence
     # names-only replay of the doc_entities chain (earliest hit-crawl per

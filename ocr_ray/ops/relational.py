@@ -38,29 +38,48 @@ def pricing_summary(sf_dir: str):
         batch = batch.filter(
             pc.less_equal(batch.column("l_shipdate"), pa.scalar(cutoff))
         )
-        disc = pc.multiply(
-            batch.column("l_extendedprice"),
-            pc.subtract(pa.scalar(1.0), batch.column("l_discount")),
-        )
-        return batch.append_column("disc_price", disc)
+        # exact integer quantization: TPC-H money is cents-exact and the
+        # discount is a basis-point fraction, so every aggregate is an
+        # int64 sum — float Σ order (pandas pairwise vs Arrow vs DuckDB
+        # sequential) can flip the rounded cent otherwise. Bounds: qty_c ≤
+        # 5e3, price_c ≤ 1e7, disc_e4 ≤ 1e9 per row ⟹ exact past 10^9
+        # rows per group.
+        qty_c = pc.cast(pc.round(pc.multiply(
+            batch.column("l_quantity"), pa.scalar(100.0)),
+            round_mode="half_to_even"), pa.int64())
+        price_c = pc.cast(pc.round(pc.multiply(
+            batch.column("l_extendedprice"), pa.scalar(100.0)),
+            round_mode="half_to_even"), pa.int64())
+        disc_b = pc.cast(pc.round(pc.multiply(
+            batch.column("l_discount"), pa.scalar(100.0)),
+            round_mode="half_to_even"), pa.int64())
+        disc_e4 = pc.multiply(price_c, pc.subtract(pa.scalar(100), disc_b))
+        return pa.table({
+            "l_returnflag": batch.column("l_returnflag"),
+            "l_linestatus": batch.column("l_linestatus"),
+            "qty_c": qty_c, "price_c": price_c, "disc_e4": disc_e4,
+        })
 
     ds = ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
 
     def fin(df: pd.DataFrame) -> pd.DataFrame:
-        df["avg_qty"] = (df["sum_qty"] / df["count_order"]).round(4)
-        df["avg_price"] = (df["sum_base_price"] / df["count_order"]).round(4)
-        df["sum_qty"] = df["sum_qty"].round(2)
-        df["sum_base_price"] = df["sum_base_price"].round(2)
-        df["sum_disc_price"] = df["sum_disc_price"].round(2)
+        # ONE int→double division per figure, then half-even rounding —
+        # the identical expression chain the SQL oracle runs
+        df["avg_qty"] = (df["qty_c"] / 100.0 / df["count_order"]).round(4)
+        df["avg_price"] = (df["price_c"] / 100.0 / df["count_order"]).round(4)
+        df["sum_qty"] = (df["qty_c"] / 100.0).round(2)
+        df["sum_base_price"] = (df["price_c"] / 100.0).round(2)
+        df["sum_disc_price"] = (df["disc_e4"] / 10000.0).round(2)
+        df = df.drop(columns=["qty_c", "price_c", "disc_e4"])
         return df.sort_values(["l_returnflag", "l_linestatus"]).reset_index(drop=True)
 
     return grouped_agg(
         ds,
         keys=["l_returnflag", "l_linestatus"],
         specs=[
-            ("sum_qty", "sum", "l_quantity"),
-            ("sum_base_price", "sum", "l_extendedprice"),
-            ("sum_disc_price", "sum", "disc_price"),
+            ("qty_c", "sum", "qty_c"),
+            ("price_c", "sum", "price_c"),
+            ("disc_e4", "sum", "disc_e4"),
             ("count_order", "count", None),
         ],
         finalize=fin,

@@ -1,0 +1,207 @@
+"""External-model-service adapter — the reference's W7 shape done as a
+REMOTE call (server/src/utils/file.py:57-73 POSTs extracted text to an
+anonymizer service over HTTP and consumes the tagged result).
+
+:mod:`ocr_ray.ops.ner` fills the same dataflow slot with an in-engine rule
+model; this module is the twin a real LLM-data pipeline needs for remote
+embedding/classifier/NER endpoints: an ACTOR-POOL ``map_batches`` stage
+whose per-actor state is a persistent HTTP session, posting one request
+per Arrow batch with bounded deterministic retry/backoff, and failing
+loudly after the retry budget instead of dropping rows.
+
+Scale shape: the network call is per BATCH (4096 lines per round trip,
+amortizing connection + serialization), the pool size bounds concurrent
+load on the service, and retries are per-batch so one flaky response never
+re-runs the stage. On a multi-node cluster the endpoint must be reachable
+from every worker node — the in-repo fake server binds 127.0.0.1 and is
+therefore single-node (tests and the sandbox queries() entry only).
+
+The bundled fake service (:func:`serve_fake_tagger`) applies the SAME rule
+table as the in-engine tagger, so ``doc_entities_remote`` reuses
+``doc_entities``'s DuckDB oracle verbatim — the gate proves the transport
+added or lost nothing.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import pyarrow as pa
+import ray.data
+
+from .common import small_pool
+from .ner import (
+    ENTITY_PATTERNS, NER_SALT_BUCKETS, _PARTIAL_SCHEMA, _rollup_bucket,
+)
+from .extraction_queries import naive_lines_output
+
+REMOTE_MAX_RETRIES = 4
+REMOTE_BACKOFF_S = 0.05  # doubled per attempt: 0.05, 0.1, 0.2, 0.4
+REMOTE_TIMEOUT_S = 30.0
+
+
+class RemoteEntityTagger:
+    """Actor-pool stage: POST each batch of lines to the tagging service.
+
+    Per-actor state (``__init__``, once): the parsed endpoint and a
+    persistent ``http.client`` connection — the slot a real adapter puts
+    its auth token / TLS session / gRPC channel into. Per batch
+    (``__call__``): one POST, bounded retry with exponential backoff on
+    connection errors and 5xx, reconnecting on transport failure."""
+
+    def __init__(self, endpoint: str,
+                 max_retries: int = REMOTE_MAX_RETRIES,
+                 backoff_s: float = REMOTE_BACKOFF_S,
+                 timeout_s: float = REMOTE_TIMEOUT_S):
+        from urllib.parse import urlparse
+
+        u = urlparse(endpoint)
+        if u.scheme != "http" or not u.hostname:
+            raise ValueError(f"unsupported endpoint {endpoint!r}")
+        self.host, self.port, self.path = u.hostname, u.port or 80, u.path or "/"
+        self.max_retries = max_retries
+        self.backoff_s = backoff_s
+        self.timeout_s = timeout_s
+        self._conn = None
+        self.n_retries = 0  # observability: exported for the contract test
+
+    def _connect(self):
+        import http.client
+
+        self._conn = http.client.HTTPConnection(
+            self.host, self.port, timeout=self.timeout_s)
+        return self._conn
+
+    def _post(self, payload: bytes) -> dict:
+        last_err: Exception | None = None
+        for attempt in range(self.max_retries + 1):
+            if attempt:
+                self.n_retries += 1
+                # deterministic exponential backoff (no jitter: retries
+                # must be reproducible in tests; a production adapter
+                # would add bounded jitter here)
+                time.sleep(self.backoff_s * (2 ** (attempt - 1)))
+            try:
+                conn = self._conn or self._connect()
+                conn.request("POST", self.path, body=payload,
+                             headers={"Content-Type": "application/json"})
+                resp = conn.getresponse()
+                body = resp.read()
+                if resp.status >= 500:
+                    last_err = RuntimeError(f"service 5xx: {resp.status}")
+                    continue  # retryable
+                if resp.status != 200:
+                    raise RuntimeError(
+                        f"service rejected request: {resp.status} "
+                        f"{body[:200]!r}")  # 4xx: NOT retryable
+                return json.loads(body)
+            except (OSError, json.JSONDecodeError) as exc:
+                last_err = exc
+                self._conn = None  # transport broken: reconnect next try
+        raise RuntimeError(
+            f"tagging service failed after {self.max_retries + 1} attempts: "
+            f"{last_err}")
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payload = json.dumps({
+            "urls": batch.column("url").to_pylist(),
+            "warc_ts": [str(t) for t in batch.column("warc_ts").to_pylist()],
+            "lines": batch.column("line").to_pylist(),
+        }).encode()
+        rows = self._post(payload)["rows"]
+        return pa.Table.from_pylist(
+            [{"url": r[0], "warc_ts": r[1], "entity_type": r[2],
+              "n_mentions": r[3], "entities": r[4]} for r in rows],
+            schema=_PARTIAL_SCHEMA,
+        )
+
+
+def serve_fake_tagger(fail_first: int = 0):
+    """A threaded in-process tagging service applying the in-engine rule
+    table — deterministic, so the remote path verifies against the same
+    oracle as the local path. Returns ``(server, endpoint_url)``; call
+    ``server.shutdown()`` when done.
+
+    ``fail_first``: respond 503 to the first N requests (thread-safe
+    counter) to exercise the client's retry path in tests."""
+    import re
+    import threading
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    patterns = [(name, re.compile(pat)) for name, pat in ENTITY_PATTERNS]
+    state = {"left": fail_first, "lock": threading.Lock(), "requests": 0}
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):  # silence per-request stderr noise
+            pass
+
+        def do_POST(self):
+            with state["lock"]:
+                state["requests"] += 1
+                if state["left"] > 0:
+                    state["left"] -= 1
+                    self.send_response(503)
+                    self.end_headers()
+                    self.wfile.write(b"injected failure")
+                    return
+            req = json.loads(
+                self.rfile.read(int(self.headers["Content-Length"])))
+            partial: dict[tuple, list] = {}
+            for u, t, line in zip(req["urls"], req["warc_ts"], req["lines"]):
+                for name, rx in patterns:
+                    hits = rx.findall(line)
+                    if hits:
+                        partial.setdefault((u, t, name), []).extend(hits)
+            body = json.dumps({"rows": [
+                [u, t, n, len(hits), "|".join(hits)]
+                for (u, t, n), hits in partial.items()
+            ]}).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+    server = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    server.request_count = lambda: state["requests"]
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    return server, f"http://127.0.0.1:{server.server_address[1]}/tag"
+
+
+def doc_entities_remote(sf_dir: str) -> "pa.Table":
+    """doc_entities through the REMOTE adapter: same naive-lines input,
+    same salt-bucketed rollup, but the tagging hop is an HTTP POST per
+    batch against the (in-process, deterministic) service — byte-identical
+    output to :func:`ocr_ray.ops.ner.doc_entities`, verified by the same
+    oracle SQL. Materialized before the server shuts down."""
+    import zlib
+
+    server, endpoint = serve_fake_tagger()
+    try:
+        lines = naive_lines_output(sf_dir, columns=["url", "warc_ts", "line"])
+        partials = lines.map_batches(
+            RemoteEntityTagger, fn_constructor_args=(endpoint,),
+            batch_format="pyarrow", batch_size=4096,
+            concurrency=small_pool(), num_cpus=1,
+        )
+
+        def add_salt(batch: pa.Table) -> pa.Table:
+            salt = [zlib.crc32(u.encode()) % NER_SALT_BUCKETS
+                    for u in batch.column("url").to_pylist()]
+            return batch.append_column("salt", pa.array(salt, pa.int64()))
+
+        salted = partials.map_batches(add_salt, batch_format="pyarrow")
+
+        def rollup(df):
+            return _rollup_bucket(df.drop(columns=["salt"]))
+
+        out = salted.groupby("salt").map_groups(rollup, batch_format="pandas")
+        # the Dataset is lazy — collect while the service is still up
+        from .common import small_table
+        from .ner import ENTITY_SCHEMA
+
+        return small_table(out, ENTITY_SCHEMA)
+    finally:
+        server.shutdown()

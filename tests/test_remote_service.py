@@ -1,0 +1,127 @@
+"""Contract tests for the external-service adapter (the reference's W7
+remote-anonymizer shape, server/src/utils/file.py:57-73): a map_batches
+actor-pool stage POSTing batches to an HTTP endpoint with bounded
+deterministic retry/backoff."""
+
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def _tag_batch(endpoint):
+    from ocr_ray.ops.remote_service import RemoteEntityTagger
+
+    tagger = RemoteEntityTagger(endpoint, backoff_s=0.01)
+    batch = pa.table({
+        "url": ["http://a.example/x", "http://a.example/x", "http://b.example/y"],
+        "warc_ts": ["20240101000000", "20240101000000", "20240102000000"],
+        "line": ["Contact Jane Doe at jane@example.com",
+                 "call +351 21 123 4567 now",
+                 "no entities here lowercase only"],
+    })
+    return tagger, tagger(batch)
+
+
+def test_remote_tagger_matches_local_rules():
+    """The transport must add/lose nothing: remote partials == the
+    in-engine EntityTagWorker's on the same batch."""
+    from ocr_ray.ops.ner import EntityTagWorker
+    from ocr_ray.ops.remote_service import serve_fake_tagger
+
+    server, endpoint = serve_fake_tagger()
+    try:
+        tagger, out = _tag_batch(endpoint)
+        assert tagger.n_retries == 0
+    finally:
+        server.shutdown()
+
+    batch = pa.table({
+        "url": ["http://a.example/x", "http://a.example/x", "http://b.example/y"],
+        "warc_ts": ["20240101000000", "20240101000000", "20240102000000"],
+        "line": ["Contact Jane Doe at jane@example.com",
+                 "call +351 21 123 4567 now",
+                 "no entities here lowercase only"],
+    })
+    local = EntityTagWorker()(batch)
+    key = ["url", "warc_ts", "entity_type"]
+    a = out.to_pandas().sort_values(key).reset_index(drop=True)
+    b = local.to_pandas().sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+    assert set(a["entity_type"]) == {"email", "phone", "name"}
+
+
+def test_remote_tagger_retries_transient_5xx():
+    """First two responses are injected 503s; the client must back off,
+    retry, and land the identical result — with the retry count visible."""
+    from ocr_ray.ops.remote_service import serve_fake_tagger
+
+    server, endpoint = serve_fake_tagger(fail_first=2)
+    try:
+        tagger, out = _tag_batch(endpoint)
+        assert tagger.n_retries == 2
+        assert out.num_rows > 0
+        assert server.request_count() == 3
+    finally:
+        server.shutdown()
+
+
+def test_remote_tagger_exhausts_retry_budget():
+    """A persistently failing service must raise after the budget — rows
+    are never silently dropped."""
+    from ocr_ray.ops.remote_service import serve_fake_tagger
+
+    server, endpoint = serve_fake_tagger(fail_first=100)
+    try:
+        with pytest.raises(RuntimeError, match="after 3 attempts"):
+            from ocr_ray.ops.remote_service import RemoteEntityTagger
+
+            tagger = RemoteEntityTagger(endpoint, max_retries=2, backoff_s=0.01)
+            tagger(pa.table({"url": ["u"], "warc_ts": ["t"], "line": ["x"]}))
+    finally:
+        server.shutdown()
+
+
+def test_remote_tagger_rejects_4xx_without_retry():
+    """4xx is a caller bug, not a transient: fail fast, no retries."""
+    import json
+    import threading
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    from ocr_ray.ops.remote_service import RemoteEntityTagger
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):
+            pass
+
+        def do_POST(self):
+            self.send_response(400)
+            self.end_headers()
+            self.wfile.write(b"bad request")
+
+    server = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    try:
+        tagger = RemoteEntityTagger(
+            f"http://127.0.0.1:{server.server_address[1]}/tag", backoff_s=0.01)
+        with pytest.raises(RuntimeError, match="rejected"):
+            tagger(pa.table({"url": ["u"], "warc_ts": ["t"], "line": ["x"]}))
+        assert tagger.n_retries == 0
+    finally:
+        server.shutdown()
+
+
+def test_doc_entities_remote_equals_local(ray_session):
+    """End-to-end through Ray: the remote path's final rollup must be
+    byte-identical to the in-engine doc_entities (same oracle applies)."""
+    from ocr_ray.ops.ner import doc_entities
+    from ocr_ray.ops.remote_service import doc_entities_remote
+
+    remote = doc_entities_remote(SF).to_pandas()
+    local = pd.DataFrame(doc_entities(SF).take_all())
+    key = ["url", "entity_type"]
+    a = remote.sort_values(key).reset_index(drop=True)
+    b = local.sort_values(key).reset_index(drop=True)[a.columns]
+    pd.testing.assert_frame_equal(a, b)
+    assert len(a) > 0
