@@ -51,6 +51,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "winnow_dup_pairs": d_ops.winnow_dup_pairs,
         "parts_never_shipped": r_ops.parts_never_shipped,
         "doc_entities_remote": rs_ops.doc_entities_remote,
+        "crop_zip_bundles": m_ops.crop_zip_bundles,
         "scd2_url_history": x_ops.scd2_url_history,
         "pareto_docs": d_ops.pareto_docs,
         "peak_concurrency": r_ops.peak_concurrency,

@@ -259,6 +259,124 @@ def crop_exact_dedup(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+CROP_ZIP_BUNDLES = 16
+
+
+def _crop_bundle_of(url: str) -> int:
+    """Deterministic bundle id: the suite's md5-prefix hash mod bundle
+    count — same expression the SQL twin runs, so the partition math is
+    oracle-verifiable (zlib.crc32 has no DuckDB equivalent)."""
+    import hashlib
+
+    return int(hashlib.md5(url.encode()).hexdigest()[:16], 16) % CROP_ZIP_BUNDLES
+
+
+def _crop_member_name(url: str, page_no: int, crop_idx: int) -> str:
+    return f"{url}#p{page_no:04d}#c{crop_idx:02d}.png"
+
+
+def _bundle_rows(sf_dir: str) -> ray.data.Dataset:
+    def add_bundle(batch: pa.Table) -> pa.Table:
+        urls = batch.column("url").to_pylist()
+        pages = batch.column("page_no").to_pylist()
+        idxs = batch.column("crop_idx").to_pylist()
+        return pa.table({
+            "bundle": pa.array([_crop_bundle_of(u) for u in urls], pa.int64()),
+            "member": pa.array(
+                [_crop_member_name(u, p, i)
+                 for u, p, i in zip(urls, pages, idxs)], pa.string()),
+            "crop_png": batch.column("crop_png"),
+        })
+
+    return image_region_crops(sf_dir).map_batches(
+        add_bundle, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def write_crop_zips(sf_dir: str, out_dir: str) -> pa.Table:
+    """W6 archival packaging (reference export.py:132-146 zips the saved
+    image groups): one DETERMINISTIC zip per bundle — members sorted by
+    name, fixed 1980 timestamps, ZIP_STORED (PNG is already compressed),
+    so re-runs are byte-identical and a resumed export can skip bundles
+    whose files exist. Bundle count is fixed so bundle ids are a pure
+    function of the url (resumable partitioning); at crawl scale raise
+    CROP_ZIP_BUNDLES with the corpus, not per run.
+
+    Returns the manifest (bundle, n_members, zip_bytes, zip_sha256)."""
+    import hashlib
+    import io
+    import os
+    import zipfile
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def build_zip(group: pa.Table) -> pa.Table:
+        rows = sorted(
+            zip(group.column("member").to_pylist(),
+                group.column("crop_png").to_pylist()))
+        bundle = int(group.column("bundle")[0].as_py())
+        buf = io.BytesIO()
+        with zipfile.ZipFile(buf, "w", zipfile.ZIP_STORED) as zf:
+            for name, blob in rows:
+                info = zipfile.ZipInfo(name, date_time=(1980, 1, 1, 0, 0, 0))
+                zf.writestr(info, blob)
+        data = buf.getvalue()
+        path = os.path.join(out_dir, f"crops-{bundle:04d}.zip")
+        tmp = f"{path}.tmp.{os.getpid()}"
+        with open(tmp, "wb") as f:
+            f.write(data)
+        os.replace(tmp, path)  # atomic: a crashed run never leaves a torn zip
+        return pa.table({
+            "bundle": pa.array([bundle], pa.int64()),
+            "n_members": pa.array([len(rows)], pa.int64()),
+            "zip_bytes": pa.array([len(data)], pa.int64()),
+            "zip_sha256": pa.array(
+                [hashlib.sha256(data).hexdigest()], pa.string()),
+        })
+
+    out = _bundle_rows(sf_dir).groupby("bundle").map_groups(
+        build_zip, batch_format="pyarrow")
+    from .common import small_table
+
+    return small_table(out, pa.schema(
+        [("bundle", pa.int64()), ("n_members", pa.int64()),
+         ("zip_bytes", pa.int64()), ("zip_sha256", pa.string())]))
+
+
+def crop_zip_bundles(sf_dir: str):
+    """Driver-facing bundle manifest WITHOUT the zip assembly: per-bundle
+    member count and total payload bytes — verifies the partition math
+    (bundle hash, membership, sizes) against SQL over the crops artifact;
+    the zip bytes themselves are pinned by the write_crop_zips pytest
+    (byte-determinism + readability), which SQL cannot express.
+
+    Output: (bundle, n_members, total_png_bytes) ordered by bundle."""
+    rows = _bundle_rows(sf_dir)
+
+    def sizes(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "bundle": batch.column("bundle"),
+            "n_bytes": pa.array(
+                [len(c) for c in batch.column("crop_png").to_pylist()],
+                pa.int64()),
+        })
+
+    from .common import grouped_agg, small_table
+
+    def fin(df):
+        return df.sort_values("bundle").reset_index(drop=True)
+
+    out = grouped_agg(
+        rows.map_batches(sizes, batch_format="pyarrow", zero_copy_batch=True),
+        keys=["bundle"],
+        specs=[("n_members", "count", None),
+               ("total_png_bytes", "sum", "n_bytes")],
+        finalize=fin,
+    )
+    return small_table(out, pa.schema(
+        [("bundle", pa.int64()), ("n_members", pa.int64()),
+         ("total_png_bytes", pa.int64())]))
+
+
 def media_hash_rows(sf_dir: str) -> ray.data.Dataset:
     """Per OCR-branch record: md5 of the raw binary payload + its size —
     the per-record stage of media_exact_dedup and its oracle artifact

@@ -1224,6 +1224,19 @@ def extra_oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         FROM read_parquet('{crops}')
         ORDER BY url, page_no, crop_idx
     """
+    # W6 archival bundling: the partition math (md5-prefix bundle id,
+    # membership, payload sizes) replayed in SQL; the zip BYTES are pinned
+    # by the write_crop_zips pytest, which SQL cannot express
+    from .multimodal import CROP_ZIP_BUNDLES
+
+    sql["crop_zip_bundles"] = f"""
+        SELECT CAST(('0x' || substr(md5(url), 1, 16))::UBIGINT
+                   % {CROP_ZIP_BUNDLES} AS BIGINT) AS bundle,
+               CAST(COUNT(*) AS BIGINT) AS n_members,
+               CAST(SUM(octet_length(crop_png)) AS BIGINT) AS total_png_bytes
+        FROM read_parquet('{crops}')
+        GROUP BY 1 ORDER BY bundle
+    """
     sql["crop_exact_dedup"] = f"""
         WITH d AS (
             SELECT md5(lower(to_hex(crop_png))) AS crop_md5,

@@ -294,14 +294,19 @@ def test_lower_ordinal_median_rule():
 
 
 def test_empty_result_keeps_schema(ray_session):
-    # the correctness gate reads schema() off empty results; a sort over
-    # an all-empty dataset loses it unless the typed zero-row seed is
-    # unioned AFTER the sort (sf0.001 ships every part, so this result
-    # is genuinely empty)
+    # the driver's correctness gate never consults Dataset.schema() on an
+    # empty result (the round-4 schema fails), so can-be-empty queries now
+    # return a MATERIALIZED typed pa.Table — schema survives any
+    # conversion (sf0.001 ships every part, so this result is genuinely
+    # empty)
+    import pyarrow as pa
+
     from ocr_ray.ops.relational import parts_never_shipped
 
-    ds = parts_never_shipped("/root/testdata/sf0.001")
-    schema = ds.schema()
-    assert schema is not None and schema.names == [
+    tbl = parts_never_shipped("/root/testdata/sf0.001")
+    assert isinstance(tbl, pa.Table)
+    assert tbl.schema.names == [
         "p_partkey", "p_brand", "p_type", "p_retailprice"]
-    assert ds.count() == 0
+    assert tbl.schema.field("p_partkey").type == pa.int64()
+    assert tbl.schema.field("p_retailprice").type == pa.float64()
+    assert tbl.num_rows == 0
