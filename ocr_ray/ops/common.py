@@ -105,8 +105,15 @@ def grouped_agg(
                     pc.if_else(pc.is_nan(c), pa.scalar(None, c.type), c))
         out = batch.group_by(keys, use_threads=False).aggregate(pa_aggs)
         data = {k: out.column(k) for k in keys}
-        for (name, _, _), pname in zip(specs, produced):
-            data[name] = out.column(pname)
+        for (name, kind, _), pname in zip(specs, produced):
+            col = out.column(pname)
+            if kind == "sum" and pa.types.is_floating(col.type):
+                # pandas parity for an ALL-NaN group: skipna sum = 0.0,
+                # Arrow's null-sum = null — coalesce so recorded snapshots
+                # keep their 0.0 (min/max need nothing: null→NaN at the
+                # pandas boundary, same as pandas' skipna min of all-NaN)
+                col = pa.compute.fill_null(col, 0.0)
+            data[name] = col
         return pa.table(data)
 
     ds = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)

@@ -330,9 +330,18 @@ def _band_rows(batch: pa.Table) -> pa.Table:
         sigs[i] = sig
         band_keys[i] = sketches.minhash_bands(sig, MINHASH_BANDS)
     sig_rep = np.repeat(sigs, MINHASH_BANDS, axis=0)
-    offsets = np.arange(n * MINHASH_BANDS + 1, dtype=np.int32) * MINHASH_PERMS
+    # list<uint32> carries int32 offsets: fail LOUDLY past the 2^31 value
+    # cap (a >2.1M-row block would silently wrap int32 arithmetic) —
+    # blocks that large mean target_max_block_size is misconfigured
+    n_values = n * MINHASH_BANDS * MINHASH_PERMS
+    if n_values >= 1 << 31:
+        raise ValueError(
+            f"_band_rows: batch of {n} docs needs {n_values} sig values, "
+            f"past the int32 list-offset cap — shrink the block size")
+    offsets = np.arange(n * MINHASH_BANDS + 1, dtype=np.int64) * MINHASH_PERMS
     sig_col = pa.ListArray.from_arrays(
-        pa.array(offsets, pa.int32()), pa.array(sig_rep.ravel(), pa.uint32()))
+        pa.array(offsets.astype(np.int32), pa.int32()),
+        pa.array(sig_rep.ravel(), pa.uint32()))
     return pa.table(
         {"band_key": pa.array(band_keys.ravel(), pa.uint64()),
          "doc_id": pa.array(np.repeat(ids.astype(np.int64), MINHASH_BANDS),

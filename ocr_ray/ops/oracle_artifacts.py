@@ -61,27 +61,45 @@ def ensure_artifacts(sf_dir: str) -> dict[str, str]:
     both appended parquet files into the same word_pages/ and doubled
     every count) can never interleave writes; the loser discards its
     staging copy."""
+    import shutil
+
     root = _artifact_dir(sf_dir)
     done_marker = os.path.join(root, "_DONE")
     if os.path.exists(done_marker):
         return _artifact_paths(root)
-    if os.path.isdir(root):
-        # a marker-less root can only be a pre-staging leftover (crashed
-        # or interleaved build) — it is corrupt by definition, drop it
-        import shutil
-
-        shutil.rmtree(root, ignore_errors=True)
     stage = f"{root}.building.{os.getpid()}"
-    _build_artifacts(sf_dir, stage)
-    with open(os.path.join(stage, "_DONE"), "w") as f:
-        f.write("ok")
     try:
-        os.rename(stage, root)
-    except OSError:
-        # another builder renamed first; its artifacts are complete
-        import shutil
-
+        _build_artifacts(sf_dir, stage)
+        with open(os.path.join(stage, "_DONE"), "w") as f:
+            f.write("ok")
+    except BaseException:
+        # a crashed build must not leak a multi-GB staging dir
         shutil.rmtree(stage, ignore_errors=True)
+        raise
+    # Land atomically. A COMPLETE root always carries _DONE (written in
+    # staging BEFORE the rename), so a marker-less root can only be a
+    # legacy/corrupt leftover — and we never delete it in place (the
+    # round-5 review's TOCTOU): it is renamed ASIDE first, which is
+    # atomic and can succeed for exactly one process.
+    for _ in range(2):
+        try:
+            os.rename(stage, root)
+            return _artifact_paths(root)
+        except OSError:
+            if os.path.exists(done_marker):
+                # another builder landed a complete root; use theirs
+                shutil.rmtree(stage, ignore_errors=True)
+                return _artifact_paths(root)
+            aside = f"{root}.corrupt.{os.getpid()}"
+            try:
+                os.rename(root, aside)
+            except OSError:
+                continue  # someone else moved it aside; retry our rename
+            shutil.rmtree(aside, ignore_errors=True)
+    if not os.path.exists(done_marker):
+        shutil.rmtree(stage, ignore_errors=True)
+        raise RuntimeError(f"could not land oracle artifacts at {root}")
+    shutil.rmtree(stage, ignore_errors=True)
     return _artifact_paths(root)
 
 

@@ -74,6 +74,8 @@ class RemoteEntityTagger:
         return self._conn
 
     def _post(self, payload: bytes) -> dict:
+        import http.client
+
         last_err: Exception | None = None
         for attempt in range(self.max_retries + 1):
             if attempt:
@@ -96,7 +98,12 @@ class RemoteEntityTagger:
                         f"service rejected request: {resp.status} "
                         f"{body[:200]!r}")  # 4xx: NOT retryable
                 return json.loads(body)
-            except (OSError, json.JSONDecodeError) as exc:
+            except (OSError, http.client.HTTPException,
+                    json.JSONDecodeError) as exc:
+                # HTTPException covers IncompleteRead / BadStatusLine /
+                # CannotSendRequest — transport-level transients that must
+                # consume retry budget, not escape it (and must not leave
+                # the persistent connection poisoned for later batches)
                 last_err = exc
                 self._conn = None  # transport broken: reconnect next try
         raise RuntimeError(
@@ -121,7 +128,7 @@ def serve_fake_tagger(fail_first: int = 0):
     """A threaded in-process tagging service applying the in-engine rule
     table — deterministic, so the remote path verifies against the same
     oracle as the local path. Returns ``(server, endpoint_url)``; call
-    ``server.shutdown()`` when done.
+    ``server.shutdown()`` then ``server.server_close()`` when done.
 
     ``fail_first``: respond 503 to the first N requests (thread-safe
     counter) to exercise the client's retry path in tests."""
@@ -205,3 +212,4 @@ def doc_entities_remote(sf_dir: str) -> "pa.Table":
         return small_table(out, ENTITY_SCHEMA)
     finally:
         server.shutdown()
+        server.server_close()  # shutdown() alone leaks the listening fd

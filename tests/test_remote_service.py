@@ -36,6 +36,7 @@ def test_remote_tagger_matches_local_rules():
         assert tagger.n_retries == 0
     finally:
         server.shutdown()
+        server.server_close()
 
     batch = pa.table({
         "url": ["http://a.example/x", "http://a.example/x", "http://b.example/y"],
@@ -65,6 +66,7 @@ def test_remote_tagger_retries_transient_5xx():
         assert server.request_count() == 3
     finally:
         server.shutdown()
+        server.server_close()
 
 
 def test_remote_tagger_exhausts_retry_budget():
@@ -81,6 +83,7 @@ def test_remote_tagger_exhausts_retry_budget():
             tagger(pa.table({"url": ["u"], "warc_ts": ["t"], "line": ["x"]}))
     finally:
         server.shutdown()
+        server.server_close()
 
 
 def test_remote_tagger_rejects_4xx_without_retry():
@@ -110,6 +113,7 @@ def test_remote_tagger_rejects_4xx_without_retry():
         assert tagger.n_retries == 0
     finally:
         server.shutdown()
+        server.server_close()
 
 
 def test_doc_entities_remote_equals_local(ray_session):
@@ -125,3 +129,50 @@ def test_doc_entities_remote_equals_local(ray_session):
     b = local.sort_values(key).reset_index(drop=True)[a.columns]
     pd.testing.assert_frame_equal(a, b)
     assert len(a) > 0
+
+
+def test_remote_tagger_retries_truncated_response():
+    """A 200 whose body is cut short (IncompleteRead — an HTTPException,
+    not an OSError) must consume retry budget and recover on a clean
+    connection, not escape the retry loop or poison the persistent
+    connection."""
+    import json
+    import threading
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    from ocr_ray.ops.remote_service import RemoteEntityTagger
+
+    state = {"truncate_left": 1, "lock": threading.Lock()}
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):
+            pass
+
+        def do_POST(self):
+            self.rfile.read(int(self.headers["Content-Length"]))
+            body = json.dumps({"rows": [["u", "t", "email", 1, "a@b.co"]]}).encode()
+            with state["lock"]:
+                trunc = state["truncate_left"] > 0
+                if trunc:
+                    state["truncate_left"] -= 1
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body) + 50 if trunc else len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+            if trunc:
+                self.wfile.flush()
+                self.connection.close()
+
+    server = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    try:
+        tagger = RemoteEntityTagger(
+            f"http://127.0.0.1:{server.server_address[1]}/tag", backoff_s=0.01)
+        out = tagger(pa.table({"url": ["u"], "warc_ts": ["t"],
+                               "line": ["mail a@b.co"]}))
+        assert tagger.n_retries >= 1
+        assert out.num_rows == 1
+    finally:
+        server.shutdown()
+        server.server_close()

@@ -162,3 +162,60 @@ def test_skewed_corpus_pipeline(ray_session, tmp_path):
     # the giant doc extracted all its pages without poisoning its partition
     g = by_url["https://giant.example/book"][0]
     assert g["error"] is None and g["n_pages"] == n_giant_pages
+
+
+def test_ensure_artifacts_landing_semantics(monkeypatch, tmp_path):
+    """Atomic artifact landing: a complete root (carries _DONE) is always
+    respected, a marker-less legacy root is replaced via rename-aside
+    (never deleted in place), and a crashed build leaks no staging dir."""
+    import os
+
+    from ocr_ray.ops import oracle_artifacts as oa
+
+    root = str(tmp_path / "artifacts")
+    monkeypatch.setattr(oa, "_artifact_dir", lambda sf: root)
+    calls = {"n": 0}
+
+    def fake_build(sf_dir, stage):
+        calls["n"] += 1
+        os.makedirs(stage, exist_ok=True)
+        with open(os.path.join(stage, "payload"), "w") as f:
+            f.write(f"build-{calls['n']}")
+
+    monkeypatch.setattr(oa, "_build_artifacts", fake_build)
+
+    # cold: builds and lands
+    oa.ensure_artifacts("sf")
+    assert open(os.path.join(root, "payload")).read() == "build-1"
+    assert os.path.exists(os.path.join(root, "_DONE"))
+
+    # complete root: NOT rebuilt, NOT touched
+    oa.ensure_artifacts("sf")
+    assert calls["n"] == 1
+
+    # marker-less legacy root: replaced (rename-aside, then fresh land)
+    os.remove(os.path.join(root, "_DONE"))
+    oa.ensure_artifacts("sf")
+    assert calls["n"] == 2
+    assert open(os.path.join(root, "payload")).read() == "build-2"
+    assert os.path.exists(os.path.join(root, "_DONE"))
+    # no staging/aside leftovers
+    leftovers = [d for d in os.listdir(tmp_path)
+                 if "building" in d or "corrupt" in d]
+    assert leftovers == []
+
+    # crashed build: staging dir cleaned up, error propagates
+    import shutil
+
+    shutil.rmtree(root)
+
+    def broken_build(sf_dir, stage):
+        os.makedirs(stage, exist_ok=True)
+        raise RuntimeError("boom")
+
+    monkeypatch.setattr(oa, "_build_artifacts", broken_build)
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="boom"):
+        oa.ensure_artifacts("sf")
+    assert [d for d in os.listdir(tmp_path) if "building" in d] == []
