@@ -52,6 +52,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "parts_never_shipped": r_ops.parts_never_shipped,
         "doc_entities_remote": rs_ops.doc_entities_remote,
         "crop_zip_bundles": m_ops.crop_zip_bundles,
+        "hashed_bow_remote": rs_ops.hashed_bow_remote,
         "scd2_url_history": x_ops.scd2_url_history,
         "pareto_docs": d_ops.pareto_docs,
         "peak_concurrency": r_ops.peak_concurrency,
@@ -347,6 +348,9 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
     if sf_dir is None:
         sf_dir = os.environ.get("OCR_RAY_ORACLE_SF_DIR", "/root/testdata/sf0.01")
     sql = _base_oracle_sql()
+    # the remote-embedding path must land the identical summary (the fake
+    # service applies documents.feathash_vector — the same kernel)
+    sql["hashed_bow_remote"] = sql["hashed_bow_embeddings"]
     # queries left rows-only in round 1: artifact-stage recomputations,
     # md5-sketch recomputations, constant-shipped LSH/IVF, golden snapshots
     sql.update(extra_oracle_sql(sf_dir))

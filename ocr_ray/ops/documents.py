@@ -4946,27 +4946,11 @@ def hashed_bow_embeddings(sf_dir: str):
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
 
     def per_doc(batch: pa.Table) -> pa.Table:
-        from collections import Counter
-
-        from ..kernels.textfn import _INDEX_DEL_TABLE
-
         ids = batch.column("doc_id").to_pylist()
         nnz_l, l1_l, n2_l = [], [], []
         memo: dict[str, tuple[int, int]] = {}
         for text in batch.column("text").to_pylist():
-            vec = np.zeros(FEATHASH_DIM, dtype=np.int64)
-            c = Counter(
-                t for t in
-                (w.translate(_INDEX_DEL_TABLE).lower() for w in text.split())
-                if t
-            )
-            for word, tf in c.items():
-                hit = memo.get(word)
-                if hit is None:
-                    h = int(hashlib.md5(word.encode()).hexdigest()[:16], 16)
-                    hit = (h % FEATHASH_DIM, 1 if (h // FEATHASH_DIM) % 2 == 0 else -1)
-                    memo[word] = hit
-                vec[hit[0]] += hit[1] * tf
+            vec = feathash_vector(text, memo)
             nnz_l.append(int((vec != 0).sum()))
             l1_l.append(int(np.abs(vec).sum()))
             n2_l.append(int((vec * vec).sum()))
@@ -4978,6 +4962,35 @@ def hashed_bow_embeddings(sf_dir: str):
         )
 
     return ds.map_batches(per_doc, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def feathash_vector(text: str, memo: dict | None = None) -> "np.ndarray":
+    """One doc's feature-hashed BoW vector (int64[FEATHASH_DIM]) — the
+    shared kernel of :func:`hashed_bow_embeddings` and the fake remote
+    embedding service (remote_service.serve_fake_embedder), so the remote
+    path verifies against the same oracle. ``memo`` caches per-word
+    (bucket, sign) across calls."""
+    import hashlib as _hashlib
+    from collections import Counter
+
+    from ..kernels.textfn import _INDEX_DEL_TABLE
+
+    if memo is None:
+        memo = {}
+    vec = np.zeros(FEATHASH_DIM, dtype=np.int64)
+    c = Counter(
+        t for t in
+        (w.translate(_INDEX_DEL_TABLE).lower() for w in text.split())
+        if t
+    )
+    for word, tf in c.items():
+        hit = memo.get(word)
+        if hit is None:
+            h = int(_hashlib.md5(word.encode()).hexdigest()[:16], 16)
+            hit = (h % FEATHASH_DIM, 1 if (h // FEATHASH_DIM) % 2 == 0 else -1)
+            memo[word] = hit
+        vec[hit[0]] += hit[1] * tf
+    return vec
 
 
 STUMP_TARGET_LANG = "en"

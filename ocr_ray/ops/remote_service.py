@@ -41,14 +41,14 @@ REMOTE_BACKOFF_S = 0.05  # doubled per attempt: 0.05, 0.1, 0.2, 0.4
 REMOTE_TIMEOUT_S = 30.0
 
 
-class RemoteEntityTagger:
-    """Actor-pool stage: POST each batch of lines to the tagging service.
-
-    Per-actor state (``__init__``, once): the parsed endpoint and a
-    persistent ``http.client`` connection — the slot a real adapter puts
-    its auth token / TLS session / gRPC channel into. Per batch
-    (``__call__``): one POST, bounded retry with exponential backoff on
-    connection errors and 5xx, reconnecting on transport failure."""
+class RemoteBatchClient:
+    """Transport base for actor-pool remote-model stages: a persistent
+    ``http.client`` connection per actor (the slot a real adapter puts its
+    auth token / TLS session / gRPC channel into) and one POST per Arrow
+    batch, with bounded deterministic retry/backoff on connection errors,
+    transport-level HTTPExceptions and 5xx — 4xx fails fast. Subclasses
+    shape the request/response for their model type (NER tagging,
+    embedding, classification ...)."""
 
     def __init__(self, endpoint: str,
                  max_retries: int = REMOTE_MAX_RETRIES,
@@ -110,6 +110,11 @@ class RemoteEntityTagger:
             f"tagging service failed after {self.max_retries + 1} attempts: "
             f"{last_err}")
 
+
+class RemoteEntityTagger(RemoteBatchClient):
+    """Actor-pool stage: POST each batch of lines to the tagging service
+    (the reference's W7 anonymizer call, file.py:57-73)."""
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         payload = json.dumps({
             "urls": batch.column("url").to_pylist(),
@@ -122,6 +127,42 @@ class RemoteEntityTagger:
               "n_mentions": r[3], "entities": r[4]} for r in rows],
             schema=_PARTIAL_SCHEMA,
         )
+
+
+class RemoteEmbedder(RemoteBatchClient):
+    """Actor-pool stage: POST each batch of texts to an embedding service
+    and return (doc_id, vector) rows — the remote-model twin of an
+    in-engine featurizer, batching texts per round trip exactly the way a
+    production embedding endpoint is driven. The response vectors land as
+    a fixed-size-list column (zero-copy numpy on the way out)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        from .documents import FEATHASH_DIM
+
+        ids = batch.column("doc_id").to_pylist()
+        if not ids:
+            return pa.table({
+                "doc_id": pa.array([], pa.int64()),
+                "vector": pa.array([], pa.list_(pa.int64(), FEATHASH_DIM)),
+            })
+        payload = json.dumps({
+            "ids": ids,
+            "texts": batch.column("text").to_pylist(),
+        }).encode()
+        vectors = self._post(payload)["vectors"]
+        arr = np.asarray(vectors, dtype=np.int64)
+        if arr.shape[0] != len(ids):
+            raise RuntimeError(
+                f"embedding service returned {arr.shape[0]} vectors "
+                f"for {len(ids)} texts")
+        vec_col = pa.FixedSizeListArray.from_arrays(
+            pa.array(arr.ravel(), pa.int64()), arr.shape[1])
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "vector": vec_col,
+        })
 
 
 def serve_fake_tagger(fail_first: int = 0):
@@ -213,3 +254,91 @@ def doc_entities_remote(sf_dir: str) -> "pa.Table":
     finally:
         server.shutdown()
         server.server_close()  # shutdown() alone leaks the listening fd
+
+
+def serve_fake_embedder(fail_first: int = 0):
+    """A threaded in-process embedding service applying the in-engine
+    feature-hash kernel (documents.feathash_vector) — deterministic, so
+    the remote path verifies against hashed_bow_embeddings' oracle.
+    Returns ``(server, endpoint_url)``; call ``server.shutdown()`` then
+    ``server.server_close()`` when done."""
+    import threading
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    from .documents import feathash_vector
+
+    state = {"left": fail_first, "lock": threading.Lock(), "requests": 0,
+             "memo": {}}
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):
+            pass
+
+        def do_POST(self):
+            with state["lock"]:
+                state["requests"] += 1
+                if state["left"] > 0:
+                    state["left"] -= 1
+                    self.send_response(503)
+                    self.end_headers()
+                    self.wfile.write(b"injected failure")
+                    return
+            req = json.loads(
+                self.rfile.read(int(self.headers["Content-Length"])))
+            with state["lock"]:  # the word memo is shared across threads
+                vecs = [feathash_vector(t, state["memo"]).tolist()
+                        for t in req["texts"]]
+            body = json.dumps({"vectors": vecs}).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+    server = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    server.request_count = lambda: state["requests"]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    return server, f"http://127.0.0.1:{server.server_address[1]}/embed"
+
+
+def hashed_bow_remote(sf_dir: str) -> "pa.Table":
+    """hashed_bow_embeddings through the REMOTE adapter: texts batch-POST
+    to the (in-process, deterministic) embedding service; the returned
+    vectors reduce to the same (doc_id, nnz, l1, norm2) summary, verified
+    by the same oracle SQL — the remote-embedding-endpoint shape
+    (batching, retry, per-actor session) a production pipeline drives
+    against a real model server.
+
+    Scale shape: shuffle-free; one 512-text round trip per batch; only
+    the 4-int summary rows survive the stage."""
+    import numpy as np
+
+    from .common import read_table, small_table
+
+    server, endpoint = serve_fake_embedder()
+    try:
+        ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+        embedded = ds.map_batches(
+            RemoteEmbedder, fn_constructor_args=(endpoint,),
+            batch_format="pyarrow", batch_size=512,
+            concurrency=small_pool(), num_cpus=1,
+        )
+
+        def summarize(batch: pa.Table) -> pa.Table:
+            col = batch.column("vector").combine_chunks()
+            m = col.flatten().to_numpy(zero_copy_only=False).reshape(
+                batch.num_rows, -1)
+            return pa.table({
+                "doc_id": batch.column("doc_id"),
+                "nnz": pa.array((m != 0).sum(axis=1).astype(np.int64)),
+                "l1": pa.array(np.abs(m).sum(axis=1).astype(np.int64)),
+                "norm2": pa.array((m * m).sum(axis=1).astype(np.int64)),
+            })
+
+        out = embedded.map_batches(summarize, batch_format="pyarrow")
+        return small_table(out, pa.schema(
+            [("doc_id", pa.int64()), ("nnz", pa.int64()),
+             ("l1", pa.int64()), ("norm2", pa.int64())]))
+    finally:
+        server.shutdown()
+        server.server_close()

@@ -176,3 +176,37 @@ def test_remote_tagger_retries_truncated_response():
     finally:
         server.shutdown()
         server.server_close()
+
+
+def test_remote_embedder_matches_local_kernel():
+    """The embedding transport must return exactly the in-engine
+    feature-hash vectors (shared kernel), including the retry path."""
+    import numpy as np
+
+    from ocr_ray.ops.documents import FEATHASH_DIM, feathash_vector
+    from ocr_ray.ops.remote_service import RemoteEmbedder, serve_fake_embedder
+
+    server, endpoint = serve_fake_embedder(fail_first=1)
+    try:
+        emb = RemoteEmbedder(endpoint, backoff_s=0.01)
+        texts = ["alpha beta beta Gamma!", "", "alpha alpha"]
+        out = emb(pa.table({"doc_id": [1, 2, 3], "text": texts}))
+        assert emb.n_retries == 1
+        m = out.column("vector").combine_chunks().flatten().to_numpy(
+            zero_copy_only=False).reshape(3, FEATHASH_DIM)
+        for i, t in enumerate(texts):
+            assert (m[i] == feathash_vector(t)).all()
+    finally:
+        server.shutdown()
+        server.server_close()
+
+
+def test_hashed_bow_remote_equals_local(ray_session):
+    """End-to-end through Ray: remote summary == in-engine summary."""
+    from ocr_ray.ops.documents import hashed_bow_embeddings
+    from ocr_ray.ops.remote_service import hashed_bow_remote
+
+    remote = hashed_bow_remote(SF).to_pandas().sort_values("doc_id")
+    local = pd.DataFrame(hashed_bow_embeddings(SF).take_all()).sort_values("doc_id")
+    pd.testing.assert_frame_equal(
+        remote.reset_index(drop=True), local.reset_index(drop=True))
