@@ -223,7 +223,9 @@ def doc_entities_remote(sf_dir: str) -> "pa.Table":
     same salt-bucketed rollup, but the tagging hop is an HTTP POST per
     batch against the (in-process, deterministic) service — byte-identical
     output to :func:`ocr_ray.ops.ner.doc_entities`, verified by the same
-    oracle SQL. Materialized before the server shuts down."""
+    oracle SQL. Materialized before the server shuts down — an artifact
+    of the in-process fake service only; against a real external endpoint
+    the streamed Dataset goes straight through."""
     import zlib
 
     server, endpoint = serve_fake_tagger()
@@ -310,7 +312,10 @@ def hashed_bow_remote(sf_dir: str) -> "pa.Table":
     against a real model server.
 
     Scale shape: shuffle-free; one 512-text round trip per batch; only
-    the 4-int summary rows survive the stage."""
+    the 4-int summary rows survive the stage. The final materialization
+    exists ONLY because the fake service lives in the driver process and
+    must outlive execution — against a real external endpoint, return the
+    streamed Dataset instead and this is a pure streaming stage."""
     import numpy as np
 
     from .common import read_table, small_table
