@@ -4939,10 +4939,6 @@ def hashed_bow_embeddings(sf_dir: str):
     reduced inside its batch; only the 4-int summary rows leave.
 
     Output: (doc_id, nnz, l1, norm2), one row per doc."""
-    import hashlib
-
-    import numpy as np
-
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
 
     def per_doc(batch: pa.Table) -> pa.Table:

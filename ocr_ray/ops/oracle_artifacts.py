@@ -42,6 +42,10 @@ import pyarrow.parquet as pq
 
 ORACLE_ROOT = "/tmp/ocr_ray_oracle"
 
+# Artifact-landing lockfile: max wait for a live holder, and the age past
+# which a lock is presumed orphaned by a dead process and broken.
+LOCK_STALE_S = 600.0
+
 
 def _artifact_dir(sf_dir: str) -> str:
     from .extraction_queries import _code_fingerprint, pages_corpus
@@ -76,30 +80,52 @@ def ensure_artifacts(sf_dir: str) -> dict[str, str]:
         # a crashed build must not leak a multi-GB staging dir
         shutil.rmtree(stage, ignore_errors=True)
         raise
-    # Land atomically. A COMPLETE root always carries _DONE (written in
-    # staging BEFORE the rename), so a marker-less root can only be a
-    # legacy/corrupt leftover — and we never delete it in place (the
-    # round-5 review's TOCTOU): it is renamed ASIDE first, which is
-    # atomic and can succeed for exactly one process.
-    for _ in range(2):
+    # Land under an O_EXCL lockfile: a COMPLETE root always carries _DONE
+    # (written in staging BEFORE the rename) and is NEVER touched; a
+    # marker-less root is a legacy/corrupt leftover and is replaced only
+    # while holding the lock, so no check-then-act window remains (the
+    # residual TOCTOU of the first rename-aside design — two builders
+    # racing a corrupt root could delete each other's fresh landing).
+    # A holder that dies leaves a stale lock, broken after LOCK_STALE_S.
+    import time
+
+    lock_path = f"{root}.lock"
+    deadline = time.time() + LOCK_STALE_S
+    fd = None
+    while fd is None:
         try:
-            os.rename(stage, root)
-            return _artifact_paths(root)
-        except OSError:
+            fd = os.open(lock_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            try:
+                if time.time() - os.path.getmtime(lock_path) > LOCK_STALE_S:
+                    os.unlink(lock_path)
+                    continue
+            except OSError:
+                continue  # holder just released/broke it; retry open
             if os.path.exists(done_marker):
-                # another builder landed a complete root; use theirs
+                # the holder landed a complete root; ours is redundant
                 shutil.rmtree(stage, ignore_errors=True)
                 return _artifact_paths(root)
-            aside = f"{root}.corrupt.{os.getpid()}"
-            try:
+            if time.time() > deadline:
+                shutil.rmtree(stage, ignore_errors=True)
+                raise RuntimeError(
+                    f"timed out waiting for artifact lock {lock_path}")
+            time.sleep(0.5)
+    try:
+        if os.path.exists(done_marker):
+            shutil.rmtree(stage, ignore_errors=True)
+        else:
+            if os.path.isdir(root):  # marker-less: corrupt, safe under lock
+                aside = f"{root}.corrupt.{os.getpid()}"
                 os.rename(root, aside)
-            except OSError:
-                continue  # someone else moved it aside; retry our rename
-            shutil.rmtree(aside, ignore_errors=True)
-    if not os.path.exists(done_marker):
-        shutil.rmtree(stage, ignore_errors=True)
-        raise RuntimeError(f"could not land oracle artifacts at {root}")
-    shutil.rmtree(stage, ignore_errors=True)
+                shutil.rmtree(aside, ignore_errors=True)
+            os.rename(stage, root)
+    finally:
+        os.close(fd)
+        try:
+            os.unlink(lock_path)
+        except OSError:
+            pass
     return _artifact_paths(root)
 
 

@@ -165,19 +165,20 @@ class RemoteEmbedder(RemoteBatchClient):
         })
 
 
-def serve_fake_tagger(fail_first: int = 0):
-    """A threaded in-process tagging service applying the in-engine rule
-    table — deterministic, so the remote path verifies against the same
-    oracle as the local path. Returns ``(server, endpoint_url)``; call
-    ``server.shutdown()`` then ``server.server_close()`` when done.
+def _serve_fake_json(path: str, handle, fail_first: int = 0):
+    """Shared scaffold for the in-process fake model services: a threaded
+    HTTP server that decodes a JSON POST, delegates to ``handle(request)
+    -> response_dict``, and responds JSON — with ``fail_first`` injected
+    503s (thread-safe counter) to exercise the client retry path in
+    tests. Returns ``(server, endpoint_url)``; callers must
+    ``server.shutdown()`` then ``server.server_close()``.
 
-    ``fail_first``: respond 503 to the first N requests (thread-safe
-    counter) to exercise the client's retry path in tests."""
-    import re
+    ``handle`` runs OUTSIDE any lock, so concurrent actor requests embed
+    in parallel — a shared lock here would serialize the whole actor
+    pool (the round-5 review's finding)."""
     import threading
     from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
-    patterns = [(name, re.compile(pat)) for name, pat in ENTITY_PATTERNS]
     state = {"left": fail_first, "lock": threading.Lock(), "requests": 0}
 
     class Handler(BaseHTTPRequestHandler):
@@ -195,16 +196,7 @@ def serve_fake_tagger(fail_first: int = 0):
                     return
             req = json.loads(
                 self.rfile.read(int(self.headers["Content-Length"])))
-            partial: dict[tuple, list] = {}
-            for u, t, line in zip(req["urls"], req["warc_ts"], req["lines"]):
-                for name, rx in patterns:
-                    hits = rx.findall(line)
-                    if hits:
-                        partial.setdefault((u, t, name), []).extend(hits)
-            body = json.dumps({"rows": [
-                [u, t, n, len(hits), "|".join(hits)]
-                for (u, t, n), hits in partial.items()
-            ]}).encode()
+            body = json.dumps(handle(req)).encode()
             self.send_response(200)
             self.send_header("Content-Type", "application/json")
             self.send_header("Content-Length", str(len(body)))
@@ -213,9 +205,31 @@ def serve_fake_tagger(fail_first: int = 0):
 
     server = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
     server.request_count = lambda: state["requests"]
-    thread = threading.Thread(target=server.serve_forever, daemon=True)
-    thread.start()
-    return server, f"http://127.0.0.1:{server.server_address[1]}/tag"
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    return server, f"http://127.0.0.1:{server.server_address[1]}{path}"
+
+
+def serve_fake_tagger(fail_first: int = 0):
+    """A threaded in-process tagging service applying the in-engine rule
+    table — deterministic, so the remote path verifies against the same
+    oracle as the local path (scaffold: :func:`_serve_fake_json`)."""
+    import re
+
+    patterns = [(name, re.compile(pat)) for name, pat in ENTITY_PATTERNS]
+
+    def handle(req: dict) -> dict:
+        partial: dict[tuple, list] = {}
+        for u, t, line in zip(req["urls"], req["warc_ts"], req["lines"]):
+            for name, rx in patterns:
+                hits = rx.findall(line)
+                if hits:
+                    partial.setdefault((u, t, name), []).extend(hits)
+        return {"rows": [
+            [u, t, n, len(hits), "|".join(hits)]
+            for (u, t, n), hits in partial.items()
+        ]}
+
+    return _serve_fake_json("/tag", handle, fail_first)
 
 
 def doc_entities_remote(sf_dir: str) -> "pa.Table":
@@ -261,46 +275,18 @@ def doc_entities_remote(sf_dir: str) -> "pa.Table":
 def serve_fake_embedder(fail_first: int = 0):
     """A threaded in-process embedding service applying the in-engine
     feature-hash kernel (documents.feathash_vector) — deterministic, so
-    the remote path verifies against hashed_bow_embeddings' oracle.
-    Returns ``(server, endpoint_url)``; call ``server.shutdown()`` then
-    ``server.server_close()`` when done."""
-    import threading
-    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
-
+    the remote path verifies against hashed_bow_embeddings' oracle
+    (scaffold: :func:`_serve_fake_json`). The word memo is per-request
+    (the kernel is deterministic without it), so concurrent requests
+    never serialize on shared state."""
     from .documents import feathash_vector
 
-    state = {"left": fail_first, "lock": threading.Lock(), "requests": 0,
-             "memo": {}}
+    def handle(req: dict) -> dict:
+        memo: dict = {}
+        return {"vectors": [feathash_vector(t, memo).tolist()
+                            for t in req["texts"]]}
 
-    class Handler(BaseHTTPRequestHandler):
-        def log_message(self, *a):
-            pass
-
-        def do_POST(self):
-            with state["lock"]:
-                state["requests"] += 1
-                if state["left"] > 0:
-                    state["left"] -= 1
-                    self.send_response(503)
-                    self.end_headers()
-                    self.wfile.write(b"injected failure")
-                    return
-            req = json.loads(
-                self.rfile.read(int(self.headers["Content-Length"])))
-            with state["lock"]:  # the word memo is shared across threads
-                vecs = [feathash_vector(t, state["memo"]).tolist()
-                        for t in req["texts"]]
-            body = json.dumps({"vectors": vecs}).encode()
-            self.send_response(200)
-            self.send_header("Content-Type", "application/json")
-            self.send_header("Content-Length", str(len(body)))
-            self.end_headers()
-            self.wfile.write(body)
-
-    server = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
-    server.request_count = lambda: state["requests"]
-    threading.Thread(target=server.serve_forever, daemon=True).start()
-    return server, f"http://127.0.0.1:{server.server_address[1]}/embed"
+    return _serve_fake_json("/embed", handle, fail_first)
 
 
 def hashed_bow_remote(sf_dir: str) -> "pa.Table":
@@ -329,10 +315,13 @@ def hashed_bow_remote(sf_dir: str) -> "pa.Table":
             concurrency=small_pool(), num_cpus=1,
         )
 
+        from .documents import FEATHASH_DIM
+
         def summarize(batch: pa.Table) -> pa.Table:
             col = batch.column("vector").combine_chunks()
+            # explicit dim: reshape(0, -1) on an empty block raises
             m = col.flatten().to_numpy(zero_copy_only=False).reshape(
-                batch.num_rows, -1)
+                batch.num_rows, FEATHASH_DIM)
             return pa.table({
                 "doc_id": batch.column("doc_id"),
                 "nnz": pa.array((m != 0).sum(axis=1).astype(np.int64)),
