@@ -210,3 +210,16 @@ def test_hashed_bow_remote_equals_local(ray_session):
     local = pd.DataFrame(hashed_bow_embeddings(SF).take_all()).sort_values("doc_id")
     pd.testing.assert_frame_equal(
         remote.reset_index(drop=True), local.reset_index(drop=True))
+
+
+def test_remote_embedder_empty_batch_needs_no_service():
+    """An empty block must short-circuit with the typed empty table —
+    no HTTP round trip, no reshape ambiguity."""
+    from ocr_ray.ops.documents import FEATHASH_DIM
+    from ocr_ray.ops.remote_service import RemoteEmbedder
+
+    emb = RemoteEmbedder("http://127.0.0.1:9/none")  # unreachable on purpose
+    out = emb(pa.table({"doc_id": pa.array([], pa.int64()),
+                        "text": pa.array([], pa.string())}))
+    assert out.num_rows == 0
+    assert out.schema.field("vector").type == pa.list_(pa.int64(), FEATHASH_DIM)
