@@ -53,6 +53,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_entities_remote": rs_ops.doc_entities_remote,
         "crop_zip_bundles": m_ops.crop_zip_bundles,
         "hashed_bow_remote": rs_ops.hashed_bow_remote,
+        "dup_span_scrub": d_ops.dup_span_scrub,
         "scd2_url_history": x_ops.scd2_url_history,
         "pareto_docs": d_ops.pareto_docs,
         "peak_concurrency": r_ops.peak_concurrency,
@@ -638,7 +639,7 @@ def _markov_stationary_sql() -> str:
 
 
 def _base_oracle_sql() -> dict[str, str]:
-    from ocr_ray.ops.oracles import _bucket_cap
+    from ocr_ray.ops.oracles import H64S, _bucket_cap
 
     punct_sql = """'«»“”.,;:!?()[]{}"' || chr(39)"""
     # shared per-doc token-entropy CTE chain (token_entropy +
@@ -3083,6 +3084,48 @@ def _base_oracle_sql() -> dict[str, str]:
         SELECT doc_id, CAST(rank AS BIGINT) AS rank, term, score
         FROM scored WHERE rank <= {d_ops.KEYWORD_TOP_K}
         ORDER BY doc_id, rank
+    """
+
+    # ExactSubstr span scrubbing (Lee et al. 2022): gram counts, token
+    # cover via a bounded range join (token t covered iff any dup window
+    # start in [t-K+1, t]), md5 of the kept tokens — the engine's two-pass
+    # broadcast replayed exactly, same doc_id % MOD gate both sides
+    _dk = d_ops.DSS_K
+    _dgram = H64S.format(
+        expr=f"array_to_string(list_slice(l, i, i + {_dk - 1}), ' ')")
+    sql["dup_span_scrub"] = f"""
+        WITH d AS (
+            SELECT doc_id, regexp_extract_all(text, '\\S+') AS l
+            FROM documents WHERE doc_id % {d_ops.DSS_DOC_MOD} = 0
+        ),
+        g AS (
+            SELECT doc_id, CAST(i AS BIGINT) AS pos, {_dgram} AS h
+            FROM (SELECT doc_id, l,
+                         unnest(generate_series(1, len(l) - {_dk} + 1)) AS i
+                  FROM d WHERE len(l) >= {_dk})
+        ),
+        dup AS (SELECT h FROM g GROUP BY h HAVING COUNT(*) >= 2),
+        flags AS (
+            SELECT g.doc_id, g.pos FROM g JOIN dup ON g.h = dup.h
+        ),
+        tok AS (
+            SELECT doc_id, len(l) AS n, u.t AS t, l[u.t] AS w
+            FROM d, LATERAL unnest(generate_series(1, len(l))) AS u(t)
+        ),
+        cov AS (
+            SELECT tok.doc_id, tok.n, tok.t, tok.w,
+                   CASE WHEN EXISTS (
+                       SELECT 1 FROM flags f
+                       WHERE f.doc_id = tok.doc_id
+                         AND f.pos BETWEEN tok.t - {_dk} + 1 AND tok.t
+                   ) THEN 1 ELSE 0 END AS c
+            FROM tok
+        )
+        SELECT doc_id, CAST(MAX(n) AS BIGINT) AS n_tokens,
+               CAST(SUM(c) AS BIGINT) AS n_removed,
+               md5(COALESCE(string_agg(CASE WHEN c = 0 THEN w END, ' '
+                                       ORDER BY t), '')) AS clean_md5
+        FROM cov GROUP BY doc_id ORDER BY doc_id
     """
 
     # PPJoin ground truth: the prefix filter itself is EXACT (any pair with

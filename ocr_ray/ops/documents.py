@@ -6154,3 +6154,109 @@ def vocab_coverage(sf_dir: str):
         specs=[("n", "sum", "n")],
         finalize=fin,
     )
+
+
+# --------------------------------- exact duplicated-span scrubbing
+
+# Lee et al. 2022 ("Deduplicating Training Data Makes Language Models
+# Better", ExactSubstr): REMOVE every token run that occurs verbatim
+# elsewhere in the corpus, rather than dropping whole near-dup documents.
+# K is the window (their 50-token threshold scaled to the synthetic docs);
+# a token is scrubbed iff ANY K-gram window covering it occurs >= 2 times
+# corpus-wide (same doc or not). The doc_id % DSS_DOC_MOD gate bounds the
+# oracle's gram join exactly like WINNOW_DOC_MOD does for winnowing —
+# engine and SQL twin apply the same gate, so the check is exact on the
+# gated subset while the operator itself runs on whatever it is fed.
+DSS_K = 16
+DSS_DOC_MOD = 4
+# The dup-gram set is broadcast (ray.put once). At crawl scale it is the
+# corpus' duplicated mass and can exceed driver memory — the guard raises
+# loudly at this bound; past it, replace the broadcast with the
+# co-partitioned join variant (hash-partition gram rows by h, mark, and
+# re-shuffle marks back by doc_id — two exchanges instead of none).
+DSS_DUPSET_CAP = 5_000_000
+
+
+def dup_span_scrub(sf_dir: str):
+    """ExactSubstr span scrubbing over the documents table: per gated doc,
+    the token count, how many tokens sit inside a corpus-duplicated
+    K-token run, and the md5 of the scrubbed text (kept tokens joined by
+    single spaces) — the TRANSFORM complement of the pair-detection ops
+    (minhash/winnow flag documents; this rewrites them).
+
+    Scale shape: pass 1 ships only 8-byte gram hashes through the
+    grouped-count combiner (the boilerplate_line_dedup discipline); the
+    >=2 survivors broadcast once via ray.put (size-guarded, see
+    DSS_DUPSET_CAP); pass 2 is shuffle-free — each doc re-derives its
+    gram hashes locally and masks covered tokens with one diff-array
+    cumsum.
+
+    Output: (doc_id, n_tokens, n_removed, clean_md5) ordered by doc_id."""
+    import hashlib as _hashlib
+
+    from .extraction_queries import line_hash64
+
+    def gram_rows(batch: pa.Table) -> pa.Table:
+        hs: list[int] = []
+        ids = batch.column("doc_id").to_pylist()
+        for doc_id, text in zip(ids, batch.column("text").to_pylist()):
+            if doc_id % DSS_DOC_MOD:
+                continue
+            toks = text.split()
+            for i in range(len(toks) - DSS_K + 1):
+                hs.append(line_hash64(" ".join(toks[i:i + DSS_K])))
+        return pa.table({"h": pa.array(hs, pa.int64())})
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    counts = grouped_agg(
+        ds.map_batches(gram_rows, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        keys=["h"], specs=[("c", "count", None)],
+    )
+
+    def hot(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return batch.filter(pc.greater_equal(batch.column("c"), 2)).select(["h"])
+
+    dup_rows = counts.map_batches(hot, batch_format="pyarrow").take_all()
+    if len(dup_rows) > DSS_DUPSET_CAP:
+        raise ValueError(
+            f"dup_span_scrub: {len(dup_rows)} duplicated grams exceed the "
+            f"broadcast cap {DSS_DUPSET_CAP} — switch to the co-partitioned "
+            f"join variant at this scale")
+    dup_ref = ray.put(frozenset(r["h"] for r in dup_rows))
+
+    def scrub(batch: pa.Table) -> pa.Table:
+        dup = ray.get(dup_ref)
+        ids_out: list[int] = []
+        nt_out: list[int] = []
+        nr_out: list[int] = []
+        md_out: list[str] = []
+        for doc_id, text in zip(batch.column("doc_id").to_pylist(),
+                                batch.column("text").to_pylist()):
+            if doc_id % DSS_DOC_MOD:
+                continue
+            toks = text.split()
+            n = len(toks)
+            # diff-array cover: +1 at each dup window start, -1 past its
+            # end; cumsum > 0 marks covered tokens in one vectorized pass
+            diff = np.zeros(n + 1, dtype=np.int64)
+            for i in range(n - DSS_K + 1):
+                if line_hash64(" ".join(toks[i:i + DSS_K])) in dup:
+                    diff[i] += 1
+                    diff[i + DSS_K] -= 1
+            covered = np.cumsum(diff[:n]) > 0
+            kept = [t for t, c in zip(toks, covered) if not c]
+            ids_out.append(doc_id)
+            nt_out.append(n)
+            nr_out.append(int(covered.sum()))
+            md_out.append(_hashlib.md5(" ".join(kept).encode()).hexdigest())
+        return pa.table(
+            {"doc_id": pa.array(ids_out, pa.int64()),
+             "n_tokens": pa.array(nt_out, pa.int64()),
+             "n_removed": pa.array(nr_out, pa.int64()),
+             "clean_md5": pa.array(md_out, pa.string())})
+
+    return ds.map_batches(scrub, batch_format="pyarrow",
+                          zero_copy_batch=True).sort("doc_id")

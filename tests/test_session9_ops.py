@@ -310,3 +310,42 @@ def test_empty_result_keeps_schema(ray_session):
     assert tbl.schema.field("p_partkey").type == pa.int64()
     assert tbl.schema.field("p_retailprice").type == pa.float64()
     assert tbl.num_rows == 0
+
+
+def test_dup_span_scrub_removes_exact_shared_run(ray_session, tmp_path):
+    """ExactSubstr semantics: a 20-token run shared verbatim by two docs
+    is scrubbed from BOTH (cover = union of dup K-windows), while unique
+    text and sub-K overlaps survive."""
+    import hashlib
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ocr_ray.ops.documents import DSS_DOC_MOD, DSS_K, dup_span_scrub
+
+    shared = [f"s{i}" for i in range(20)]            # 20 > K=16: dup run
+    a_uniq = [f"a{i}" for i in range(10)]
+    b_uniq = [f"b{i}" for i in range(12)]
+    c_uniq = [f"c{i}" for i in range(30)]            # fully unique doc
+    docs = pa.table({
+        "doc_id": pa.array([0, DSS_DOC_MOD, 2 * DSS_DOC_MOD], pa.int64()),
+        "text": pa.array([
+            " ".join(a_uniq + shared),
+            " ".join(shared + b_uniq),
+            " ".join(c_uniq),
+        ]),
+    })
+    pq.write_table(docs, str(tmp_path / "documents.parquet"))
+
+    out = dup_span_scrub(str(tmp_path)).to_pandas().set_index("doc_id")
+    # the shared 20 tokens are covered in both docs, nothing else
+    assert out.loc[0, "n_tokens"] == 30 and out.loc[0, "n_removed"] == 20
+    assert out.loc[DSS_DOC_MOD, "n_tokens"] == 32
+    assert out.loc[DSS_DOC_MOD, "n_removed"] == 20
+    assert out.loc[2 * DSS_DOC_MOD, "n_removed"] == 0
+    assert out.loc[0, "clean_md5"] == hashlib.md5(
+        " ".join(a_uniq).encode()).hexdigest()
+    assert out.loc[DSS_DOC_MOD, "clean_md5"] == hashlib.md5(
+        " ".join(b_uniq).encode()).hexdigest()
+    assert out.loc[2 * DSS_DOC_MOD, "clean_md5"] == hashlib.md5(
+        " ".join(c_uniq).encode()).hexdigest()
