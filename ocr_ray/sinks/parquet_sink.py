@@ -296,6 +296,19 @@ def consolidate_partition(out_dir: str, part: int, input_path: str = "") -> dict
     pdir = partition_dir(out_dir, part)
     tmp_dir = os.path.join(pdir, TMP_SHARDS)
     shards = sorted(os.listdir(tmp_dir)) if os.path.isdir(tmp_dir) else []
+    if not shards:
+        # Idempotent retry: a consolidate task whose worker died AFTER
+        # committing (manifest written, tmp dir removed) but BEFORE Ray
+        # recorded the result gets re-executed — the committed state IS
+        # this task's deterministic output, so return it instead of
+        # failing on zero shards (found by the worker-kill chaos test).
+        mpath = os.path.join(pdir, MANIFEST_NAME)
+        if os.path.exists(mpath):
+            with open(mpath) as f:
+                return json.load(f)
+        raise FileNotFoundError(
+            f"partition {part}: no tmp shards and no committed manifest "
+            f"under {pdir} — phase-1 output missing")
     tables = []
     for s in shards:
         path = os.path.join(tmp_dir, s)

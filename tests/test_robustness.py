@@ -219,3 +219,61 @@ def test_ensure_artifacts_landing_semantics(monkeypatch, tmp_path):
     with _pytest.raises(RuntimeError, match="boom"):
         oa.ensure_artifacts("sf")
     assert [d for d in os.listdir(tmp_path) if "building" in d] == []
+
+
+def test_flagship_survives_worker_kill(ray_session, tmp_path):
+    """Fault tolerance, no fakes: SIGKILL live Ray worker processes while
+    the flagship runs; Ray's task retry must re-execute the lost batches
+    and the output must stay byte-identical to the single-process oracle.
+    (The default CHEAP_INIT engines run extraction as a task pool, so a
+    killed worker costs one task retry, not an actor restart.)"""
+    import os
+    import signal
+    import subprocess
+    import threading
+    import time
+
+    import pyarrow as pa
+
+    from ocr_ray.oracle import extract_table
+    from ocr_ray.pipelines.extract import run_extract
+    from ocr_ray.sinks.parquet_sink import read_output
+    from ocr_ray.synth import pages_dir_for, rows_for_range
+
+    n = 4000
+    corpus = pages_dir_for(n)
+    out_dir = str(tmp_path / "chaos_out")
+
+    kills = {"n": 0}
+
+    def killer():
+        # kill up to 3 busy data workers over the run's lifetime
+        deadline = time.time() + 20
+        while time.time() < deadline and kills["n"] < 3:
+            time.sleep(1.5)
+            # fused ops title their workers ray::ReadParquet->MapBatches(...)
+            probe = subprocess.run(
+                ["pgrep", "-f", "ray::.*MapBatches"],
+                capture_output=True, text=True)
+            pids = [int(p) for p in probe.stdout.split() if p.strip()]
+            for pid in pids[:1]:
+                try:
+                    os.kill(pid, signal.SIGKILL)
+                    kills["n"] += 1
+                except ProcessLookupError:
+                    pass
+
+    t = threading.Thread(target=killer, daemon=True)
+    t.start()
+    run_extract(corpus, out_dir)
+    t.join(timeout=25)
+
+    got = read_output(out_dir).sort_by(
+        [("part", "ascending"), ("url", "ascending")])
+    want = extract_table(rows_for_range(0, n)).sort_by(
+        [("part", "ascending"), ("url", "ascending")])
+    assert got.num_rows == want.num_rows
+    for name in want.column_names:
+        assert got.column(name).to_pylist() == want.column(name).to_pylist(), name
+    # the run must actually have been perturbed to prove anything
+    assert kills["n"] >= 1, "no worker was killed while the pipeline ran"
