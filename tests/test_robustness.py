@@ -277,3 +277,50 @@ def test_flagship_survives_worker_kill(ray_session, tmp_path):
         assert got.column(name).to_pylist() == want.column(name).to_pylist(), name
     # the run must actually have been perturbed to prove anything
     assert kills["n"] >= 1, "no worker was killed while the pipeline ran"
+
+
+def test_shuffle_query_survives_worker_kill(ray_session):
+    """Exchange-path fault tolerance: SIGKILL workers while a grouped
+    aggregate (combiner + all-to-all + finalize) runs; the result must
+    equal the undisturbed run's."""
+    import os
+    import signal
+    import subprocess
+    import threading
+    import time
+
+    import pandas as pd
+
+    from ocr_ray.ops.documents import minhash_dup_pairs
+
+    SF = "/root/testdata/sf0.01"
+    want = pd.DataFrame(minhash_dup_pairs(SF).take_all())
+
+    kills = {"n": 0}
+
+    def killer():
+        deadline = time.time() + 20
+        while time.time() < deadline and kills["n"] < 2:
+            time.sleep(0.1)
+            # any executing data task (map, aggregate shuffle, sort)
+            probe = subprocess.run(
+                ["pgrep", "-f", "ray::"], capture_output=True, text=True)
+            pids = [int(p) for p in probe.stdout.split() if p.strip()]
+            for pid in pids[:1]:
+                try:
+                    os.kill(pid, signal.SIGKILL)
+                    kills["n"] += 1
+                except ProcessLookupError:
+                    pass
+            time.sleep(1.0)  # let the retry get going before the next kill
+
+    t = threading.Thread(target=killer, daemon=True)
+    t.start()
+    got = pd.DataFrame(minhash_dup_pairs(SF).take_all())
+    t.join(timeout=25)
+
+    key = list(want.columns)
+    pd.testing.assert_frame_equal(
+        got.sort_values(key).reset_index(drop=True),
+        want.sort_values(key).reset_index(drop=True))
+    assert kills["n"] >= 1, "no worker was killed while the query ran"
