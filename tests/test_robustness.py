@@ -324,3 +324,51 @@ def test_shuffle_query_survives_worker_kill(ray_session):
         got.sort_values(key).reset_index(drop=True),
         want.sort_values(key).reset_index(drop=True))
     assert kills["n"] >= 1, "no worker was killed while the query ran"
+
+
+def test_actor_pool_stage_survives_worker_kill(ray_session):
+    """Actor-pool fault tolerance (the T1/T4 slot): SIGKILL the warm
+    EntityTagWorker actors mid-query; Ray Data must respawn the actor
+    (paying its __init__ again) and re-run the lost batch, landing output
+    byte-identical to the undisturbed run."""
+    import os
+    import signal
+    import subprocess
+    import threading
+    import time
+
+    import pandas as pd
+
+    from ocr_ray.ops.ner import doc_entities
+
+    SF = "/root/testdata/sf0.01"
+    want = pd.DataFrame(doc_entities(SF).take_all())
+
+    kills = {"n": 0}
+
+    def killer():
+        deadline = time.time() + 20
+        while time.time() < deadline and kills["n"] < 2:
+            time.sleep(0.2)
+            probe = subprocess.run(
+                ["pgrep", "-f", "ray::.*EntityTagWorker"],
+                capture_output=True, text=True)
+            pids = [int(p) for p in probe.stdout.split() if p.strip()]
+            for pid in pids[:1]:
+                try:
+                    os.kill(pid, signal.SIGKILL)
+                    kills["n"] += 1
+                except ProcessLookupError:
+                    pass
+            time.sleep(1.0)
+
+    t = threading.Thread(target=killer, daemon=True)
+    t.start()
+    got = pd.DataFrame(doc_entities(SF).take_all())
+    t.join(timeout=25)
+
+    key = list(want.columns)
+    pd.testing.assert_frame_equal(
+        got.sort_values(key).reset_index(drop=True),
+        want.sort_values(key).reset_index(drop=True))
+    assert kills["n"] >= 1, "no actor was killed while the query ran"
