@@ -3120,12 +3120,20 @@ def _base_oracle_sql() -> dict[str, str]:
                          AND f.pos BETWEEN tok.t - {_dk} + 1 AND tok.t
                    ) THEN 1 ELSE 0 END AS c
             FROM tok
+        ),
+        agg AS (
+            SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_removed,
+                   md5(COALESCE(string_agg(CASE WHEN c = 0 THEN w END, ' '
+                                           ORDER BY t), '')) AS clean_md5
+            FROM cov GROUP BY doc_id
         )
-        SELECT doc_id, CAST(MAX(n) AS BIGINT) AS n_tokens,
-               CAST(SUM(c) AS BIGINT) AS n_removed,
-               md5(COALESCE(string_agg(CASE WHEN c = 0 THEN w END, ' '
-                                       ORDER BY t), '')) AS clean_md5
-        FROM cov GROUP BY doc_id ORDER BY doc_id
+        -- anchored on d, not cov: a gated ZERO-token doc has no tok rows
+        -- but the engine still emits its (0, 0, md5('')) row
+        SELECT d.doc_id, CAST(len(d.l) AS BIGINT) AS n_tokens,
+               COALESCE(a.n_removed, 0) AS n_removed,
+               COALESCE(a.clean_md5, md5('')) AS clean_md5
+        FROM d LEFT JOIN agg a ON d.doc_id = a.doc_id
+        ORDER BY d.doc_id
     """
 
     # PPJoin ground truth: the prefix filter itself is EXACT (any pair with

@@ -295,17 +295,21 @@ def consolidate_partition(out_dir: str, part: int, input_path: str = "") -> dict
 
     pdir = partition_dir(out_dir, part)
     tmp_dir = os.path.join(pdir, TMP_SHARDS)
+    # Idempotent retry — manifest checked FIRST: a consolidate task whose
+    # worker died AFTER committing but BEFORE Ray recorded the result gets
+    # re-executed, and the tmp dir may be gone OR half-deleted (killed mid
+    # rmtree). The committed state IS this task's deterministic output;
+    # rebuilding from a leftover shard SUBSET would silently lose rows
+    # (round-5 review on the first shards-empty-only guard). Committed
+    # partitions never legitimately re-enter this phase in the same run —
+    # the stamp stage filters them before any work.
+    mpath = os.path.join(pdir, MANIFEST_NAME)
+    if os.path.exists(mpath):
+        shutil.rmtree(tmp_dir, ignore_errors=True)  # finish the cleanup
+        with open(mpath) as f:
+            return json.load(f)
     shards = sorted(os.listdir(tmp_dir)) if os.path.isdir(tmp_dir) else []
     if not shards:
-        # Idempotent retry: a consolidate task whose worker died AFTER
-        # committing (manifest written, tmp dir removed) but BEFORE Ray
-        # recorded the result gets re-executed — the committed state IS
-        # this task's deterministic output, so return it instead of
-        # failing on zero shards (found by the worker-kill chaos test).
-        mpath = os.path.join(pdir, MANIFEST_NAME)
-        if os.path.exists(mpath):
-            with open(mpath) as f:
-                return json.load(f)
         raise FileNotFoundError(
             f"partition {part}: no tmp shards and no committed manifest "
             f"under {pdir} — phase-1 output missing")
